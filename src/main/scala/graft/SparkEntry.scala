@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` / `oracleSql` are assembled from the per-category op modules
+  * (SURVEY.md §2 inventory); a key is declared with an oracle only after
+  * its local DuckDB pre-flight (`scripts/oracle_check.py`) is green.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (ops.Scans.entries, ops.Scans.oracles),
+      (ops.Projections.entries, ops.Projections.oracles),
+      (ops.Joins.entries, ops.Joins.oracles),
+      (ops.Aggregations.entries, ops.Aggregations.oracles)
+    )
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shaped pricing summary: scan → filter → project → groupBy →
+    * decimal-exact sums/avgs → sort.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Aggregations.entries("agg_groupby_basic")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Det._
+
+/** SURVEY.md §2.D — aggregations.
+  *
+  * Reference surface: `df.groupby(k).agg({...})`, `nunique`,
+  * `nunique_approx` (HLL), `value_counts`, `quantile`, `dd.Aggregation`
+  * (custom chunk/agg/finalize triple), `pivot_table`, `describe`.
+  *
+  * dask's chunk/agg/finalize maps 1:1 onto Spark's partial/merge/final
+  * HashAggregate — map-side combine is automatic. `dd.Aggregation` maps to
+  * `Aggregator[IN,BUF,OUT]` (the custom UDAF below keeps an exact integer
+  * buffer so the result is associative and hash-stable).
+  *
+  * 100 TB notes: every aggregate here is a single shuffle with partial
+  * aggregation; `pivot` always gets an explicit value list (no driver-side
+  * collect of the pivot domain); exact percentile is the one op that
+  * gathers a group's values — at scale swap to approx_percentile; skewed
+  * keys are AQE's problem for joins and salting's for aggs.
+  */
+object Aggregations {
+
+  /** Custom UDAF (dd.Aggregation equivalent): exact sum of squared
+    * quantity-cents. Integer buffer → associative, order-insensitive,
+    * bit-stable across engines (unlike a double accumulator).
+    */
+  object SumSqCents extends Aggregator[Double, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, q: Double): Long = {
+      val c = math.round(q * 100); b + c * c
+    }
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(b: Long): Long = b
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+  def sumsq_cents(c: Column): Column = udaf(SumSqCents).apply(c)
+
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_global" -> ((s, d) =>
+      lineitem(s, d).agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))),
+
+    // TPC-H Q1 shape — the flagship (SparkEntry.entry reuses it).
+    // Derived money stays in DECIMAL arithmetic end to end (§7.2.2).
+    "agg_groupby_basic" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumExpr(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_groupby_multikey" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus", "ship_year")),
+
+    "agg_count_distinct" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // HLL++ sketch — declared without oracle (estimates are engine-specific)
+    "agg_approx_distinct" -> ((s, d) =>
+      lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    "agg_value_counts" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"))),
+
+    // exact interpolated percentiles (≡ DuckDB quantile_cont); rounded 6dp
+    // because the interpolation arithmetic is genuinely double
+    "agg_median_quantile" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          r6(percentile(col("o_totalprice"), lit(0.5))).as("median_price"),
+          r6(percentile(col("o_totalprice"), lit(0.9))).as("p90_price"))
+        .orderBy("o_orderstatus")),
+
+    "agg_custom_udaf" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sumsq_cents(col("l_quantity")).as("sumsq"))
+        .orderBy("l_returnflag")),
+
+    // pivot with an EXPLICIT value list: deterministic column order and no
+    // collect of the domain (100 TB rule)
+    "agg_pivot" -> ((s, d) => {
+      val p = events(s, d)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", pivotTypes)
+        .agg(count(lit(1)))
+      pivotTypes.foldLeft(p)((df, c) =>
+        df.withColumn(c, coalesce(col(c), lit(0L))))
+        .orderBy("bucket")
+    }),
+
+    "agg_rollup" -> ((s, d) =>
+      customer(s, d)
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment").asc_nulls_first,
+          col("c_nationkey").asc_nulls_first)),
+
+    "agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM graft_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // describe-style summary via explicit fns (std omitted: double-order
+    // nondeterminism — see prep_standard_scale for the exact-moments way)
+    "agg_describe" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(col("l_quantity")).as("qty_count"),
+        davg(col("l_quantity")).as("qty_mean"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        davg(col("l_extendedprice")).as("price_mean"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_global" ->
+      s"""SELECT ${dsumSql("l_quantity")} AS sum_qty,
+         |${dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n,
+         |MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+         |FROM lineitem""".stripMargin,
+    "agg_groupby_basic" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsumSql("l_quantity")} AS sum_qty,
+         |${dsumSql("l_extendedprice")} AS sum_base_price,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |${davgSql("l_quantity")} AS avg_qty,
+         |${davgSql("l_extendedprice")} AS avg_price,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_groupby_multikey" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(year(l_shipdate) AS INTEGER) AS ship_year, COUNT(*) AS n,
+         |${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1, 2, 3
+         |ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |COUNT(*) AS n_events FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_value_counts" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+    "agg_median_quantile" ->
+      """SELECT o_orderstatus,
+        |ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+        |ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_custom_udaf" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) *
+        |         CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sumsq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |CAST(COUNT(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS click,
+        |CAST(COUNT(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) AS error,
+        |CAST(COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |CAST(COUNT(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) AS signup,
+        |CAST(COUNT(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+         |${dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+         |ORDER BY c_mktsegment ASC NULLS FIRST,
+         |         c_nationkey ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_describe" ->
+      s"""SELECT COUNT(l_quantity) AS qty_count,
+         |${davgSql("l_quantity")} AS qty_mean,
+         |MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+         |${davgSql("l_extendedprice")} AS price_mean,
+         |MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max
+         |FROM lineitem""".stripMargin
+  )
+}

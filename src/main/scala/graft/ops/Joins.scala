@@ -1,0 +1,242 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Det._
+
+/** SURVEY.md §2.C — joins.
+  *
+  * Reference surface: `dd.merge(how=inner/left/outer/cross)`, indicator
+  * semi/anti idioms, `dd.merge_asof`, map_partitions range-join idioms.
+  *
+  * Strategy notes (100 TB): Catalyst's JoinSelection owns shuffle-vs-
+  * broadcast (the reference picks merge strategies by heuristic; Spark's
+  * planner + AQE do it from stats at runtime). We only force `broadcast()`
+  * where a dimension is provably bounded (nation=25, region=5 rows at any
+  * scale factor). The as-of join is the one operator Spark lacks natively:
+  * implemented as union-tag + running `last(ignoreNulls)` window — a single
+  * shuffle on the `by` key, O(n log n) within partitions, no O(n²) blowup,
+  * safe at any scale (vs. the naive range-join + argmax which explodes).
+  */
+object Joins {
+
+  /** As-of (backward) join: for each purchase, the latest prior-or-equal
+    * click of the same user. One shuffle on user_id; the union-tag trick
+    * turns it into a running window instead of a range join.
+    */
+  private def asof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("value"), col("event_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("value"), col("event_id"))
+    // order ties: clicks (side=0) before the purchase at the same ts so an
+    // equal-timestamp click is visible (ASOF >= semantics); event_id as the
+    // final total-order tie-break
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purch)
+      .withColumn("click_value",
+        last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_value"))
+      .orderBy("event_id")
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")),
+
+    // left outer keeps customers with no urgent orders (count 0)
+    "join_left_outer" -> ((s, d) => {
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // full outer of two disjoint per-customer aggregates; Seq-key join
+    // coalesces the key column
+    "join_full_outer" -> ((s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_f"))
+      val p = o.filter(col("o_orderstatus") === "P")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_p"))
+      f.join(p, Seq("o_custkey"), "full").orderBy("o_custkey")
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val big = orders(s, d).filter(col("o_totalprice") > 400000)
+      customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, d) => {
+      val big = orders(s, d).filter(col("o_totalprice") > 400000)
+      customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // explicit broadcast of the bounded dims (25 / 5 rows at ANY scale)
+    "join_broadcast" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name", "n_name")),
+
+    // composite-key join: max-price line per order selected by joining
+    // lineitem back to a per-order aggregate on (orderkey, price); then a
+    // 3-way chain through orders
+    "join_multikey" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val mx = li.groupBy(col("l_orderkey").as("mk_orderkey"))
+        .agg(max(col("l_extendedprice")).as("mk_price"))
+      li.join(mx,
+          col("l_orderkey") === col("mk_orderkey") &&
+            col("l_extendedprice") === col("mk_price"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_max_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "join_cross" -> ((s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // theta/range join against a bounded broadcast band table; at 100 TB
+    // the band table stays tiny → broadcast nested-loop is bounded work
+    "join_theta_range" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("b0", 0.0, 20000.0), ("b1", 20000.0, 40000.0),
+        ("b2", 40000.0, 60000.0), ("b3", 60000.0, 1e9))
+        .toDF("band", "lo", "hi")
+      lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    "join_asof" -> ((s, d) => asof(s, d)),
+
+    // interval join: events into fixed windows [start, end); the interval
+    // side is bounded → broadcast; at scale, bucketize ts to an equi-key
+    // first and keep the residual range predicate
+    "join_interval" -> ((s, d) => {
+      import s.implicits._
+      val iv = Seq(
+        ("w1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+        ("w2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+        ("w3", "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+        ("w4", "2024-01-22 00:00:00", "2024-01-29 00:00:00"))
+        .toDF("iv", "start_s", "end_s")
+        .select(col("iv"),
+          col("start_s").cast("timestamp_ntz").as("iv_start"),
+          col("end_s").cast("timestamp_ntz").as("iv_end"))
+      events(s, d)
+        .join(broadcast(iv), col("ts") >= col("iv_start") && col("ts") < col("iv_end"))
+        .groupBy("iv")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("iv")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(f.o_custkey, p.o_custkey) AS o_custkey, f.n_f, p.n_p
+        |FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_p FROM orders
+        |      WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+        |  ON f.o_custkey = p.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_broadcast" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+         |${dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_multikey" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |${dsumSql("l_extendedprice")} AS sum_max_price
+         |FROM lineitem
+         |JOIN (SELECT l_orderkey AS mk_orderkey,
+         |        MAX(l_extendedprice) AS mk_price
+         |      FROM lineitem GROUP BY l_orderkey) mx
+         |  ON l_orderkey = mk_orderkey AND l_extendedprice = mk_price
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta_range" ->
+      s"""SELECT band, COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |JOIN (VALUES ('b0', 0.0, 20000.0), ('b1', 20000.0, 40000.0),
+         |             ('b2', 40000.0, 60000.0), ('b3', 60000.0, 1e9))
+         |  AS bands(band, lo, hi)
+         |  ON l_extendedprice >= lo AND l_extendedprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_interval" ->
+      s"""SELECT iv, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |JOIN (VALUES
+         |  ('w1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+         |  ('w2', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+         |  ('w3', TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+         |  ('w4', TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29'))
+         |  AS w(iv, iv_start, iv_end)
+         |  ON ts >= iv_start AND ts < iv_end
+         |GROUP BY iv ORDER BY iv""".stripMargin
+  )
+}

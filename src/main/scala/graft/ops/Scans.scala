@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Tables._
+import graft.util.Det._
+
+/** SURVEY.md §2.A — scans / sources / sinks.
+  *
+  * Reference surface: `dd.read_parquet(columns=…, filters=…)`,
+  * `dd.read_csv(dtype=…)`, `dd.read_json(lines=True)`,
+  * `dd.from_pandas(...)`, `df.repartition(...)`.
+  *
+  * Spark mapping is entirely built-in: Catalyst pushes projections and
+  * predicates into the parquet scan (visible as ReadSchema / PushedFilters
+  * in `.explain("formatted")`), which is precisely the reference's
+  * `columns=` / `filters=` behavior — but automatic.
+  *
+  * 100 TB notes: all scans stream partition-parallel; the CSV round-trip
+  * writes with the same parallelism it reads (no coalesce in the data
+  * path). Nothing collects to the driver.
+  */
+object Scans {
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // plain projected scan — column pruning reaches the parquet footer
+    "scan_parquet" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // projection + predicate: both pushed into the scan (PushedFilters)
+    "scan_parquet_pruned" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast(TimestampNTZType))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // csv round-trip with an explicit read schema (dd.read_csv(dtype=…)):
+    // doubles survive exactly (shortest-round-trip repr both directions)
+    "scan_csv_roundtrip" -> ((s, d) => {
+      val tmp = s"/tmp/graft_csv_roundtrip_${new java.io.File(d).getName}"
+      lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_returnflag", StringType)))
+      s.read.schema(schema).option("header", "true").csv(tmp)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // JSON-lines record parse (dd.read_json(lines=True)) via from_json
+    "scan_json_lines" -> ((s, d) =>
+      events(s, d)
+        .select(from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+
+    // literal-rows source (dd.from_pandas) joined against a real table
+    "source_inline" -> ((s, d) => {
+      import s.implicits._
+      val tags = Seq((0, "T0"), (1, "T1"), (2, "T2"), (3, "T3"), (4, "T4"))
+        .toDF("k", "tag")
+      region(s, d)
+        .join(tags, col("r_regionkey") === col("k"))
+        .select("r_regionkey", "r_name", "tag")
+        .orderBy("r_regionkey")
+    }),
+
+    // repartition must not change values (dd.repartition(npartitions=N))
+    "repartition_n" -> ((s, d) =>
+      lineitem(s, d)
+        .repartition(8)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_parquet_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_csv_roundtrip" ->
+      s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+         |COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+    "scan_json_lines" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |COUNT(*) AS n FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "source_inline" ->
+      """SELECT r.r_regionkey, r.r_name, v.tag FROM region r
+        |JOIN (VALUES (0,'T0'),(1,'T1'),(2,'T2'),(3,'T3'),(4,'T4'))
+        |  AS v(k, tag) ON r.r_regionkey = v.k
+        |ORDER BY r.r_regionkey""".stripMargin,
+    "repartition_n" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine determinism helpers (SURVEY.md §7.2 rule book).
+  *
+  * The driver hash-compares Spark parquet output against DuckDB running the
+  * declared oracle SQL, so every aggregate must be bit-identical across both
+  * engines:
+  *
+  *  - `SUM(double)` is addition-order-dependent → cast RAW 2-dp money
+  *    columns to DECIMAL(18,2) first (exact, associative, hash-stable),
+  *    do any arithmetic in decimal, sum exactly, and cast the final value
+  *    to DOUBLE (correctly-rounded in both engines).
+  *  - Averages: exact decimal sum cast to double, divided by the count in
+  *    IEEE double — identical bits on both engines, no rounding needed.
+  *  - Genuinely-double scalar math (ln, percentile interpolation) → round
+  *    to a few decimal places on both sides.
+  *  - Every declared query ends in a total-order ORDER BY (unique key as
+  *    final tie-break): the driver hashes ordered content.
+  *
+  * Each Spark helper has a paired SQL-text twin used to build the DuckDB
+  * oracle, so the two dialects can never drift apart silently.
+  */
+object Det {
+
+  /** Exact 2-dp decimal view of a raw money/quantity column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  def decSql(c: String): String = s"CAST($c AS DECIMAL(18,2))"
+
+  /** Hash-stable SUM of a raw double column, emitted as DOUBLE. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  def dsumSql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Hash-stable SUM of an already-exact decimal expression. */
+  def dsumExpr(c: Column): Column = sum(c).cast("double")
+  def dsumExprSql(c: String): String = s"CAST(SUM($c) AS DOUBLE)"
+
+  /** Hash-stable AVG: exact decimal sum → double, IEEE-divided by count. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+  def davgSql(c: String): String = s"${dsumSql(c)} / COUNT($c)"
+
+  def r6(c: Column): Column = round(c, 6)
+  def r4(c: Column): Column = round(c, 4)
+}
