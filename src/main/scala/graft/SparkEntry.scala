@@ -15,7 +15,9 @@ object SparkEntry {
       (ops.Scans.entries, ops.Scans.oracles),
       (ops.Projections.entries, ops.Projections.oracles),
       (ops.Joins.entries, ops.Joins.oracles),
-      (ops.Aggregations.entries, ops.Aggregations.oracles)
+      (ops.Aggregations.entries, ops.Aggregations.oracles),
+      (ops.Windows.entries, ops.Windows.oracles),
+      (ops.SortsTopK.entries, ops.SortsTopK.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Det._
+
+/** SURVEY.md §2.E — window functions.
+  *
+  * Reference surface: pandas/dask `groupby.cumcount()`, `groupby.rank()`,
+  * `groupby.shift()/diff()`, `groupby.cumsum()`, `rolling(n)`,
+  * `rolling('7D')`, `groupby.first()/last()`.
+  *
+  * All map onto built-in Spark window expressions — a single shuffle on the
+  * partition key, sort within partitions, streaming frame evaluation. That
+  * is exactly the 100 TB-safe plan: no per-group materialization beyond the
+  * frame, no driver involvement, and skew is bounded by the largest single
+  * key (users/customers here, which are naturally fine-grained).
+  *
+  * Determinism rules (SURVEY §7.2):
+  *  - every window ORDER BY is a total order (unique key as tie-break) —
+  *    ntile/lag/lead/row_number are position-dependent and would otherwise
+  *    be nondeterministic under ties;
+  *  - running/rolling money sums use DECIMAL accumulation (order-free),
+  *    emitted as DOUBLE; rolling averages divide the exact decimal sum by
+  *    the frame count in IEEE double — bit-stable in both engines;
+  *  - percent_rank is a genuinely-double ratio → rounded 6 dp both sides.
+  */
+object Windows {
+
+  /** orders windowed per customer, ordered by (date, key) — a total order. */
+  private def perCust = Window.partitionBy("o_custkey")
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // groupby.cumcount(): per-customer ordinal of orders by date
+    "window_row_number" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(perCust).as("rn"))
+        .orderBy("o_custkey", "rn")),
+
+    // groupby.rank(method='min'/'dense'): ties share a rank, so the window
+    // order deliberately uses ONLY the value column (equal prices ⇒ equal
+    // rank in both engines); row identity comes back in the output sort
+    "window_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // rank(pct=True) + qcut(4): percent_rank is double → round 6dp; ntile
+    // is position-based → total-order window (price, key)
+    "window_percent_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          r6(percent_rank().over(w)).as("pct_rank"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
+    // groupby.shift(1) / shift(-1): previous & next event value per user
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("event_id")
+    }),
+
+    // groupby.cumsum(): running money total per user — DECIMAL accumulation
+    // (order-free within the frame), emitted as DOUBLE
+    "window_cumsum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          sum(dec(col("value"))).over(w).cast("double").as("run_total"))
+        .orderBy("event_id")
+    }),
+
+    // rolling(3).mean(): trailing-3-rows mean = exact decimal frame sum
+    // (double) / frame count (IEEE divide — bit-stable both engines)
+    "window_rolling_rows" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (sum(dec(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("rolling_mean3"))
+        .orderBy("event_id")
+    }),
+
+    // rolling('7D').sum(): trailing-7-day money per customer. RANGE frame
+    // over epoch seconds (integer — identical on both engines); ties on the
+    // same date all fall inside the frame, so no tie-break is needed for
+    // the frame itself, only for the output order
+    "window_rolling_time" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+        .rangeBetween(-7L * 86400, 0)
+      orders(s, d)
+        // NTZ → long needs the LTZ hop; identity under the pinned-UTC session
+        .withColumn("epoch_s", col("o_orderdate").cast("timestamp").cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("sum_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // groupby.first()/last() with an explicit full-partition frame
+    "window_first_last" -> ((s, d) => {
+      val w = perCust.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_row_number" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "window_rank_dense" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |CAST(RANK() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+        |CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_percent_ntile" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+        |CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT event_id, user_id, ts,
+        |LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS prev_value,
+        |LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS next_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_cumsum" ->
+      """SELECT event_id, user_id, ts,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS run_total
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_rolling_rows" ->
+      """SELECT event_id, user_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |/ COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_mean3
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_rolling_time" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS sum_7d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS first_price,
+        |LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS last_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+  )
+}
