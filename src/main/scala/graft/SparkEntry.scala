@@ -17,7 +17,8 @@ object SparkEntry {
       (ops.Joins.entries, ops.Joins.oracles),
       (ops.Aggregations.entries, ops.Aggregations.oracles),
       (ops.Windows.entries, ops.Windows.oracles),
-      (ops.SortsTopK.entries, ops.SortsTopK.oracles)
+      (ops.SortsTopK.entries, ops.SortsTopK.oracles),
+      (ops.LlmOps.entries, ops.LlmOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

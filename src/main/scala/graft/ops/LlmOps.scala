@@ -1,0 +1,325 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Det._
+
+/** SURVEY.md §2.J — LLM-training-data pipeline operators (driver-mandated
+  * north star: dedup, similarity search, text analysis).
+  *
+  * Scale design (the whole point of this module):
+  *  - exact/norm dedup: one hash-groupBy shuffle on md5(text) — embarrassingly
+  *    parallel at any scale; the hash key is tiny regardless of doc size.
+  *  - near-dup: MinHash-LSH — shingle → k minhashes → band signatures →
+  *    bucket self-join. Pair generation is bounded by LSH bucket size; there
+  *    is NO O(n²) all-pairs step anywhere. This is the standard web-scale
+  *    dedup plan (the same shape Spark's ml.MinHashLSH uses), built here from
+  *    codegen-friendly HOF expressions (no UDF, no mllib vector boxing).
+  *  - jaccard verification: only on candidate pairs already bounded by an
+  *    equi-key (`source` bucket / LSH bucket) — the join is a plain shuffle
+  *    equi-join, never a cross join.
+  *  - similarity search: brute-force cosine only against a FIXED bounded
+  *    query set (broadcast), ranked per query — the scale path is the LSH
+  *    variant above; an unbounded all-pairs crossJoin would be wrong and is
+  *    deliberately absent. Vectors are unit-norm (FIXTURES.md) so cosine ≡
+  *    dot product, computed as a sequential double fold (zip_with +
+  *    aggregate, whole-stage codegen'd).
+  *
+  * Determinism (SURVEY §7.2): token split is a single-space regex in both
+  * dialects (`split(text,' ')` ≡ `string_split_regex(text,' ')`); every
+  * float product is cast to double BEFORE multiplying on both sides; scores
+  * are rounded 6 dp (4 dp for integer-ratio jaccard) and ranked on the
+  * ROUNDED value with a unique tie-break so ranks can never diverge.
+  */
+object LlmOps {
+
+  /** distinct unigram token set */
+  private def tokenSet(text: Column): Column =
+    array_distinct(split(text, " "))
+
+  /** sequential-fold dot product of two float vectors, in double.
+    * Cast-before-multiply matters: float*float would round to float
+    * precision first and diverge from the oracle's double arithmetic. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB twin of `dot` — identical double sequential fold. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  /** 3-word shingle set (the near-dup unit). Unigrams are useless on this
+    * corpus (31-word vocabulary ⇒ every doc shares most tokens); 3-shingles
+    * give a ~31³ space, so only true near-dups collide. */
+  private def shingleSet(tokens: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(tokens) - 3),
+      i => concat_ws(" ",
+        element_at(tokens, i + 1), element_at(tokens, i + 2),
+        element_at(tokens, i + 3))))
+
+  private val MinhashK = 16 // 4 bands × 4 rows
+  private val Bands = 4
+  private val RowsPerBand = MinhashK / Bands
+
+  /** MinHash-LSH candidate pairs verified by true shingle jaccard ≥ 0.8.
+    * No oracle (xxhash64 is engine-specific); correctness is pinned by the
+    * planted sf0.1 duplicates test (LlmOpsSpec). */
+  private def nearDupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), shingleSet(split(col("text"), " ")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // k independent min-hashes of the shingle set (seed baked into the input)
+    val mh = (0 until MinhashK).map(k =>
+      array_min(transform(col("sh"), t => xxhash64(concat(t, lit(s"#$k"))))))
+    // band signature = hash of that band's r consecutive minhashes
+    val bands = (0 until Bands).map { b =>
+      val slice = (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+    }
+    val sigs = docs.select(col("doc_id"), col("sh"),
+      explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("sh"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // bucket self-join: pair generation bounded by LSH bucket membership
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .dropDuplicates("doc_a", "doc_b") // same pair from multiple bands
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    cand.select(col("doc_a"), col("doc_b"),
+        round(inter / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Fixed bounded query set (vec_id < 10), top-k by rounded dot product. */
+  private def simTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("embedding")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("qid", "rk", "vec_id", "sim_r")
+      .orderBy("qid", "rk")
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact-dup groups: one hash-groupBy, keep-min policy
+    "llm_dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")),
+
+    // dedup after normalization: lower + collapse whitespace + trim
+    "llm_dedup_norm" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")),
+
+    "llm_dedup_near_minhash" -> ((s, d) => nearDupMinhash(s, d)),
+
+    // near-dup verification on candidate pairs bounded by `source` bucket —
+    // a plain equi-join, never O(n²) over the corpus
+    "llm_dedup_jaccard" -> ((s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), col("source"), tokenSet(col("text")).as("tk"))
+      val a = t.alias("a"); val b = t.alias("b")
+      val inter = size(array_intersect(col("a.tk"), col("b.tk"))).cast("double")
+      val union =
+        (size(col("a.tk")) + size(col("b.tk"))).cast("double") - inter
+      a.join(b, col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.source").as("source"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(inter / union, 4).as("jac"))
+        .filter(col("jac") >= 0.95)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "llm_sim_topk" -> ((s, d) => simTopk(s, d)),
+
+    // all pairs with cosine ≥ τ WITHIN a label partition (equi-key bounds
+    // the pair space; at 100 TB the label/bucket key is what keeps this sane)
+    "llm_sim_threshold_join" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val a = emb.alias("a"); val b = emb.alias("b")
+      a.join(b, col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dot(col("a.embedding"), col("b.embedding")), 6).as("sim_r"))
+        .filter(col("sim_r") >= 0.25)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // kNN label vote: majority label of the top-5 neighbors of each query
+    "llm_knn_label_vote" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val labels = emb.select(col("vec_id").as("n_id"), col("label"))
+      val votes = simTopk(s, d)
+        .join(labels, col("vec_id") === col("n_id"))
+        .groupBy("qid", "label").agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("n_votes").desc, col("label").asc)
+      votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .join(emb.select(col("vec_id").as("qid"), col("label").as("true_label")),
+          Seq("qid"))
+        .select(col("qid"), col("true_label"),
+          col("label").as("pred_label"), col("n_votes"))
+        .orderBy("qid")
+    }),
+
+    // per-doc token statistics; exact integer arithmetic + IEEE division
+    "llm_text_stats" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      documents(s, d).select(
+          col("doc_id"), col("n_chars"),
+          length(col("text")).as("len_text"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+            .cast("double") / size(toks)).as("avg_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    // language profile: counts, mean tokens, char-length percentiles
+    "llm_lang_profile" -> ((s, d) =>
+      documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(size(split(col("text"), " "))).cast("double") / count(lit(1)))
+            .as("avg_tokens"),
+          r6(percentile(col("n_chars"), lit(0.5))).as("p50_chars"),
+          r6(percentile(col("n_chars"), lit(0.9))).as("p90_chars"))
+        .orderBy("lang")),
+
+    // TF-IDF top-10 terms per source; ranked on the ROUNDED score so the
+    // two engines' ln() ulp differences cannot reorder ranks
+    "llm_tfidf_topterms" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val df_ = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+        .select(col("source"), col("term"),
+          round(col("tf") *
+            log(col("n_docs").cast("double") / col("df")), 6).as("score_r"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_r").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select("source", "rk", "term", "score_r")
+        .orderBy("source", "rk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "llm_dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // llm_dedup_near_minhash: omitted (engine-specific hashing); pinned by
+    // the planted-duplicates unit test instead
+    "llm_dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct(string_split_regex(text, ' ')) AS tk FROM documents)
+        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+        |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
+        |      - len(list_intersect(a.tk, b.tk))), 4) AS jac
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+        |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
+        |      - len(list_intersect(a.tk, b.tk))), 4) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 10),
+         |s AS (SELECT qid, vec_id,
+         |  ROUND(${dotSql("qe", "embedding")}, 6) AS sim_r
+         |  FROM q, embeddings WHERE vec_id != qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "llm_sim_threshold_join" ->
+      s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${dotSql("a.embedding", "b.embedding")}, 6) AS sim_r
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ROUND(${dotSql("a.embedding", "b.embedding")}, 6) >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "llm_knn_label_vote" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 10),
+         |s AS (SELECT qid, vec_id,
+         |  ROUND(${dotSql("qe", "embedding")}, 6) AS sim_r
+         |  FROM q, embeddings WHERE vec_id != qid),
+         |topk AS (SELECT qid, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS rk FROM s) t WHERE rk <= 5),
+         |votes AS (SELECT qid, e.label, COUNT(*) AS n_votes
+         |  FROM topk JOIN embeddings e ON topk.vec_id = e.vec_id
+         |  GROUP BY qid, e.label)
+         |SELECT v.qid, e2.label AS true_label, v.label AS pred_label,
+         |  v.n_votes
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY n_votes DESC, label ASC) AS rk FROM votes) v
+         |JOIN embeddings e2 ON v.qid = e2.vec_id
+         |WHERE v.rk = 1 ORDER BY v.qid""".stripMargin,
+    "llm_text_stats" ->
+      """SELECT doc_id, n_chars, length(text) AS len_text,
+        |CAST(len(string_split_regex(text, ' ')) AS INTEGER) AS n_tokens,
+        |CAST(len(list_distinct(string_split_regex(text, ' '))) AS INTEGER)
+        |  AS n_distinct,
+        |CAST(list_sum(list_transform(string_split_regex(text, ' '),
+        |    t -> length(t))) AS DOUBLE)
+        |  / len(string_split_regex(text, ' ')) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(len(string_split_regex(text, ' '))) AS DOUBLE) / COUNT(*)
+        |  AS avg_tokens,
+        |ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    unnest(string_split_regex(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks
+        |  GROUP BY source, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, term FROM toks) t GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT source, tf.term AS term,
+        |  ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score_r
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT source, rk, term, score_r FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY score_r DESC, term ASC) AS INTEGER) AS rk
+        |  FROM scored) t
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+  )
+}
