@@ -18,7 +18,9 @@ object SparkEntry {
       (ops.Aggregations.entries, ops.Aggregations.oracles),
       (ops.Windows.entries, ops.Windows.oracles),
       (ops.SortsTopK.entries, ops.SortsTopK.oracles),
-      (ops.LlmOps.entries, ops.LlmOps.oracles)
+      (ops.LlmOps.entries, ops.LlmOps.oracles),
+      (ops.SetOps.entries, ops.SetOps.oracles),
+      (ops.ScalarFns.entries, ops.ScalarFns.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** SURVEY.md §2.G — set operations.
+  *
+  * Reference surface: `dd.concat([a,b])`, `concat + drop_duplicates`,
+  * merge-based intersect/except idioms, `df.drop_duplicates(subset=...)`.
+  *
+  * 100 TB notes: `unionByName` is metadata-only (no shuffle); the distinct
+  * variants are one hash-shuffle on the full row — same cost shape as the
+  * reference's shuffle-based drop_duplicates. `dropDuplicates(subset)` is
+  * deliberately NOT used: which row survives is partitioning-dependent.
+  * The deterministic form is `row_number() == 1` over an explicit
+  * (keys, order) — same single shuffle, stable survivor (SURVEY §7.2.3).
+  */
+object SetOps {
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dd.concat: event_ids are globally unique so the union is a total order
+    "set_union_all" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      clicks.unionByName(purchases)
+        .select("event_id", "event_type", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    "set_union_distinct" -> ((s, d) => {
+      val c = customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+        .union(c.filter(col("c_mktsegment") === "MACHINERY")
+          .select("c_nationkey"))
+        .distinct()
+        .orderBy("c_nationkey")
+    }),
+
+    // customers having both an F-status and an O-status order
+    "set_intersect" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // customers with an order but no urgent one
+    "set_except" -> ((s, d) => {
+      val o = orders(s, d)
+      o.select("o_custkey")
+        .except(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // drop_duplicates(subset=[user,type], keep='first' by time) — spelled as
+    // row_number()==1 so the survivor is deterministic
+    "dedup_drop_duplicates" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "set_union_all" ->
+      """SELECT event_id, event_type, user_id, value FROM events
+        |WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type, user_id, value FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY c_nationkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+    "dedup_drop_duplicates" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}
