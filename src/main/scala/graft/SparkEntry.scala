@@ -20,7 +20,8 @@ object SparkEntry {
       (ops.SortsTopK.entries, ops.SortsTopK.oracles),
       (ops.LlmOps.entries, ops.LlmOps.oracles),
       (ops.SetOps.entries, ops.SetOps.oracles),
-      (ops.ScalarFns.entries, ops.ScalarFns.oracles)
+      (ops.ScalarFns.entries, ops.ScalarFns.oracles),
+      (ops.Preprocess.entries, ops.Preprocess.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

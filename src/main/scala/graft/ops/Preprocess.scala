@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.pipeline._
+
+/** SURVEY.md §2.I — preprocessing nodes, expressed through the
+  * fit/transform Pipeline API in `graft.pipeline` (the reference library's
+  * actual identity: sklearn-style nodes over dataframes).
+  *
+  * Every declared query builds a Pipeline, fits it, and applies it — fit
+  * statistics flow as broadcast joins inside one Catalyst plan; there is no
+  * driver-side collect anywhere (100 TB rule, SURVEY §7.3.5).
+  *
+  * The fixtures contain no NULLs (FIXTURES.md), so the NA-handling keys
+  * first inject NULLs with a deterministic predicate and then repair them —
+  * which conveniently makes the fit+transform round trip self-contained and
+  * oracle-able.
+  */
+object Preprocess {
+
+  private val segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val typeClasses =
+    Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+
+  /** negative balances → NULL (deterministic NULL injection) */
+  private val nullNegBal = StatelessNode("null_neg_bal")(df =>
+    df.withColumn("c_acctbal",
+      when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))))
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_fillna_mean" -> ((s, d) => {
+      val c = customer(s, d)
+      new Pipeline(Seq(nullNegBal, FillNaMean("c_acctbal"))).fit(c)
+        .transform(c)
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    "prep_na_indicator" -> ((s, d) => {
+      val c = customer(s, d)
+      new Pipeline(Seq(nullNegBal, NaIndicator("c_acctbal"))).fit(c)
+        .transform(c)
+        .select("c_custkey", "c_acctbal", "c_acctbal_isna")
+        .orderBy("c_custkey")
+    }),
+
+    "prep_na_category" -> ((s, d) => {
+      val nullSeg = StatelessNode("null_seg")(df =>
+        df.withColumn("c_mktsegment",
+          when(col("c_custkey") % 10 === 0, lit(null))
+            .otherwise(col("c_mktsegment"))))
+      val c = customer(s, d)
+      new Pipeline(Seq(nullSeg, NaCategory("c_mktsegment"))).fit(c)
+        .transform(c)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // relative threshold: rare ⟺ < 3.5% of rows — scale-invariant fit
+    "prep_robust_categorizer" -> ((s, d) => {
+      val p = part(s, d)
+      new Pipeline(Seq(RobustCategorizer("p_brand", 0.035))).fit(p)
+        .transform(p)
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    }),
+
+    "prep_onehot" -> ((s, d) => {
+      val c = customer(s, d)
+      new Pipeline(Seq(OneHot("c_mktsegment", segments))).fit(c)
+        .transform(c)
+        .select("c_custkey",
+          segments.map(v => s"c_mktsegment_$v"): _*)
+        .orderBy("c_custkey")
+    }),
+
+    "prep_standard_scale" -> ((s, d) => {
+      val c = customer(s, d)
+      new Pipeline(Seq(StandardScaler("c_acctbal", "acctbal_z"))).fit(c)
+        .transform(c)
+        .select("c_custkey", "acctbal_z")
+        .orderBy("c_custkey")
+    }),
+
+    "prep_minmax_scale" -> ((s, d) => {
+      val o = orders(s, d)
+      new Pipeline(Seq(MinMaxScaler("o_totalprice", "price_mm"))).fit(o)
+        .transform(o)
+        .select("o_orderkey", "price_mm")
+        .orderBy("o_orderkey")
+    }),
+
+    "prep_datetime_expand" -> ((s, d) => {
+      val ev = events(s, d)
+      new Pipeline(Seq(DatetimeExpand("ts", "ts"))).fit(ev)
+        .transform(ev)
+        .select("event_id", "ts_year", "ts_month", "ts_dom", "ts_isodow",
+          "ts_hour", "ts_is_weekend")
+        .orderBy("event_id")
+    }),
+
+    // the full DAG: derive type_class → robust-categorize brand → one-hot
+    // type_class → min-max scale price, fit-then-transform as ONE plan
+    "pipeline_chain" -> ((s, d) => {
+      val p = part(s, d)
+      val chain = new Pipeline(Seq(
+        StatelessNode("type_class")(df =>
+          df.withColumn("type_class", split(col("p_type"), " ")(0))),
+        RobustCategorizer("p_brand", 0.035),
+        OneHot("type_class", typeClasses),
+        MinMaxScaler("p_retailprice", "price_mm")))
+      chain.fit(p).transform(p)
+        .select(col("p_partkey") +: col("p_brand") +:
+          typeClasses.map(v => col(s"type_class_$v")) :+ col("price_mm"): _*)
+        .orderBy("p_partkey")
+    })
+  )
+
+  private val fillnaCte =
+    """WITH t AS (SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+      |  FROM customer)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "prep_fillna_mean" ->
+      s"""$fillnaCte,
+         |s AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |  / COUNT(c_acctbal) AS m FROM t)
+         |SELECT c_custkey, COALESCE(c_acctbal, m) AS c_acctbal
+         |FROM t CROSS JOIN s ORDER BY c_custkey""".stripMargin,
+    "prep_na_indicator" ->
+      s"""$fillnaCte
+         |SELECT c_custkey, c_acctbal, c_acctbal IS NULL AS c_acctbal_isna
+         |FROM t ORDER BY c_custkey""".stripMargin,
+    "prep_na_category" ->
+      """SELECT c_custkey,
+        |COALESCE(CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |  ELSE c_mktsegment END, '<unknown>') AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "prep_robust_categorizer" ->
+      """WITH k AS (SELECT p_brand FROM part GROUP BY p_brand
+        |  HAVING COUNT(*) >= 0.035 * (SELECT COUNT(*) FROM part))
+        |SELECT p.p_partkey,
+        |  CASE WHEN k.p_brand IS NULL THEN '<other>' ELSE p.p_brand END
+        |    AS p_brand
+        |FROM part p LEFT JOIN k ON p.p_brand = k.p_brand
+        |ORDER BY p_partkey""".stripMargin,
+    "prep_onehot" ->
+      """SELECT c_custkey,
+        |CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END
+        |  AS "c_mktsegment_AUTOMOBILE",
+        |CASE WHEN c_mktsegment='BUILDING' THEN 1 ELSE 0 END
+        |  AS "c_mktsegment_BUILDING",
+        |CASE WHEN c_mktsegment='FURNITURE' THEN 1 ELSE 0 END
+        |  AS "c_mktsegment_FURNITURE",
+        |CASE WHEN c_mktsegment='HOUSEHOLD' THEN 1 ELSE 0 END
+        |  AS "c_mktsegment_HOUSEHOLD",
+        |CASE WHEN c_mktsegment='MACHINERY' THEN 1 ELSE 0 END
+        |  AS "c_mktsegment_MACHINERY"
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "prep_standard_scale" ->
+      """WITH s AS (SELECT
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+        |         * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |  COUNT(c_acctbal) AS n FROM customer)
+        |SELECT c_custkey,
+        |  ROUND((c_acctbal - s1 / n)
+        |    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS acctbal_z
+        |FROM customer CROSS JOIN s ORDER BY c_custkey""".stripMargin,
+    "prep_minmax_scale" ->
+      """WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders)
+        |SELECT o_orderkey, (o_totalprice - mn) / (mx - mn) AS price_mm
+        |FROM orders CROSS JOIN s ORDER BY o_orderkey""".stripMargin,
+    "prep_datetime_expand" ->
+      """SELECT event_id,
+        |CAST(year(ts) AS INTEGER) AS ts_year,
+        |CAST(month(ts) AS INTEGER) AS ts_month,
+        |CAST(day(ts) AS INTEGER) AS ts_dom,
+        |CAST(date_part('isodow', ts) AS INTEGER) AS ts_isodow,
+        |CAST(hour(ts) AS INTEGER) AS ts_hour,
+        |date_part('isodow', ts) >= 6 AS ts_is_weekend
+        |FROM events ORDER BY event_id""".stripMargin,
+    "pipeline_chain" ->
+      """WITH base AS (SELECT p_partkey, p_brand, p_retailprice,
+        |    string_split(p_type, ' ')[1] AS type_class FROM part),
+        |k AS (SELECT p_brand FROM part GROUP BY p_brand
+        |  HAVING COUNT(*) >= 0.035 * (SELECT COUNT(*) FROM part)),
+        |mm AS (SELECT MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx
+        |  FROM part)
+        |SELECT b.p_partkey,
+        |  CASE WHEN k.p_brand IS NULL THEN '<other>' ELSE b.p_brand END
+        |    AS p_brand,
+        |  CASE WHEN type_class='ECONOMY' THEN 1 ELSE 0 END
+        |    AS "type_class_ECONOMY",
+        |  CASE WHEN type_class='LARGE' THEN 1 ELSE 0 END
+        |    AS "type_class_LARGE",
+        |  CASE WHEN type_class='MEDIUM' THEN 1 ELSE 0 END
+        |    AS "type_class_MEDIUM",
+        |  CASE WHEN type_class='PROMO' THEN 1 ELSE 0 END
+        |    AS "type_class_PROMO",
+        |  CASE WHEN type_class='SMALL' THEN 1 ELSE 0 END
+        |    AS "type_class_SMALL",
+        |  CASE WHEN type_class='STANDARD' THEN 1 ELSE 0 END
+        |    AS "type_class_STANDARD",
+        |  (p_retailprice - mn) / (mx - mn) AS price_mm
+        |FROM base b LEFT JOIN k ON b.p_brand = k.p_brand CROSS JOIN mm
+        |ORDER BY p_partkey""".stripMargin
+  )
+}

