@@ -21,7 +21,9 @@ object SparkEntry {
       (ops.LlmOps.entries, ops.LlmOps.oracles),
       (ops.SetOps.entries, ops.SetOps.oracles),
       (ops.ScalarFns.entries, ops.ScalarFns.oracles),
-      (ops.Preprocess.entries, ops.Preprocess.oracles)
+      (ops.Preprocess.entries, ops.Preprocess.oracles),
+      (ops.Udx.entries, ops.Udx.oracles),
+      (ops.Streaming.entries, ops.Streaming.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

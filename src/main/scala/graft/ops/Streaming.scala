@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Det._
+
+/** SURVEY.md §2.K — streaming (the reference has no streaming substrate;
+  * the `events` fixture is the driver's designated stream table).
+  *
+  * Strategy (SURVEY §7.4): `window` / `session_window` / `dropDuplicates` /
+  * `groupBy.count` evaluate identically in batch and in Structured
+  * Streaming, so each key declares the BATCH plan (oracle-able in DuckDB)
+  * while `streamTwin*` builders expose the same computation over a
+  * streaming DataFrame with watermarks. StreamingSpec drives the twins
+  * through MemoryStream and proves watermark/late-data/stateful behavior —
+  * the part a batch oracle cannot see.
+  *
+  * 100 TB notes: tumbling/sliding windows are plain hash aggregations keyed
+  * by (window, key) — partial+final, shuffle-parallel. session_window is
+  * Spark's native session operator (sort-merge within user partitions).
+  * The streaming twins keep state bounded via watermarks.
+  */
+object Streaming {
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1 h windows × event_type
+    "stream_tumbling" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("ws", "event_type")),
+
+    // sliding 1 h window every 15 min — each event lands in 4 windows
+    "stream_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("n"))
+        .orderBy("ws")),
+
+    // per-user sessions, 30 min inactivity gap; window = [first, last+gap)
+    "stream_session" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("sess_start"),
+          col("w.end").as("sess_end"), col("n"))
+        .orderBy("user_id", "sess_start")),
+
+    // replayed stream dedup: batch twin of dropDuplicates("event_id") over
+    // a doubled input (identical duplicate rows ⇒ deterministic survivor)
+    "stream_dedup_ids" -> ((s, d) => {
+      val ev = events(s, d).select("event_id", "event_type", "value")
+      ev.unionByName(ev)
+        .dropDuplicates("event_id")
+        .orderBy("event_id")
+    }),
+
+    // running per-user counts (streaming: update-mode groupBy state)
+    "stream_stateful_counts" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("user_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+         |${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |    - m * INTERVAL '1 minute' AS ws, COUNT(*) AS n
+        |FROM events CROSS JOIN (VALUES (0), (15), (30), (45)) o(m)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "stream_session" ->
+      """WITH x AS (SELECT user_id, ts,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, MIN(ts) AS sess_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end, COUNT(*) AS n
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "stream_dedup_ids" ->
+      """SELECT DISTINCT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM events) t
+        |ORDER BY event_id""".stripMargin,
+    "stream_stateful_counts" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+
+  // ——— streaming twins (driven by StreamingSpec via MemoryStream) ———
+
+  /** Same tumbling aggregation over a streaming frame, watermarked. */
+  def twinTumbling(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** Streaming dedup by id, state bounded by the watermark. */
+  def twinDedup(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  /** Streaming session windows per user. */
+  def twinSession(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n"))
+
+  /** Streaming running per-user counts (update mode). */
+  def twinStatefulCounts(stream: DataFrame): DataFrame =
+    stream.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Streaming
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String)
+
+/** Structured Streaming behavior of the §2.K twins through MemoryStream:
+  * watermark advancement, late-data drop (SURVEY stream_late_data),
+  * streaming dedup, and update-mode stateful counts. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling windows close on watermark; late rows are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streaming.twinTumbling(in.toDF)
+      .writeStream.format("memory").queryName("s_tumble")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click"),
+        Ev(2, t("2024-01-01 10:30:00"), 1, "click"))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark has not passed the window end
+      assert(spark.table("s_tumble").count() == 0)
+
+      // sentinel far in the future advances the watermark past 11:00
+      in.addData(Ev(3, t("2024-01-01 13:00:00"), 2, "view"))
+      q.processAllAvailable()
+      val closed = spark.table("s_tumble")
+        .filter(col("event_type") === "click").collect()
+      assert(closed.length == 1 && closed(0).getLong(2) == 2)
+
+      // late click at 10:45 — behind the watermark → dropped
+      in.addData(Ev(4, t("2024-01-01 10:45:00"), 1, "click"))
+      q.processAllAvailable()
+      val after = spark.table("s_tumble")
+        .filter(col("event_type") === "click").collect()
+      assert(after.length == 1 && after(0).getLong(2) == 2,
+        "late row must not reopen or recount the closed window")
+    } finally q.stop()
+  }
+
+  test("streaming dedup by event_id within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streaming.twinDedup(in.toDF)
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click"),
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(1, t("2024-01-01 10:01:00"), 1, "click"),
+        Ev(2, t("2024-01-01 10:02:00"), 1, "view"))
+      q.processAllAvailable()
+      assert(spark.table("s_dedup").select("event_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("session windows: gap split + [first, last+gap) bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streaming.twinSession(in.toDF)
+      .writeStream.format("memory").queryName("s_sess")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click"),
+        Ev(2, t("2024-01-01 10:10:00"), 1, "click"),
+        Ev(3, t("2024-01-01 10:50:00"), 1, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(9, t("2024-01-01 13:00:00"), 2, "view")) // advance wm
+      q.processAllAvailable()
+      val sess = spark.table("s_sess").filter(col("user_id") === 1)
+        .orderBy("sess_start").collect()
+      assert(sess.length == 2)
+      assert(sess(0).getTimestamp(1) == t("2024-01-01 10:00:00"))
+      assert(sess(0).getTimestamp(2) == t("2024-01-01 10:40:00"))
+      assert(sess(0).getLong(3) == 2)
+      assert(sess(1).getTimestamp(1) == t("2024-01-01 10:50:00"))
+      assert(sess(1).getTimestamp(2) == t("2024-01-01 11:20:00"))
+    } finally q.stop()
+  }
+
+  test("stateful running counts in update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streaming.twinStatefulCounts(in.toDF)
+      .writeStream.format("memory").queryName("s_state")
+      .outputMode("update").start()
+    try {
+      in.addData(Ev(1, t("2024-01-01 10:00:00"), 1, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(2, t("2024-01-01 10:05:00"), 1, "click"),
+        Ev(3, t("2024-01-01 10:06:00"), 2, "view"))
+      q.processAllAvailable()
+      val latest = spark.table("s_state")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == Map(1L -> 2L, 2L -> 1L))
+    } finally q.stop()
+  }
+}
