@@ -70,8 +70,11 @@ def main():
             n_fail += 1; failures.append(key)
             continue
         try:
+            # explicit sorted part-file list: glob ordering is lexicographic
+            # in practice but not contractual, and the compare is ordered
+            parts = sorted(str(p) for p in spark_dir.glob("*.parquet"))
             sp = con.execute(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+                f"SELECT * FROM read_parquet({parts!r})")
             sp_cols = [c[0] for c in sp.description]
             sp_rows = sp.fetchall()
         except Exception as e:

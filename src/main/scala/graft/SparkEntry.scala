@@ -23,7 +23,8 @@ object SparkEntry {
       (ops.ScalarFns.entries, ops.ScalarFns.oracles),
       (ops.Preprocess.entries, ops.Preprocess.oracles),
       (ops.Udx.entries, ops.Udx.oracles),
-      (ops.Streaming.entries, ops.Streaming.oracles)
+      (ops.Streaming.entries, ops.Streaming.oracles),
+      (ops.LlmExtras.entries, ops.LlmExtras.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

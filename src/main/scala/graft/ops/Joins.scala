@@ -28,7 +28,15 @@ object Joins {
     */
   private def asof(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
+    // dedupe clicks to ONE row per (user_id, ts) — arg-max on event_id —
+    // because DuckDB's ASOF JOIN resolves equal-timestamp ties arbitrarily
+    // while a window plan picks deterministically; both sides now agree by
+    // construction (same rule in the oracle subquery)
+    val clickW = Window.partitionBy("user_id", "ts")
+      .orderBy(col("event_id").desc)
     val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("__rn", row_number().over(clickW))
+      .filter(col("__rn") === 1)
       .select(col("user_id"), col("ts"), lit(0).as("side"),
         col("value"), col("event_id"))
     val purch = ev.filter(col("event_type") === "purchase")
@@ -102,16 +110,14 @@ object Joins {
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
         .orderBy("r_name", "n_name")),
 
-    // composite-key join: max-price line per order selected by joining
-    // lineitem back to a per-order aggregate on (orderkey, price); then a
-    // 3-way chain through orders
+    // composite-key semantics (max-price line per order) via a window max —
+    // ONE lineitem scan and one shuffle instead of the agg+self-join's two
+    // scans; then the chain through orders
     "join_multikey" -> ((s, d) => {
-      val li = lineitem(s, d)
-      val mx = li.groupBy(col("l_orderkey").as("mk_orderkey"))
-        .agg(max(col("l_extendedprice")).as("mk_price"))
-      li.join(mx,
-          col("l_orderkey") === col("mk_orderkey") &&
-            col("l_extendedprice") === col("mk_price"))
+      val mx = Window.partitionBy("l_orderkey")
+      lineitem(s, d)
+        .withColumn("mk_price", max(col("l_extendedprice")).over(mx))
+        .filter(col("l_extendedprice") === col("mk_price"))
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_max_price"))
@@ -224,7 +230,9 @@ object Joins {
     "join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "join_interval" ->

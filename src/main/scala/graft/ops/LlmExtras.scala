@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.util.Tables._
+
+/** Beyond-§2 training-data operators (the north star's full list: SimHash,
+  * embedding-cosine near-dup, language-ID, quality scoring, BPE-ish token
+  * counting, document fingerprinting). Each is a first-class `queries` key.
+  *
+  * Scale notes:
+  *  - simhash / fingerprint are pure map-side HOF expressions — zero
+  *    shuffles, embarrassingly parallel, codegen'd;
+  *  - embedding near-dup uses sign-bit LSH buckets (random-hyperplane LSH
+  *    specialized to axis planes): candidate pairs are bounded per bucket,
+  *    never all-pairs;
+  *  - language-ID is fit/transform: the per-(lang, token) log-odds table is
+  *    a small broadcast join, scores are summed as fixed-point DECIMAL so
+  *    the sum is order-free (SURVEY §7.2.2 applied to log-probs).
+  */
+object LlmExtras {
+
+  /** 64-bit SimHash over the distinct token set, as one nested fold:
+    * bit b = sign of Σ_tokens (±1 by bit b of xxhash64(token)). Engine-
+    * specific hashing ⇒ no oracle; pinned by the planted-dups test. */
+  private val simhashExpr = expr(
+    """aggregate(sequence(0, 63), 0L, (acc, b) ->
+      |  shiftleft(acc, 1) | if(
+      |    aggregate(__toks, 0L, (a2, t) ->
+      |      a2 + if((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) > 0,
+      |    1L, 0L))""".stripMargin)
+
+  /** min-k winnowing fingerprint: the 8 smallest shingle hashes. */
+  private val fingerprintExpr = expr(
+    """slice(array_sort(transform(__sh, t -> xxhash64(t))), 1, 8)""")
+
+  private def shingles(tokens: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(tokens) - 3),
+      i => concat_ws(" ",
+        element_at(tokens, i + 1), element_at(tokens, i + 2),
+        element_at(tokens, i + 3))))
+
+  /** 8-bit sign-pattern LSH bucket of an embedding (MSB = dim 1). */
+  private def signBucket(e: Column): Column =
+    (0 until 8).map(i =>
+      when(element_at(e, i + 1) >= 0, 1 << (7 - i)).otherwise(0))
+      .reduce(_ + _)
+
+  private def signBucketSql(e: String): String =
+    (0 until 8).map(i =>
+      s"(CASE WHEN $e[${i + 1}] >= 0 THEN ${1 << (7 - i)} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SimHash document signatures — map-side only, no shuffle
+    "llm_simhash" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("__toks", array_distinct(split(col("text"), " ")))
+        .select(col("doc_id"), simhashExpr.as("simhash"))
+        .orderBy("doc_id")),
+
+    // min-k shingle-hash fingerprint (winnowing-style)
+    "llm_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("__sh", shingles(split(col("text"), " ")))
+        .filter(size(col("__sh")) >= 8)
+        .select(col("doc_id"), fingerprintExpr.as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // whitespace tokens vs BPE-ish regex tokens per doc
+    "llm_token_count_bpe" -> ((s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // quality score from length / diversity / stopword ratios — exact
+    // integer inputs, IEEE arithmetic, rounded once at the end
+    "llm_quality_score" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val ttr = size(array_distinct(toks)) / nTok
+      val stopRatio = size(filter(toks,
+        t => t === "a" || t === "the")) / nTok
+      documents(s, d).select(
+          col("doc_id"),
+          round(ttr, 6).as("ttr"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 +
+            least(nTok / 100.0, lit(1.0)) * 0.3, 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // fitted naive-Bayes language-ID: per-(lang, token) Laplace-smoothed
+    // log-odds, doc score = order-free DECIMAL sum of rounded log-probs,
+    // output = confusion matrix of true vs predicted lang
+    "llm_lang_id" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val vocabN = toks.agg(countDistinct(col("token")).as("v"))
+      val langTok = toks.groupBy("lang", "token").agg(count(lit(1)).as("c_lt"))
+      val langTot = toks.groupBy("lang").agg(count(lit(1)).as("c_l"))
+      // complete (token × lang) grid so unseen pairs get the smoothed floor
+      val grid = toks.select("token").distinct()
+        .crossJoin(langTot.select(col("lang").as("m_lang"), col("c_l")))
+      val probs = grid
+        .join(langTok,
+          grid("token") === langTok("token") &&
+            grid("m_lang") === langTok("lang"), "left")
+        .select(grid("token"), col("m_lang"),
+          coalesce(col("c_lt"), lit(0L)).as("c_lt"), col("c_l"))
+        .crossJoin(broadcast(vocabN))
+        .select(col("token"), col("m_lang"),
+          round(log((col("c_lt") + 1).cast("double") /
+            (col("c_l") + col("v"))), 9)
+            .cast(DecimalType(18, 9)).as("logp"))
+      val scores = toks
+        .join(broadcast(probs), "token")
+        .groupBy(col("doc_id"), col("lang"), col("m_lang"))
+        .agg(sum(col("logp")).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("m_lang").asc)
+      scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("lang"), col("m_lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // embedding near-dup: sign-bit LSH bucket join + cosine verify —
+    // bounded candidate generation, the ANN scale path for dedup
+    "llm_dedup_embedding" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding")).as("bucket"))
+      val a = e.alias("a"); val b = e.alias("b")
+      a.join(b, col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.bucket").as("bucket"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dot(col("a.embedding"), col("b.embedding")), 6).as("sim_r"))
+        .filter(col("sim_r") >= 0.2)
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // llm_simhash / llm_fingerprint: omitted (engine-specific xxhash64);
+    // pinned by planted-duplicate tests in LlmExtrasSpec
+    "llm_token_count_bpe" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |  AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |  AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, ' ')) AS DOUBLE) AS n_tok,
+        |  len(list_distinct(string_split_regex(text, ' '))) AS n_dist,
+        |  len(list_filter(string_split_regex(text, ' '),
+        |    x -> x IN ('a', 'the'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(n_dist / n_tok, 6) AS ttr,
+        |  ROUND(n_stop / n_tok, 6) AS stop_ratio,
+        |  ROUND((n_dist / n_tok) * 0.4 + (1.0 - n_stop / n_tok) * 0.3 +
+        |    least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "llm_lang_id" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(text, ' ')) AS token FROM documents),
+        |v AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+        |lt AS (SELECT lang, token, COUNT(*) AS c_lt FROM toks
+        |  GROUP BY lang, token),
+        |tot AS (SELECT lang AS m_lang, COUNT(*) AS c_l FROM toks
+        |  GROUP BY lang),
+        |grid AS (SELECT token, m_lang, c_l FROM
+        |  (SELECT DISTINCT token FROM toks) CROSS JOIN tot),
+        |probs AS (SELECT g.token, g.m_lang,
+        |  CAST(ROUND(ln(CAST(COALESCE(lt.c_lt, 0) + 1 AS DOUBLE)
+        |    / (g.c_l + v.v)), 9) AS DECIMAL(18,9)) AS logp
+        |  FROM grid g CROSS JOIN v
+        |  LEFT JOIN lt ON g.token = lt.token AND g.m_lang = lt.lang),
+        |scores AS (SELECT t.doc_id, t.lang, p.m_lang,
+        |    SUM(p.logp) AS score
+        |  FROM toks t JOIN probs p ON t.token = p.token
+        |  GROUP BY t.doc_id, t.lang, p.m_lang),
+        |pred AS (SELECT doc_id, lang, m_lang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, m_lang ASC) AS rk FROM scores)
+        |SELECT lang, m_lang AS pred_lang, COUNT(*) AS n FROM pred
+        |WHERE rk = 1 GROUP BY lang, m_lang
+        |ORDER BY lang, pred_lang""".stripMargin,
+    "llm_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${dotSql("a.embedding", "b.embedding")}, 6) AS sim_r
+         |FROM e a JOIN e b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ROUND(${dotSql("a.embedding", "b.embedding")}, 6) >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

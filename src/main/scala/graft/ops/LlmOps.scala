@@ -70,32 +70,46 @@ object LlmOps {
     * No oracle (xxhash64 is engine-specific); correctness is pinned by the
     * planted sf0.1 duplicates test (LlmOpsSpec). */
   private def nearDupMinhash(s: SparkSession, d: String): DataFrame = {
+    // hash each shingle to a long ONCE; every downstream step (k minhashes,
+    // band signatures, jaccard verify) runs on long arrays — the 16
+    // minhashes are cheap long re-mixes instead of 16 string-hash passes
     val docs = documents(s, d)
       .select(col("doc_id"), shingleSet(split(col("text"), " ")).as("sh"))
       .filter(size(col("sh")) > 0)
-    // k independent min-hashes of the shingle set (seed baked into the input)
+      .select(col("doc_id"),
+        transform(col("sh"), t => xxhash64(t)).as("hs"))
     val mh = (0 until MinhashK).map(k =>
-      array_min(transform(col("sh"), t => xxhash64(concat(t, lit(s"#$k"))))))
+      array_min(transform(col("hs"), h => xxhash64(h, lit(k)))))
     // band signature = hash of that band's r consecutive minhashes
     val bands = (0 until Bands).map { b =>
       val slice = (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }
-    val sigs = docs.select(col("doc_id"), col("sh"),
+    val sigs = docs.select(col("doc_id"), col("hs"),
       explode(array(bands: _*)).as("bs"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), col("hs"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // bucket self-join: pair generation bounded by LSH bucket membership
-    val a = sigs.alias("a"); val b = sigs.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
+    // bucket via groupBy + in-bucket pair expansion, NOT a self-join: the
+    // expensive shingle/minhash subtree is computed ONCE (a self-join would
+    // evaluate it per side), and pair generation stays bounded by bucket
+    // membership. Buckets are tiny by construction (a large bucket means
+    // genuinely identical content); the sort keeps pair order canonical.
+    val buckets = sigs
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("hs"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(ms) - 2), i ->
+        |  transform(sequence(i + 1, size(ms) - 1), j ->
+        |    struct(ms[i].doc_id AS doc_a, ms[j].doc_id AS doc_b,
+        |           ms[i].hs AS sa, ms[j].hs AS sb))))""".stripMargin))
+      .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
       .dropDuplicates("doc_a", "doc_b") // same pair from multiple bands
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
-    cand.select(col("doc_a"), col("doc_b"),
+    pairs.select(col("doc_a"), col("doc_b"),
         round(inter / union, 4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
@@ -137,14 +151,25 @@ object LlmOps {
     // near-dup verification on candidate pairs bounded by `source` bucket —
     // a plain equi-join, never O(n²) over the corpus
     "llm_dedup_jaccard" -> ((s, d) => {
+      // token sets hashed to longs: intersect/union sizes are identical to
+      // the string-set sizes (31-word vocabulary ⇒ no collisions) but the
+      // per-pair set operations run on longs, not strings
       val t = documents(s, d)
-        .select(col("doc_id"), col("source"), tokenSet(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"),
+          array_distinct(transform(split(col("text"), " "),
+            w => xxhash64(w))).as("tk"))
+        .withColumn("ntk", size(col("tk")))
       val a = t.alias("a"); val b = t.alias("b")
       val inter = size(array_intersect(col("a.tk"), col("b.tk"))).cast("double")
       val union =
         (size(col("a.tk")) + size(col("b.tk"))).cast("double") - inter
+      // size-ratio prefilter is IMPLIED by jaccard ≥ τ (|∩| ≤ min ⇒
+      // j ≤ min/max), so it prunes pairs before the set intersection
+      // without changing the result
       a.join(b, col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.ntk"), col("b.ntk")).cast("double") >=
+              greatest(col("a.ntk"), col("b.ntk")) * 0.95)
         .select(col("a.source").as("source"),
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           round(inter / union, 4).as("jac"))

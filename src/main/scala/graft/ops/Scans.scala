@@ -40,7 +40,10 @@ object Scans {
     // csv round-trip with an explicit read schema (dd.read_csv(dtype=…)):
     // doubles survive exactly (shortest-round-trip repr both directions)
     "scan_csv_roundtrip" -> ((s, d) => {
-      val tmp = s"/tmp/graft_csv_roundtrip_${new java.io.File(d).getName}"
+      // unique per JVM: concurrent Verify/Bench runs on the same sfDir must
+      // not race on an overwrite-then-read of a shared directory
+      val tmp = s"/tmp/graft_csv_roundtrip_${new java.io.File(d).getName}" +
+        s"_${java.lang.ProcessHandle.current.pid}"
       lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_returnflag")
         .write.mode("overwrite").option("header", "true").csv(tmp)

@@ -35,6 +35,11 @@ object Tables {
     * to microsecond TIMESTAMP_NTZ — integer `div` 1000, never double
     * division, so the value matches DuckDB's silent ns→µs truncation bit for
     * bit. Under the UTC session the NTZ cast is an identity re-label.
+    *
+    * The nanosAsLong conf is also set once in the Verify/Bench/test session
+    * builders; the set here is belt-and-braces for ad-hoc sessions. `ts div
+    * 1000` matches DuckDB's ns→µs truncation for non-negative (post-1970)
+    * epochs — the fixture range (2024) is safely positive.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the no-oracle extras (simhash, fingerprint) to the planted sf0.1
+  * duplicates, mirroring LlmOpsSpec's MinHash treatment. */
+class LlmExtrasSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+
+  private lazy val plantedPairs: Set[(Long, Long)] = {
+    val docs = graft.util.Tables.documents(spark, SparkFixture.sf01)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    docs.alias("a")
+      .join(docs.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("planted duplicates share identical simhash at sf0.1") {
+    val sh = SparkEntry.queries("llm_simhash")(spark, SparkFixture.sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plantedPairs.foreach { case (a, b) =>
+      assert(sh(a) == sh(b), s"simhash differs for duplicate pair ($a,$b)")
+    }
+  }
+
+  test("planted duplicates share identical fingerprints at sf0.1") {
+    val fp = SparkEntry.queries("llm_fingerprint")(spark, SparkFixture.sf01)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    plantedPairs.foreach { case (a, b) =>
+      assert(fp(a) == fp(b), s"fingerprint differs for pair ($a,$b)")
+    }
+  }
+
+  test("sign-bucket LSH puts identical embeddings in one bucket") {
+    // bucket is a pure function of the vector: same vector ⇒ same bucket
+    val out = SparkEntry.queries("llm_dedup_embedding")(
+      spark, SparkFixture.sf0001)
+    // structural check: every reported pair really shares the bucket
+    assert(out.filter(col("sim_r") < 0.2).count() == 0)
+  }
+
+  test("language-ID confusion matrix covers every true lang") {
+    val cm = SparkEntry.queries("llm_lang_id")(spark, SparkFixture.sf0001)
+      .groupBy("lang").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.util.Tables.documents(spark, SparkFixture.sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cm == docs, "every doc must be classified exactly once")
+  }
+}
