@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the similarity/dedup hot paths.
+  *
+  * Rationale (SURVEY §4's "custom work only where built-ins are weak"):
+  * higher-order functions (`zip_with`/`aggregate`/`transform`) are evaluated
+  * INTERPRETED — one closure dispatch per array element plus intermediate
+  * array materialization. On a 64-dim dot product over hundreds of
+  * thousands of candidate pairs, or 16 minhash passes over shingle arrays,
+  * that interpretive overhead dominates. These expressions run the same
+  * arithmetic as one tight JIT'd loop per row:
+  *
+  *  - [[DotProductFloat]] — full whole-stage-codegen (`doGenCode` emits the
+  *    loop straight into the generated consume path);
+  *  - [[WordShingleHashes]] / [[MinHashSig]] — `eval` with a per-row tight
+  *    loop (the output is an array, the loop is the whole cost; codegen
+  *    would only remove a single virtual call per ROW, so eval is enough).
+  *
+  * Determinism: DotProductFloat accumulates float→double products
+  * sequentially — bit-identical to the `zip_with`+`aggregate` fold it
+  * replaces and to the DuckDB oracle's double fold. The hash expressions
+  * use XXH64 (the engine of Spark's own xxhash64) — deterministic across
+  * runs/partitionings; they back oracle-less keys only.
+  */
+object VectorExprs {
+  /** Sequential-double dot product of two float vectors. */
+  def dotf(a: Column, b: Column): Column =
+    GraftShim.column(DotProductFloat(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Distinct XXH64 hashes of n-word shingles of a token array. */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    GraftShim.column(WordShingleHashes(
+      GraftShim.expression(tokens), n))
+
+  /** k-minhash signature of a hashed-shingle array. */
+  def minhashSig(hashes: Column, k: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(hashes), k))
+
+  /** |a ∩ b| of two SORTED long arrays (one merge pass, no intermediate
+    * array — array_intersect materializes the intersection when only its
+    * size is needed). */
+  def sortedInterSize(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectionSize(
+      GraftShim.expression(a), GraftShim.expression(b)))
+}
+
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> inputs")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product_float"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Distinct XXH64 hashes of all n-word shingles ("w1 w2 … wn") of a token
+  * array — one row-level loop replacing a sequence→transform→element_at→
+  * concat_ws→xxhash64→array_distinct interpreted chain. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> input")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val count = m - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long](count * 2)
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(space, parts: _*)
+      seen.add(XXH64.hashUnsafeBytes(
+        sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Intersection size of two sorted long arrays by a single merge pass.
+  * Callers must pre-sort (array_sort) — done once per document, not once
+  * per candidate pair. */
+case class SortedIntersectionSize(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersection_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** k minhashes of a long array in ONE pass (vs k interpreted
+  * transform+array_min passes): sig(j) = min_h XXH64(h, seed=j). */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> input")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val mixed = XXH64.hashLong(h, j)
+        if (mixed < sig(j)) sig(j) = mixed
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

@@ -32,16 +32,10 @@ object LlmExtras {
       |      a2 + if((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) > 0,
       |    1L, 0L))""".stripMargin)
 
-  /** min-k winnowing fingerprint: the 8 smallest shingle hashes. */
-  private val fingerprintExpr = expr(
-    """slice(array_sort(transform(__sh, t -> xxhash64(t))), 1, 8)""")
-
-  private def shingles(tokens: Column): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(tokens) - 3),
-      i => concat_ws(" ",
-        element_at(tokens, i + 1), element_at(tokens, i + 2),
-        element_at(tokens, i + 3))))
+  /** min-k winnowing fingerprint: the 8 smallest shingle hashes (shingle
+    * hashing via the custom one-pass expression). */
+  private val fingerprintExpr =
+    slice(array_sort(col("__hs")), 1, 8)
 
   /** 8-bit sign-pattern LSH bucket of an embedding (MSB = dim 1). */
   private def signBucket(e: Column): Column =
@@ -54,9 +48,9 @@ object LlmExtras {
       s"(CASE WHEN $e[${i + 1}] >= 0 THEN ${1 << (7 - i)} ELSE 0 END)")
       .mkString(" + ")
 
+  /** codegen'd sequential double fold — graft.functions.DotProductFloat */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dotf(a, b)
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), " +
@@ -73,8 +67,9 @@ object LlmExtras {
     // min-k shingle-hash fingerprint (winnowing-style)
     "llm_fingerprint" -> ((s, d) =>
       documents(s, d)
-        .withColumn("__sh", shingles(split(col("text"), " ")))
-        .filter(size(col("__sh")) >= 8)
+        .withColumn("__hs", graft.functions.VectorExprs
+          .shingleHashes(split(col("text"), " "), 3))
+        .filter(size(col("__hs")) >= 8)
         .select(col("doc_id"), fingerprintExpr.as("fingerprint"))
         .orderBy("doc_id")),
 

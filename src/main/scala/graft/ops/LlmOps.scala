@@ -39,13 +39,12 @@ object LlmOps {
   private def tokenSet(text: Column): Column =
     array_distinct(split(text, " "))
 
-  /** sequential-fold dot product of two float vectors, in double.
-    * Cast-before-multiply matters: float*float would round to float
-    * precision first and diverge from the oracle's double arithmetic. */
+  /** sequential-fold dot product of two float vectors, in double — the
+    * custom codegen'd expression (graft.functions.DotProductFloat), bit-
+    * identical to the zip_with+aggregate fold it replaces and to the
+    * oracle's double fold, but a single JIT'd loop per row. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dotf(a, b)
 
   /** DuckDB twin of `dot` — identical double sequential fold. */
   private def dotSql(a: String, b: String): String =
@@ -70,19 +69,20 @@ object LlmOps {
     * No oracle (xxhash64 is engine-specific); correctness is pinned by the
     * planted sf0.1 duplicates test (LlmOpsSpec). */
   private def nearDupMinhash(s: SparkSession, d: String): DataFrame = {
-    // hash each shingle to a long ONCE; every downstream step (k minhashes,
-    // band signatures, jaccard verify) runs on long arrays — the 16
-    // minhashes are cheap long re-mixes instead of 16 string-hash passes
+    // custom tight-loop expressions (graft.functions): shingles are hashed
+    // to longs in ONE row-level pass, and all k minhashes come from ONE
+    // pass over that array — vs k interpreted HOF passes
     val docs = documents(s, d)
-      .select(col("doc_id"), shingleSet(split(col("text"), " ")).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        transform(col("sh"), t => xxhash64(t)).as("hs"))
-    val mh = (0 until MinhashK).map(k =>
-      array_min(transform(col("hs"), h => xxhash64(h, lit(k)))))
+        array_sort(graft.functions.VectorExprs
+          .shingleHashes(split(col("text"), " "), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("mh",
+        graft.functions.VectorExprs.minhashSig(col("hs"), MinhashK))
     // band signature = hash of that band's r consecutive minhashes
     val bands = (0 until Bands).map { b =>
-      val slice = (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r))
+      val slice = (0 until RowsPerBand)
+        .map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }
     val sigs = docs.select(col("doc_id"), col("hs"),
@@ -107,7 +107,9 @@ object LlmOps {
       .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
       .dropDuplicates("doc_a", "doc_b") // same pair from multiple bands
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    // hs arrays are pre-sorted → intersection size is one merge pass
+    val inter = graft.functions.VectorExprs
+      .sortedInterSize(col("sa"), col("sb")).cast("double")
     val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
     pairs.select(col("doc_a"), col("doc_b"),
         round(inter / union, 4).as("jaccard"))
@@ -151,16 +153,17 @@ object LlmOps {
     // near-dup verification on candidate pairs bounded by `source` bucket —
     // a plain equi-join, never O(n²) over the corpus
     "llm_dedup_jaccard" -> ((s, d) => {
-      // token sets hashed to longs: intersect/union sizes are identical to
-      // the string-set sizes (31-word vocabulary ⇒ no collisions) but the
-      // per-pair set operations run on longs, not strings
+      // token sets hashed to longs and pre-SORTED per doc: intersect/union
+      // sizes are identical to the string-set sizes (31-word vocabulary ⇒
+      // no collisions) but the per-pair set op is one merge over longs
       val t = documents(s, d)
         .select(col("doc_id"), col("source"),
-          array_distinct(transform(split(col("text"), " "),
-            w => xxhash64(w))).as("tk"))
+          array_sort(array_distinct(transform(split(col("text"), " "),
+            w => xxhash64(w)))).as("tk"))
         .withColumn("ntk", size(col("tk")))
       val a = t.alias("a"); val b = t.alias("b")
-      val inter = size(array_intersect(col("a.tk"), col("b.tk"))).cast("double")
+      val inter = graft.functions.VectorExprs
+        .sortedInterSize(col("a.tk"), col("b.tk")).cast("double")
       val union =
         (size(col("a.tk")) + size(col("b.tk"))).cast("double") - inter
       // size-ratio prefilter is IMPLIED by jaccard ≥ τ (|∩| ≤ min ⇒
