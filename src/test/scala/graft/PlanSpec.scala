@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: correctness tests prove the WHAT, these pin
+  * the HOW — the plan shapes that survive a 100×–1000× scale-up. A
+  * regression that silently turns a broadcast into a shuffle, drops a
+  * pushed filter, or introduces a cartesian product fails here, not in
+  * production. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+  private val sf = SparkFixture.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("scan_parquet_pruned: filter and projection reach the parquet scan") {
+    val p = plan("scan_parquet_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"predicate not pushed:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_extendedprice"), "projection not pruned to 3 columns")
+  }
+
+  test("join_broadcast: bounded dims broadcast, fact side never shuffles " +
+      "for the join") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+
+  test("sort_limit_topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
+  test("agg_groupby_basic: partial (map-side) aggregation before shuffle") {
+    val p = plan("agg_groupby_basic")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n$p")
+  }
+
+  test("llm_sim_topk: the fixed query set is broadcast; no cartesian") {
+    val p = plan("llm_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+  }
+
+  test("llm_dedup_near_minhash: LSH plan has no cartesian product") {
+    val p = plan("llm_dedup_near_minhash")
+    assert(!p.contains("CartesianProduct"),
+      s"near-dup must stay bucket-bounded:\n$p")
+  }
+
+  test("llm_dedup_jaccard / llm_sim_threshold_join: pair generation is an " +
+      "equi-join on the bounding key") {
+    Seq("llm_dedup_jaccard", "llm_sim_threshold_join").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$k must equi-join on its bucket key:\n$p")
+    }
+  }
+
+  test("window_cumsum: exactly one shuffle (the window partition key)") {
+    val p = plan("window_cumsum")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // window hash + presentation sort range
+      s"running total should not add extra shuffles:\n$p")
+  }
+
+  test("prep_fillna_mean: fit statistics broadcast, no driver collect") {
+    val p = plan("prep_fillna_mean")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"fit stats must broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar-function projections") {
+    // AQE shows codegen spans only in the FINAL plan — execute first
+    Seq("fn_string_basic", "fn_math", "project_conditional").foreach { k =>
+      val df = q(k)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // "*(n) Op" is the WholeStageCodegen span marker in simpleString
+      assert(p.contains("*("), s"$k fell out of codegen:\n$p")
+    }
+  }
+
+  test("llm_sim_topk plan uses the native dot_product_float expression") {
+    assert(plan("llm_sim_topk").contains("dot_product_float"),
+      "custom codegen expression not in the plan")
+  }
+}
