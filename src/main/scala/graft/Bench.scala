@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up so the first timed query doesn't absorb one-time
+    // session costs (no fixture data touched — only engine machinery)
+    spark.range(10000).selectExpr("sum(id)", "count(distinct id % 7)")
+      .collect()
     // a failed query must be VISIBLE: it is timed as -1 and listed under
     // "errors" rather than silently contributing a near-zero duration
     var errors = List.empty[String]

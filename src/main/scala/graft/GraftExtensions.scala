@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
+
+/** SparkSessionExtensions entry point: exposes graft's native Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
+  * works for SQL-surface users too.
+  *
+  * Wire-up: `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`); an existing session can
+  * call `GraftExtensions.register(spark)` directly.
+  *
+  * This is the (c)-tier extension point from the design rules — used here
+  * only for function registration; no custom Rule/Strategy exists because
+  * every operator's semantics are expressible in Catalyst's built-in
+  * operators (SURVEY §4 conclusion).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val definitions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))),
+    ("graft_sorted_intersection_size",
+      new ExpressionInfo(classOf[SortedIntersectionSize].getName,
+        "graft_sorted_intersection_size"),
+      (args: Seq[Expression]) => SortedIntersectionSize(args(0), args(1))),
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[WordShingleHashes].getName,
+        "graft_shingle_hashes"),
+      (args: Seq[Expression]) =>
+        WordShingleHashes(args(0), intLit(args(1), "shingle width"))),
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), intLit(args(1), "signature size"))))
+
+  /** Register into an already-built session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

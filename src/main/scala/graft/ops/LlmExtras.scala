@@ -135,6 +135,28 @@ object LlmExtras {
         .orderBy("lang", "pred_lang")
     }),
 
+    // IVF-style ANN: the sign-bucket is the coarse quantizer (an inverted
+    // list per bucket); a query probes ONLY its own list. At 100 TB this is
+    // the similarity-search scale path — probe cost is |list|, not |corpus|;
+    // recall-vs-cost tunes via nprobe (here 1) and bucket bits.
+    "llm_sim_topk_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding")).as("bucket"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket").as("qbucket"))
+      val scored = e.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dot(col("qe"), col("embedding")), 6).as("sim_r"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim_r").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // embedding near-dup: sign-bit LSH bucket join + cosine verify —
     // bounded candidate generation, the ANN scale path for dedup
     "llm_dedup_embedding" -> ((s, d) => {
@@ -200,6 +222,18 @@ object LlmExtras {
         |SELECT lang, m_lang AS pred_lang, COUNT(*) AS n FROM pred
         |WHERE rk = 1 GROUP BY lang, m_lang
         |ORDER BY lang, pred_lang""".stripMargin,
+    "llm_sim_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+         |  FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, vec_id,
+         |  ROUND(${dotSql("qe", "e.embedding")}, 6) AS sim_r
+         |  FROM q JOIN e ON e.bucket = q.qbucket AND e.vec_id != q.qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "llm_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |  ${signBucketSql("embedding")} AS bucket FROM embeddings)

@@ -130,4 +130,25 @@ object Streaming {
   /** Streaming running per-user counts (update mode). */
   def twinStatefulCounts(stream: DataFrame): DataFrame =
     stream.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+
+  /** CUSTOM state via mapGroupsWithState (the escape hatch beyond built-in
+    * aggregations): running count of distinct event types per user, state =
+    * the seen-type set, bounded by the event-type domain. */
+  def twinDistinctTypesState(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    stream.selectExpr("user_id", "event_type").as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[String], (Long, Int)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String)],
+            state: GroupState[Seq[String]]) =>
+          val seen = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(_._2)).distinct
+          state.update(seen)
+          (user, seen.size)
+      }
+      .toDF("user_id", "n_distinct_types")
+  }
 }

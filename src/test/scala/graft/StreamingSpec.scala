@@ -95,6 +95,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: custom state accumulates distinct types") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streaming.twinDistinctTypesState(in.toDF)
+      .writeStream.format("memory").queryName("s_custom")
+      .outputMode("update").start()
+    try {
+      in.addData(Ev(1, t("2024-01-01 10:00:00"), 1, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(2, t("2024-01-01 10:01:00"), 1, "click"),
+        Ev(3, t("2024-01-01 10:02:00"), 1, "view"))
+      q.processAllAvailable()
+      val latest = spark.table("s_custom")
+        .groupBy("user_id").agg(max("n_distinct_types").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(latest == Map(1L -> 2), "click+view = 2 distinct types")
+    } finally q.stop()
+  }
+
   test("stateful running counts in update mode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
