@@ -103,6 +103,36 @@ object Aggregations {
           r6(percentile(col("o_totalprice"), lit(0.9))).as("p90_price"))
         .orderBy("o_orderstatus")),
 
+    // the 100 TB twin of agg_median_quantile: approx_percentile buffers a
+    // bounded sketch per group instead of every value (exact percentile is
+    // a TypedImperativeAggregate that gathers the whole group — correct,
+    // but memory-unbounded at scale). No oracle: sketch estimates are
+    // engine-specific; a unit test bounds the error vs exact.
+    "agg_quantile_approx" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("median_est"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
+            .as("p90_est"))
+        .orderBy("o_orderstatus")),
+
+    // salting demo: pre-aggregate on (key, salt) to spread a skewed key
+    // across partitions, then merge partials — same result as a plain
+    // groupBy (the oracle proves it), two balanced shuffles instead of one
+    // skewed one. The technique every 100 TB groupBy over a hot key needs.
+    "agg_salted_skew" -> ((s, d) => {
+      val salted = events(s, d)
+        .withColumn("__salt", col("event_id") % 16)
+        .groupBy("event_type", "__salt")
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
+      salted.groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "agg_custom_udaf" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
@@ -195,6 +225,10 @@ object Aggregations {
         |ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
         |ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_salted_skew" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_custom_udaf" ->
       """SELECT l_returnflag,
         |CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) *
