@@ -27,28 +27,29 @@ object Joins {
     * turns it into a running window instead of a range join.
     */
   private def asof(s: SparkSession, d: String): DataFrame = {
+    // ONE events scan: tag sides in-row instead of unioning two filtered
+    // branches (a union would scan the parquet once per branch)
     val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        col("value"), col("event_id"))
     // dedupe clicks to ONE row per (user_id, ts) — arg-max on event_id —
     // because DuckDB's ASOF JOIN resolves equal-timestamp ties arbitrarily
     // while a window plan picks deterministically; both sides now agree by
     // construction (same rule in the oracle subquery)
-    val clickW = Window.partitionBy("user_id", "ts")
+    val clickW = Window.partitionBy("user_id", "ts", "side")
       .orderBy(col("event_id").desc)
-    val clicks = ev.filter(col("event_type") === "click")
+    val deduped = ev
       .withColumn("__rn", row_number().over(clickW))
-      .filter(col("__rn") === 1)
-      .select(col("user_id"), col("ts"), lit(0).as("side"),
-        col("value"), col("event_id"))
-    val purch = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("side"),
-        col("value"), col("event_id"))
+      .filter(col("side") === 1 || col("__rn") === 1)
     // order ties: clicks (side=0) before the purchase at the same ts so an
     // equal-timestamp click is visible (ASOF >= semantics); event_id as the
     // final total-order tie-break
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purch)
+    deduped
       .withColumn("click_value",
         last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
       .filter(col("side") === 1)

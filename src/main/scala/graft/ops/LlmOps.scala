@@ -244,8 +244,18 @@ object LlmOps {
       val docs = documents(s, d)
       val toks = docs.select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("term"))
-      val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val df_ = toks.select("doc_id", "term").distinct()
+      // pre-aggregate once per (doc, term): tf and df both derive from it,
+      // so the explode+shuffle subtree is shared (ReuseExchange) instead of
+      // the corpus being scanned per aggregate
+      val docTerm = toks.groupBy("doc_id", "source", "term")
+        .agg(count(lit(1)).as("tf_doc"))
+      val tf = docTerm.groupBy("source", "term")
+        .agg(sum(col("tf_doc")).as("tf"))
+      // the always-true filter makes this branch consume tf_doc, so both
+      // branches canonicalize to the SAME docTerm exchange and AQE reuses
+      // the shuffle stage (otherwise the optimizer prunes the count from
+      // this branch and the subtrees diverge → two corpus passes)
+      val df_ = docTerm.filter(col("tf_doc") > 0)
         .groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df_, "term").crossJoin(broadcast(n))
