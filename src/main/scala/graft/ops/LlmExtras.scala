@@ -106,11 +106,15 @@ object LlmExtras {
       val docs = documents(s, d)
       val toks = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("token"))
-      val vocabN = toks.agg(countDistinct(col("token")).as("v"))
+      // ONE corpus tokenization pass builds the (lang, token) count table;
+      // vocab size, per-lang totals, and the token grid all derive from
+      // that tiny table instead of re-exploding the corpus per statistic
       val langTok = toks.groupBy("lang", "token").agg(count(lit(1)).as("c_lt"))
-      val langTot = toks.groupBy("lang").agg(count(lit(1)).as("c_l"))
+      val vocabN = langTok.filter(col("c_lt") > 0)
+        .select("token").distinct().agg(count(lit(1)).as("v"))
+      val langTot = langTok.groupBy("lang").agg(sum(col("c_lt")).as("c_l"))
       // complete (token × lang) grid so unseen pairs get the smoothed floor
-      val grid = toks.select("token").distinct()
+      val grid = langTok.filter(col("c_lt") > 0).select("token").distinct()
         .crossJoin(langTot.select(col("lang").as("m_lang"), col("c_l")))
       val probs = grid
         .join(langTok,

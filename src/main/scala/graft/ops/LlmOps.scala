@@ -117,20 +117,26 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Fixed bounded query set (vec_id < 10), top-k by rounded dot product. */
-  private def simTopk(s: SparkSession, d: String): DataFrame = {
+  /** Fixed bounded query set (vec_id < 10), top-k by rounded dot product.
+    * Carries the query's true label and the neighbor's label through the
+    * ONE corpus scan, so consumers (kNN vote) never re-join the corpus. */
+  private def simTopkLabeled(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("true_label"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
+      .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
         round(dot(col("qe"), col("embedding")), 6).as("sim_r"))
     val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
+  }
+
+  private def simTopk(s: SparkSession, d: String): DataFrame =
+    simTopkLabeled(s, d)
       .select("qid", "rk", "vec_id", "sim_r")
       .orderBy("qid", "rk")
-  }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact-dup groups: one hash-groupBy, keep-min policy
@@ -196,18 +202,15 @@ object LlmOps {
         .orderBy("vec_a", "vec_b")
     }),
 
-    // kNN label vote: majority label of the top-5 neighbors of each query
+    // kNN label vote: majority label of the top-5 neighbors of each query —
+    // one corpus scan total (labels ride along with the top-k computation)
     "llm_knn_label_vote" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val labels = emb.select(col("vec_id").as("n_id"), col("label"))
-      val votes = simTopk(s, d)
-        .join(labels, col("vec_id") === col("n_id"))
-        .groupBy("qid", "label").agg(count(lit(1)).as("n_votes"))
+      val votes = simTopkLabeled(s, d)
+        .groupBy("qid", "true_label", "label")
+        .agg(count(lit(1)).as("n_votes"))
       val w = Window.partitionBy("qid")
         .orderBy(col("n_votes").desc, col("label").asc)
       votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .join(emb.select(col("vec_id").as("qid"), col("label").as("true_label")),
-          Seq("qid"))
         .select(col("qid"), col("true_label"),
           col("label").as("pred_label"), col("n_votes"))
         .orderBy("qid")

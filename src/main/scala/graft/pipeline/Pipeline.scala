@@ -107,9 +107,11 @@ final case class RobustCategorizer(col0: String, minFrac: Double,
   val name = s"robust_categorizer($col0)"
   private val keepCol = s"__keep_$col0"
   def fitStats(df: DataFrame): Option[DataFrame] = {
-    val total = df.agg(count(lit(1)).as("__n"))
-    Some(df.groupBy(col0).agg(count(lit(1)).as("__cnt"))
-      .crossJoin(broadcast(total))
+    val freq = df.groupBy(col0).agg(count(lit(1)).as("__cnt"))
+    // total derived from the frequency table (tiny), not a second scan of
+    // the input — the fit is ONE pass over the data
+    val total = freq.agg(sum(col("__cnt")).as("__n"))
+    Some(freq.crossJoin(broadcast(total))
       .filter(col("__cnt") >= lit(minFrac) * col("__n"))
       .select(col(col0).as(keepCol)))
   }
