@@ -35,8 +35,13 @@ object SparkEntry {
     ops.Aggregations.entries("agg_groupby_basic")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.iterator.flatMap(_._1.keys).toSeq
+    val dups = all.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    require(dups.isEmpty,  // toMap would silently shadow the earlier module
+      s"duplicate query keys across op modules: ${dups.mkString(", ")}")
     modules.iterator.flatMap(_._1).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

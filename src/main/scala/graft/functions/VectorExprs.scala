@@ -54,6 +54,11 @@ object VectorExprs {
   def sortedInterSize(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectionSize(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** 64-bit SimHash of a token array in ONE pass (vs a 64×-pass nested
+    * HOF fold: one scan of the array per output bit). */
+  def simhash64(tokens: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens)))
 }
 
 case class DotProductFloat(left: Expression, right: Expression)
@@ -179,6 +184,52 @@ case class SortedIntersectionSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over a token array: counter[b] += ±1 by bit b of
+  * XXH64(token); sig bit b = sign(counter[b]). One loop over tokens
+  * updating 64 counters — the nested-HOF formulation rescans the token
+  * array once per bit. Bit order matches the HOF fold it replaced
+  * (bit 0 of the hash lands in the MSB). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> input")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(
+        t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      sig = (sig << 1) | (if (counters(b) > 0) 1L else 0L)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
 }
 
 /** k minhashes of a long array in ONE pass (vs k interpreted

@@ -22,15 +22,12 @@ import graft.util.Tables._
   */
 object LlmExtras {
 
-  /** 64-bit SimHash over the distinct token set, as one nested fold:
-    * bit b = sign of Σ_tokens (±1 by bit b of xxhash64(token)). Engine-
-    * specific hashing ⇒ no oracle; pinned by the planted-dups test. */
-  private val simhashExpr = expr(
-    """aggregate(sequence(0, 63), 0L, (acc, b) ->
-      |  shiftleft(acc, 1) | if(
-      |    aggregate(__toks, 0L, (a2, t) ->
-      |      a2 + if((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) > 0,
-      |    1L, 0L))""".stripMargin)
+  /** 64-bit SimHash over the distinct token set: bit b = sign of
+    * Σ_tokens (±1 by bit b of XXH64(token)) — computed by the one-pass
+    * custom expression (graft.functions.SimHash64). Engine-specific
+    * hashing ⇒ no oracle; pinned by the planted-dups test. */
+  private val simhashExpr =
+    graft.functions.VectorExprs.simhash64(col("__toks"))
 
   /** min-k winnowing fingerprint: the 8 smallest shingle hashes (shingle
     * hashing via the custom one-pass expression). */

@@ -89,23 +89,18 @@ object LlmOps {
       explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("hs"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // bucket via groupBy + in-bucket pair expansion, NOT a self-join: the
-    // expensive shingle/minhash subtree is computed ONCE (a self-join would
-    // evaluate it per side), and pair generation stays bounded by bucket
-    // membership. Buckets are tiny by construction (a large bucket means
-    // genuinely identical content); the sort keeps pair order canonical.
-    val buckets = sigs
-      .groupBy("band", "sig")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("hs"))))
-        .as("ms"))
-      .filter(size(col("ms")) >= 2)
-    val pairs = buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(ms) - 2), i ->
-        |  transform(sequence(i + 1, size(ms) - 1), j ->
-        |    struct(ms[i].doc_id AS doc_a, ms[j].doc_id AS doc_b,
-        |           ms[i].hs AS sa, ms[j].hs AS sb))))""".stripMargin))
-      .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sa"), col("p.sb"))
+    // bucket candidate pairs via a STREAMING self-join on (band, sig):
+    // never materializes a whole bucket in one aggregation row (a
+    // duplicate-heavy corpus puts millions of identical docs in one
+    // bucket — collect_list-style expansion would OOM one executor).
+    // The per-side recomputation of the signature subtree is cheap after
+    // the one-pass custom expressions; bounded state beats 1× map work.
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.hs").as("sa"), col("b.hs").as("sb"))
       .dropDuplicates("doc_a", "doc_b") // same pair from multiple bands
     // hs arrays are pre-sorted → intersection size is one merge pass
     val inter = graft.functions.VectorExprs
@@ -174,11 +169,13 @@ object LlmOps {
         (size(col("a.tk")) + size(col("b.tk"))).cast("double") - inter
       // size-ratio prefilter is IMPLIED by jaccard ≥ τ (|∩| ≤ min ⇒
       // j ≤ min/max), so it prunes pairs before the set intersection
-      // without changing the result
+      // without changing the result. Threshold 0.9499, NOT 0.95: the final
+      // filter is on round(j, 4) ≥ 0.95, which admits true j down to
+      // 0.94995 — the prefilter must not cut into that band
       a.join(b, col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id") &&
             least(col("a.ntk"), col("b.ntk")).cast("double") >=
-              greatest(col("a.ntk"), col("b.ntk")) * 0.95)
+              greatest(col("a.ntk"), col("b.ntk")) * 0.9499)
         .select(col("a.source").as("source"),
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           round(inter / union, 4).as("jac"))

@@ -113,10 +113,13 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
 
-  /** Streaming dedup by id, state bounded by the watermark. */
+  /** Streaming dedup by id. dropDuplicatesWithinWatermark is the form
+    * whose state store actually evicts on watermark advance — plain
+    * dropDuplicates("event_id") (without the event-time column in the key
+    * set) would keep every id forever and grow without bound. */
   def twinDedup(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming session windows per user. */
   def twinSession(stream: DataFrame): DataFrame =

@@ -43,9 +43,11 @@ class GoldenSpec extends AnyFunSuite {
       else Map.empty
 
     test("golden snapshot exists and covers every declared key") {
-      assert(golden.nonEmpty, "run with -Dgraft.golden.update=true once")
+      assert(golden.nonEmpty, "run with GRAFT_GOLDEN_UPDATE=true once")
       val missing = SparkEntry.queries.keySet -- golden.keySet
-      assert(missing.isEmpty, s"no golden hash for: $missing — regenerate")
+      assert(missing.isEmpty,
+        s"no golden hash for: $missing — regenerate with " +
+          "GRAFT_GOLDEN_UPDATE=true")
     }
 
     golden.keys.toSeq.sorted.foreach { k =>
@@ -53,7 +55,7 @@ class GoldenSpec extends AnyFunSuite {
         test(s"golden: $k unchanged") {
           assert(hashOf(k) == golden(k),
             s"$k output drifted from the golden snapshot — if intentional, " +
-              "regenerate with -Dgraft.golden.update=true")
+              "regenerate with GRAFT_GOLDEN_UPDATE=true")
         }
     }
   }

@@ -34,12 +34,24 @@ class LlmExtrasSpec extends AnyFunSuite {
     }
   }
 
-  test("sign-bucket LSH puts identical embeddings in one bucket") {
-    // bucket is a pure function of the vector: same vector ⇒ same bucket
+  test("sign-bucket LSH: reported pairs really share the sign pattern") {
     val out = SparkEntry.queries("llm_dedup_embedding")(
-      spark, SparkFixture.sf0001)
-    // structural check: every reported pair really shares the bucket
-    assert(out.filter(col("sim_r") < 0.2).count() == 0)
+        spark, SparkFixture.sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "expected some same-bucket pairs at sf0.001")
+    // recompute each vector's bucket INDEPENDENTLY of the query under test
+    val vecs = graft.util.Tables.embeddings(spark, SparkFixture.sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(8).toList).toMap
+    def bucket(v: List[Float]): Int =
+      v.zipWithIndex.map { case (x, i) =>
+        if (x >= 0) 1 << (7 - i) else 0
+      }.sum
+    out.foreach { case (b, va, vb) =>
+      assert(bucket(vecs(va)) == b && bucket(vecs(vb)) == b,
+        s"pair ($va,$vb) reported in bucket $b but recomputed buckets " +
+          s"are ${bucket(vecs(va))}/${bucket(vecs(vb))}")
+    }
   }
 
   test("language-ID confusion matrix covers every true lang") {

@@ -15,17 +15,22 @@ class PipelineSpec extends AnyFunSuite {
     MinMaxScaler("c_acctbal", "bal_mm"),
     StandardScaler("c_acctbal", "bal_z")))
 
-  test("fitted transform applies to held-out rows with train statistics") {
+  test("fitted transform applies to held-out rows with TRAIN statistics") {
     val c = Tables.customer(spark, SparkFixture.sf0001)
     val train = c.filter(col("c_custkey") % 2 === 0)
     val heldOut = c.filter(col("c_custkey") % 2 === 1)
-    val fitted = pipe.fit(train)
-    val out = fitted.transform(heldOut)
+    val out = pipe.fit(train).transform(heldOut)
     assert(out.count() == heldOut.count())
-    // min/max came from TRAIN, so held-out rows may scale outside [0,1]
-    val trainMin = train.agg(min("c_acctbal")).head().getDouble(0)
+    // recompute the expected scaling from TRAIN stats independently: a
+    // fit-on-transform-input leak would use held-out min/max and fail here
+    val Array(trainMin, trainMax) = train
+      .agg(min("c_acctbal"), max("c_acctbal")).head() match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
     val row = out.orderBy("c_custkey").select("c_acctbal", "bal_mm").head()
-    assert(row.getDouble(1) != trainMin || true) // plan executes
+    val expected = (row.getDouble(0) - trainMin) / (trainMax - trainMin)
+    assert(row.getDouble(1) == expected,
+      s"bal_mm ${row.getDouble(1)} != train-scaled $expected")
   }
 
   test("save/load round-trip reproduces the fitted transform exactly") {
