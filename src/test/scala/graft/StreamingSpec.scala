@@ -115,6 +115,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source replay of events.parquet matches the batch twin") {
+    // the real fixture replayed as a stream (SURVEY §7.4): same ns-ts
+    // recipe as Tables.events, streaming aggregation must converge to the
+    // batch result once the file is consumed
+    import org.apache.spark.sql.functions._
+    val batch = graft.util.Tables.events(spark, SparkFixture.sf0001)
+    // the file source streams DIRECTORIES; stage the single fixture file
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkFixture.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(
+        s"${SparkFixture.sf0001}/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val q = Streaming.twinStatefulCounts(stream)
+      .writeStream.format("memory").queryName("s_replay")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("s_replay")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = batch.groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == expected,
+        "streamed per-user counts diverge from batch")
+    } finally q.stop()
+  }
+
   test("stateful running counts in update mode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
