@@ -1,0 +1,80 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** User-facing similarity-search API over embedding columns
+  * (`array<float>`, unit-norm ⇒ cosine ≡ dot). Generic forms behind the
+  * fixture-bound `SparkEntry` queries:
+  *
+  * {{{
+  *   Similarity.topK(corpus, queries, k = 5)          // brute force
+  *   Similarity.topKIvf(corpus, queries, k = 5)       // inverted lists
+  *   Similarity.thresholdJoin(corpus, $"label", 0.25) // bounded pairs
+  * }}}
+  */
+object Similarity {
+
+  /** Sequential-double cosine/dot of two float vectors (codegen'd). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dotf(a, b)
+
+  /** Sign-pattern LSH bucket from the first `bits` dimensions. */
+  def signBucket(e: Column, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(element_at(e, i + 1) >= 0, 1 << (bits - 1 - i)).otherwise(0))
+      .reduce(_ + _)
+
+  /** Exact top-k neighbors of a BOUNDED query set (broadcast) by brute
+    * force over the corpus — one corpus scan, similarity rounded 6 dp and
+    * ranked with an id tie-break. `queries` columns: (qid, qe[, extra]).
+    * Corpus columns: (id, vec). */
+  def topK(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(id.as("vec_id"), vec.as("__v"))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("__v")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF-style top-k: probe only the query's sign-bucket inverted list.
+    * Probe cost = |list|, not |corpus|; recall tunes via `bits`. */
+  def topKIvf(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val e = corpus.select(id.as("vec_id"), vec.as("__v"),
+      signBucket(vec, bits).as("__bucket"))
+    val q = queries.withColumn("__qbucket", signBucket(col("qe"), bits))
+    val scored = e.join(broadcast(q),
+        col("__bucket") === col("__qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("__v")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** All pairs with similarity ≥ τ WITHIN an equi-key partition — the key
+    * is what bounds the pair space at scale. Output: (key, vec_a, vec_b,
+    * sim_r). */
+  def thresholdJoin(corpus: DataFrame, id: Column, vec: Column,
+      partitionKey: Column, minSim: Double): DataFrame = {
+    val t = corpus.select(id.as("__id"), vec.as("__v"),
+      partitionKey.as("__k"))
+    val a = t.alias("a"); val b = t.alias("b")
+    a.join(b, col("a.__k") === col("b.__k") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__k").as("key"),
+        col("a.__id").as("vec_a"), col("b.__id").as("vec_b"),
+        round(dot(col("a.__v"), col("b.__v")), 6).as("sim_r"))
+      .filter(col("sim_r") >= minSim)
+  }
+
+  /** Near-dup by sign-bucket LSH + similarity verify (the embedding-space
+    * analogue of MinHash-LSH). Output: (bucket, vec_a, vec_b, sim_r). */
+  def nearDupLsh(corpus: DataFrame, id: Column, vec: Column,
+      minSim: Double, bits: Int = 8): DataFrame =
+    thresholdJoin(corpus, id, vec, signBucket(vec, bits), minSim)
+      .withColumnRenamed("key", "bucket")
+}

@@ -1,0 +1,108 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** User-facing deduplication API over arbitrary DataFrames — the generic
+  * forms behind the fixture-bound `SparkEntry` queries. A reference-library
+  * user points these at their own corpus:
+  *
+  * {{{
+  *   import graft.api.TextDedup
+  *   val dups  = TextDedup.exact(docs, $"text", $"doc_id")
+  *   val cands = TextDedup.nearMinhash(docs, $"doc_id", $"text")
+  * }}}
+  *
+  * Scale contracts are inherited from the engine design (SCALE.md): hash
+  * groupBys, streaming LSH self-joins, no O(n²), no driver collects.
+  */
+object TextDedup {
+
+  /** Exact-duplicate groups by content hash: one row per distinct text,
+    * with the kept (minimum) id and the copy count. */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("h"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup after whitespace/case normalization. */
+  def normalized(df: DataFrame, text: Column, id: Column): DataFrame =
+    exact(df, trim(regexp_replace(lower(text), "\\s+", " ")), id)
+
+  /** MinHash-LSH near-duplicate pairs verified by shingle jaccard ≥
+    * `minJaccard`. Bands × rowsPerBand minhashes; candidate generation is
+    * a streaming self-join on (band, signature) — bounded state at any
+    * corpus size. Output: (doc_a, doc_b, jaccard). */
+  def nearMinhash(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val k = bands * rowsPerBand
+    val docs = df.select(id.as("__id"),
+        array_sort(VectorExprs.shingleHashes(split(text, " "), shingleWidth))
+          .as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("mh", VectorExprs.minhashSig(col("hs"), k))
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand)
+        .map(r => element_at(col("mh"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+    }
+    val sigs = docs.select(col("__id"), col("hs"),
+      explode(array(bandCols: _*)).as("bs"))
+      .select(col("__id"), col("hs"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.hs").as("sa"), col("b.hs").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = VectorExprs.sortedInterSize(col("sa"), col("sb"))
+      .cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    pairs.select(col("doc_a"), col("doc_b"),
+        round(inter / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Token-set jaccard near-dups on pairs bounded by an equi-key bucket
+    * (`bucket` column) — never all-pairs. Output: (bucket, doc_a, doc_b,
+    * jac rounded 4 dp). `prefilterSlack` must stay below the rounded
+    * threshold (see LlmOps scaladoc on the 0.9499 edge). */
+  def jaccardWithinBucket(df: DataFrame, id: Column, bucket: Column,
+      text: Column, minJaccard: Double = 0.95,
+      prefilterSlack: Double = 0.0001): DataFrame = {
+    val t = df.select(id.as("__id"), bucket.as("__bucket"),
+        array_sort(array_distinct(transform(split(text, " "),
+          w => xxhash64(w)))).as("tk"))
+      .withColumn("ntk", size(col("tk")))
+    val a = t.alias("a"); val b = t.alias("b")
+    val inter = VectorExprs.sortedInterSize(col("a.tk"), col("b.tk"))
+      .cast("double")
+    val union = (size(col("a.tk")) + size(col("b.tk"))).cast("double") - inter
+    a.join(b, col("a.__bucket") === col("b.__bucket") &&
+          col("a.__id") < col("b.__id") &&
+          least(col("a.ntk"), col("b.ntk")).cast("double") >=
+            greatest(col("a.ntk"), col("b.ntk")) *
+              (minJaccard - prefilterSlack))
+      .select(col("a.__bucket").as("bucket"),
+        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        round(inter / union, 4).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
+  /** 64-bit SimHash signature per row (one-pass native expression). */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      VectorExprs.simhash64(array_distinct(split(text, " "))).as("simhash"))
+
+  /** min-k shingle-hash fingerprint per row (winnowing-style). */
+  def fingerprint(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, k: Int = 8): DataFrame =
+    df.withColumn("__hs",
+        VectorExprs.shingleHashes(split(text, " "), shingleWidth))
+      .filter(size(col("__hs")) >= k)
+      .select(id.as("doc_id"),
+        slice(array_sort(col("__hs")), 1, k).as("fingerprint"))
+}

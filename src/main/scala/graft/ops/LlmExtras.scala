@@ -22,52 +22,27 @@ import graft.util.Tables._
   */
 object LlmExtras {
 
-  /** 64-bit SimHash over the distinct token set: bit b = sign of
-    * Σ_tokens (±1 by bit b of XXH64(token)) — computed by the one-pass
-    * custom expression (graft.functions.SimHash64). Engine-specific
-    * hashing ⇒ no oracle; pinned by the planted-dups test. */
-  private val simhashExpr =
-    graft.functions.VectorExprs.simhash64(col("__toks"))
-
-  /** min-k winnowing fingerprint: the 8 smallest shingle hashes (shingle
-    * hashing via the custom one-pass expression). */
-  private val fingerprintExpr =
-    slice(array_sort(col("__hs")), 1, 8)
-
-  /** 8-bit sign-pattern LSH bucket of an embedding (MSB = dim 1). */
-  private def signBucket(e: Column): Column =
-    (0 until 8).map(i =>
-      when(element_at(e, i + 1) >= 0, 1 << (7 - i)).otherwise(0))
-      .reduce(_ + _)
-
+  /** DuckDB twin of graft.api.Similarity.signBucket (8 bits, MSB = dim 1) */
   private def signBucketSql(e: String): String =
     (0 until 8).map(i =>
       s"(CASE WHEN $e[${i + 1}] >= 0 THEN ${1 << (7 - i)} ELSE 0 END)")
       .mkString(" + ")
 
-  /** codegen'd sequential double fold — graft.functions.DotProductFloat */
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.VectorExprs.dotf(a, b)
-
+  /** DuckDB twin of the codegen'd sequential double dot-product fold */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // SimHash document signatures — map-side only, no shuffle
+    // SimHash document signatures — map-side only, no shuffle (graft.api)
     "llm_simhash" -> ((s, d) =>
-      documents(s, d)
-        .withColumn("__toks", array_distinct(split(col("text"), " ")))
-        .select(col("doc_id"), simhashExpr.as("simhash"))
+      graft.api.TextDedup.simhash(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
-    // min-k shingle-hash fingerprint (winnowing-style)
+    // min-k shingle-hash fingerprint (winnowing-style, graft.api)
     "llm_fingerprint" -> ((s, d) =>
-      documents(s, d)
-        .withColumn("__hs", graft.functions.VectorExprs
-          .shingleHashes(split(col("text"), " "), 3))
-        .filter(size(col("__hs")) >= 8)
-        .select(col("doc_id"), fingerprintExpr.as("fingerprint"))
+      graft.api.TextDedup
+        .fingerprint(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
     // whitespace tokens vs BPE-ish regex tokens per doc
@@ -139,40 +114,24 @@ object LlmExtras {
     // IVF-style ANN: the sign-bucket is the coarse quantizer (an inverted
     // list per bucket); a query probes ONLY its own list. At 100 TB this is
     // the similarity-search scale path — probe cost is |list|, not |corpus|;
-    // recall-vs-cost tunes via nprobe (here 1) and bucket bits.
+    // recall-vs-cost tunes via nprobe (here 1) and bucket bits (graft.api).
     "llm_sim_topk_ivf" -> ((s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          signBucket(col("embedding")).as("bucket"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("bucket").as("qbucket"))
-      val scored = e.join(broadcast(q),
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(dot(col("qe"), col("embedding")), 6).as("sim_r"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("sim_r").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .topKIvf(emb, col("vec_id"), col("embedding"), q, k = 5)
         .select("qid", "rk", "vec_id", "sim_r")
         .orderBy("qid", "rk")
     }),
 
     // embedding near-dup: sign-bit LSH bucket join + cosine verify —
     // bounded candidate generation, the ANN scale path for dedup
-    "llm_dedup_embedding" -> ((s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          signBucket(col("embedding")).as("bucket"))
-      val a = e.alias("a"); val b = e.alias("b")
-      a.join(b, col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.bucket").as("bucket"),
-          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dot(col("a.embedding"), col("b.embedding")), 6).as("sim_r"))
-        .filter(col("sim_r") >= 0.2)
-        .orderBy("vec_a", "vec_b")
-    })
+    "llm_dedup_embedding" -> ((s, d) =>
+      graft.api.Similarity
+        .nearDupLsh(embeddings(s, d), col("vec_id"), col("embedding"),
+          minSim = 0.2)
+        .orderBy("vec_a", "vec_b"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -35,10 +35,6 @@ import graft.util.Det._
   */
 object LlmOps {
 
-  /** distinct unigram token set */
-  private def tokenSet(text: Column): Column =
-    array_distinct(split(text, " "))
-
   /** sequential-fold dot product of two float vectors, in double — the
     * custom codegen'd expression (graft.functions.DotProductFloat), bit-
     * identical to the zip_with+aggregate fold it replaces and to the
@@ -51,66 +47,23 @@ object LlmOps {
     s"list_sum(list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
-  /** 3-word shingle set (the near-dup unit). Unigrams are useless on this
-    * corpus (31-word vocabulary ⇒ every doc shares most tokens); 3-shingles
-    * give a ~31³ space, so only true near-dups collide. */
-  private def shingleSet(tokens: Column): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(tokens) - 3),
-      i => concat_ws(" ",
-        element_at(tokens, i + 1), element_at(tokens, i + 2),
-        element_at(tokens, i + 3))))
-
   private val MinhashK = 16 // 4 bands × 4 rows
   private val Bands = 4
   private val RowsPerBand = MinhashK / Bands
 
-  /** MinHash-LSH candidate pairs verified by true shingle jaccard ≥ 0.8.
-    * No oracle (xxhash64 is engine-specific); correctness is pinned by the
-    * planted sf0.1 duplicates test (LlmOpsSpec). */
-  private def nearDupMinhash(s: SparkSession, d: String): DataFrame = {
-    // custom tight-loop expressions (graft.functions): shingles are hashed
-    // to longs in ONE row-level pass, and all k minhashes come from ONE
-    // pass over that array — vs k interpreted HOF passes
-    val docs = documents(s, d)
-      .select(col("doc_id"),
-        array_sort(graft.functions.VectorExprs
-          .shingleHashes(split(col("text"), " "), 3)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .withColumn("mh",
-        graft.functions.VectorExprs.minhashSig(col("hs"), MinhashK))
-    // band signature = hash of that band's r consecutive minhashes
-    val bands = (0 until Bands).map { b =>
-      val slice = (0 until RowsPerBand)
-        .map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
-    }
-    val sigs = docs.select(col("doc_id"), col("hs"),
-      explode(array(bands: _*)).as("bs"))
-      .select(col("doc_id"), col("hs"),
-        col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // bucket candidate pairs via a STREAMING self-join on (band, sig):
-    // never materializes a whole bucket in one aggregation row (a
-    // duplicate-heavy corpus puts millions of identical docs in one
-    // bucket — collect_list-style expansion would OOM one executor).
-    // The per-side recomputation of the signature subtree is cheap after
-    // the one-pass custom expressions; bounded state beats 1× map work.
-    val a = sigs.alias("a"); val b = sigs.alias("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.hs").as("sa"), col("b.hs").as("sb"))
-      .dropDuplicates("doc_a", "doc_b") // same pair from multiple bands
-    // hs arrays are pre-sorted → intersection size is one merge pass
-    val inter = graft.functions.VectorExprs
-      .sortedInterSize(col("sa"), col("sb")).cast("double")
-    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
-    pairs.select(col("doc_a"), col("doc_b"),
-        round(inter / union, 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+  /** MinHash-LSH candidate pairs verified by true shingle jaccard ≥ 0.8
+    * (3-word shingles: unigrams are useless on this 31-word-vocabulary
+    * corpus). Fixture wiring over the generic library API
+    * (graft.api.TextDedup.nearMinhash): one-pass shingle hashing + minhash
+    * signatures, streaming band-bucket self-join, merge-pass jaccard
+    * verify. No oracle (xxhash64 is engine-specific); correctness is
+    * pinned by the planted sf0.1 duplicates test (LlmOpsSpec). */
+  private def nearDupMinhash(s: SparkSession, d: String): DataFrame =
+    graft.api.TextDedup
+      .nearMinhash(documents(s, d), col("doc_id"), col("text"),
+        shingleWidth = 3, bands = Bands, rowsPerBand = RowsPerBand,
+        minJaccard = 0.8)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Fixed bounded query set (vec_id < 10), top-k by rounded dot product.
     * Carries the query's true label and the neighbor's label through the
@@ -134,70 +87,41 @@ object LlmOps {
       .orderBy("qid", "rk")
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact-dup groups: one hash-groupBy, keep-min policy
+    // exact-dup groups: one hash-groupBy, keep-min policy (graft.api)
     "llm_dedup_exact" -> ((s, d) =>
-      documents(s, d)
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      graft.api.TextDedup.exact(documents(s, d), col("text"), col("doc_id"))
         .orderBy("h")),
 
     // dedup after normalization: lower + collapse whitespace + trim
     "llm_dedup_norm" -> ((s, d) =>
-      documents(s, d)
-        .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-          .as("h"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      graft.api.TextDedup
+        .normalized(documents(s, d), col("text"), col("doc_id"))
         .orderBy("h")),
 
     "llm_dedup_near_minhash" -> ((s, d) => nearDupMinhash(s, d)),
 
     // near-dup verification on candidate pairs bounded by `source` bucket —
-    // a plain equi-join, never O(n²) over the corpus
-    "llm_dedup_jaccard" -> ((s, d) => {
-      // token sets hashed to longs and pre-SORTED per doc: intersect/union
-      // sizes are identical to the string-set sizes (31-word vocabulary ⇒
-      // no collisions) but the per-pair set op is one merge over longs
-      val t = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          array_sort(array_distinct(transform(split(col("text"), " "),
-            w => xxhash64(w)))).as("tk"))
-        .withColumn("ntk", size(col("tk")))
-      val a = t.alias("a"); val b = t.alias("b")
-      val inter = graft.functions.VectorExprs
-        .sortedInterSize(col("a.tk"), col("b.tk")).cast("double")
-      val union =
-        (size(col("a.tk")) + size(col("b.tk"))).cast("double") - inter
-      // size-ratio prefilter is IMPLIED by jaccard ≥ τ (|∩| ≤ min ⇒
-      // j ≤ min/max), so it prunes pairs before the set intersection
-      // without changing the result. Threshold 0.9499, NOT 0.95: the final
-      // filter is on round(j, 4) ≥ 0.95, which admits true j down to
-      // 0.94995 — the prefilter must not cut into that band
-      a.join(b, col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            least(col("a.ntk"), col("b.ntk")).cast("double") >=
-              greatest(col("a.ntk"), col("b.ntk")) * 0.9499)
-        .select(col("a.source").as("source"),
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(inter / union, 4).as("jac"))
-        .filter(col("jac") >= 0.95)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // a plain equi-join, never O(n²) over the corpus (graft.api: hashed
+    // pre-sorted token sets, merge-pass intersection, rounding-aware
+    // size-ratio prefilter)
+    "llm_dedup_jaccard" -> ((s, d) =>
+      graft.api.TextDedup
+        .jaccardWithinBucket(documents(s, d), col("doc_id"), col("source"),
+          col("text"), minJaccard = 0.95)
+        .withColumnRenamed("bucket", "source")
+        .orderBy("doc_a", "doc_b")),
 
     "llm_sim_topk" -> ((s, d) => simTopk(s, d)),
 
     // all pairs with cosine ≥ τ WITHIN a label partition (equi-key bounds
-    // the pair space; at 100 TB the label/bucket key is what keeps this sane)
-    "llm_sim_threshold_join" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val a = emb.alias("a"); val b = emb.alias("b")
-      a.join(b, col("a.label") === col("b.label") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.label").as("label"),
-          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dot(col("a.embedding"), col("b.embedding")), 6).as("sim_r"))
-        .filter(col("sim_r") >= 0.25)
-        .orderBy("vec_a", "vec_b")
-    }),
+    // the pair space; at 100 TB the label/bucket key is what keeps this
+    // sane) — graft.api.Similarity.thresholdJoin
+    "llm_sim_threshold_join" -> ((s, d) =>
+      graft.api.Similarity
+        .thresholdJoin(embeddings(s, d), col("vec_id"), col("embedding"),
+          col("label"), minSim = 0.25)
+        .withColumnRenamed("key", "label")
+        .orderBy("vec_a", "vec_b")),
 
     // kNN label vote: majority label of the top-5 neighbors of each query —
     // one corpus scan total (labels ride along with the top-k computation)
