@@ -43,6 +43,12 @@ object Det {
   def davg(c: Column): Column = dsum(c) / count(c)
   def davgSql(c: String): String = s"${dsumSql(c)} / COUNT($c)"
 
+  /** Round a genuinely-double value for cross-engine compare. Residual
+    * risk (ADVICE r1): Spark rounds via BigDecimal-of-shortest-repr
+    * HALF_UP while DuckDB rounds the binary double, so an input within
+    * ~1 ulp of a .5·10⁻⁶ boundary could flip — measure-zero on fixture
+    * data and accepted; values feeding a RANK are rounded first on both
+    * sides so ranks cannot diverge even if a 7th decimal ever did. */
   def r6(c: Column): Column = round(c, 6)
   def r4(c: Column): Column = round(c, 4)
 }

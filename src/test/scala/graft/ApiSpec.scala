@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{Similarity, TextDedup}
+
+/** The graft.api surface must work on ARBITRARY frames and column names —
+  * not just the benchmark fixtures. Synthetic inputs, different names. */
+class ApiSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat tonight"), // near-dup
+    (4L, "completely different words about spark query engines here"),
+    (5L, "Completely   DIFFERENT words about spark query engines here")
+  ).toDF("id", "body")
+
+  test("TextDedup.exact groups identical bodies, keeps min id") {
+    val out = TextDedup.exact(corpus, col("body"), col("id"))
+      .filter(col("n_copies") > 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 2L)
+  }
+
+  test("TextDedup.normalized also folds case/whitespace variants") {
+    val out = TextDedup.normalized(corpus, col("body"), col("id"))
+      .filter(col("n_copies") > 1).collect()
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 4L))
+  }
+
+  test("TextDedup.nearMinhash finds the exact and near duplicates") {
+    val pairs = TextDedup
+      .nearMinhash(corpus, col("id"), col("body"), minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair must surface")
+  }
+
+  test("TextDedup.simhash: identical bodies identical, near-dups close") {
+    val sh = TextDedup.simhash(corpus, col("id"), col("body"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming <= 16, s"near-dup hamming distance $hamming too large")
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > hamming,
+      "unrelated doc should be farther than the near-dup")
+  }
+
+  test("Similarity.topK ranks an obvious nearest neighbor first") {
+    val vecs = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.99f, 0.1f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f, 0.0f)),
+      (13L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vid", "emb")
+    val q = vecs.filter(col("vid") === 10L)
+      .select(col("vid").as("qid"), col("emb").as("qe"))
+    val top = Similarity.topK(vecs, col("vid"), col("emb"), q, k = 2)
+      .orderBy("rk").collect()
+    assert(top(0).getLong(1) == 11L, "nearest vector must rank first")
+  }
+
+  test("Similarity.thresholdJoin stays within the partition key") {
+    val vecs = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(1.0f, 0.0f)),
+      (3L, "b", Seq(1.0f, 0.0f))
+    ).toDF("vid", "grp", "emb")
+    val pairs = Similarity.thresholdJoin(vecs, col("vid"), col("emb"),
+        col("grp"), minSim = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L)),
+      "cross-partition pair (1,3)/(2,3) must NOT appear")
+  }
+}
