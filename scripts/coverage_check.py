@@ -2,8 +2,10 @@
 """Audit SparkEntry.queries coverage against SURVEY.md §2's key inventory.
 
 Parses the §2 tables for `key` names (first backticked token per row) and
-diffs them against the declared queries (read from a Verify output dir's
-oracle_sql.json plus the known oracle-less keys, or from --keys file).
+diffs them against the declared queries, observed as the per-key output
+directories of a prior `graft.Verify` run.
+
+Usage: python3 scripts/coverage_check.py [verify_out_dir]
 """
 import re
 import sys
@@ -37,6 +39,9 @@ def survey_keys():
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify_sf001"
+    if not Path(out_dir).is_dir():
+        sys.exit(f"no Verify output at {out_dir} — run "
+                 f'`sbt "runMain graft.Verify <sfDir> {out_dir}"` first')
     declared = {p.name for p in Path(out_dir).iterdir()
                 if p.is_dir()}
     skeys = survey_keys()

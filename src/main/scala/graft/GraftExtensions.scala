@@ -32,24 +32,33 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name requires exactly $n arguments, got ${args.length}")
+      build(args)
+    }
+
   private[graft] val definitions: Seq[(String, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))),
+      arity("graft_dot", 2)(args => DotProductFloat(args(0), args(1)))),
     ("graft_sorted_intersection_size",
       new ExpressionInfo(classOf[SortedIntersectionSize].getName,
         "graft_sorted_intersection_size"),
-      (args: Seq[Expression]) => SortedIntersectionSize(args(0), args(1))),
+      arity("graft_sorted_intersection_size", 2)(args =>
+        SortedIntersectionSize(args(0), args(1)))),
     ("graft_shingle_hashes",
       new ExpressionInfo(classOf[WordShingleHashes].getName,
         "graft_shingle_hashes"),
-      (args: Seq[Expression]) =>
-        WordShingleHashes(args(0), intLit(args(1), "shingle width"))),
+      arity("graft_shingle_hashes", 2)(args =>
+        WordShingleHashes(args(0), intLit(args(1), "shingle width")))),
     ("graft_minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (args: Seq[Expression]) =>
-        MinHashSig(args(0), intLit(args(1), "signature size"))))
+      arity("graft_minhash_sig", 2)(args =>
+        MinHashSig(args(0), intLit(args(1), "signature size")))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -10,12 +10,26 @@ import graft.functions.VectorExprs
   * fixture-bound `SparkEntry` queries:
   *
   * {{{
-  *   Similarity.topK(corpus, queries, k = 5)          // brute force
-  *   Similarity.topKIvf(corpus, queries, k = 5)       // inverted lists
-  *   Similarity.thresholdJoin(corpus, $"label", 0.25) // bounded pairs
+  *   val q = corpus.filter($"id" < 10)
+  *     .select($"id".as("qid"), $"vec".as("qe"))      // required names
+  *   Similarity.topK(corpus, $"id", $"vec", q, k = 5)      // brute force
+  *   Similarity.topKIvf(corpus, $"id", $"vec", q, k = 5)   // inverted lists
+  *   Similarity.thresholdJoin(corpus, $"id", $"vec", $"label", 0.25)
   * }}}
+  *
+  * Contract: the `queries` frame must carry columns `qid` (query id) and
+  * `qe` (query vector) — validated eagerly with a clear error; corpus
+  * columns are caller-chosen via the Column parameters.
   */
 object Similarity {
+
+  private def requireQuerySchema(queries: DataFrame): Unit = {
+    val cols = queries.columns.toSet
+    require(cols.contains("qid") && cols.contains("qe"),
+      s"queries frame must have columns 'qid' and 'qe' (got: " +
+        s"${queries.columns.mkString(", ")}) — select(id.as(\"qid\"), " +
+        "vec.as(\"qe\")) before calling")
+  }
 
   /** Sequential-double cosine/dot of two float vectors (codegen'd). */
   def dot(a: Column, b: Column): Column = VectorExprs.dotf(a, b)
@@ -32,6 +46,7 @@ object Similarity {
     * Corpus columns: (id, vec). */
   def topK(corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, k: Int): DataFrame = {
+    requireQuerySchema(queries)
     val scored = corpus.select(id.as("vec_id"), vec.as("__v"))
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -41,9 +56,11 @@ object Similarity {
   }
 
   /** IVF-style top-k: probe only the query's sign-bucket inverted list.
-    * Probe cost = |list|, not |corpus|; recall tunes via `bits`. */
+    * Probe cost = |list|, not |corpus|; recall tunes via `bits`.
+    * `queries` must carry (qid, qe) — see the object contract. */
   def topKIvf(corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    requireQuerySchema(queries)
     val e = corpus.select(id.as("vec_id"), vec.as("__v"),
       signBucket(vec, bits).as("__bucket"))
     val q = queries.withColumn("__qbucket", signBucket(col("qe"), bits))

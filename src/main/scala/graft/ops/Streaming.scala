@@ -9,11 +9,14 @@ import graft.util.Det._
 /** SURVEY.md §2.K — streaming (the reference has no streaming substrate;
   * the `events` fixture is the driver's designated stream table).
   *
-  * Strategy (SURVEY §7.4): `window` / `session_window` / `dropDuplicates` /
-  * `groupBy.count` evaluate identically in batch and in Structured
-  * Streaming, so each key declares the BATCH plan (oracle-able in DuckDB)
-  * while `streamTwin*` builders expose the same computation over a
-  * streaming DataFrame with watermarks. StreamingSpec drives the twins
+  * Strategy (SURVEY §7.4): `window` / `session_window` / `groupBy.count`
+  * evaluate identically in batch and in Structured Streaming, so each key
+  * declares the BATCH plan (oracle-able in DuckDB) while `streamTwin*`
+  * builders expose the same computation over a streaming DataFrame with
+  * watermarks. The one deliberate divergence: streaming dedup uses
+  * dropDuplicatesWithinWatermark, which equals the batch distinct only for
+  * replays arriving within the watermark horizon — the price of a state
+  * store that actually evicts. StreamingSpec drives the twins
   * through MemoryStream and proves watermark/late-data/stateful behavior —
   * the part a batch oracle cannot see.
   *
@@ -134,23 +137,36 @@ object Streaming {
   def twinStatefulCounts(stream: DataFrame): DataFrame =
     stream.groupBy("user_id").agg(count(lit(1)).as("n_events"))
 
-  /** CUSTOM state via mapGroupsWithState (the escape hatch beyond built-in
-    * aggregations): running count of distinct event types per user, state =
-    * the seen-type set, bounded by the event-type domain. */
+  /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
+    * built-in aggregations): running count of distinct event types per
+    * user. State per key is domain-bounded (the type set), and the KEY
+    * SPACE is bounded too: idle users expire via an event-time timeout an
+    * hour past the watermark — without it, an ever-growing user space
+    * would grow the state store forever. */
   def twinDistinctTypesState(stream: DataFrame): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    stream.selectExpr("user_id", "event_type").as[(Long, String)]
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream.withWatermark("ts", "10 minutes")
+      // the watermarked event-time column must REACH the stateful operator
+      .selectExpr("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Seq[String], (Long, Int)](
-        GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, String)],
+      .flatMapGroupsWithState[Seq[String], (Long, Int)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
             state: GroupState[Seq[String]]) =>
-          val seen = (state.getOption.getOrElse(Seq.empty) ++
-            rows.map(_._2)).distinct
-          state.update(seen)
-          (user, seen.size)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = (state.getOption.getOrElse(Seq.empty) ++
+              rows.map(_._2)).distinct
+            state.update(seen)
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs + 3600 * 1000L)
+            Iterator.single((user, seen.size))
+          }
       }
       .toDF("user_id", "n_distinct_types")
   }

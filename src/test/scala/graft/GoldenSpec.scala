@@ -39,15 +39,20 @@ class GoldenSpec extends AnyFunSuite {
     val golden: Map[String, String] =
       if (Files.exists(goldenPath))
         Files.readAllLines(goldenPath).toArray(Array.empty[String])
-          .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+          .filter(_.trim.nonEmpty) // robust to trailing-newline edits
+          .map(_.split("\t", 2)).map(a => a(0) -> a(1)).toMap
       else Map.empty
 
-    test("golden snapshot exists and covers every declared key") {
+    test("golden snapshot exists and matches the declared key set") {
       assert(golden.nonEmpty, "run with GRAFT_GOLDEN_UPDATE=true once")
       val missing = SparkEntry.queries.keySet -- golden.keySet
       assert(missing.isEmpty,
         s"no golden hash for: $missing — regenerate with " +
           "GRAFT_GOLDEN_UPDATE=true")
+      val stale = golden.keySet -- SparkEntry.queries.keySet
+      assert(stale.isEmpty,
+        s"golden entries for removed/renamed keys: $stale — regenerate " +
+          "with GRAFT_GOLDEN_UPDATE=true")
     }
 
     golden.keys.toSeq.sorted.foreach { k =>

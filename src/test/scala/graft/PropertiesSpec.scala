@@ -33,13 +33,21 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("isodow pairing: java.time agrees Monday=1 across the epoch range") {
-    (1 to 1000).foreach { _ =>
-      val epochSec = math.abs(rnd.nextLong()) % 4102444800L
-      val d = java.time.LocalDateTime
-        .ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
-      val isodow = d.getDayOfWeek.getValue
-      assert(isodow >= 1 && isodow <= 7)
+  test("isodow pairing: Spark weekday()+1 equals java.time's ISO value") {
+    // the actual §7.2.6 pairing rule, checked against an independent
+    // implementation (java.time is ISO: Monday=1) on sampled dates
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val epochs = List.fill(50)(math.abs(rnd.nextLong()) % 4102444800L)
+    val fromSpark = epochs.toDF("es")
+      .selectExpr("es", "weekday(timestamp_seconds(es)) + 1 AS isodow")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    epochs.foreach { es =>
+      val expected = java.time.LocalDateTime
+        .ofEpochSecond(es, 0, java.time.ZoneOffset.UTC)
+        .getDayOfWeek.getValue
+      assert(fromSpark(es) == expected,
+        s"epoch $es: spark ${fromSpark(es)} vs java.time $expected")
     }
   }
 
