@@ -148,6 +148,29 @@ object Joins {
 
     "join_asof" -> ((s, d) => asof(s, d)),
 
+    // bucketing: both sides written bucketed+sorted on the join key, so
+    // the join needs NO shuffle at read time (bucketed scan provides the
+    // partitioning). At 100 TB this is THE lever for repeatedly-joined
+    // fact tables: pay the shuffle once at write, never again per query.
+    // PlanSpec asserts the shuffle-free plan shape.
+    "join_bucketed" -> ((s, d) => {
+      val pid = java.lang.ProcessHandle.current.pid
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = s"/tmp/graft_bucketed_${sf}_$pid"
+      val ot = s"graft_orders_b_$sf"
+      val ct = s"graft_customer_b_$sf"
+      orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$loc/orders").saveAsTable(ot)
+      customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$loc/customer").saveAsTable(ct)
+      s.table(ot)
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // interval join: events into fixed windows [start, end); the interval
     // side is bounded → broadcast; at scale, bucketize ts to an equi-key
     // first and keep the residual range predicate
@@ -217,6 +240,10 @@ object Joins {
          |  ON l_orderkey = mk_orderkey AND l_extendedprice = mk_price
          |JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

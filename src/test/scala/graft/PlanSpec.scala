@@ -68,6 +68,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bucketed: bucketed tables join WITHOUT a join-side shuffle") {
+    val df = q("join_bucketed")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only Exchange allowed is the presentation ORDER BY (range);
+    // a hash exchange would mean the bucketing was not exploited
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle on the key:\n$p")
+  }
+
   test("window_cumsum: exactly one shuffle (the window partition key)") {
     val p = plan("window_cumsum")
     val exchanges = "Exchange".r.findAllIn(p).size
