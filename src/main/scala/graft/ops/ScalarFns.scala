@@ -51,6 +51,15 @@ object ScalarFns {
           size(split(col("p_name"), " ")).as("n_words"))
         .orderBy("p_partkey")),
 
+    // edit distance — the scalar primitive under fuzzy dedup/matching
+    "fn_string_distance" -> ((s, d) =>
+      part(s, d).select(
+          col("p_partkey"),
+          levenshtein(col("p_brand"), lit("Brand#10")).as("lev_brand"),
+          levenshtein(lower(split(col("p_type"), " ")(0)), lit("standard"))
+            .as("lev_class"))
+        .orderBy("p_partkey")),
+
     "fn_string_regex" -> ((s, d) =>
       part(s, d).select(
           col("p_partkey"),
@@ -166,6 +175,12 @@ object ScalarFns {
         |ends_with(p_name, 'd') AS ends_d,
         |regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
         |CAST(len(string_split_regex(p_name, ' ')) AS INTEGER) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_string_distance" ->
+      """SELECT p_partkey,
+        |CAST(levenshtein(p_brand, 'Brand#10') AS INTEGER) AS lev_brand,
+        |CAST(levenshtein(lower(string_split(p_type, ' ')[1]), 'standard')
+        |  AS INTEGER) AS lev_class
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_string_regex" ->
       """SELECT p_partkey,
