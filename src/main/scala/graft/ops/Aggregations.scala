@@ -133,6 +133,28 @@ object Aggregations {
         .orderBy("event_type")
     }),
 
+    // Pearson correlation from EXACT decimal moments (dd.corr): the five
+    // sums are order-free decimals; the r formula then runs in IEEE double
+    // spelled identically in the oracle — corr(double) built-ins would be
+    // addition-order nondeterministic (SURVEY §7.2.2)
+    "agg_corr" -> ((s, d) => {
+      val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sx2"),
+          sum(y * y).cast("double").as("sy2"))
+        .select(col("l_returnflag"),
+          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("sy2") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_custom_udaf" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
@@ -225,6 +247,23 @@ object Aggregations {
         |ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
         |ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_corr" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((n * sxy - sx * sy) /
+        |    (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+        |  AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_salted_skew" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |${dsumSql("value")} AS sum_value

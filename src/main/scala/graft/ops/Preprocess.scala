@@ -93,6 +93,20 @@ object Preprocess {
         .orderBy("o_orderkey")
     }),
 
+    // pandas/dask ffill: last prior non-null per user in event-time order
+    "prep_ffill" -> ((s, d) => {
+      val nullEvery5 = StatelessNode("null_every5")(df =>
+        df.withColumn("value",
+          when(col("event_id") % 5 === 0, lit(null))
+            .otherwise(col("value"))))
+      val ev = events(s, d)
+      new Pipeline(Seq(nullEvery5,
+          ForwardFill("value", Seq("user_id"), Seq("ts", "event_id"))))
+        .fit(ev).transform(ev)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     "prep_datetime_expand" -> ((s, d) => {
       val ev = events(s, d)
       new Pipeline(Seq(DatetimeExpand("ts", "ts"))).fit(ev)
@@ -176,6 +190,13 @@ object Preprocess {
         |  FROM orders)
         |SELECT o_orderkey, (o_totalprice - mn) / (mx - mn) AS price_mm
         |FROM orders CROSS JOIN s ORDER BY o_orderkey""".stripMargin,
+    "prep_ffill" ->
+      """SELECT event_id, user_id,
+        |LAST_VALUE(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END
+        |    IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "prep_datetime_expand" ->
       """SELECT event_id,
         |CAST(year(ts) AS INTEGER) AS ts_year,

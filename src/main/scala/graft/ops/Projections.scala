@@ -71,6 +71,16 @@ object Projections {
           dsum(coalesce(col("bal2"), lit(0.0))).as("sum_filled"))),
 
     // np.where / Series.where → when().otherwise()
+    // dd.melt: wide → long reshape via the built-in unpivot (metadata-only
+    // row explosion, no shuffle)
+    "project_melt" -> ((s, d) =>
+      part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "k", "v")
+        .orderBy("p_partkey", "k")),
+
     "project_conditional" -> ((s, d) =>
       lineitem(s, d)
         .withColumn("qclass",
@@ -110,6 +120,12 @@ object Projections {
          |${dsumSql("COALESCE(bal2, 0.0)")} AS sum_filled
          |FROM (SELECT CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS bal2
          |      FROM customer) t""".stripMargin,
+    "project_melt" ->
+      """SELECT p_partkey, k, v FROM (
+        |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+        |  FROM part)
+        |UNPIVOT (v FOR k IN (p_size, p_retailprice))
+        |ORDER BY p_partkey, k""".stripMargin,
     "project_conditional" ->
       """SELECT CASE WHEN l_quantity > 40 THEN 'H'
         |            WHEN l_quantity > 15 THEN 'M' ELSE 'L' END AS qclass,

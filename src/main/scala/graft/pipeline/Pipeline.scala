@@ -167,6 +167,24 @@ final case class MinMaxScaler(col0: String, outCol: String) extends Node {
       .drop("__min", "__max")
 }
 
+/** Forward-fill NULLs from the last prior non-null within a partition
+  * (pandas/dask `ffill`): a running `last(ignoreNulls)` window — one
+  * shuffle on the partition key, frame-streaming state. The order columns
+  * must include a unique tie-break for deterministic fills. */
+final case class ForwardFill(col0: String, partitionCols: Seq[String],
+    orderCols: Seq[String]) extends Node {
+  val name = s"ffill($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = { df =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn(col0, last(col(col0), ignoreNulls = true).over(w))
+  }
+}
+
 /** ts → calendar feature columns (DateProcessor node). ISO day-of-week via
   * the verified `weekday+1` pairing (SURVEY §7.2.6). */
 final case class DatetimeExpand(col0: String, prefix: String) extends Node {
