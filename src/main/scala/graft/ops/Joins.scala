@@ -57,6 +57,38 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Both as-of directions from ONE scan and two window passes over the
+    * same user partitions (dd.merge_asof direction='forward'/'nearest').
+    * Backward looks at the latest prior-or-equal click (asc order), forward
+    * at the earliest later-or-equal one (desc order); equal-ts clicks stay
+    * visible to both via the side tie-break. */
+  private def asofDirectional(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        col("value"), col("event_id"))
+    val clickW = Window.partitionBy("user_id", "ts", "side")
+      .orderBy(col("event_id").desc)
+    val deduped = ev
+      .withColumn("__rn", row_number().over(clickW))
+      .filter(col("side") === 1 || col("__rn") === 1)
+    val wB = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("side").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickVal = when(col("side") === 0, col("value"))
+    val clickTs = when(col("side") === 0, col("ts"))
+    deduped
+      .withColumn("bwd_value", last(clickVal, ignoreNulls = true).over(wB))
+      .withColumn("bwd_ts", last(clickTs, ignoreNulls = true).over(wB))
+      .withColumn("fwd_value", last(clickVal, ignoreNulls = true).over(wF))
+      .withColumn("fwd_ts", last(clickTs, ignoreNulls = true).over(wF))
+      .filter(col("side") === 1)
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_inner" -> ((s, d) =>
       orders(s, d)
@@ -147,6 +179,28 @@ object Joins {
     }),
 
     "join_asof" -> ((s, d) => asof(s, d)),
+
+    // dd.merge_asof(direction='forward'): earliest later-or-equal click
+    "join_asof_forward" -> ((s, d) =>
+      asofDirectional(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("fwd_value").as("click_value"))
+        .orderBy("event_id")),
+
+    // dd.merge_asof(direction='nearest'): closer of the two, ties backward
+    "join_asof_nearest" -> ((s, d) => {
+      val dB = unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(col("bwd_ts").cast("timestamp"))
+      val dF = unix_micros(col("fwd_ts").cast("timestamp")) -
+        unix_micros(col("ts").cast("timestamp"))
+      asofDirectional(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("bwd_ts").isNull, col("fwd_value"))
+            .when(col("fwd_ts").isNull, col("bwd_value"))
+            .when(dB <= dF, col("bwd_value"))
+            .otherwise(col("fwd_value")).as("click_value"))
+        .orderBy("event_id")
+    }),
 
     // bucketing: both sides written bucketed+sorted on the join key, so
     // the join needs NO shuffle at read time (bucketed scan provides the
@@ -240,6 +294,33 @@ object Joins {
          |  ON l_orderkey = mk_orderkey AND l_extendedprice = mk_price
          |JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1) c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH cd AS (SELECT * FROM events WHERE event_type = 'click'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT p.event_id, p.user_id, p.ts,
+        |    c.value AS bv, c.ts AS bt
+        |  FROM p ASOF LEFT JOIN cd c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.event_id, c.value AS fv, c.ts AS ft
+        |  FROM p ASOF LEFT JOIN cd c
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |  CASE WHEN bt IS NULL THEN fv
+        |       WHEN ft IS NULL THEN bv
+        |       WHEN (b.ts - bt) <= (ft - b.ts) THEN bv ELSE fv END
+        |    AS click_value
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY b.event_id""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
