@@ -53,6 +53,27 @@ def main():
 
     n_pass = n_fail = 0
     failures = []
+
+    # Schema guard over EVERY declared output (including no-oracle keys):
+    # the driver's pandas comparator sorts every Spark output by all
+    # columns, and raw ARRAY/STRUCT/MAP columns crash it with
+    # "unhashable type: numpy.ndarray" (CORRECTNESS_r02 fn_array_ops /
+    # llm_fingerprint). Flatten (concat_ws / to_json) before declaring.
+    for key_dir in sorted(p for p in Path(out_dir).iterdir() if p.is_dir()):
+        if key_filter and key_dir.name not in key_filter:
+            continue
+        parts = sorted(str(p) for p in key_dir.glob("*.parquet"))
+        if not parts:
+            continue
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({parts!r})").fetchall()
+        bad_cols = [(c[0], c[1]) for c in desc
+                    if "[]" in c[1] or c[1].startswith(("STRUCT", "MAP"))]
+        if bad_cols:
+            print(f"FAIL {key_dir.name}: nested output columns break the "
+                  f"driver comparator: {bad_cols}")
+            n_fail += 1
+            failures.append(key_dir.name)
     for key in sorted(oracle):
         if key_filter and key not in key_filter:
             continue

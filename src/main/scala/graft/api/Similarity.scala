@@ -43,12 +43,18 @@ object Similarity {
   /** Exact top-k neighbors of a BOUNDED query set (broadcast) by brute
     * force over the corpus — one corpus scan, similarity rounded 6 dp and
     * ranked with an id tie-break. `queries` columns: (qid, qe[, extra]).
-    * Corpus columns: (id, vec). */
+    * Corpus columns: (id, vec).
+    *
+    * `excludeSelf` (default true) drops corpus rows whose id equals the
+    * query's `qid` — correct when queries are drawn FROM the corpus id
+    * space. Pass false when qids live in a different id domain, or a
+    * legitimate neighbor with a coincidentally equal id would be lost. */
   def topK(corpus: DataFrame, id: Column, vec: Column,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
     requireQuerySchema(queries)
+    val cond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
     val scored = corpus.select(id.as("vec_id"), vec.as("__v"))
-      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .join(broadcast(queries), cond)
       .select(col("qid"), col("vec_id"),
         round(dot(col("qe"), col("__v")), 6).as("sim_r"))
     val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
@@ -57,15 +63,18 @@ object Similarity {
 
   /** IVF-style top-k: probe only the query's sign-bucket inverted list.
     * Probe cost = |list|, not |corpus|; recall tunes via `bits`.
-    * `queries` must carry (qid, qe) — see the object contract. */
+    * `queries` must carry (qid, qe) — see the object contract.
+    * `excludeSelf` semantics as in [[topK]]. */
   def topKIvf(corpus: DataFrame, id: Column, vec: Column,
-      queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+      queries: DataFrame, k: Int, bits: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
     requireQuerySchema(queries)
     val e = corpus.select(id.as("vec_id"), vec.as("__v"),
       signBucket(vec, bits).as("__bucket"))
     val q = queries.withColumn("__qbucket", signBucket(col("qe"), bits))
+    val selfCond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
     val scored = e.join(broadcast(q),
-        col("__bucket") === col("__qbucket") && col("vec_id") =!= col("qid"))
+        col("__bucket") === col("__qbucket") && selfCond)
       .select(col("qid"), col("vec_id"),
         round(dot(col("qe"), col("__v")), 6).as("sim_r"))
     val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))

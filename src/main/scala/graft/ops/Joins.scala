@@ -187,6 +187,20 @@ object Joins {
           col("fwd_value").as("click_value"))
         .orderBy("event_id")),
 
+    // dd.merge_asof(tolerance=...): backward match only when the latest
+    // prior click is within 1 hour — matches beyond the bound become NULL
+    // (pandas semantics). Same single-shuffle window plan; the tolerance is
+    // a post-window predicate, not a different join.
+    "join_asof_tolerance" -> ((s, d) => {
+      val tolMicros = 3600L * 1000000L
+      val age = unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(col("bwd_ts").cast("timestamp"))
+      asofDirectional(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(age <= tolMicros, col("bwd_value")).as("click_value"))
+        .orderBy("event_id")
+    }),
+
     // dd.merge_asof(direction='nearest'): closer of the two, ties backward
     "join_asof_nearest" -> ((s, d) => {
       val dB = unix_micros(col("ts").cast("timestamp")) -
@@ -211,14 +225,22 @@ object Joins {
       val pid = java.lang.ProcessHandle.current.pid
       val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
       val loc = s"/tmp/graft_bucketed_${sf}_$pid"
-      val ot = s"graft_orders_b_$sf"
-      val ct = s"graft_customer_b_$sf"
-      orders(s, d).write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$loc/orders").saveAsTable(ot)
-      customer(s, d).write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$loc/customer").saveAsTable(ct)
+      // pid in the TABLE names too (not just the paths): two concurrent
+      // sessions sharing a metastore must not overwrite each other's
+      // table definitions (ADVICE r2)
+      val ot = s"graft_orders_b_${sf}_$pid"
+      val ct = s"graft_customer_b_${sf}_$pid"
+      // stage once per (sf, pid): the pay-shuffle-once-at-write semantics
+      // means repeat invocations (bench n=2, tests) must NOT re-pay the
+      // write — they are exactly the "never again per query" reads
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+        orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$loc/orders").saveAsTable(ot)
+        customer(s, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$loc/customer").saveAsTable(ct)
+      }
       s.table(ot)
         .join(s.table(ct), col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
@@ -301,6 +323,16 @@ object Joins {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
         |    ORDER BY event_id DESC) = 1) c
         |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.value END
+        |  AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1) c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "join_asof_nearest" ->
       """WITH cd AS (SELECT * FROM events WHERE event_type = 'click'

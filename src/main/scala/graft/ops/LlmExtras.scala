@@ -16,9 +16,12 @@ import graft.util.Tables._
   *  - embedding near-dup uses sign-bit LSH buckets (random-hyperplane LSH
   *    specialized to axis planes): candidate pairs are bounded per bucket,
   *    never all-pairs;
-  *  - language-ID is fit/transform: the per-(lang, token) log-odds table is
-  *    a small broadcast join, scores are summed as fixed-point DECIMAL so
-  *    the sum is order-free (SURVEY §7.2.2 applied to log-probs).
+  *  - language-ID is fit/transform: the per-(lang, token) log-odds table
+  *    joins back to the token stream as a plain shuffle equi-join (the
+  *    table is vocabulary-sized, so never hint-broadcast; AQE may still
+  *    broadcast when it genuinely fits); scores are summed as fixed-point
+  *    DECIMAL so the sum is order-free (SURVEY §7.2.2 applied to
+  *    log-probs).
   */
 object LlmExtras {
 
@@ -39,10 +42,16 @@ object LlmExtras {
       graft.api.TextDedup.simhash(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
-    // min-k shingle-hash fingerprint (winnowing-style, graft.api)
+    // min-k shingle-hash fingerprint (winnowing-style, graft.api). The
+    // declared output flattens ARRAY<BIGINT> → '|'-joined string: the
+    // driver's pandas comparator cannot sort raw array columns
+    // (CORRECTNESS_r02); API users get the raw array from
+    // TextDedup.fingerprint.
     "llm_fingerprint" -> ((s, d) =>
       graft.api.TextDedup
         .fingerprint(documents(s, d), col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          concat_ws("|", col("fingerprint")).as("fingerprint"))
         .orderBy("doc_id")),
 
     // whitespace tokens vs BPE-ish regex tokens per doc
@@ -99,8 +108,13 @@ object LlmExtras {
           round(log((col("c_lt") + 1).cast("double") /
             (col("c_l") + col("v"))), 9)
             .cast(DecimalType(18, 9)).as("logp"))
+      // scoring join is a PLAIN shuffle equi-join on token: probs is
+      // |vocab|×|langs| and vocabulary grows with the corpus (Heaps' law),
+      // so a broadcast hint here would OOM executors at web scale. At
+      // fixture scale AQE may still pick BHJ from runtime stats — that is
+      // the planner's call, not a hard-coded hint. See SCALE.md.
       val scores = toks
-        .join(broadcast(probs), "token")
+        .join(probs, "token")
         .groupBy(col("doc_id"), col("lang"), col("m_lang"))
         .agg(sum(col("logp")).as("score"))
       val w = Window.partitionBy("doc_id")

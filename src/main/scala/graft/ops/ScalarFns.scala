@@ -125,12 +125,16 @@ object ScalarFns {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))),
 
+    // NOTE: declared output flattens the array to a '|'-joined string —
+    // the driver's pandas comparator cannot sort raw array columns
+    // (CORRECTNESS_r02 'unhashable type: numpy.ndarray'); the array ops
+    // themselves (slice/sort/distinct/contains) still run on real arrays.
     "fn_array_ops" -> ((s, d) => {
       val toks = split(col("text"), " ")
       documents(s, d).select(
           col("doc_id"),
           size(toks).as("n_tokens"),
-          slice(toks, 1, 5).as("first5"),
+          concat_ws("|", slice(toks, 1, 5)).as("first5"),
           array_contains(toks, "the").as("has_the"),
           element_at(array_sort(array_distinct(toks)), 1).as("first_sorted"))
         .orderBy("doc_id")
@@ -233,7 +237,7 @@ object ScalarFns {
     "fn_array_ops" ->
       """SELECT doc_id,
         |CAST(len(string_split_regex(text, ' ')) AS INTEGER) AS n_tokens,
-        |string_split_regex(text, ' ')[1:5] AS first5,
+        |array_to_string(string_split_regex(text, ' ')[1:5], '|') AS first5,
         |list_contains(string_split_regex(text, ' '), 'the') AS has_the,
         |list_sort(list_distinct(string_split_regex(text, ' ')))[1]
         |  AS first_sorted

@@ -56,6 +56,20 @@ object SetOps {
         .orderBy("o_custkey")
     }),
 
+    // dd.random_split / df.sample spelled the way a training-data pipeline
+    // actually needs it: a DETERMINISTIC hash split on a stable key, so the
+    // train/val assignment is reproducible run-over-run, survives
+    // repartitioning, and never needs a seed shipped around. Pure map-side
+    // predicate — zero shuffle, zero state; md5 is identical across
+    // engines so the oracle reproduces the exact assignment. First hex
+    // char < 'd' ⇒ 13/16 ≈ 81% train.
+    "sample_hash_split" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "d",
+            "train").otherwise("val").as("split"))
+        .orderBy("doc_id")),
+
     // drop_duplicates(subset=[user,type], keep='first' by time) — spelled as
     // row_number()==1 so the survivor is deterministic
     "dedup_drop_duplicates" -> ((s, d) => {
@@ -92,6 +106,11 @@ object SetOps {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_custkey""".stripMargin,
+    "sample_hash_split" ->
+      """SELECT doc_id,
+        |CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+        |  THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_drop_duplicates" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type

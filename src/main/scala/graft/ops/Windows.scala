@@ -97,6 +97,38 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // rolling(3).min()/max(): order statistics are exact on doubles — no
+    // decimal detour needed; same streaming frame as the rolling mean
+    "window_rolling_minmax" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          min(col("value")).over(w).as("rolling_min3"),
+          max(col("value")).over(w).as("rolling_max3"))
+        .orderBy("event_id")
+    }),
+
+    // rolling(3).std(): exact-decimal moments (sum, sum-of-squares are
+    // DECIMAL — order-free) finished in IEEE double: the StandardScaler
+    // recipe (Pipeline.scala) applied to a window frame. greatest(…, 0)
+    // absorbs the −ε a constant frame can leave in double; n=1 frames are
+    // NULL (sample std undefined), same rule both engines.
+    "window_rolling_std" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      val sm = sum(dec(col("value"))).over(w).cast("double")
+      val sq = sum(dec(col("value")) * dec(col("value"))).over(w)
+        .cast("double")
+      val n = count(lit(1)).over(w).cast("double")
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          when(n > 1,
+            round(sqrt(greatest((sq - sm * sm / n) / (n - 1), lit(0.0))), 6))
+            .as("rolling_std3"))
+        .orderBy("event_id")
+    }),
+
     // rolling('7D').sum(): trailing-7-day money per customer. RANGE frame
     // over epoch seconds (integer — identical on both engines); ties on the
     // same date all fall inside the frame, so no tie-break is needed for
@@ -166,6 +198,27 @@ object Windows {
         |/ COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_mean3
         |FROM events ORDER BY event_id""".stripMargin,
+    "window_rolling_minmax" ->
+      """SELECT event_id, user_id,
+        |MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_min3,
+        |MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max3
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_rolling_std" ->
+      """SELECT event_id, user_id,
+        |CASE WHEN n > 1 THEN
+        |  ROUND(sqrt(greatest((sq - s * s / n) / (n - 1), 0.0)), 6)
+        |END AS rolling_std3
+        |FROM (SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |    * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sq,
+        |  CAST(COUNT(*) OVER w AS DOUBLE) AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) t
+        |ORDER BY event_id""".stripMargin,
     "window_rolling_time" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

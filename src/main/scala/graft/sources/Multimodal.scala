@@ -16,10 +16,11 @@ import org.apache.spark.sql.types._
   *    across executors by file);
   *  - decode / feature-extract run as `mapPartitions` over the binary
   *    column — iterator-streaming, one media library context per
-  *    partition, never a whole-partition materialization. No image/audio
-  *    codec ships in this environment, so the decoders below are
-  *    DETERMINISTIC STUBS: the partitioning, schema, and batch shape are
-  *    real; the pixel math is a placeholder to swap for a codec call.
+  *    partition, never a whole-partition materialization. Image dimension
+  *    decode is REAL via the in-JDK `javax.imageio` (PNG/GIF/BMP/JPEG);
+  *    formats the JDK can't read and the feature extractor (no embedding
+  *    model ships offline) remain DETERMINISTIC STUBS with real
+  *    partitioning, schema, and batch shape.
   */
 object Multimodal {
 
@@ -55,9 +56,13 @@ object Multimodal {
             .as("meta"))
           .as("media"))
 
-  /** STUB image decode: real signature + partition shape, fake pixel math.
-    * A production build replaces the body with a codec call (e.g. TwelveMonkeys
-    * ImageIO) — the iterator-streaming contract stays identical. */
+  /** Image dimension decode. REAL for every format the JDK's `javax.imageio`
+    * ships a reader for (PNG, GIF, BMP, JPEG — zero extra dependencies):
+    * the reader parses only the header, so cost is O(header) not O(pixels).
+    * Bytes no installed reader understands (audio/video/unknown) fall back
+    * to a deterministic content-hash stub — the documented splice point for
+    * a full codec stack (e.g. TwelveMonkeys, ffmpeg bindings); the
+    * iterator-streaming partition contract is identical either way. */
   def decodeDims(df: DataFrame): DataFrame = {
     val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
     val out = Encoders.tuple(
@@ -65,17 +70,37 @@ object Multimodal {
     df.select(col("path"), col("media.bytes"))
       .as[(String, Array[Byte])](enc)
       .mapPartitions { it =>
-        // one decoder context per partition would be initialized HERE
+        // per-partition decoder init goes here for stateful codecs;
+        // ImageIO's reader registry is static, nothing to set up
         it.map { case (path, bytes) =>
-          // ??? real decode goes here; deterministic fake from content:
-          val h = java.util.Arrays.hashCode(bytes)
-          val w = 64 + math.abs(h % 1024)
-          val ht = 64 + math.abs((h / 1024) % 1024)
-          (path, w, ht, bytes.length.toLong)
+          decodeImageDims(bytes) match {
+            case Some((w, ht)) => (path, w, ht, bytes.length.toLong)
+            case None => // deterministic stub for non-image payloads
+              val h = java.util.Arrays.hashCode(bytes)
+              val w = 64 + math.abs(h % 1024)
+              val ht = 64 + math.abs((h / 1024) % 1024)
+              (path, w, ht, bytes.length.toLong)
+          }
         }
       }(out)
       .toDF("path", "width", "height", "n_bytes")
   }
+
+  /** Header-only (width, height) via the JDK's ImageIO reader registry;
+    * None when no installed reader recognizes the bytes. */
+  private[sources] def decodeImageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (readers.hasNext) {
+          val r = readers.next()
+          try { r.setInput(in); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        } else None
+      } finally if (in != null) in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB feature extraction: fixed-width embedding per media row (fake but
     * deterministic — content-hash seeded), the shape an ANN index ingests. */

@@ -27,8 +27,10 @@ class LlmExtrasSpec extends AnyFunSuite {
   }
 
   test("planted duplicates share identical fingerprints at sf0.1") {
+    // declared key output is the '|'-flattened string form; identical
+    // strings ⟺ identical fingerprint arrays (order-preserving join)
     val fp = SparkEntry.queries("llm_fingerprint")(spark, SparkFixture.sf01)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     plantedPairs.foreach { case (a, b) =>
       assert(fp(a) == fp(b), s"fingerprint differs for pair ($a,$b)")
     }

@@ -34,12 +34,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(counts.nonEmpty && counts.forall(_.getLong(1) > 0))
   }
 
-  test("stubbed decode is partition-wise, deterministic, and typed") {
+  test("decode is partition-wise, deterministic, and typed") {
     val d1 = Multimodal.decodeDims(media).orderBy("path")
       .collect().map(_.toString).toSeq
     val d2 = Multimodal.decodeDims(media).orderBy("path")
       .collect().map(_.toString).toSeq
     assert(d1 == d2 && d1.nonEmpty)
+  }
+
+  test("PNG decode returns REAL width/height from real bytes") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_png_").toFile
+    dir.deleteOnExit()
+    val sizes = Seq(("a.png", 17, 31), ("b.png", 128, 64), ("c.png", 1, 1))
+    sizes.foreach { case (name, w, h) =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      ImageIO.write(img, "png", new java.io.File(dir, name))
+    }
+    val decoded = Multimodal
+      .decodeDims(Multimodal.readDir(spark, dir.getAbsolutePath, "*.png"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last,
+        r.getInt(1), r.getInt(2))).toSet
+    assert(decoded == sizes.toSet, s"decoded dims wrong: $decoded")
+  }
+
+  test("non-image bytes fall back to the deterministic stub, not an error") {
+    // .scala files: no ImageIO reader claims them
+    val d = Multimodal.decodeDims(media)
+    assert(d.count() > 0)
+    assert(d.filter(col("width") >= 64).count() == d.count())
   }
 
   test("stubbed feature extraction emits fixed-width float vectors") {

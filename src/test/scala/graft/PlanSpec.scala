@@ -102,6 +102,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sink_parquet_partitioned: partition-column filter prunes " +
+      "directories at the listing, not row-by-row") {
+    val df = q("sink_parquet_partitioned")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag".r
+        .findFirstIn(p).isDefined,
+      s"filter on the partition column must be a PartitionFilter:\n$p")
+  }
+
+  test("llm_lang_id: the vocab-sized probs join carries NO broadcast hint") {
+    // the only hint allowed is the 1-row vocabN scalar; the scoring join
+    // must be planner's choice (AQE may still pick BHJ at fixture scale —
+    // that's runtime stats, not a hard-coded hint that OOMs at web scale)
+    val analyzed = SparkEntry.queries("llm_lang_id")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints <= 1, s"expected at most the scalar vocabN hint:\n$analyzed")
+  }
+
   test("llm_sim_topk plan uses the native dot_product_float expression") {
     assert(plan("llm_sim_topk").contains("dot_product_float"),
       "custom codegen expression not in the plan")
