@@ -155,6 +155,23 @@ object Aggregations {
         .orderBy("l_returnflag")
     }),
 
+    // sample covariance (dd.cov) from the same exact-decimal moments as
+    // agg_corr: the covar_samp(double) built-in is addition-order
+    // nondeterministic; (sxy - sx·sy/n)/(n-1) over exact sums is not
+    "agg_cov" -> ((s, d) => {
+      val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"))
+        .select(col("l_returnflag"),
+          r6((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("n") - 1)).as("cov_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_custom_udaf" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
@@ -268,6 +285,17 @@ object Aggregations {
       s"""SELECT event_type, COUNT(*) AS n,
          |${dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_cov" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_custom_udaf" ->
       """SELECT l_returnflag,
         |CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) *

@@ -54,6 +54,51 @@ object LlmExtras {
           concat_ws("|", col("fingerprint")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Gopher/C4-style quality gates (public heuristics: word count, mean
+    // word length, short-word fraction, single-token dominance), `keep`
+    // ANDs the gates. Token dominance needs one explode → partial-agg
+    // groupBy; everything else is map-side HOF arithmetic. All ratios are
+    // exact-integer divisions finished in IEEE double (identical both
+    // engines); the gate comparisons run on the RAW doubles, rounding only
+    // the displayed columns.
+    "llm_gopher_filters" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = split(col("text"), " ")
+      val nW = size(toks).cast("double")
+      val base = docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        (aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .cast("double") / nW).as("mwl_raw"),
+        (size(filter(toks, x => length(x) <= 2)).cast("double") / nW)
+          .as("short_raw"))
+      val dom = docs
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("dom_raw"))
+      base.join(dom, "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mwl_raw"), 6).as("mean_word_len"),
+          round(col("short_raw"), 6).as("short_frac"),
+          round(col("dom_raw"), 6).as("top_word_ratio"),
+          (col("n_words") >= 10 && col("n_words") <= 100000 &&
+            col("mwl_raw") >= 2.0 && col("mwl_raw") <= 10.0 &&
+            col("dom_raw") <= 0.2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // PII-style scrub: redact digit runs in the events payload and count
+    // the redactions. Pure map-side regexp — the shape of every
+    // pipeline-side PII pass (emails/phones/ids swap in bigger patterns
+    // without changing the plan).
+    "llm_pii_scrub" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+          regexp_count(col("props"), lit("[0-9]+")).as("n_redacted"))
+        .orderBy("event_id")),
+
     // whitespace tokens vs BPE-ish regex tokens per doc
     "llm_token_count_bpe" -> ((s, d) =>
       documents(s, d).select(
@@ -151,6 +196,35 @@ object LlmExtras {
   val oracles: Map[String, String] = Map(
     // llm_simhash / llm_fingerprint: omitted (engine-specific xxhash64);
     // pinned by planted-duplicate tests in LlmExtrasSpec
+    "llm_gopher_filters" ->
+      """WITH base AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(string_split_regex(text, ' '),
+        |    x -> length(x))) AS DOUBLE)
+        |    / len(string_split_regex(text, ' ')) AS mwl_raw,
+        |  CAST(len(list_filter(string_split_regex(text, ' '),
+        |    x -> length(x) <= 2)) AS DOUBLE)
+        |    / len(string_split_regex(text, ' ')) AS short_raw
+        |  FROM documents),
+        |dom AS (SELECT doc_id,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dom_raw
+        |  FROM (SELECT doc_id, token, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, ' ')) AS token
+        |    FROM documents) GROUP BY doc_id, token) GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words,
+        |  ROUND(b.mwl_raw, 6) AS mean_word_len,
+        |  ROUND(b.short_raw, 6) AS short_frac,
+        |  ROUND(d.dom_raw, 6) AS top_word_ratio,
+        |  (b.n_words >= 10 AND b.n_words <= 100000 AND b.mwl_raw >= 2.0
+        |   AND b.mwl_raw <= 10.0 AND d.dom_raw <= 0.2) AS keep
+        |FROM base b JOIN dom d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_pii_scrub" ->
+      """SELECT event_id,
+        |regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER)
+        |  AS n_redacted
+        |FROM events ORDER BY event_id""".stripMargin,
     "llm_token_count_bpe" ->
       """SELECT doc_id,
         |CAST(len(string_split_regex(text, '\s+')) AS INTEGER)

@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Det._
 import graft.util.Tables._
 import graft.pipeline._
 
@@ -107,6 +109,30 @@ object Preprocess {
         .orderBy("event_id")
     }),
 
+    // dd.resample('1D') per user: daily count + money sum on a GAP-FREE
+    // calendar — sequence() synthesizes each user's missing days between
+    // their first and last event, then the daily sum forward-fills across
+    // the gaps (resample().ffill()). Everything stays engine-parallel: the
+    // grid explode is per-user, the gap join a shuffle equi-join on
+    // (user, day), the ffill a single window pass.
+    "prep_resample_1d" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("day_sum"))
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+            .as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("day_sum"), ignoreNulls = true).over(w).as("ffill_sum"))
+        .orderBy("user_id", "day")
+    }),
+
     "prep_datetime_expand" -> ((s, d) => {
       val ev = events(s, d)
       new Pipeline(Seq(DatetimeExpand("ts", "ts"))).fit(ev)
@@ -197,6 +223,22 @@ object Preprocess {
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "prep_resample_1d" ->
+      s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS day_sum
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (SELECT user_id,
+         |  unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         |        FROM daily GROUP BY user_id)),
+         |j AS (SELECT g.user_id, g.day, d.n, d.day_sum
+         |  FROM grid g LEFT JOIN daily d
+         |    ON g.user_id = d.user_id AND g.day = d.day)
+         |SELECT user_id, day, COALESCE(n, 0) AS n,
+         |  LAST_VALUE(day_sum IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS ffill_sum
+         |FROM j ORDER BY user_id, day""".stripMargin,
     "prep_datetime_expand" ->
       """SELECT event_id,
         |CAST(year(ts) AS INTEGER) AS ts_year,

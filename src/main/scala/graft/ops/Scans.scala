@@ -57,6 +57,22 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // ORC round-trip — the second columnar format of the io layer
+    // (dd.read_orc / to_orc). Like the CSV key, the measured cost is
+    // deliberately the full write+read cycle; doubles survive exactly
+    // (ORC stores raw IEEE bits, no text round trip)
+    "scan_orc_roundtrip" -> ((s, d) => {
+      val tmp = s"/tmp/graft_orc_roundtrip_${new java.io.File(d).getName}" +
+        s"_${java.lang.ProcessHandle.current.pid}"
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // JSON-lines record parse (dd.read_json(lines=True)) via from_json
     "scan_json_lines" -> ((s, d) =>
       events(s, d)
@@ -83,6 +99,36 @@ object Scans {
         .repartition(8)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+
+    // dd.set_index(..., sorted=True) ≙ repartitionByRange +
+    // sortWithinPartitions: range-partitioned, locally-sorted data is the
+    // precondition for shuffle-free merges and rollings downstream.
+    // Partition boundaries come from sampling, so they are not oracle-able
+    // directly; the declared output proves the invariant instead — every
+    // partition locally sorted, no row lost — via a per-partition check
+    // that streams the iterator (never materializes a partition). PlanSpec
+    // asserts the RangePartitioning exchange is in the plan.
+    "repartition_range" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .repartitionByRange(8, col("o_custkey"), col("o_orderkey"))
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          var n = 0L; var sorted = true
+          var has = false; var prev: (Long, Long) = (0L, 0L)
+          while (it.hasNext) {
+            val cur = it.next(); n += 1
+            if (has && Ordering[(Long, Long)].gt(prev, cur)) sorted = false
+            prev = cur; has = true
+          }
+          if (has) Iterator.single((n, sorted)) else Iterator.empty
+        }
+        .toDF("pn", "psorted")
+        .agg(sum(col("pn")).as("n_rows"),
+          min(col("psorted")).as("all_sorted"))
+    }),
 
     // hive-partitioned sink + pruned read-back
     // (dd.to_parquet(partition_on=...)): one directory per partition value,
@@ -139,6 +185,12 @@ object Scans {
     "sink_parquet_partitioned" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem WHERE l_returnflag <> 'N'
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scan_orc_roundtrip" ->
+      s"""SELECT o_orderstatus, ${dsumSql("o_totalprice")} AS sum_price,
+         |COUNT(*) AS n FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+    "repartition_range" ->
+      """SELECT COUNT(*) AS n_rows, true AS all_sorted FROM orders""".stripMargin
   )
 }

@@ -64,6 +64,28 @@ object Streaming {
         .orderBy("event_id")
     }),
 
+    // stream-stream join (batch twin): each purchase joined to the same
+    // user's clicks in the preceding hour. The streaming form needs
+    // watermarks on BOTH sides plus the time-range join condition so each
+    // side's buffer evicts (twinStreamJoin below, driven by StreamingSpec).
+    // The plan is a shuffle equi-join on user_id with the time band as a
+    // post-filter — candidate pairs bounded per user, never a cartesian.
+    "stream_stream_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_uid"),
+          col("ts").as("c_ts"))
+      p.join(c, col("user_id") === col("c_uid") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click"))
+        .orderBy("p_id")
+    }),
+
     // running per-user counts (streaming: update-mode groupBy state)
     "stream_stateful_counts" -> ((s, d) =>
       events(s, d)
@@ -104,7 +126,15 @@ object Streaming {
     "stream_stateful_counts" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
          |${dsumSql("value")} AS sum_value
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT p.event_id AS p_id, COUNT(*) AS n_clicks,
+        |MAX(c.event_id) AS last_click
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin
   )
 
   // ——— streaming twins (driven by StreamingSpec via MemoryStream) ———
@@ -132,6 +162,22 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n"))
+
+  /** True stream-stream inner join: both sides watermarked, the join
+    * condition time-bounds the match, so Spark can size and EVICT both
+    * sides' state buffers — without the band + watermarks a stream-stream
+    * join must buffer each side forever. */
+  def twinStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_uid") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts"))
+  }
 
   /** Streaming running per-user counts (update mode). */
   def twinStatefulCounts(stream: DataFrame): DataFrame =
@@ -164,7 +210,7 @@ object Streaming {
               rows.map(_._2)).distinct
             state.update(seen)
             state.setTimeoutTimestamp(
-              state.getCurrentWatermarkMs + 3600 * 1000L)
+              state.getCurrentWatermarkMs() + 3600 * 1000L)
             Iterator.single((user, seen.size))
           }
       }

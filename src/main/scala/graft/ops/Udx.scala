@@ -46,6 +46,35 @@ object Udx {
         .orderBy("event_id")
     }),
 
+    // dask groupby().apply(fn) — the frame-per-group escape hatch. Typed
+    // KeyValueGroupedDataset.flatMapGroups; fn demeans each user's values.
+    // The group is buffered in memory — exactly dask's contract (one group
+    // must fit a worker); when fn IS expressible declaratively, the 100 TB
+    // form is the window-average twin the oracle uses. The mean is the
+    // davg recipe in Scala (exact cents sum → correctly-rounded double →
+    // IEEE divide), so `value - mean` is bit-identical in both engines
+    // with NO rounding: rounding to 6 dp here actually diverged (a result
+    // landed on a .5·10⁻⁶ shortest-repr boundary where Spark's decimal
+    // HALF_UP and DuckDB's binary rounding disagree) — raw IEEE doubles
+    // from identical inputs are the stronger determinism contract.
+    "udf_group_apply" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid, it) =>
+          val rows = it.toArray
+          var cents = 0L
+          rows.foreach(r => cents += math.round(r._3 * 100))
+          val mean = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(cents), 2).doubleValue / rows.length
+          rows.iterator.map { case (_, eid, v) => (uid, eid, v - mean) }
+        }
+        .toDF("user_id", "event_id", "demeaned")
+        .orderBy("event_id")
+    }),
+
     // generator: token stream with ordinal position per document
     "udtf_generator" -> ((s, d) =>
       documents(s, d)
@@ -65,6 +94,13 @@ object Udx {
     // nearest-int rounding agrees between Math.round and DuckDB round
     "udf_map_partitions" ->
       """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    "udf_group_apply" ->
+      """SELECT user_id, event_id,
+        |value -
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id) AS DOUBLE)
+        |  / COUNT(value) OVER (PARTITION BY user_id) AS demeaned
         |FROM events ORDER BY event_id""".stripMargin,
     "udtf_generator" ->
       """SELECT doc_id,

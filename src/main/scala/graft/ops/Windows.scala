@@ -129,6 +129,20 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // groupby.cummax()/cummin()/diff(): running extrema + first difference.
+    // cummax/cummin are exact order statistics on doubles; diff is a single
+    // IEEE subtraction — bit-identical both engines, no rounding needed
+    "window_cum_extrema" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          max(col("value")).over(run).as("cummax"),
+          min(col("value")).over(run).as("cummin"),
+          (col("value") - lag(col("value"), 1).over(ord)).as("diff"))
+        .orderBy("event_id")
+    }),
+
     // rolling('7D').sum(): trailing-7-day money per customer. RANGE frame
     // over epoch seconds (integer — identical on both engines); ties on the
     // same date all fall inside the frame, so no tie-break is needed for
@@ -218,6 +232,16 @@ object Windows {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) t
+        |ORDER BY event_id""".stripMargin,
+    "window_cum_extrema" ->
+      """SELECT event_id, user_id,
+        |MAX(value) OVER w AS cummax,
+        |MIN(value) OVER w AS cummin,
+        |value - LAG(value, 1) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS diff
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "window_rolling_time" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

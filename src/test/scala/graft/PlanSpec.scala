@@ -112,6 +112,21 @@ class PlanSpec extends AnyFunSuite {
       s"filter on the partition column must be a PartitionFilter:\n$p")
   }
 
+  test("repartition_range: a RangePartitioning exchange feeds the " +
+      "locally-sorted partitions (the set_index plan)") {
+    val p = plan("repartition_range").toLowerCase
+    assert(p.contains("rangepartitioning"),
+      s"expected a range-partition exchange:\n$p")
+  }
+
+  test("stream_stream_join: user-band pairing is an equi-join, " +
+      "never a cartesian") {
+    val p = plan("stream_stream_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must hash on user_id:\n$p")
+  }
+
   test("llm_lang_id: the vocab-sized probs join carries NO broadcast hint") {
     // the only hint allowed is the 1-row vocabN scalar; the scoring join
     // must be planner's choice (AQE may still pick BHJ at fixture scale —

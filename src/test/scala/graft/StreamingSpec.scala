@@ -115,6 +115,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: in-band click matches, out-of-band does not") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = Streaming.twinStreamJoin(purchases.toDF, clicks.toDF)
+      .writeStream.format("memory").queryName("s_ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(10, t("2024-01-01 09:30:00"), 1, "click"),  // in the 1 h band
+        Ev(11, t("2024-01-01 08:00:00"), 1, "click"),  // too old
+        Ev(12, t("2024-01-01 09:45:00"), 2, "click"))  // other user
+      purchases.addData(Ev(1, t("2024-01-01 10:00:00"), 1, "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks so buffered matches flush deterministically
+      clicks.addData(Ev(98, t("2024-01-01 13:00:00"), 9, "click"))
+      purchases.addData(Ev(99, t("2024-01-01 13:00:00"), 9, "purchase"))
+      q.processAllAvailable()
+      val joined = spark.table("s_ssjoin")
+        .filter(col("p_id") === 1).select("c_id")
+        .as[Long].collect().toSeq
+      assert(joined == Seq(10L),
+        s"purchase 1 must match exactly click 10, got $joined")
+    } finally q.stop()
+  }
+
   test("file-source replay of events.parquet matches the batch twin") {
     // the real fixture replayed as a stream (SURVEY §7.4): same ns-ts
     // recipe as Tables.events, streaming aggregation must converge to the
