@@ -92,6 +92,51 @@ object TextDedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Connected components over an undirected near-duplicate edge list —
+    * the pairs→clusters step that turns pairwise dedup output into "keep
+    * one doc per cluster". Each node maps to the minimum id reachable in
+    * its component (the canonical cluster id); nodes with no edge are not
+    * emitted (singletons are their own cluster by definition).
+    *
+    * Min-label propagation to a fixpoint: every round is one shuffle
+    * equi-join + partial-agg min, state is exactly one (node, label) row
+    * per member, and rounds are bounded by the component diameter —
+    * near-dup components are shallow cliques in practice, so 2–3 rounds.
+    * The per-round `count` action is inherent to any iterate-to-fixpoint
+    * algorithm, and each round MUST truncate lineage (`localCheckpoint`):
+    * the step references `labels` twice, so without truncation the
+    * logical plan doubles every round and Catalyst analysis alone goes
+    * exponential — the classic iterative-Spark failure mode. At extreme
+    * scale swap the inner step for alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — public) — same fixpoint, provably O(log²) rounds — and
+    * prefer reliable `checkpoint` over executor-local; at fixture
+    * diameters the plain step wins on constant cost.
+    */
+  def clusters(pairs: DataFrame, a: Column, b: Column,
+      maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(a.as("x"), b.as("y"))
+    val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, col("y") === col("node"))
+        .groupBy(col("x")).agg(min(col("label")).as("nbr_label"))
+      val joined = labels.join(nbrMin, col("node") === col("x"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("newl"))
+        .localCheckpoint()
+      changed = joined.filter(col("newl") < col("label")).count()
+      labels = joined.select(col("node"), col("newl").as("label"))
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash signature per row (one-pass native expression). */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),

@@ -155,6 +155,19 @@ object Aggregations {
         .orderBy("l_returnflag")
     }),
 
+    // idxmax (dd.idxmax / argmax): the row identity at each group's max.
+    // max(struct(value, id)) is a single partial-aggregated pass with a
+    // TOTAL order (value ties break on id), unlike max_by whose ties are
+    // nondeterministic — SURVEY §7.2's determinism rule applied to argmax
+    "agg_argmax" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(max(struct(col("value"), col("event_id"))).as("m"))
+        .select(col("event_type"),
+          col("m.value").as("max_value"),
+          col("m.event_id").as("argmax_id"))
+        .orderBy("event_type")),
+
     // sample covariance (dd.cov) from the same exact-decimal moments as
     // agg_corr: the covar_samp(double) built-in is addition-order
     // nondeterministic; (sxy - sx·sy/n)/(n-1) over exact sums is not
@@ -285,6 +298,12 @@ object Aggregations {
       s"""SELECT event_type, COUNT(*) AS n,
          |${dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_argmax" ->
+      """SELECT event_type, value AS max_value, event_id AS argmax_id
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |  ORDER BY value DESC, event_id DESC) = 1
+        |ORDER BY event_type""".stripMargin,
     "agg_cov" ->
       """WITH m AS (SELECT l_returnflag,
         |  CAST(COUNT(*) AS DOUBLE) AS n,

@@ -266,6 +266,25 @@ object Joins {
         .groupBy("iv")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("iv")
+    }),
+
+    // pd.merge(indicator=True): full outer with a left_only / right_only /
+    // both provenance column — the merge-audit idiom. Same shuffle
+    // full-outer plan as join_full_outer; the indicator is a free
+    // projection on the null pattern.
+    "join_indicator" -> ((s, d) => {
+      val l = customer(s, d).filter(col("c_nationkey") < 10)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val r = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_urgent"))
+      l.join(r, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_urgent"),
+          when(col("c_custkey").isNull, "right_only")
+            .when(col("o_custkey").isNull, "left_only")
+            .otherwise("both").as("merge_ind"))
+        .orderBy("custkey")
     })
   )
 
@@ -386,6 +405,18 @@ object Joins {
          |  ('w4', TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29'))
          |  AS w(iv, iv_start, iv_end)
          |  ON ts >= iv_start AND ts < iv_end
-         |GROUP BY iv ORDER BY iv""".stripMargin
+         |GROUP BY iv ORDER BY iv""".stripMargin,
+    "join_indicator" ->
+      """SELECT COALESCE(l.c_custkey, r.o_custkey) AS custkey,
+        |l.c_mktsegment, r.n_urgent,
+        |CASE WHEN l.c_custkey IS NULL THEN 'right_only'
+        |     WHEN r.o_custkey IS NULL THEN 'left_only'
+        |     ELSE 'both' END AS merge_ind
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_nationkey < 10) l
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) r
+        |  ON l.c_custkey = r.o_custkey
+        |ORDER BY custkey""".stripMargin
   )
 }

@@ -109,6 +109,20 @@ object Preprocess {
         .orderBy("event_id")
     }),
 
+    // pd.cut: fixed explicit bin edges → label, plus the unbounded
+    // fixed-width bin index (floor of an exact IEEE division — identical
+    // both engines). Pure map-side projection, no fit pass needed; the
+    // quantile cousin (qcut) is window_percent_ntile's ntile
+    "prep_cut_bins" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .when(col("o_totalprice") < 300000, "high")
+            .otherwise("vhigh").as("price_bin"),
+          floor(col("o_totalprice") / 50000).cast("long").as("bin_idx"))
+        .orderBy("o_orderkey")),
+
     // dd.resample('1D') per user: daily count + money sum on a GAP-FREE
     // calendar — sequence() synthesizes each user's missing days between
     // their first and last event, then the daily sum forward-fills across
@@ -223,6 +237,14 @@ object Preprocess {
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "prep_cut_bins" ->
+      """SELECT o_orderkey, o_totalprice,
+        |CASE WHEN o_totalprice < 50000 THEN 'low'
+        |     WHEN o_totalprice < 150000 THEN 'mid'
+        |     WHEN o_totalprice < 300000 THEN 'high'
+        |     ELSE 'vhigh' END AS price_bin,
+        |CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin_idx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "prep_resample_1d" ->
       s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
          |  COUNT(*) AS n, ${dsumSql("value")} AS day_sum

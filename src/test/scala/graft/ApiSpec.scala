@@ -31,6 +31,16 @@ class ApiSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSet == Set(1L, 4L))
   }
 
+  test("TextDedup.clusters: transitive chains collapse, components stay " +
+      "apart, singletons are not emitted") {
+    // chain 1-2, 2-3 (1 and 3 never paired directly) + separate pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("pa", "pb")
+    val out = TextDedup.clusters(pairs, col("pa"), col("pb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L),
+      s"wrong components: $out")
+  }
+
   test("TextDedup.nearMinhash finds the exact and near duplicates") {
     val pairs = TextDedup
       .nearMinhash(corpus, col("id"), col("body"), minJaccard = 0.5)
