@@ -54,49 +54,29 @@ object LlmExtras {
           concat_ws("|", col("fingerprint")).as("fingerprint"))
         .orderBy("doc_id")),
 
-    // Gopher/C4-style quality gates (public heuristics: word count, mean
-    // word length, short-word fraction, single-token dominance), `keep`
-    // ANDs the gates. Token dominance needs one explode → partial-agg
-    // groupBy; everything else is map-side HOF arithmetic. All ratios are
-    // exact-integer divisions finished in IEEE double (identical both
-    // engines); the gate comparisons run on the RAW doubles, rounding only
-    // the displayed columns.
-    "llm_gopher_filters" -> ((s, d) => {
-      val docs = documents(s, d)
-      val toks = split(col("text"), " ")
-      val nW = size(toks).cast("double")
-      val base = docs.select(col("doc_id"),
-        size(toks).cast("long").as("n_words"),
-        (aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
-          .cast("double") / nW).as("mwl_raw"),
-        (size(filter(toks, x => length(x) <= 2)).cast("double") / nW)
-          .as("short_raw"))
-      val dom = docs
-        .select(col("doc_id"), explode(toks).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-          .as("dom_raw"))
-      base.join(dom, "doc_id")
-        .select(col("doc_id"), col("n_words"),
-          round(col("mwl_raw"), 6).as("mean_word_len"),
-          round(col("short_raw"), 6).as("short_frac"),
-          round(col("dom_raw"), 6).as("top_word_ratio"),
-          (col("n_words") >= 10 && col("n_words") <= 100000 &&
-            col("mwl_raw") >= 2.0 && col("mwl_raw") <= 10.0 &&
-            col("dom_raw") <= 0.2).as("keep"))
-        .orderBy("doc_id")
-    }),
+    // Gopher/C4-style quality gates (graft.api.TextQuality): word count,
+    // mean word length, short-word fraction, single-token dominance;
+    // `keep` ANDs the gates ON THE RAW doubles (the declared output
+    // rounds only the displayed ratio columns). Scale shape: map-side HOF
+    // arithmetic plus ONE explode → partial-agg groupBy for dominance.
+    "llm_gopher_filters" -> ((s, d) =>
+      graft.api.TextQuality
+        .gopherFilter(documents(s, d), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("short_frac"), 6).as("short_frac"),
+          round(col("top_word_ratio"), 6).as("top_word_ratio"),
+          col("keep"))
+        .orderBy("doc_id")),
 
-    // PII-style scrub: redact digit runs in the events payload and count
-    // the redactions. Pure map-side regexp — the shape of every
-    // pipeline-side PII pass (emails/phones/ids swap in bigger patterns
-    // without changing the plan).
+    // PII-style scrub (graft.api.TextQuality.scrub): redact digit runs in
+    // the events payload and count the redactions. Pure map-side regexp —
+    // the shape of every pipeline-side PII pass (emails/phones/ids swap
+    // in bigger patterns without changing the plan).
     "llm_pii_scrub" -> ((s, d) =>
-      events(s, d)
-        .select(col("event_id"),
-          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
-          regexp_count(col("props"), lit("[0-9]+")).as("n_redacted"))
+      graft.api.TextQuality
+        .scrub(events(s, d), col("event_id"), col("props"))
+        .select(col("id").as("event_id"), col("scrubbed"), col("n_redacted"))
         .orderBy("event_id")),
 
     // whitespace tokens vs BPE-ish regex tokens per doc

@@ -102,6 +102,59 @@ object Multimodal {
       } finally if (in != null) in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL image resize (binary in → binary out, the multimodal transform
+    * contract): every JDK-decodable image is scaled to fit in a
+    * `maxDim`-pixel box (aspect preserved, never upscaled) and re-encoded
+    * as PNG; payloads no reader understands pass through byte-identical
+    * with `resized = false`. Pure in-JDK (`ImageIO` + `Graphics2D`), zero
+    * added dependencies. Partition-wise iterator streaming; the wide
+    * bytes column never shuffles — callers project it away before any
+    * join/agg (MULTIMODAL.md rule). */
+  def resizeImages(df: DataFrame, maxDim: Int): DataFrame = {
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val out = Encoders.tuple(Encoders.STRING, Encoders.BINARY,
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaBoolean)
+    df.select(col("path"), col("media.bytes"))
+      .as[(String, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          resizeOne(bytes, maxDim) match {
+            case Some((outBytes, w, h)) => (path, outBytes, w, h, true)
+            case None => (path, bytes, -1, -1, false)
+          }
+        }
+      }(out)
+      .toDF("path", "bytes", "width", "height", "resized")
+  }
+
+  /** Decode → scale into a maxDim box → re-encode PNG. None when the JDK
+    * has no reader for the bytes (caller passes the payload through). */
+  private[sources] def resizeOne(bytes: Array[Byte],
+      maxDim: Int): Option[(Array[Byte], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val scale = math.min(1.0,
+          maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
+          math.max(1, math.round(img.getHeight * scale).toInt))
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some((bos.toByteArray, w, h))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** STUB feature extraction: fixed-width embedding per media row (fake but
     * deterministic — content-hash seeded), the shape an ANN index ingests. */
   def extractFeatures(df: DataFrame, dims: Int = 8): DataFrame = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.api.{Similarity, TextDedup}
+import graft.api.{Similarity, TextDedup, TextQuality}
 
 /** The graft.api surface must work on ARBITRARY frames and column names —
   * not just the benchmark fixtures. Synthetic inputs, different names. */
@@ -29,6 +29,30 @@ class ApiSpec extends AnyFunSuite {
     val out = TextDedup.normalized(corpus, col("body"), col("id"))
       .filter(col("n_copies") > 1).collect()
     assert(out.map(_.getLong(1)).toSet == Set(1L, 4L))
+  }
+
+  test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
+    val docs = Seq(
+      (10L, "a reasonable sentence with several ordinary words inside it " +
+        "and a couple more tokens to clear the minimum"),
+      (11L, "spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam"),                       // dominance ≈ 1 → reject
+      (12L, "too short")                    // word count < 10 → reject
+    ).toDF("key", "body")
+    val out = TextQuality.gopherFilter(docs, col("key"), col("body"))
+      .select("id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(10L -> true, 11L -> false, 12L -> false), s"$out")
+  }
+
+  test("TextQuality.scrub with a custom pattern and replacement") {
+    val rows = Seq((1L, "call 555-0147 or 555-0199"), (2L, "no digits"))
+      .toDF("k", "payload")
+    val out = TextQuality
+      .scrub(rows, col("k"), col("payload"), "[0-9]{3}-[0-9]{4}", "<TEL>")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSet == Set(
+      (1L, "call <TEL> or <TEL>", 2), (2L, "no digits", 0)))
   }
 
   test("TextDedup.clusters: transitive chains collapse, components stay " +

@@ -62,6 +62,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded == sizes.toSet, s"decoded dims wrong: $decoded")
   }
 
+  test("resizeImages REALLY resizes: aspect kept, box bound, no upscale; " +
+      "non-images pass through byte-identical") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_").toFile
+    dir.deleteOnExit()
+    Seq(("big.png", 200, 100), ("small.png", 20, 10)).foreach {
+      case (name, w, h) =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        ImageIO.write(img, "png", new java.io.File(dir, name))
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "not_image.txt").toPath,
+      "plain text payload".getBytes)
+    val out = Multimodal
+      .resizeImages(Multimodal.readDir(spark, dir.getAbsolutePath), 50)
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        (r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+      .toMap
+    val (bigBytes, bw, bh, bres) = out("big.png")
+    assert(bres && (bw, bh) == (50, 25), s"got ${(bw, bh)}")
+    // the emitted bytes are a real PNG of the NEW size
+    val re = ImageIO.read(new java.io.ByteArrayInputStream(bigBytes))
+    assert(re.getWidth == 50 && re.getHeight == 25)
+    val (_, sw, sh, sres) = out("small.png")
+    assert(sres && (sw, sh) == (20, 10), "small image must not upscale")
+    val (tb, _, _, tres) = out("not_image.txt")
+    assert(!tres && new String(tb) == "plain text payload",
+      "non-image payload must pass through byte-identical")
+  }
+
   test("non-image bytes fall back to the deterministic stub, not an error") {
     // .scala files: no ImageIO reader claims them
     val d = Multimodal.decodeDims(media)
