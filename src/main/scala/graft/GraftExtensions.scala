@@ -58,7 +58,10 @@ object GraftExtensions {
     ("graft_minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       arity("graft_minhash_sig", 2)(args =>
-        MinHashSig(args(0), intLit(args(1), "signature size")))))
+        MinHashSig(args(0), intLit(args(1), "signature size")))),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      arity("graft_simhash64", 1)(args => SimHash64(args(0)))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 import graft.util.Det._
@@ -155,6 +155,20 @@ object Aggregations {
         .orderBy("l_returnflag")
     }),
 
+    // mode (pandas .mode per group): most frequent event_type per user —
+    // count + deterministic rank (ties break to the smaller value), one
+    // extra exchange over the (user, type) partial-agg
+    "agg_mode" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    }),
+
     // idxmax (dd.idxmax / argmax): the row identity at each group's max.
     // max(struct(value, id)) is a single partial-aggregated pass with a
     // TOTAL order (value ties break on id), unlike max_by whose ties are
@@ -298,6 +312,13 @@ object Aggregations {
       s"""SELECT event_type, COUNT(*) AS n,
          |${dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_mode" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |  GROUP BY user_id, event_type) t
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY n DESC, event_type ASC) = 1
+        |ORDER BY user_id""".stripMargin,
     "agg_argmax" ->
       """SELECT event_type, value AS max_value, event_id AS argmax_id
         |FROM events

@@ -109,6 +109,23 @@ object Preprocess {
         .orderBy("event_id")
     }),
 
+    // winsorize / clip at fitted quantiles: fit p05/p95 once (1-row frame,
+    // broadcast), clip every row with least/greatest. The exact percentile
+    // fit carries agg_median_quantile's scale caveat — at 100 TB swap in
+    // approx_percentile for the fit; the transform side is map-only either
+    // way. Bounds are rounded 6dp on both engines BEFORE comparing so the
+    // clip threshold is shared (r6's accepted boundary risk).
+    "prep_clip_quantile" -> ((s, d) => {
+      val q = orders(s, d).agg(
+        r6(percentile(col("o_totalprice"), lit(0.05))).as("lo"),
+        r6(percentile(col("o_totalprice"), lit(0.95))).as("hi"))
+      orders(s, d).crossJoin(broadcast(q))
+        .select(col("o_orderkey"),
+          least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+            .as("clipped_price"))
+        .orderBy("o_orderkey")
+    }),
+
     // pd.cut: fixed explicit bin edges → label, plus the unbounded
     // fixed-width bin index (floor of an exact IEEE division — identical
     // both engines). Pure map-side projection, no fit pass needed; the
@@ -237,6 +254,13 @@ object Preprocess {
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "prep_clip_quantile" ->
+      """WITH q AS (SELECT
+        |  ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+        |  ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi FROM orders)
+        |SELECT o_orderkey,
+        |  least(greatest(o_totalprice, lo), hi) AS clipped_price
+        |FROM orders, q ORDER BY o_orderkey""".stripMargin,
     "prep_cut_bins" ->
       """SELECT o_orderkey, o_totalprice,
         |CASE WHEN o_totalprice < 50000 THEN 'low'

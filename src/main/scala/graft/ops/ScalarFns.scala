@@ -41,6 +41,20 @@ object ScalarFns {
           trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"))
         .orderBy("p_partkey")),
 
+    // the rest of the Series.str slice/transform surface: reverse,
+    // translate, left/right, split_part, repeat — all codegen'd built-ins
+    "fn_string_slice" -> ((s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          reverse(substring(col("text"), 1, 12)).as("head_rev"),
+          translate(substring(col("text"), 1, 20), "aeiou", "AEIOU")
+            .as("head_trans"),
+          expr("left(text, 8)").as("head8"),
+          expr("right(text, 8)").as("tail8"),
+          split_part(col("text"), lit(" "), lit(2)).as("second_word"),
+          repeat(substring(col("text"), 1, 2), 3).as("rep3"))
+        .orderBy("doc_id")),
+
     "fn_string_match" -> ((s, d) =>
       part(s, d).select(
           col("p_partkey"),
@@ -172,6 +186,15 @@ object ScalarFns {
         |lpad(p_brand, 12, '*') AS brand_pad,
         |trim(concat('  ', p_brand, '  ')) AS brand_trim
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_string_slice" ->
+      """SELECT doc_id,
+        |reverse(substring(text, 1, 12)) AS head_rev,
+        |translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS head_trans,
+        |left(text, 8) AS head8,
+        |right(text, 8) AS tail8,
+        |split_part(text, ' ', 2) AS second_word,
+        |repeat(substring(text, 1, 2), 3) AS rep3
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_string_match" ->
       """SELECT p_partkey,
         |contains(p_type, 'BRASS') AS has_brass,

@@ -63,6 +63,23 @@ object SetOps {
     // predicate — zero shuffle, zero state; md5 is identical across
     // engines so the oracle reproduces the exact assignment. First hex
     // char < 'd' ⇒ 13/16 ≈ 81% train.
+    // pd.combine_first / dd update: overlay a sparse patch frame onto a
+    // base frame — NULL holes in the base fill from the patch where a
+    // matching key exists. One left equi-join + coalesce; at scale the
+    // patch is usually small → AQE broadcasts it
+    "set_combine_first" -> ((s, d) => {
+      val c = customer(s, d)
+      val base = c.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit(null))
+          .otherwise(col("c_acctbal")).as("bal"))
+      val patch = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("p_key"), col("c_acctbal").as("p_bal"))
+      base.join(patch, col("c_custkey") === col("p_key"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("bal"), col("p_bal")).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     "sample_hash_split" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
@@ -106,6 +123,16 @@ object SetOps {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_custkey""".stripMargin,
+    "set_combine_first" ->
+      """SELECT b.c_custkey,
+        |COALESCE(b.bal, p.p_bal) AS c_acctbal
+        |FROM (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END
+        |          AS bal FROM customer) b
+        |LEFT JOIN (SELECT c_custkey AS p_key, c_acctbal AS p_bal
+        |        FROM customer WHERE c_custkey % 5 = 0) p
+        |  ON b.c_custkey = p.p_key
+        |ORDER BY b.c_custkey""".stripMargin,
     "sample_hash_split" ->
       """SELECT doc_id,
         |CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'

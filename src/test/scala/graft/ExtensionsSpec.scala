@@ -16,12 +16,15 @@ class ExtensionsSpec extends AnyFunSuite {
         |  graft_sorted_intersection_size(array(1L, 2L, 5L),
         |                                 array(2L, 3L, 5L)) AS i,
         |  size(graft_shingle_hashes(array('a','b','c','d'), 3)) AS nsh,
-        |  size(graft_minhash_sig(array(1L, 2L, 3L), 16)) AS nmh
+        |  size(graft_minhash_sig(array(1L, 2L, 3L), 16)) AS nmh,
+        |  graft_simhash64(array('a','b','c')) AS sh
         |""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)
     assert(r.getInt(2) == 2) // "a b c", "b c d"
     assert(r.getInt(3) == 16)
+    assert(r.getLong(4) == spark.sql(
+      "SELECT graft_simhash64(array('a','b','c'))").head().getLong(0))
   }
 
   test("registration is idempotent and deterministic") {
