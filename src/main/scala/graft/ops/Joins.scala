@@ -187,6 +187,34 @@ object Joins {
           col("fwd_value").as("click_value"))
         .orderBy("event_id")),
 
+    // dd.merge_asof(allow_exact_matches=False): strictly-before backward
+    // match. Same union-tag window; the ONLY change is the tie order at
+    // equal ts — purchases sort BEFORE clicks, so an equal-ts click is
+    // invisible to the running last(). Completes the merge_asof knob set
+    // (direction / tolerance / allow_exact_matches).
+    "join_asof_strict" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("side"),
+          col("value"), col("event_id"))
+      val clickW = Window.partitionBy("user_id", "ts", "side")
+        .orderBy(col("event_id").desc)
+      val deduped = ev
+        .withColumn("__rn", row_number().over(clickW))
+        .filter(col("side") === 1 || col("__rn") === 1)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deduped
+        .withColumn("click_value",
+          last(when(col("side") === 0, col("value")), ignoreNulls = true)
+            .over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // dd.merge_asof(tolerance=...): backward match only when the latest
     // prior click is within 1 hour — matches beyond the bound become NULL
     // (pandas semantics). Same single-shuffle window plan; the tolerance is
@@ -342,6 +370,14 @@ object Joins {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
         |    ORDER BY event_id DESC) = 1) c
         |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_strict" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1) c
+        |  ON p.user_id = c.user_id AND p.ts > c.ts
         |ORDER BY p.event_id""".stripMargin,
     "join_asof_tolerance" ->
       """SELECT p.event_id, p.user_id, p.ts,

@@ -79,6 +79,36 @@ object LlmExtras {
         .select(col("id").as("event_id"), col("scrubbed"), col("n_redacted"))
         .orderBy("event_id")),
 
+    // context-window packing: fixed 16-token chunks on a 12-token stride
+    // (4-token overlap) — the chunking op every LLM training pipeline runs
+    // before tokenizer/packing stages. Pure map-side: one split, one
+    // arithmetic sequence, one posexplode; output rows ≈ tokens/stride.
+    "llm_chunk_tokens" -> ((s, d) => {
+      val width = 16; val step = 12
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")), lit(step))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / step).cast("int").as("chunk_id"),
+          concat_ws(" ", slice(col("tk"), col("start"), lit(width)))
+            .as("chunk_text"),
+          least(lit(width), size(col("tk")) - col("start") + 1)
+            .as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // deterministic source-mixture sampling (dataset mixing): even-numbered
+    // sources keep 100%, odd-numbered 50% via the md5 hash band —
+    // reproducible run-over-run, engine-identical, zero shuffle before the
+    // audit aggregation (same idiom as sample_hash_split)
+    "llm_sample_by_source" -> ((s, d) =>
+      documents(s, d)
+        .filter(substring(col("source"), 4, 10).cast("int") % 2 === 0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
     // whitespace tokens vs BPE-ish regex tokens per doc
     "llm_token_count_bpe" -> ((s, d) =>
       documents(s, d).select(
@@ -205,6 +235,20 @@ object LlmExtras {
         |CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER)
         |  AS n_redacted
         |FROM events ORDER BY event_id""".stripMargin,
+    "llm_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 12 AS INTEGER) AS chunk_id,
+        |  array_to_string(tk[start:start + 15], ' ') AS chunk_text,
+        |  CAST(least(16, len(tk) - start + 1) AS INTEGER) AS n_tokens
+        |FROM t, unnest(generate_series(1, len(tk), 12)) AS u(start)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "llm_sample_by_source" ->
+      """SELECT source, COUNT(*) AS n_kept FROM documents
+        |WHERE CAST(substring(source, 4) AS INTEGER) % 2 = 0
+        |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "llm_token_count_bpe" ->
       """SELECT doc_id,
         |CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
