@@ -155,6 +155,17 @@ object Aggregations {
         .orderBy("l_returnflag")
     }),
 
+    // weighted mean (np.average(weights=...)): exact decimal numerator and
+    // denominator, one IEEE divide at the end — same recipe as davg
+    "agg_weighted_avg" -> ((s, d) => {
+      val q = dec(col("l_quantity")); val p = dec(col("l_extendedprice"))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg((sum(q * p).cast("double") / sum(q).cast("double"))
+          .as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // mode (pandas .mode per group): most frequent event_type per user —
     // count + deterministic rank (ties break to the smaller value), one
     // extra exchange over the (user, type) partial-agg
@@ -312,6 +323,13 @@ object Aggregations {
       s"""SELECT event_type, COUNT(*) AS n,
          |${dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |/ CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """SELECT user_id, event_type AS mode_type, n FROM (
         |  SELECT user_id, event_type, COUNT(*) AS n FROM events

@@ -296,6 +296,31 @@ object Joins {
         .orderBy("iv")
     }),
 
+    // the JOIN-side skew lever (twin of agg_salted_skew): event_type has
+    // ~5 hot keys, so a plain shuffle join would land each key on one
+    // reducer. Salt the big side, replicate the small side across the salt
+    // range (sequence+explode — tiny × 8), join on (key, salt): every hot
+    // key spreads over 8 reducers. Same result as the plain join (the
+    // oracle proves it). AQE's skew-join split is the automatic cousin;
+    // salting is the deterministic form that also works mid-pipeline.
+    "join_salted_skew" -> ((s, d) => {
+      import s.implicits._
+      val salts = 8
+      val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+        ("signup", 5.0), ("error", 0.0))
+        .toDF("event_type", "weight")
+      val dimSalted = dim.select(col("event_type"), col("weight"),
+        explode(sequence(lit(0), lit(salts - 1))).as("__salt"))
+      events(s, d)
+        .withColumn("__salt", pmod(col("event_id"), lit(salts)).cast("int"))
+        .join(dimSalted, Seq("event_type", "__salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value")) * col("weight").cast("decimal(18,2)"))
+            .cast("double").as("weighted_sum"))
+        .orderBy("event_type")
+    }),
+
     // pd.merge(indicator=True): full outer with a left_only / right_only /
     // both provenance column — the merge-audit idiom. Same shuffle
     // full-outer plan as join_full_outer; the indicator is a free
@@ -442,6 +467,15 @@ object Joins {
          |  AS w(iv, iv_start, iv_end)
          |  ON ts >= iv_start AND ts < iv_end
          |GROUP BY iv ORDER BY iv""".stripMargin,
+    "join_salted_skew" ->
+      """SELECT e.event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |  * CAST(weight AS DECIMAL(18,2))) AS DOUBLE) AS weighted_sum
+        |FROM events e
+        |JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+        |  ('signup', 5.0), ('error', 0.0)) AS d(event_type, weight)
+        |  ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "join_indicator" ->
       """SELECT COALESCE(l.c_custkey, r.o_custkey) AS custkey,
         |l.c_mktsegment, r.n_urgent,

@@ -98,6 +98,33 @@ object LlmExtras {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // sequence packing (the stage after chunking): chunks are packed into
+    // fixed 512-token training sequences by a running token cumsum —
+    // pack_id = (cumsum - n) div budget, the standard streaming packing.
+    // Packing is PER SOURCE (the shard key): each partition packs
+    // independently in one window pass — a single global ordering would
+    // serialize the corpus through one partition, the classic scale trap.
+    "llm_pack_sequences" -> ((s, d) => {
+      val width = 16; val step = 12; val budget = 512
+      val chunks = documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), size(col("tk")), lit(step))).as("start"),
+          size(col("tk")).as("ntk"))
+        .select(col("doc_id"), col("source"),
+          ((col("start") - 1) / step).cast("int").as("chunk_id"),
+          least(lit(width), col("ntk") - col("start") + 1).as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("pack_id",
+          ((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget)
+            .cast("int"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
     // deterministic source-mixture sampling (dataset mixing): even-numbered
     // sources keep 100%, odd-numbered 50% via the md5 hash band —
     // reproducible run-over-run, engine-identical, zero shuffle before the
@@ -244,6 +271,24 @@ object LlmExtras {
         |  CAST(least(16, len(tk) - start + 1) AS INTEGER) AS n_tokens
         |FROM t, unnest(generate_series(1, len(tk), 12)) AS u(start)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    CAST((start - 1) // 12 AS INTEGER) AS chunk_id,
+        |    CAST(least(16, len(tk) - start + 1) AS INTEGER) AS n_tokens
+        |  FROM t, unnest(generate_series(1, len(tk), 12)) AS u(start)),
+        |p AS (SELECT source,
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY doc_id, chunk_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - n_tokens) // 512 AS INTEGER) AS pack_id,
+        |    n_tokens
+        |  FROM c)
+        |SELECT source, pack_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
     "llm_sample_by_source" ->
       """SELECT source, COUNT(*) AS n_kept FROM documents
         |WHERE CAST(substring(source, 4) AS INTEGER) % 2 = 0
