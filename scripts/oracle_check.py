@@ -65,8 +65,14 @@ def main():
         parts = sorted(str(p) for p in key_dir.glob("*.parquet"))
         if not parts:
             continue
-        desc = con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet({parts!r})").fetchall()
+        try:
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({parts!r})").fetchall()
+        except Exception as e:
+            print(f"FAIL {key_dir.name}: unreadable Spark output: {e}")
+            n_fail += 1
+            failures.append(key_dir.name)
+            continue
         bad_cols = [(c[0], c[1]) for c in desc
                     if "[]" in c[1] or c[1].startswith(("STRUCT", "MAP"))]
         if bad_cols:
@@ -74,9 +80,12 @@ def main():
                   f"driver comparator: {bad_cols}")
             n_fail += 1
             failures.append(key_dir.name)
+    schema_failed = set(failures)
     for key in sorted(oracle):
         if key_filter and key not in key_filter:
             continue
+        if key in schema_failed:
+            continue  # already failed the schema guard; don't double-count
         spark_dir = Path(out_dir, key)
         if not spark_dir.exists():
             print(f"FAIL {key}: no Spark output (query crashed?)")

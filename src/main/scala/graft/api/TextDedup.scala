@@ -134,6 +134,13 @@ object TextDedup {
       labels = joined.select(col("node"), col("newl").as("label"))
       iter += 1
     }
+    // a silently non-converged result would split one component into
+    // several cluster_ids and callers would KEEP duplicate docs — fail
+    // loudly instead (raise maxIters, or switch to large-star/small-star)
+    require(changed == 0,
+      s"clusters() did not converge within $maxIters rounds — component " +
+        "diameter exceeds the cap; raise maxIters or use the " +
+        "large-star/small-star variant for deep-chain graphs")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

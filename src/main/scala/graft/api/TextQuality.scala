@@ -25,7 +25,9 @@ object TextQuality {
 
   /** Gopher/C4-style per-document statistics (RAW, unrounded):
     * (id, n_words, mean_word_len, short_frac, top_word_ratio).
-    * `sep` is the token delimiter (single space by default). */
+    * `sep` is a token-separator REGEX (Java `Pattern` — it reaches
+    * `functions.split`); quote literal metacharacters, e.g.
+    * `"\\|"` for a pipe or `"\\s+"` for any whitespace run. */
   def gopherStats(df: DataFrame, id: Column, text: Column,
       sep: String = " "): DataFrame = {
     val toks = split(text, sep)

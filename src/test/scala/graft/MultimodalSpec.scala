@@ -86,8 +86,13 @@ class MultimodalSpec extends AnyFunSuite {
     // the emitted bytes are a real PNG of the NEW size
     val re = ImageIO.read(new java.io.ByteArrayInputStream(bigBytes))
     assert(re.getWidth == 50 && re.getHeight == 25)
-    val (_, sw, sh, sres) = out("small.png")
-    assert(sres && (sw, sh) == (20, 10), "small image must not upscale")
+    // already inside the box → byte-identical passthrough, never a
+    // decode/re-encode round trip (alpha/bit-depth must survive)
+    val smallOriginal = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "small.png").toPath)
+    val (sb, _, _, sres) = out("small.png")
+    assert(!sres && sb.sameElements(smallOriginal),
+      "in-box image must pass through byte-identical, not re-encoded")
     val (tb, _, _, tres) = out("not_image.txt")
     assert(!tres && new String(tb) == "plain text payload",
       "non-image payload must pass through byte-identical")
