@@ -163,6 +163,55 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL frame sampling for multi-frame images (animated GIF — the one
+    * multi-frame format the JDK reads natively): every `everyN`-th frame
+    * decodes and re-encodes as PNG, one output row per sampled frame.
+    * Single-frame images yield exactly frame 0; payloads with no reader
+    * yield ZERO rows (no fake frames). Caveat: frames of delta-optimized
+    * GIFs decode as the stored sub-region; full-frame compositing — like
+    * video decode — belongs to an external codec at the same splice point
+    * as extractFeatures. Partition-wise iterator; flatMap shape (row →
+    * 0..n rows) mirrors the decode contract. */
+  def sampleFrames(df: DataFrame, everyN: Int = 1): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val out = Encoders.tuple(Encoders.STRING, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.BINARY)
+    df.select(col("path"), col("media.bytes"))
+      .as[(String, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          readFrames(bytes, everyN).map { case (idx, img) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (path, idx, img.getWidth, img.getHeight, bos.toByteArray)
+          }
+        }
+      }(out)
+      .toDF("path", "frame_idx", "width", "height", "frame_png")
+  }
+
+  /** Every `everyN`-th decoded frame with its ordinal; empty when no
+    * installed reader recognizes the bytes. */
+  private[sources] def readFrames(bytes: Array[Byte], everyN: Int)
+      : Seq[(Int, java.awt.image.BufferedImage)] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val n = r.getNumImages(true)
+            (0 until n by everyN).map(i => i -> r.read(i))
+          } finally r.dispose()
+        }
+      } finally if (in != null) in.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   /** STUB feature extraction: fixed-width embedding per media row (fake but
     * deterministic — content-hash seeded), the shape an ANN index ingests. */
   def extractFeatures(df: DataFrame, dims: Int = 8): DataFrame = {

@@ -98,6 +98,43 @@ class MultimodalSpec extends AnyFunSuite {
       "non-image payload must pass through byte-identical")
   }
 
+  test("sampleFrames extracts REAL animated-GIF frames; non-media yields " +
+      "zero rows; single-frame images yield one") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+    val dir = java.nio.file.Files.createTempDirectory("graft_gif_").toFile
+    dir.deleteOnExit()
+    // 5-frame animated GIF, frame i painted with a distinct gray level
+    val gifFile = new java.io.File(dir, "anim.gif")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(gifFile)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 5).foreach { i =>
+      val f = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      val g = f.createGraphics()
+      g.setColor(new java.awt.Color(i * 40, i * 40, i * 40))
+      g.fillRect(0, 0, 8, 6); g.dispose()
+      writer.writeToSequence(new IIOImage(f, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val single = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    ImageIO.write(single, "png", new java.io.File(dir, "one.png"))
+    java.nio.file.Files.write(new java.io.File(dir, "noise.bin").toPath,
+      Array[Byte](1, 2, 3, 4))
+    val rows = Multimodal
+      .sampleFrames(Multimodal.readDir(spark, dir.getAbsolutePath), 2)
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1),
+        r.getInt(2), r.getInt(3)))
+    val byFile = rows.groupBy(_._1)
+    assert(byFile("anim.gif").map(_._2).sorted.toSeq == Seq(0, 2, 4),
+      s"every-2nd of 5 frames must be 0,2,4: ${rows.toSeq}")
+    assert(byFile("anim.gif").forall(r => r._3 == 8 && r._4 == 6))
+    assert(byFile("one.png").toSeq == Seq(("one.png", 0, 4, 4)))
+    assert(!byFile.contains("noise.bin"), "unreadable bytes → zero rows")
+  }
+
   test("non-image bytes fall back to the deterministic stub, not an error") {
     // .scala files: no ImageIO reader claims them
     val d = Multimodal.decodeDims(media)
