@@ -155,6 +155,21 @@ object LlmExtras {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    // corpus-wide top-100 bigram counts (n-gram profile): in-row bigram
+    // construction (transform over an index sequence — no self-join),
+    // explode → partial-agg count → TakeOrderedAndProject top-k
+    "llm_ngram_counts" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      documents(s, d)
+        .filter(size(tk) > 1)
+        .select(explode(transform(sequence(lit(1), size(tk) - 1),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(100)
+    }),
+
     // whitespace tokens vs BPE-ish regex tokens per doc
     "llm_token_count_bpe" -> ((s, d) =>
       documents(s, d).select(
@@ -298,6 +313,13 @@ object LlmExtras {
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM p GROUP BY source, pack_id
          |ORDER BY source, pack_id""".stripMargin,
+    "llm_ngram_counts" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        |  FROM (SELECT string_split_regex(text, ' ') AS tk
+        |        FROM documents) WHERE len(tk) > 1)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
     "llm_sample_by_source" ->
       """SELECT source, COUNT(*) AS n_kept FROM documents
         |WHERE CAST(substring(source, 4) AS INTEGER) % 2 = 0

@@ -97,6 +97,17 @@ object SetOps {
         .filter(col("rn") === 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
         .orderBy("user_id", "event_type")
+    }),
+
+    // keep='last': identical single-shuffle plan, inverted survivor order
+    "dedup_keep_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -142,6 +153,11 @@ object SetOps {
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts, event_id) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "dedup_keep_last" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   )
 }

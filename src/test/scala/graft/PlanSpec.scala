@@ -127,6 +127,13 @@ class PlanSpec extends AnyFunSuite {
       s"band join must hash on user_id:\n$p")
   }
 
+  test("llm_pack_sequences: the pack aggregation REUSES the window's " +
+      "source partitioning — one hash shuffle end to end") {
+    val p = plan("llm_pack_sequences")
+    assert("hashpartitioning".r.findAllIn(p.toLowerCase).size == 1,
+      s"groupBy(source, pack_id) must not re-shuffle after the window:\n$p")
+  }
+
   test("llm_lang_id: the vocab-sized probs join carries NO broadcast hint") {
     // the only hint allowed is the 1-row vocabN scalar; the scoring join
     // must be planner's choice (AQE may still pick BHJ at fixture scale —
