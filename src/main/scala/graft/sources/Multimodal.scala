@@ -212,8 +212,13 @@ object Multimodal {
       } finally if (in != null) in.close()
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
-  /** STUB feature extraction: fixed-width embedding per media row (fake but
-    * deterministic — content-hash seeded), the shape an ANN index ingests. */
+  /** Feature extraction, the shape an ANN index ingests. REAL for every
+    * JDK-decodable image: a `dims`-bin normalized grayscale histogram
+    * (Rec.601 luma over actual pixels) — the classical pre-embedding
+    * image feature, deterministic and comparable under cosine. Payloads
+    * no reader decodes fall back to a content-hash-seeded stub vector;
+    * a NEURAL embedding model is the documented swap-in at this exact
+    * splice point (none ships offline). */
   def extractFeatures(df: DataFrame, dims: Int = 8): DataFrame = {
     val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
     val out = Encoders.tuple(Encoders.STRING,
@@ -222,13 +227,41 @@ object Multimodal {
       .as[(String, Array[Byte])](enc)
       .mapPartitions { it =>
         it.map { case (path, bytes) =>
-          val h = java.util.Arrays.hashCode(bytes)
-          val v: Seq[Float] = (0 until dims).toSeq.map(i =>
-            (((h * (i + 1)) % 1000) / 1000.0f))
+          val v = imageHistogram(bytes, dims).getOrElse {
+            val h = java.util.Arrays.hashCode(bytes)
+            (0 until dims).toSeq.map(i => (((h * (i + 1)) % 1000) / 1000.0f))
+          }
           (path, Tuple1(v))
         }
       }(out)
       .toDF("path", "features")
       .select(col("path"), col("features._1").as("features"))
   }
+
+  /** Normalized `dims`-bin grayscale histogram over REAL pixels; None
+    * when no installed reader decodes the bytes. */
+  private[sources] def imageHistogram(bytes: Array[Byte],
+      dims: Int): Option[Seq[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val bins = new Array[Long](dims)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val luma = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            bins(math.min(dims - 1, luma * dims / 256)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        Some(bins.toSeq.map(b => b.toFloat / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -31,6 +31,36 @@ class ApiSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSet == Set(1L, 4L))
   }
 
+  test("Similarity.topK matches a local brute-force reference on random " +
+      "vectors") {
+    val rnd = new scala.util.Random(7)
+    val dims = 12; val n = 40; val k = 3
+    val corpus = (0L until n).map(i =>
+      (i, Seq.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val corpusDf = corpus.toDF("cid", "cvec")
+    val queries = corpus.take(4).map { case (i, v) => (i, v) }
+      .toDF("qid", "qe")
+    // output columns: qid, vec_id, sim_r, rk
+    val got = Similarity
+      .topK(corpusDf, col("cid"), col("cvec"), queries, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    // local reference: exact dot products, same rounding + tie-break
+    val expected = corpus.take(4).flatMap { case (qid, qv) =>
+      corpus.filter(_._1 != qid)
+        .map { case (cid, cv) =>
+          val dot = qv.zip(cv).foldLeft(0.0)((a, p) =>
+            a + p._1.toDouble * p._2.toDouble)
+          (cid, BigDecimal(dot).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(k).zipWithIndex
+        .map { case ((cid, _), rk) => (qid, rk + 1, cid) }
+    }.toSet
+    assert(got == expected, s"topK diverges from brute force")
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +

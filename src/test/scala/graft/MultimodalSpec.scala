@@ -142,6 +142,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.filter(col("width") >= 64).count() == d.count())
   }
 
+  test("extractFeatures computes a REAL pixel histogram for images") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_").toFile
+    dir.deleteOnExit()
+    Seq(("black.png", 0x000000), ("white.png", 0xffffff)).foreach {
+      case (name, rgb) =>
+        val img = new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB)
+        (0 until 10).foreach(x => (0 until 10).foreach(y =>
+          img.setRGB(x, y, rgb)))
+        ImageIO.write(img, "png", new java.io.File(dir, name))
+    }
+    val feats = Multimodal
+      .extractFeatures(Multimodal.readDir(spark, dir.getAbsolutePath))
+      .collect()
+      .map(r => r.getString(0).split('/').last -> r.getSeq[Float](1)).toMap
+    assert(feats("black.png").head == 1.0f &&
+      feats("black.png").sum == 1.0f, "all-black mass must sit in bin 0")
+    assert(feats("white.png").last == 1.0f &&
+      feats("white.png").sum == 1.0f, "all-white mass must sit in the top bin")
+  }
+
   test("stubbed feature extraction emits fixed-width float vectors") {
     val f = Multimodal.extractFeatures(media).orderBy("path").head()
     assert(f.getSeq[Float](1).length == 8)
