@@ -41,6 +41,18 @@ object ScalarFns {
           trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"))
         .orderBy("p_partkey")),
 
+    // dt.tz_convert: UTC wall time → America/New_York wall time (IANA
+    // tzdb on both engines — DST boundaries agree; EDT −4 / EST −5 both
+    // visible in the fixture's 2024 range)
+    "fn_date_timezone" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          convert_timezone(lit("UTC"), lit("America/New_York"),
+            col("ts")).as("ny_ts"),
+          hour(convert_timezone(lit("UTC"), lit("America/New_York"),
+            col("ts"))).as("ny_hour"))
+        .orderBy("event_id")),
+
     // the rest of the Series.str slice/transform surface: reverse,
     // translate, left/right, split_part, repeat — all codegen'd built-ins
     "fn_string_slice" -> ((s, d) =>
@@ -186,6 +198,13 @@ object ScalarFns {
         |lpad(p_brand, 12, '*') AS brand_pad,
         |trim(concat('  ', p_brand, '  ')) AS brand_trim
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date_timezone" ->
+      """SELECT event_id,
+        |CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+        |  AS TIMESTAMP) AS ny_ts,
+        |CAST(hour(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')
+        |  AS INTEGER) AS ny_hour
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_string_slice" ->
       """SELECT doc_id,
         |reverse(substring(text, 1, 12)) AS head_rev,

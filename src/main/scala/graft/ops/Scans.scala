@@ -100,6 +100,25 @@ object Scans {
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // schema evolution (dd.read_parquet over drifting files): two parquet
+    // file sets with different column sets, read back with
+    // mergeSchema=true — the union schema, missing columns NULL. The
+    // merge happens at footer level; data files are untouched.
+    "scan_parquet_merge_schema" -> ((s, d) => {
+      val tmp = s"/tmp/graft_merge_schema_${new java.io.File(d).getName}" +
+        s"_${java.lang.ProcessHandle.current.pid}"
+      val o = orders(s, d)
+      o.select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/p1")
+      o.select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$tmp/p2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/p1", s"$tmp/p2")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    }),
+
     // dd.set_index(..., sorted=True) ≙ repartitionByRange +
     // sortWithinPartitions: range-partitioned, locally-sorted data is the
     // precondition for shuffle-free merges and rollings downstream.
@@ -191,6 +210,15 @@ object Scans {
          |COUNT(*) AS n FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
     "repartition_range" ->
-      """SELECT COUNT(*) AS n_rows, true AS all_sorted FROM orders""".stripMargin
+      """SELECT COUNT(*) AS n_rows, true AS all_sorted FROM orders""".stripMargin,
+    "scan_parquet_merge_schema" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |${dsumSql("o_totalprice")} AS sum_price FROM (
+         |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, NULL, o_orderstatus FROM orders)
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
   )
 }

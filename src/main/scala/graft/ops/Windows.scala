@@ -33,6 +33,10 @@ object Windows {
   private def perCust = Window.partitionBy("o_custkey")
     .orderBy(col("o_orderdate"), col("o_orderkey"))
 
+  /** (1-α)^i weights for the truncated EWM, α = 0.2, 10 lags — the ONE
+    * definition both the Spark plan and the DuckDB oracle consume. */
+  private val ewmWeights: Seq[Double] = (0 until 10).map(math.pow(0.8, _))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // groupby.cumcount(): per-customer ordinal of orders by date
     "window_row_number" -> ((s, d) =>
@@ -126,6 +130,28 @@ object Windows {
           when(n > 1,
             round(sqrt(greatest((sq - sm * sm / n) / (n - 1), lit(0.0))), 6))
             .as("rolling_std3"))
+        .orderBy("event_id")
+    }),
+
+    // pandas ewm(alpha=0.2).mean() in its scale-bounded form: a 10-lag
+    // truncated exponential weighting ((1-α)^10 ≈ 0.107 tail mass
+    // dropped) — the untruncated recursive form needs unbounded history
+    // per row, which no shuffle-parallel engine should buy. Weight
+    // constants come from ONE Scala computation and feed both engines
+    // (lit() here, shortest-repr text in the oracle). The engines'
+    // internal summation still differs by an ulp on long chains, so the
+    // result goes through the standard r6 convention (like percent_rank).
+    "window_ewm_mean" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val num = ewmWeights.zipWithIndex.map { case (wi, i) =>
+        coalesce(lag(col("value"), i).over(w) * lit(wi), lit(0.0))
+      }.reduce(_ + _)
+      val den = ewmWeights.zipWithIndex.map { case (wi, i) =>
+        when(lag(col("value"), i).over(w).isNotNull, lit(wi))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), r6(num / den).as("ewm_mean"))
         .orderBy("event_id")
     }),
 
@@ -233,6 +259,18 @@ object Windows {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) t
         |ORDER BY event_id""".stripMargin,
+    "window_ewm_mean" -> {
+      val num = ewmWeights.zipWithIndex.map { case (wi, i) =>
+        s"COALESCE(LAG(value, $i) OVER w * $wi, 0.0)"
+      }.mkString(" + ")
+      val den = ewmWeights.zipWithIndex.map { case (wi, i) =>
+        s"CASE WHEN LAG(value, $i) OVER w IS NOT NULL THEN $wi ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id, ROUND(($num) / ($den), 6) AS ewm_mean
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin
+    },
     "window_cum_extrema" ->
       """SELECT event_id, user_id,
         |MAX(value) OVER w AS cummax,
