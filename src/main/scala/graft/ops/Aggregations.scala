@@ -155,6 +155,16 @@ object Aggregations {
         .orderBy("l_returnflag")
     }),
 
+    // boolean aggregates (pandas .all()/.any() + count of a predicate):
+    // partial-aggregated AND/OR/conditional-count in one pass
+    "agg_bool" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(bool_and(col("value") > 100).as("all_gt100"),
+          bool_or(col("value") > 900).as("any_gt900"),
+          count_if(col("value") > 500).as("n_gt500"))
+        .orderBy("event_type")),
+
     // weighted mean (np.average(weights=...)): exact decimal numerator and
     // denominator, one IEEE divide at the end — same recipe as davg
     "agg_weighted_avg" -> ((s, d) => {
@@ -323,6 +333,12 @@ object Aggregations {
       s"""SELECT event_type, COUNT(*) AS n,
          |${dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_bool" ->
+      """SELECT event_type,
+        |bool_and(value > 100) AS all_gt100,
+        |bool_or(value > 900) AS any_gt900,
+        |CAST(COUNT(CASE WHEN value > 500 THEN 1 END) AS BIGINT) AS n_gt500
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_weighted_avg" ->
       """SELECT l_returnflag,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))

@@ -193,6 +193,17 @@ object Windows {
           first(col("o_totalprice")).over(w).as("first_price"),
           last(col("o_totalprice")).over(w).as("last_price"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // groupby.nth(1): the second order's price per customer (NULL for
+    // single-order customers) — nth_value over the full-partition frame
+    "window_nth_value" -> ((s, d) => {
+      val w = perCust.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -287,6 +298,13 @@ object Windows {
         |  PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
         |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  AS sum_7d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS second_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_first_last" ->
       """SELECT o_custkey, o_orderkey,
