@@ -18,9 +18,11 @@ object Bench {
     // parquet metadata reads the rest then get for free
     spark.range(10000).selectExpr("sum(id)", "count(distinct id % 7)")
       .collect()
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+    // best-effort only: a missing table must surface as that QUERY's -1 +
+    // errors entry in the timed loop, never abort the whole bench here
+    graft.util.Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // a failed query must be VISIBLE: it is timed as -1 and listed under
     // "errors" rather than silently contributing a near-zero duration

@@ -252,7 +252,7 @@ object Joins {
     "join_bucketed" -> ((s, d) => {
       val pid = java.lang.ProcessHandle.current.pid
       val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val loc = s"/tmp/graft_bucketed_${sf}_$pid"
+      val loc = graft.util.Staging.dir("bucketed", d)
       // pid in the TABLE names too (not just the paths): two concurrent
       // sessions sharing a metastore must not overwrite each other's
       // table definitions (ADVICE r2)

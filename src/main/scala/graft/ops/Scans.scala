@@ -40,10 +40,7 @@ object Scans {
     // csv round-trip with an explicit read schema (dd.read_csv(dtype=…)):
     // doubles survive exactly (shortest-round-trip repr both directions)
     "scan_csv_roundtrip" -> ((s, d) => {
-      // unique per JVM: concurrent Verify/Bench runs on the same sfDir must
-      // not race on an overwrite-then-read of a shared directory
-      val tmp = s"/tmp/graft_csv_roundtrip_${new java.io.File(d).getName}" +
-        s"_${java.lang.ProcessHandle.current.pid}"
+      val tmp = graft.util.Staging.dir("csv_roundtrip", d)
       lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_returnflag")
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -62,8 +59,7 @@ object Scans {
     // deliberately the full write+read cycle; doubles survive exactly
     // (ORC stores raw IEEE bits, no text round trip)
     "scan_orc_roundtrip" -> ((s, d) => {
-      val tmp = s"/tmp/graft_orc_roundtrip_${new java.io.File(d).getName}" +
-        s"_${java.lang.ProcessHandle.current.pid}"
+      val tmp = graft.util.Staging.dir("orc_roundtrip", d)
       orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .write.mode("overwrite").orc(tmp)
@@ -105,8 +101,7 @@ object Scans {
     // mergeSchema=true — the union schema, missing columns NULL. The
     // merge happens at footer level; data files are untouched.
     "scan_parquet_merge_schema" -> ((s, d) => {
-      val tmp = s"/tmp/graft_merge_schema_${new java.io.File(d).getName}" +
-        s"_${java.lang.ProcessHandle.current.pid}"
+      val tmp = graft.util.Staging.dir("merge_schema", d)
       val o = orders(s, d)
       o.select("o_orderkey", "o_totalprice")
         .write.mode("overwrite").parquet(s"$tmp/p1")
@@ -168,8 +163,7 @@ object Scans {
     * invocations (bench n=2, tests) read the already-staged sink. The pid
     * suffix keeps concurrent Verify/Bench runs on the same sfDir apart. */
   private[graft] def partitionedLineitem(s: SparkSession, d: String): DataFrame = {
-    val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = s"/tmp/graft_part_sink_${sf}_${java.lang.ProcessHandle.current.pid}"
+    val loc = graft.util.Staging.dir("part_sink", d)
     if (!new java.io.File(s"$loc/_SUCCESS").exists()) {
       lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")

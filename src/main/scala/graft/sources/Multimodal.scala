@@ -181,20 +181,20 @@ object Multimodal {
       .as[(String, Array[Byte])](enc)
       .mapPartitions { it =>
         it.flatMap { case (path, bytes) =>
-          readFrames(bytes, everyN).map { case (idx, img) =>
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            (path, idx, img.getWidth, img.getHeight, bos.toByteArray)
+          readFrames(bytes, everyN).map { case (idx, png, w, h) =>
+            (path, idx, w, h, png)
           }
         }
       }(out)
       .toDF("path", "frame_idx", "width", "height", "frame_png")
   }
 
-  /** Every `everyN`-th decoded frame with its ordinal; empty when no
-    * installed reader recognizes the bytes. */
+  /** Every `everyN`-th frame as (ordinal, png bytes, width, height);
+    * empty when no installed reader recognizes the bytes. Each raster is
+    * PNG-compressed INSIDE the loop so only one uncompressed frame is
+    * live at a time — a long GIF must not hold all raw rasters at once. */
   private[sources] def readFrames(bytes: Array[Byte], everyN: Int)
-      : Seq[(Int, java.awt.image.BufferedImage)] =
+      : Seq[(Int, Array[Byte], Int, Int)] =
     try {
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -206,7 +206,12 @@ object Multimodal {
           try {
             r.setInput(in)
             val n = r.getNumImages(true)
-            (0 until n by everyN).map(i => i -> r.read(i))
+            (0 until n by everyN).map { i =>
+              val img = r.read(i)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              (i, bos.toByteArray, img.getWidth, img.getHeight)
+            }
           } finally r.dispose()
         }
       } finally if (in != null) in.close()
@@ -248,11 +253,17 @@ object Multimodal {
       if (img == null) None
       else {
         val bins = new Array[Long](dims)
+        val w = img.getWidth
+        // bulk row reads: one getRGB call per scanline, not per pixel —
+        // per-pixel getRGB pays a ColorModel conversion PER CALL and is
+        // ~10× slower on megapixel inputs; one row keeps memory bounded
+        val row = new Array[Int](w)
         var y = 0
         while (y < img.getHeight) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
+          while (x < w) {
+            val rgb = row(x)
             val luma = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
               (rgb & 0xff) * 114) / 1000
             bins(math.min(dims - 1, luma * dims / 256)) += 1
@@ -260,7 +271,7 @@ object Multimodal {
           }
           y += 1
         }
-        val n = img.getWidth.toLong * img.getHeight
+        val n = w.toLong * img.getHeight
         Some(bins.toSeq.map(b => b.toFloat / n))
       }
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Every fixture table, in one place (Bench warm-up iterates this;
+    * scripts/oracle_check.py keeps a Python twin of the same list). */
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -38,8 +38,7 @@ class ApiSpec extends AnyFunSuite {
     val corpus = (0L until n).map(i =>
       (i, Seq.fill(dims)(rnd.nextFloat() * 2 - 1)))
     val corpusDf = corpus.toDF("cid", "cvec")
-    val queries = corpus.take(4).map { case (i, v) => (i, v) }
-      .toDF("qid", "qe")
+    val queries = corpus.take(4).toDF("qid", "qe")
     // output columns: qid, vec_id, sim_r, rk
     val got = Similarity
       .topK(corpusDf, col("cid"), col("cvec"), queries, k)
@@ -83,6 +82,34 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(out.toSet == Set(
       (1L, "call <TEL> or <TEL>", 2), (2L, "no digits", 0)))
+  }
+
+  test("TextDedup.clusters equals a reference union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val edges = List.fill(25)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++
+        // a deliberate deep chain — the diameter case plain counters miss
+        (0L until 12L).map(i => (100L + i, 101L + i))
+      // reference: classic union-find, min id as canonical label
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = graft.api.TextDedup
+        .clusters(edges.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"components diverge from union-find")
+    }
   }
 
   test("TextDedup.clusters: transitive chains collapse, components stay " +

@@ -14,6 +14,19 @@ class MultimodalSpec extends AnyFunSuite {
   private def media = Multimodal.readDir(
     spark, "/root/repo/src/main/scala/graft", "*.scala")
 
+  /** Temp dir recursively deleted at JVM exit — File.deleteOnExit on a
+    * non-empty directory silently leaves it behind. */
+  private def tempDir(prefix: String): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(); ()
+      }
+      del(dir)
+    }))
+    dir
+  }
+
   test("binaryFile ingest produces the typed media struct") {
     val df = media
     assert(df.count() > 0)
@@ -45,8 +58,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("PNG decode returns REAL width/height from real bytes") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
-    val dir = java.nio.file.Files.createTempDirectory("graft_png_").toFile
-    dir.deleteOnExit()
+    val dir = tempDir("graft_png_")
     val sizes = Seq(("a.png", 17, 31), ("b.png", 128, 64), ("c.png", 1, 1))
     sizes.foreach { case (name, w, h) =>
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -66,8 +78,7 @@ class MultimodalSpec extends AnyFunSuite {
       "non-images pass through byte-identical") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
-    val dir = java.nio.file.Files.createTempDirectory("graft_rs_").toFile
-    dir.deleteOnExit()
+    val dir = tempDir("graft_rs_")
     Seq(("big.png", 200, 100), ("small.png", 20, 10)).foreach {
       case (name, w, h) =>
         val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -102,8 +113,7 @@ class MultimodalSpec extends AnyFunSuite {
       "zero rows; single-frame images yield one") {
     import java.awt.image.BufferedImage
     import javax.imageio.{IIOImage, ImageIO}
-    val dir = java.nio.file.Files.createTempDirectory("graft_gif_").toFile
-    dir.deleteOnExit()
+    val dir = tempDir("graft_gif_")
     // 5-frame animated GIF, frame i painted with a distinct gray level
     val gifFile = new java.io.File(dir, "anim.gif")
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
@@ -145,8 +155,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("extractFeatures computes a REAL pixel histogram for images") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
-    val dir = java.nio.file.Files.createTempDirectory("graft_hist_").toFile
-    dir.deleteOnExit()
+    val dir = tempDir("graft_hist_")
     Seq(("black.png", 0x000000), ("white.png", 0xffffff)).foreach {
       case (name, rgb) =>
         val img = new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB)

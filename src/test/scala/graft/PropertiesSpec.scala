@@ -33,36 +33,6 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("TextDedup.clusters equals a reference union-find on random graphs") {
-    val spark = SparkFixture.spark
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    (1 to 5).foreach { _ =>
-      val n = 30
-      val edges = List.fill(25)(
-        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b } ++
-        // a deliberate deep chain — the diameter case plain counters miss
-        (0L until 12L).map(i => (100L + i, 101L + i))
-      // reference: classic union-find, min id as canonical label
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
-        .map(v => v -> find(v)).toMap
-      val got = graft.api.TextDedup
-        .clusters(edges.toDF("a", "b"), col("a"), col("b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"components diverge from union-find")
-    }
-  }
-
   test("isodow pairing: Spark weekday()+1 equals java.time's ISO value") {
     // the actual §7.2.6 pairing rule, checked against an independent
     // implementation (java.time is ISO: Monday=1) on sampled dates
