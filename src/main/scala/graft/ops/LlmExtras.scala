@@ -261,7 +261,19 @@ object LlmExtras {
       graft.api.Similarity
         .nearDupLsh(embeddings(s, d), col("vec_id"), col("embedding"),
           minSim = 0.2)
-        .orderBy("vec_a", "vec_b"))
+        .orderBy("vec_a", "vec_b")),
+
+    // the pairs→clusters step over EMBEDDING near-dups — the same
+    // TextDedup.clusters components engine the text path uses, proving
+    // the clustering layer is modality-independent
+    "llm_dedup_embedding_clusters" -> ((s, d) => {
+      val pairs = graft.api.Similarity
+        .nearDupLsh(embeddings(s, d), col("vec_id"), col("embedding"),
+          minSim = 0.2)
+      graft.api.TextDedup.clusters(pairs, col("vec_a"), col("vec_b"))
+        .select(col("node").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,6 +394,20 @@ object LlmExtras {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "llm_dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${dotSql("a.embedding", "b.embedding")}, 6) >= 0.2),
+         |ed AS (SELECT va AS x, vb AS y FROM p
+         |       UNION ALL SELECT vb, va FROM p),
+         |walk AS (SELECT x AS node, y AS label FROM ed
+         |         UNION
+         |         SELECT ed.x, w.label FROM ed JOIN walk w ON ed.y = w.node)
+         |SELECT node AS vec_id, LEAST(node, MIN(label)) AS cluster_id
+         |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin,
     "llm_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |  ${signBucketSql("embedding")} AS bucket FROM embeddings)

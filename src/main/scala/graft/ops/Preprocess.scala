@@ -109,20 +109,16 @@ object Preprocess {
         .orderBy("event_id")
     }),
 
-    // winsorize / clip at fitted quantiles: fit p05/p95 once (1-row frame,
-    // broadcast), clip every row with least/greatest. The exact percentile
-    // fit carries agg_median_quantile's scale caveat — at 100 TB swap in
-    // approx_percentile for the fit; the transform side is map-only either
-    // way. Bounds are rounded 6dp on both engines BEFORE comparing so the
-    // clip threshold is shared (r6's accepted boundary risk).
+    // winsorize / clip at fitted quantiles, through the Node layer like
+    // every other fitted preprocessor: fit = one percentile aggregation
+    // (swap approx_percentile in at corpus scale — agg_median_quantile's
+    // caveat), transform = map-only broadcast clip. Bounds round 6 dp on
+    // both engines BEFORE comparing so the clip threshold is shared.
     "prep_clip_quantile" -> ((s, d) => {
-      val q = orders(s, d).agg(
-        r6(percentile(col("o_totalprice"), lit(0.05))).as("lo"),
-        r6(percentile(col("o_totalprice"), lit(0.95))).as("hi"))
-      orders(s, d).crossJoin(broadcast(q))
-        .select(col("o_orderkey"),
-          least(greatest(col("o_totalprice"), col("lo")), col("hi"))
-            .as("clipped_price"))
+      val o = orders(s, d)
+      new Pipeline(Seq(QuantileClipper("o_totalprice", "clipped_price")))
+        .fit(o).transform(o)
+        .select("o_orderkey", "clipped_price")
         .orderBy("o_orderkey")
     }),
 

@@ -167,6 +167,23 @@ final case class MinMaxScaler(col0: String, outCol: String) extends Node {
       .drop("__min", "__max")
 }
 
+/** Winsorize: clip to fitted [lo, hi] percentiles. Fit = one exact
+  * percentile aggregation (a bounded sketch — approx_percentile — is the
+  * drop-in at corpus scale, same stats shape); transform = map-only
+  * broadcast clip. Bounds round to 6 dp so the fitted threshold is
+  * engine-reproducible. */
+final case class QuantileClipper(col0: String, outCol: String,
+    lo: Double = 0.05, hi: Double = 0.95) extends Node {
+  val name = s"quantile_clip($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] =
+    Some(df.agg(r6(percentile(col(col0), lit(lo))).as("__lo"),
+      r6(percentile(col(col0), lit(hi))).as("__hi")))
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.crossJoin(broadcast(stats.get))
+      .withColumn(outCol, least(greatest(col(col0), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+}
+
 /** Forward-fill NULLs from the last prior non-null within a partition
   * (pandas/dask `ffill`): a running `last(ignoreNulls)` window — one
   * shuffle on the partition key, frame-streaming state. The order columns
