@@ -41,6 +41,17 @@ object ScalarFns {
           trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"))
         .orderBy("p_partkey")),
 
+    // pd.to_numeric(errors='coerce'): failed casts become NULL instead of
+    // throwing — try_cast on both engines
+    "fn_try_cast" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("try_cast(left(text, 2) AS INT)").as("head_as_int"),
+          expr("try_cast(concat(CAST(doc_id AS STRING), '7') AS INT)")
+            .as("idx7"),
+          expr("try_cast(lang AS DOUBLE)").as("lang_as_double"))
+        .orderBy("doc_id")),
+
     // dt.tz_convert: UTC wall time → America/New_York wall time (IANA
     // tzdb on both engines — DST boundaries agree; EDT −4 / EST −5 both
     // visible in the fixture's 2024 range)
@@ -198,6 +209,12 @@ object ScalarFns {
         |lpad(p_brand, 12, '*') AS brand_pad,
         |trim(concat('  ', p_brand, '  ')) AS brand_trim
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_try_cast" ->
+      """SELECT doc_id,
+        |TRY_CAST(left(text, 2) AS INTEGER) AS head_as_int,
+        |TRY_CAST(concat(CAST(doc_id AS VARCHAR), '7') AS INTEGER) AS idx7,
+        |TRY_CAST(lang AS DOUBLE) AS lang_as_double
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_date_timezone" ->
       """SELECT event_id,
         |CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'

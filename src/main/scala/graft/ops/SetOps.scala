@@ -87,6 +87,19 @@ object SetOps {
             "train").otherwise("val").as("split"))
         .orderBy("doc_id")),
 
+    // df.sample(n=...): EXACT-n pseudo-random sample — order by a content
+    // hash, take n. Deterministic (reproducible run-over-run, no seed to
+    // ship), engine-identical, and the plan is top-k (TakeOrderedAndProject)
+    // not a global sort. The frac-based cousin is sample_hash_split.
+    "sample_exact_n" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("__h"))
+        .orderBy(col("__h"))
+        .limit(100)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // drop_duplicates(subset=[user,type], keep='first' by time) — spelled as
     // row_number()==1 so the survivor is deterministic
     "dedup_drop_duplicates" -> ((s, d) => {
@@ -154,6 +167,11 @@ object SetOps {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts, event_id) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "sample_exact_n" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100) t
+        |ORDER BY doc_id""".stripMargin,
     "dedup_keep_last" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type

@@ -18,6 +18,18 @@ class LlmExtrasSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("llm_dedup_simhash recovers every planted duplicate pair " +
+      "(hamming 0) at sf0.1") {
+    val pairs = SparkEntry
+      .queries("llm_dedup_simhash")(spark, SparkFixture.sf01)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    plantedPairs.foreach { case (a, b) =>
+      assert(pairs.get((a, b)).contains(0),
+        s"planted pair ($a,$b) missing or hamming != 0")
+    }
+  }
+
   test("planted duplicates share identical simhash at sf0.1") {
     val sh = SparkEntry.queries("llm_simhash")(spark, SparkFixture.sf01)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

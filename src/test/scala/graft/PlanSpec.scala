@@ -52,6 +52,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "unbounded cartesian")
   }
 
+  test("llm_dedup_simhash: band join stays bucket-bounded, no cartesian") {
+    val p = plan("llm_dedup_simhash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash pairing must equi-join on (band, value):\n$p")
+  }
+
   test("llm_dedup_near_minhash: LSH plan has no cartesian product") {
     val p = plan("llm_dedup_near_minhash")
     assert(!p.contains("CartesianProduct"),
