@@ -149,6 +149,46 @@ object TextDedup {
     df.select(id.as("doc_id"),
       VectorExprs.simhash64(array_distinct(split(text, " "))).as("simhash"))
 
+  /** SimHash near-dup pairs from PRECOMPUTED signatures: the 64-bit value
+    * splits into `bands` equal bands; by pigeonhole any pair within
+    * hamming distance `bands - 1` shares at least one intact band, so
+    * candidate generation is an equi-join on (band, value) — bounded per
+    * bucket, never all-pairs — and the verify is one codegen'd
+    * bit_count(xor), applied MAP-SIDE before the pair dedup shuffle (far
+    * pairs that merely share one band never reach the shuffle).
+    * `maxHamming` must stay ≤ bands - 1 or recall silently drops.
+    * Output: (doc_a, doc_b, hamming). */
+  def simhashPairs(sigs: DataFrame, id: Column, sig: Column,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"pigeonhole broken: maxHamming=$maxHamming needs > $maxHamming bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = sigs.select(id.as("__id"), sig.as("__sig"))
+      .select(col("__id"), col("__sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * width)
+              .bitwiseAND(lit(mask)).as("v"))): _*)).as("bs"))
+      .select(col("__id"), col("__sig"),
+        col("bs.band").as("band"), col("bs.v").as("v"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.v") === col("b.v")
+        && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b") // identical rows across bands
+  }
+
+  /** The classic signature-based near-dup dedup: [[simhash]] signatures →
+    * [[simhashPairs]] banded pairing. */
+  def nearSimhash(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(df, id, text)
+    simhashPairs(sigs, col("doc_id"), col("simhash"), maxHamming)
+  }
+
   /** min-k shingle-hash fingerprint per row (winnowing-style). */
   def fingerprint(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, k: Int = 8): DataFrame =

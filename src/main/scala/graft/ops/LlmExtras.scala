@@ -79,33 +79,16 @@ object LlmExtras {
       graft.api.TextDedup.simhash(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
-    // SimHash near-dup pairing (the classic web-dedup method): the 64-bit
-    // signature splits into 4×16-bit bands; by pigeonhole any pair within
-    // hamming distance 3 shares at least one intact band, so candidate
-    // generation is an equi-join on (band, value) — bucket-bounded, never
-    // all-pairs — and the verify is one codegen'd bit_count(xor). No
-    // oracle (engine-specific xxhash64 inside the signature, same
-    // sanction as llm_simhash); planted-duplicate spec pins recall.
-    "llm_dedup_simhash" -> ((s, d) => {
-      val sh = graft.api.TextDedup
-        .simhash(documents(s, d), col("doc_id"), col("text"))
-      val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 16)
-              .bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("bs"))
-        .select(col("doc_id"), col("simhash"),
-          col("bs.band").as("band"), col("bs.v").as("v"))
-      val a = banded.alias("a"); val b = banded.alias("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.v") === col("b.v")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-            .as("hamming"))
-        .dropDuplicates("doc_a", "doc_b") // identical rows across bands
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // SimHash near-dup pairing (the classic web-dedup method) — thin
+    // delegate to graft.api.TextDedup.nearSimhash: banded equi-join
+    // candidates, map-side hamming verify BEFORE the pair-dedup shuffle.
+    // No oracle (engine-specific xxhash64 inside the signature, same
+    // sanction as llm_simhash); planted-duplicate + synthetic-band specs
+    // pin recall and exclusion.
+    "llm_dedup_simhash" -> ((s, d) =>
+      graft.api.TextDedup
+        .nearSimhash(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b")),
 
     // min-k shingle-hash fingerprint (winnowing-style, graft.api). The
     // declared output flattens ARRAY<BIGINT> → '|'-joined string: the

@@ -42,11 +42,15 @@ object ScalarFns {
         .orderBy("p_partkey")),
 
     // pd.to_numeric(errors='coerce'): failed casts become NULL instead of
-    // throwing — try_cast on both engines
+    // throwing. Coercion targets are DOUBLE (and INT only from pure
+    // integer strings) because string→INT coercion of DECIMAL text is a
+    // genuine engine divergence — Spark try_cast('3.5' AS INT) = NULL
+    // while DuckDB TRY_CAST rounds to 4 — so that path is deliberately
+    // not part of the declared parity surface
     "fn_try_cast" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
-          expr("try_cast(left(text, 2) AS INT)").as("head_as_int"),
+          expr("try_cast(left(text, 2) AS DOUBLE)").as("head_as_num"),
           expr("try_cast(concat(CAST(doc_id AS STRING), '7') AS INT)")
             .as("idx7"),
           expr("try_cast(lang AS DOUBLE)").as("lang_as_double"))
@@ -211,7 +215,7 @@ object ScalarFns {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_try_cast" ->
       """SELECT doc_id,
-        |TRY_CAST(left(text, 2) AS INTEGER) AS head_as_int,
+        |TRY_CAST(left(text, 2) AS DOUBLE) AS head_as_num,
         |TRY_CAST(concat(CAST(doc_id AS VARCHAR), '7') AS INTEGER) AS idx7,
         |TRY_CAST(lang AS DOUBLE) AS lang_as_double
         |FROM documents ORDER BY doc_id""".stripMargin,

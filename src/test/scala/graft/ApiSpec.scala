@@ -122,6 +122,45 @@ class ApiSpec extends AnyFunSuite {
       s"wrong components: $out")
   }
 
+  test("TextDedup.simhashPairs: pigeonhole recall at hamming 1..3, " +
+      "exclusion when every band differs") {
+    val base = 0x123456789abcdefL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ 1L),                        // hamming 1 (band 0)
+      (3L, base ^ 0x7L),                      // hamming 3, one band
+      (4L, base ^ (1L | (1L << 16) | (1L << 32))), // hamming 3, 3 bands —
+                                              //   band 3 intact → found
+      (5L, base ^ (1L | (1L << 16) | (1L << 32) | (1L << 48))),
+                                              // hamming 4, NO intact band
+      (6L, 0x5555555555555555L ^ base)        // far away
+    ).toDF("sid", "sig")
+    val pairs = TextDedup
+      .simhashPairs(sigs, col("sid"), col("sig"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(1), s"hamming-1 pair lost: $pairs")
+    assert(pairs.get((1L, 3L)).contains(3), s"hamming-3 pair lost: $pairs")
+    assert(pairs.get((1L, 4L)).contains(3),
+      s"hamming-3 across 3 bands must survive via the intact band: $pairs")
+    assert(!pairs.contains((1L, 5L)),
+      "hamming-4 with every band touched must NOT pair (beyond guarantee)")
+    assert(!pairs.exists(p => p._1._2 == 6L && p._2 <= 3),
+      "far signature must not appear under the threshold")
+  }
+
+  test("TextDedup.clusters on an empty edge list returns empty, no error") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(TextDedup.clusters(empty, col("a"), col("b")).count() == 0)
+  }
+
+  test("TextQuality.scrub propagates NULL payloads as NULL") {
+    val rows = Seq((1L, "has 42"), (2L, null)).toDF("k", "payload")
+    val out = TextQuality.scrub(rows, col("k"), col("payload"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "has <NUM>" && out(2L) == null)
+  }
+
   test("TextDedup.nearMinhash finds the exact and near duplicates") {
     val pairs = TextDedup
       .nearMinhash(corpus, col("id"), col("body"), minJaccard = 0.5)

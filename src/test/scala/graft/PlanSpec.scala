@@ -52,6 +52,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "unbounded cartesian")
   }
 
+  test("sample_exact_n: hash-ordered sample is top-k, not a global sort") {
+    assert(plan("sample_exact_n").contains("TakeOrderedAndProject"),
+      "ORDER BY md5 LIMIT n must plan as top-k")
+  }
+
   test("llm_dedup_simhash: band join stays bucket-bounded, no cartesian") {
     val p = plan("llm_dedup_simhash")
     assert(!p.contains("CartesianProduct") &&
