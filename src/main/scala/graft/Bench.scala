@@ -37,11 +37,25 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only a ~2000-char tail of stdout: a JSON line
+    // carrying all ~130 full-precision timings gets head-truncated and the
+    // driver records parsed:null (this killed BENCH_r03). So the stdout
+    // line stays compact — totals + the top-30 slowest at 3 decimals —
+    // and the complete per-query map goes to BENCH_FULL.json for the judge.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.values.filter(_ >= 0).sum
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.toSeq.sortBy(_._1))},"errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullLine.getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    val top = results.toSeq.sortBy { case (_, v) => -v }.take(30)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(top)},"queries_full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -160,10 +160,14 @@ object TextDedup {
     * Output: (doc_a, doc_b, hamming). */
   def simhashPairs(sigs: DataFrame, id: Column, sig: Column,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && bands <= 64,
+      s"bands=$bands out of range [2,64]: bands=1 would make the band mask " +
+        "(1L << 64) wrap to 0 (JVM shifts are mod 64) and degenerate the " +
+        "candidate join to all-pairs; bands>64 gives zero-width bands")
     require(maxHamming <= bands - 1,
       s"pigeonhole broken: maxHamming=$maxHamming needs > $maxHamming bands")
     val width = 64 / bands
-    val mask = (1L << width) - 1
+    val mask = -1L >>> (64 - width)
     val banded = sigs.select(id.as("__id"), sig.as("__sig"))
       .select(col("__id"), col("__sig"),
         explode(array((0 until bands).map(b =>

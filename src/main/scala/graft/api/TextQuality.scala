@@ -44,7 +44,10 @@ object TextQuality {
       .groupBy("__id")
       .agg((max(col("__c")).cast("double") / sum(col("__c")).cast("double"))
         .as("top_word_ratio"))
-    base.join(dom, "__id").withColumnRenamed("__id", "id")
+    // LEFT join: a NULL-text row explodes to zero tokens, so an inner join
+    // would silently drop it from a generic stats API; it must survive with
+    // top_word_ratio = NULL instead
+    base.join(dom, Seq("__id"), "left").withColumnRenamed("__id", "id")
   }
 
   /** [[gopherStats]] plus a `keep` gate ANDing the published Gopher-style

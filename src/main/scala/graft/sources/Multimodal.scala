@@ -106,9 +106,12 @@ object Multimodal {
     * contract): every JDK-decodable image is scaled to fit in a
     * `maxDim`-pixel box (aspect preserved, never upscaled) and re-encoded
     * as PNG (ARGB canvas when the source carries alpha); payloads no
-    * reader understands AND images already inside the box pass through
-    * byte-identical with `resized = false` — an untouched image is never
-    * decode/re-encode mangled. Pure in-JDK (`ImageIO` + `Graphics2D`), zero
+    * reader understands pass through byte-identical as (-1, -1, false);
+    * images already inside the box pass through byte-identical too but
+    * report their REAL decoded (width, height) with `resized = false`, so
+    * callers can tell "not an image" from "image that didn't need work" —
+    * an untouched image is never decode/re-encode mangled. Pure in-JDK
+    * (`ImageIO` + `Graphics2D`), zero
     * added dependencies. Partition-wise iterator streaming; the wide
     * bytes column never shuffles — callers project it away before any
     * join/agg (MULTIMODAL.md rule). */
@@ -121,8 +124,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (path, bytes) =>
           resizeOne(bytes, maxDim) match {
-            case Some((outBytes, w, h)) => (path, outBytes, w, h, true)
-            case None => (path, bytes, -1, -1, false)
+            case Some((Some(outBytes), w, h)) => (path, outBytes, w, h, true)
+            case Some((None, w, h))           => (path, bytes, w, h, false)
+            case None                         => (path, bytes, -1, -1, false)
           }
         }
       }(out)
@@ -130,17 +134,20 @@ object Multimodal {
   }
 
   /** Decode → scale into a maxDim box → re-encode PNG. None when the JDK
-    * has no reader for the bytes OR the image already fits (caller passes
-    * the payload through BYTE-IDENTICAL — an in-box image must not be
-    * decode/re-encode mangled). Alpha survives: the canvas is ARGB when
-    * the source has an alpha channel. */
+    * has no reader for the bytes; Some((None, w, h)) when the image is
+    * already inside the box — real decoded dims, caller passes the payload
+    * through BYTE-IDENTICAL (an in-box image must not be decode/re-encode
+    * mangled); Some((Some(png), w, h)) when it was actually scaled. Alpha
+    * survives: the canvas is ARGB when the source has an alpha channel. */
   private[sources] def resizeOne(bytes: Array[Byte],
-      maxDim: Int): Option[(Array[Byte], Int, Int)] =
+      maxDim: Int): Option[(Option[Array[Byte]], Int, Int)] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim)
+      if (img == null)
         None
+      else if (math.max(img.getWidth, img.getHeight) <= maxDim)
+        Some((None, img.getWidth, img.getHeight))
       else {
         val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
         val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
@@ -159,7 +166,7 @@ object Multimodal {
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(dst, "png", bos)
-        Some((bos.toByteArray, w, h))
+        Some((Some(bos.toByteArray), w, h))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -148,6 +148,34 @@ class ApiSpec extends AnyFunSuite {
       "far signature must not appear under the threshold")
   }
 
+  test("TextDedup.simhashPairs rejects bands outside [2,64] — bands=1 " +
+      "would wrap the mask to 0 and degenerate to all-pairs") {
+    val sigs = Seq((1L, 7L), (2L, 8L)).toDF("sid", "sig")
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashPairs(sigs, col("sid"), col("sig"),
+        maxHamming = 0, bands = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashPairs(sigs, col("sid"), col("sig"),
+        maxHamming = 3, bands = 65)
+    }
+    // bands=64 is the edge: width 1, mask must be 1, not wrap
+    assert(TextDedup.simhashPairs(sigs, col("sid"), col("sig"),
+      maxHamming = 3, bands = 64).columns.toSeq ==
+      Seq("doc_a", "doc_b", "hamming"))
+  }
+
+  test("TextQuality.gopherStats keeps NULL-text rows (left join, NULL " +
+      "dominance) instead of silently dropping them") {
+    val docs = Seq((1L, Some("one two three")), (2L, None))
+      .toDF("key", "body")
+    val out = TextQuality.gopherStats(docs, col("key"), col("body"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(4)).toMap
+    assert(out.keySet == Set(1L, 2L), s"NULL-text row lost: $out")
+    assert(!out(1L) && out(2L),
+      "token-less doc must survive with NULL top_word_ratio")
+  }
+
   test("TextDedup.clusters on an empty edge list returns empty, no error") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(TextDedup.clusters(empty, col("a"), col("b")).count() == 0)

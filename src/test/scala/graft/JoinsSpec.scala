@@ -15,7 +15,7 @@ class JoinsSpec extends AnyFunSuite {
   /** Synthetic events.parquet in Tables.events' on-disk shape (ts = long
     * nanoseconds; the reader divides to µs). */
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_asof_").toString
+    val d = SparkFixture.tempDir("graft_asof_").toString
     val us = 1000L // ns per µs
     val hour = 3600L * 1000000L * us
     val t0 = 1700000000L * 1000000L * us

@@ -14,18 +14,8 @@ class MultimodalSpec extends AnyFunSuite {
   private def media = Multimodal.readDir(
     spark, "/root/repo/src/main/scala/graft", "*.scala")
 
-  /** Temp dir recursively deleted at JVM exit — File.deleteOnExit on a
-    * non-empty directory silently leaves it behind. */
-  private def tempDir(prefix: String): java.io.File = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(); ()
-      }
-      del(dir)
-    }))
-    dir
-  }
+  private def tempDir(prefix: String): java.io.File =
+    SparkFixture.tempDir(prefix)
 
   test("binaryFile ingest produces the typed media struct") {
     val df = media
@@ -101,12 +91,16 @@ class MultimodalSpec extends AnyFunSuite {
     // decode/re-encode round trip (alpha/bit-depth must survive)
     val smallOriginal = java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "small.png").toPath)
-    val (sb, _, _, sres) = out("small.png")
+    val (sb, sw, sh, sres) = out("small.png")
     assert(!sres && sb.sameElements(smallOriginal),
       "in-box image must pass through byte-identical, not re-encoded")
-    val (tb, _, _, tres) = out("not_image.txt")
+    // ...but still reports its REAL decoded dims, so callers can tell
+    // "image that needed no work" from "not an image at all"
+    assert((sw, sh) == (20, 10), s"in-box image dims: got ${(sw, sh)}")
+    val (tb, tw, th, tres) = out("not_image.txt")
     assert(!tres && new String(tb) == "plain text payload",
       "non-image payload must pass through byte-identical")
+    assert((tw, th) == (-1, -1), "non-decodable payload dims must be -1")
   }
 
   test("sampleFrames extracts REAL animated-GIF frames; non-media yields " +

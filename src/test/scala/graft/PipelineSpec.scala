@@ -36,8 +36,7 @@ class PipelineSpec extends AnyFunSuite {
   test("save/load round-trip reproduces the fitted transform exactly") {
     val c = Tables.customer(spark, SparkFixture.sf0001)
     val fitted = pipe.fit(c)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_pipe").toString
+    val dir = SparkFixture.tempDir("graft_pipe").toString
     fitted.save(dir)
     val loaded = FittedPipeline.load(spark, dir,
       pipe.fit(c).stages.map(_.node))

@@ -20,4 +20,18 @@ object SparkFixture {
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
   val sf01 = "/root/testdata/sf0.1"
+
+  /** Temp dir recursively deleted at JVM exit — File.deleteOnExit on a
+    * non-empty directory silently leaves it behind, so every spec fixture
+    * dir goes through this instead of bare createTempDirectory. */
+  def tempDir(prefix: String): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(); ()
+      }
+      del(dir)
+    }))
+    dir
+  }
 }

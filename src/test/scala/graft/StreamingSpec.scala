@@ -149,7 +149,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val batch = graft.util.Tables.events(spark, SparkFixture.sf0001)
     // the file source streams DIRECTORIES; stage the single fixture file
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    val dir = SparkFixture.tempDir("graft_replay").toPath
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${SparkFixture.sf0001}/events.parquet"),
       dir.resolve("events.parquet"))
@@ -178,7 +178,7 @@ class StreamingSpec extends AnyFunSuite {
       "duplicated or lost") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sink_")
+    val dir = SparkFixture.tempDir("graft_sink_")
     val (out, ckpt) = (s"$dir/out", s"$dir/ckpt")
     val in = MemoryStream[Ev]
     def start() = in.toDF
