@@ -27,7 +27,15 @@ object Bench {
     // a failed query must be VISIBLE: it is timed as -1 and listed under
     // "errors" rather than silently contributing a near-zero duration
     var errors = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only subset filter (comma-separated keys); the driver never sets
+    // it, so driver runs always time the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -50,10 +58,12 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.toSeq.sortBy(_._1))},"errors":$errs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullLine.getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // a filtered dev run must not clobber the committed full-suite artifact
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        fullLine.getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     val top = results.toSeq.sortBy { case (_, v) => -v }.take(30)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(top)},"queries_full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

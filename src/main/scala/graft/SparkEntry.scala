@@ -24,7 +24,8 @@ object SparkEntry {
       (ops.Preprocess.entries, ops.Preprocess.oracles),
       (ops.Udx.entries, ops.Udx.oracles),
       (ops.Streaming.entries, ops.Streaming.oracles),
-      (ops.LlmExtras.entries, ops.LlmExtras.oracles)
+      (ops.LlmExtras.entries, ops.LlmExtras.oracles),
+      (ops.Curation.entries, ops.Curation.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

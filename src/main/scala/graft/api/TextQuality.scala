@@ -63,6 +63,90 @@ object TextQuality {
         col("mean_word_len") <= maxMeanWordLen &&
         col("top_word_ratio") <= maxDominance)
 
+  /** Gopher-style repetition statistics (RAW, unrounded):
+    * (id, n_tokens, dup_token_frac, top_bigram_frac).
+    * dup_token_frac = 1 − distinct/total tokens; top_bigram_frac = count of
+    * the most frequent in-row bigram / (n_tokens − 1), 0.0 for docs with
+    * fewer than 2 tokens. Scale shape: map-side token arithmetic plus ONE
+    * in-row-bigram explode → partial-agg groupBy (the same shape as token
+    * dominance in [[gopherStats]]) — no self-joins, no corpus-wide state. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column,
+      sep: String = " "): DataFrame = {
+    val toks = split(text, sep)
+    val base = df.select(id.as("__id"),
+      size(toks).cast("long").as("n_tokens"),
+      (lit(1.0) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")).as("dup_token_frac"))
+    // in-row bigrams from the MATERIALIZED token array (element_at over a
+    // re-split would be O(n²) per row — the llm_ngram_counts lesson)
+    val bigrams = df.select(id.as("__id"), split(text, sep).as("__tk"))
+      .filter(size(col("__tk")) > 1)
+      .select(col("__id"), size(col("__tk")).as("__n"),
+        explode(transform(sequence(lit(1), size(col("__tk")) - 1),
+          i => concat_ws(" ", element_at(col("__tk"), i),
+            element_at(col("__tk"), i + 1)))).as("__bg"))
+      .groupBy(col("__id"), col("__n"), col("__bg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg((max(col("__c")).cast("double") / (first(col("__n")) - 1))
+        .as("top_bigram_frac"))
+    // LEFT join + 0.0 default: a sub-2-token row has no bigrams and must
+    // survive with a well-defined fraction, not vanish (the gopherStats
+    // NULL-text lesson)
+    base.join(bigrams, Seq("__id"), "left")
+      .withColumn("top_bigram_frac",
+        coalesce(col("top_bigram_frac"), lit(0.0)))
+      .withColumnRenamed("__id", "id")
+  }
+
+  /** [[repetitionStats]] plus a `keep` gate on the raw fractions — the
+    * Gopher repetition-removal rule (drop documents dominated by repeated
+    * tokens or a single repeated n-gram). */
+  def repetitionFilter(df: DataFrame, id: Column, text: Column,
+      maxDupTokenFrac: Double = 0.55, maxTopBigramFrac: Double = 0.05,
+      sep: String = " "): DataFrame =
+    repetitionStats(df, id, text, sep).withColumn("keep",
+      col("dup_token_frac") <= maxDupTokenFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac)
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * one token `width`-gram with the evaluation corpus — the standard
+    * n-gram-overlap test-set-leakage check every LLM data pipeline runs
+    * before training (production widths are 8–13 tokens; pick `width` to
+    * taste for the vocabulary at hand).
+    *
+    * Output: (id, n_grams, n_matched, contamination_frac) for contaminated
+    * documents only (n_matched ≥ 1).
+    *
+    * Scale shape: grams are built in-row from the materialized token
+    * array; both sides deduplicate BEFORE the join (shuffle volume =
+    * distinct grams, not token stream); the match is a plain equi-join on
+    * the gram — at corpus scale hash the gram to 64 bits first to shrink
+    * shuffle bytes (collisions only ever ADD a flagged doc: acceptable for
+    * a removal screen, so hashing is safe there; the fixture query keeps
+    * raw grams for exact oracle parity). */
+  def decontaminate(train: DataFrame, eval0: DataFrame, id: Column,
+      text: Column, width: Int = 8, sep: String = " "): DataFrame = {
+    require(width >= 2, s"gram width must be >= 2, got $width")
+    def grams(df: DataFrame): DataFrame =
+      df.select(id.as("__id"), split(text, sep).as("__tk"))
+        .filter(size(col("__tk")) >= width)
+        .select(col("__id"),
+          explode(transform(
+            sequence(lit(1), size(col("__tk")) - (width - 1)),
+            i => concat_ws(" ", (0 until width)
+              .map(j => element_at(col("__tk"), i + j)): _*))).as("__gram"))
+    val evalGrams = grams(eval0).select("__gram").distinct()
+    val trainGrams = grams(train).distinct()
+    val totals = trainGrams.groupBy("__id").agg(count(lit(1)).as("n_grams"))
+    val matched = trainGrams.join(evalGrams, "__gram")
+      .groupBy("__id").agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, "__id")
+      .select(col("__id").as("id"), col("n_grams"), col("n_matched"),
+        (col("n_matched").cast("double") / col("n_grams"))
+          .as("contamination_frac"))
+  }
+
   /** PII-style scrub: replace every match of `pattern` in `payload` with
     * `replacement` and count the redactions. Map-side only; swap in
     * email/phone/id patterns without changing the plan. */

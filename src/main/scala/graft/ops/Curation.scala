@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.util.Tables._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingestion and tokenization: benchmark decontamination,
+  * repetition filtering, and temperature-based domain mixing. Fixture
+  * wiring over the generic graft.api.TextQuality forms.
+  *
+  * Scale notes:
+  *  - decontamination: both gram sets deduplicate before ONE equi-join —
+  *    shuffle volume is |distinct grams|, never |corpus| × |eval|;
+  *  - repetition: map-side ratios + one in-row-bigram explode/groupBy;
+  *  - domain weights: a |sources|-row aggregate; the n^α sum runs over
+  *    DECIMAL-cast rounded terms so the tiny final reduction is
+  *    addition-order-free (SURVEY §7.2.2 applied to mixture weights).
+  */
+object Curation {
+
+  /** Deterministic eval split: ~2% of docs by id arithmetic (the
+    * train/val-split idiom from sample_hash_split, reused as a stand-in
+    * benchmark corpus). */
+  private val EvalPred = "doc_id % 100 < 2"
+
+  /** 3-token grams for the 31-word fixture vocabulary (production corpora
+    * use 8–13; the operator is width-parametric). */
+  private val GramWidth = 3
+
+  /** Mixture temperature α = 0.5 (weight ∝ n^α — upsamples small domains,
+    * the multilingual-training mixing rule). */
+  private val SampleBudget = 1000
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // benchmark decontamination: training docs sharing ≥1 token 3-gram
+    // with the held-out eval split, with per-doc match counts
+    "llm_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.api.TextQuality.decontaminate(
+          docs.filter(not(expr(EvalPred))), docs.filter(expr(EvalPred)),
+          col("doc_id"), col("text"), width = GramWidth)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_matched"),
+          round(col("contamination_frac"), 6).as("contamination_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher repetition removal: duplicate-token fraction + most-frequent-
+    // bigram dominance, gated on the RAW ratios (displayed rounded)
+    "llm_repetition_filter" -> ((s, d) =>
+      graft.api.TextQuality
+        .repetitionFilter(documents(s, d), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("dup_token_frac"), 6).as("dup_token_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          col("keep"))
+        .orderBy("doc_id")),
+
+    // temperature-based domain mixing (α = 0.5): per-source sampling
+    // weight ∝ n^α, normalized; expected docs at a fixed sample budget.
+    // The √n terms round 6 dp then sum as exact DECIMAL so the weight
+    // denominator cannot drift with addition order.
+    "llm_domain_weights" -> ((s, d) => {
+      val perSrc = documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("__sq",
+          round(sqrt(col("n_docs")), 6).cast(DecimalType(18, 6)))
+      val tot = perSrc.agg(sum(col("__sq")).as("__tot"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("__sq").cast("double") / col("__tot").cast("double"), 6)
+            .as("weight"),
+          round(col("__sq").cast("double") / col("__tot").cast("double") *
+            SampleBudget, 2).as("expected_docs"))
+        .orderBy("source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+         |  FROM documents),
+         |grams AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - ${GramWidth - 2}),
+         |      i -> array_to_string(tk[i:i + ${GramWidth - 1}], ' ')))
+         |      AS gram
+         |  FROM tk WHERE len(tk) >= $GramWidth),
+         |ev AS (SELECT DISTINCT gram FROM grams WHERE $EvalPred),
+         |tr AS (SELECT DISTINCT doc_id, gram FROM grams
+         |  WHERE NOT ($EvalPred)),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr
+         |  GROUP BY doc_id),
+         |m AS (SELECT doc_id, COUNT(*) AS n_matched
+         |  FROM tr JOIN ev USING (gram) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams, m.n_matched,
+         |  ROUND(CAST(m.n_matched AS DOUBLE) / t.n_grams, 6)
+         |    AS contamination_frac
+         |FROM tot t JOIN m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "llm_repetition_filter" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+        |      / CAST(len(tk) AS DOUBLE) AS dup_raw
+        |  FROM tk),
+        |bg AS (SELECT doc_id, len(tk) AS n,
+        |    unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS b
+        |  FROM tk WHERE len(tk) > 1),
+        |dom AS (SELECT doc_id,
+        |    CAST(MAX(c) AS DOUBLE) / (ANY_VALUE(n) - 1) AS top_raw
+        |  FROM (SELECT doc_id, n, b, COUNT(*) AS c FROM bg
+        |        GROUP BY doc_id, n, b)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  ROUND(b.dup_raw, 6) AS dup_token_frac,
+        |  ROUND(COALESCE(d.top_raw, 0.0), 6) AS top_bigram_frac,
+        |  (b.dup_raw <= 0.55 AND COALESCE(d.top_raw, 0.0) <= 0.05) AS keep
+        |FROM base b LEFT JOIN dom d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_domain_weights" ->
+      s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(ROUND(sqrt(COUNT(*)), 6) AS DECIMAL(18,6)) AS sq
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT SUM(sq) AS tot FROM s)
+         |SELECT source, n_docs,
+         |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+         |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * $SampleBudget,
+         |    2) AS expected_docs
+         |FROM s, t ORDER BY source""".stripMargin
+  )
+}

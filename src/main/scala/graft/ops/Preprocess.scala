@@ -109,6 +109,49 @@ object Preprocess {
         .orderBy("event_id")
     }),
 
+    // pandas/dask bfill: next following non-null per user in event-time
+    // order (mirror window of ffill — frame-streaming, one shuffle)
+    "prep_bfill" -> ((s, d) => {
+      val nullEvery7 = StatelessNode("null_every7")(df =>
+        df.withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(col("value"))))
+      val ev = events(s, d)
+      new Pipeline(Seq(nullEvery7,
+          BackwardFill("value", Seq("user_id"), Seq("ts", "event_id"))))
+        .fit(ev).transform(ev)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // pandas interpolate(method='linear'): interior NULLs on the line
+    // between surrounding non-nulls by row position; leading/trailing
+    // NULLs fall back to bfill/ffill. One shuffle, two window passes.
+    "prep_interpolate" -> ((s, d) => {
+      val nullEvery7 = StatelessNode("null_every7")(df =>
+        df.withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(col("value"))))
+      val ev = events(s, d)
+      new Pipeline(Seq(nullEvery7,
+          LinearInterpolator("value", Seq("user_id"), Seq("ts", "event_id"))))
+        .fit(ev).transform(ev)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // smoothed mean target encoding (fit = one groupBy producing the
+    // category table, transform = map-only broadcast join) — the standard
+    // tabular-ML categorical encoder, through the Node layer
+    "prep_target_encode" -> ((s, d) => {
+      val o = orders(s, d)
+      new Pipeline(Seq(
+          TargetEncoder("o_orderpriority", "o_totalprice", "prio_enc")))
+        .fit(o).transform(o)
+        .select("o_orderkey", "o_orderpriority", "prio_enc")
+        .orderBy("o_orderkey")
+    }),
+
     // winsorize / clip at fitted quantiles, through the Node layer like
     // every other fitted preprocessor: fit = one percentile aggregation
     // (swap approx_percentile in at corpus scale — agg_median_quantile's
@@ -250,6 +293,53 @@ object Preprocess {
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "prep_bfill" ->
+      """SELECT event_id, user_id,
+        |FIRST_VALUE(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+        |    IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "prep_interpolate" ->
+      """WITH t AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, v, rn,
+        |    LAST_VALUE(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY rn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY rn
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+        |  FROM t)
+        |SELECT event_id, user_id,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE ROUND(pv + (nv - pv) * (rn - prn) / (nrn - prn), 6)
+        |  END AS value
+        |FROM w ORDER BY event_id""".stripMargin,
+    "prep_target_encode" ->
+      """WITH pc AS (SELECT o_orderpriority,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        |    COUNT(o_totalprice) AS n
+        |  FROM orders GROUP BY o_orderpriority),
+        |g AS (SELECT CAST(SUM(s) AS DOUBLE) AS gsum, SUM(n) AS gn FROM pc),
+        |enc AS (SELECT o_orderpriority,
+        |    ROUND((CAST(s AS DOUBLE) + 10.0 * (gsum / gn)) / (n + 10.0), 6)
+        |      AS prio_enc
+        |  FROM pc, g)
+        |SELECT o.o_orderkey, o.o_orderpriority, e.prio_enc
+        |FROM orders o JOIN enc e USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     "prep_clip_quantile" ->
       """WITH q AS (SELECT
         |  ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,

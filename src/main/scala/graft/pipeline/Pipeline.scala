@@ -202,6 +202,98 @@ final case class ForwardFill(col0: String, partitionCols: Seq[String],
   }
 }
 
+/** Backward-fill NULLs from the next following non-null within a partition
+  * (pandas/dask `bfill`): mirror of ForwardFill — a `first(ignoreNulls)`
+  * over the (current row, unbounded following) frame. Same scale shape:
+  * one shuffle on the partition key, frame-streaming state. */
+final case class BackwardFill(col0: String, partitionCols: Seq[String],
+    orderCols: Seq[String]) extends Node {
+  val name = s"bfill($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = { df =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.withColumn(col0, first(col(col0), ignoreNulls = true).over(w))
+  }
+}
+
+/** Linear interpolation of interior NULLs by ROW POSITION within a
+  * partition (pandas `interpolate(method='linear')` over a positional
+  * index). Interior gaps are filled on the line between the surrounding
+  * non-nulls; leading NULLs take the first non-null (bfill) and trailing
+  * NULLs the last (ffill) so the output is total. Two window passes over
+  * one shuffle on the partition key; the interpolation arithmetic is a
+  * fixed-shape IEEE expression (spelled identically in the oracle) and
+  * the result rounds 6 dp for cross-engine compare. */
+final case class LinearInterpolator(col0: String, partitionCols: Seq[String],
+    orderCols: Seq[String]) extends Node {
+  val name = s"interpolate($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = { df =>
+    val W = org.apache.spark.sql.expressions.Window
+    val base = W.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val back = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val fwd = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    val rn = row_number().over(base)
+    val markedRn = when(col(col0).isNotNull, col("__rn"))
+    df.withColumn("__rn", rn)
+      .withColumn("__pv", last(col(col0), ignoreNulls = true).over(back))
+      .withColumn("__prn", last(markedRn, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(col0), ignoreNulls = true).over(fwd))
+      .withColumn("__nrn", first(markedRn, ignoreNulls = true).over(fwd))
+      .withColumn(col0,
+        when(col(col0).isNotNull, col(col0))
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(round(col("__pv") +
+            (col("__nv") - col("__pv")) * (col("__rn") - col("__prn")) /
+              (col("__nrn") - col("__prn")), 6)))
+      .drop("__rn", "__pv", "__prn", "__nv", "__nrn")
+  }
+}
+
+/** Smoothed mean target encoding (the standard categorical encoder for
+  * gradient-boosting / tabular ML): enc(cat) = (sum_y(cat) + m·ȳ_global)
+  * / (n(cat) + m). Fit = ONE groupBy over the data producing a per-category
+  * stats table with the global moments attached (exact decimal sums →
+  * hash-stable); transform = map-only broadcast join, unseen categories
+  * falling back to the global mean. */
+final case class TargetEncoder(catCol: String, targetCol: String,
+    outCol: String, smoothing: Double = 10.0) extends Node {
+  val name = s"target_encode($catCol,$targetCol)"
+  private val keyCol = s"__te_$catCol"
+  def fitStats(df: DataFrame): Option[DataFrame] = {
+    val perCat = df.groupBy(catCol)
+      .agg(sum(dec(col(targetCol))).as("__sum_t"),
+        count(col(targetCol)).as("__n_t"))
+    // global moments derive from the tiny per-category table — one pass
+    val global = perCat.agg(
+      sum(col("__sum_t")).cast("double").as("__gsum"),
+      sum(col("__n_t")).as("__gn"))
+    Some(perCat.crossJoin(broadcast(global))
+      .select(col(catCol).as(keyCol),
+        round((col("__sum_t").cast("double") +
+            lit(smoothing) * (col("__gsum") / col("__gn"))) /
+          (col("__n_t") + lit(smoothing)), 6).as("__enc"),
+        round(col("__gsum") / col("__gn"), 6).as("__genc")))
+  }
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = { df =>
+    // the global fallback must NOT ride the per-category rows: an unseen
+    // category misses the left join entirely, nulling every stats column —
+    // so the global mean arrives via its own 1-row broadcast
+    val global = stats.get.agg(max(col("__genc")).as("__genc_g"))
+    df.join(broadcast(stats.get.drop("__genc")),
+        df(catCol) === col(keyCol), "left")
+      .crossJoin(broadcast(global))
+      .withColumn(outCol, coalesce(col("__enc"), col("__genc_g")))
+      .drop(keyCol, "__enc", "__genc_g")
+  }
+}
+
 /** ts → calendar feature columns (DateProcessor node). ISO day-of-week via
   * the verified `weekday+1` pairing (SURVEY §7.2.6). */
 final case class DatetimeExpand(col0: String, prefix: String) extends Node {

@@ -176,6 +176,42 @@ class ApiSpec extends AnyFunSuite {
       "token-less doc must survive with NULL top_word_ratio")
   }
 
+  test("TextQuality.repetitionFilter flags token- and bigram-repetition; " +
+      "sub-2-token docs survive with 0.0 bigram fraction") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "go go go go go go go go go go"),  // one token repeated
+      (3L, "tic toc tic toc tic toc tic toc tic toc"), // one bigram cycles
+      (4L, "single")
+    ).toDF("key", "body")
+    // short test docs: a unique bigram is already 1/9 of doc 1, so the
+    // bigram gate loosens to 0.2 (the 0.05 default suits real doc lengths)
+    val out = TextQuality.repetitionFilter(docs, col("key"), col("body"),
+        maxTopBigramFrac = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3)), r.getBoolean(4))).toMap
+    assert(out(1L)._2, "diverse doc must pass")
+    assert(!out(2L)._2 && out(2L)._1._1 == 0.9, "repeated token must fail")
+    assert(!out(3L)._2 && out(3L)._1._2 == 5.0 / 9,
+      "cycling bigram must fail on top_bigram_frac")
+    assert(out(4L)._1._2 == 0.0, "1-token doc gets 0.0 bigram fraction")
+  }
+
+  test("TextQuality.decontaminate flags only train docs sharing a gram " +
+      "with the eval corpus") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the fence"),
+      (2L, "completely unrelated words appear in this document body")
+    ).toDF("key", "body")
+    val eval0 = Seq((100L, "we saw the quick brown fox yesterday"))
+      .toDF("key", "body")
+    val out = TextQuality
+      .decontaminate(train, eval0, col("key"), col("body"), width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // "the quick brown" + "quick brown fox" overlap; doc 2 shares nothing
+    assert(out == Map(1L -> 2L), s"got $out")
+  }
+
   test("TextDedup.clusters on an empty edge list returns empty, no error") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(TextDedup.clusters(empty, col("a"), col("b")).count() == 0)

@@ -58,4 +58,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(col("bal_mm").isNull).count() == 0)
     assert(out.filter(col("bal_mm") < 0 || col("bal_mm") > 1).count() == 0)
   }
+
+  test("BackwardFill takes the NEXT non-null; trailing nulls stay null") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 1, Option.empty[Double]), ("u1", 2, Some(5.0)),
+      ("u1", 3, None), ("u1", 4, Some(9.0)), ("u1", 5, None),
+      ("u2", 1, Some(1.0))
+    ).toDF("u", "i", "v")
+    val out = BackwardFill("v", Seq("u"), Seq("i"))
+      .fit(df)(df).orderBy("u", "i")
+      .collect().map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(out.toSeq == Seq(Some(5.0), Some(5.0), Some(9.0), Some(9.0),
+      None, Some(1.0)))
+  }
+
+  test("LinearInterpolator: interior gaps on the line, edges bfill/ffill") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: leading null → bfill; interior 2-row gap → 4, 6; trailing → 8
+      ("u1", 1, Option.empty[Double]), ("u1", 2, Some(2.0)),
+      ("u1", 3, None), ("u1", 4, None), ("u1", 5, Some(8.0)),
+      ("u1", 6, None),
+      // u2: all null survives as null
+      ("u2", 1, Option.empty[Double])
+    ).toDF("u", "i", "v")
+    val out = LinearInterpolator("v", Seq("u"), Seq("i"))
+      .fit(df)(df).orderBy("u", "i")
+      .collect().map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(out.toSeq == Seq(Some(2.0), Some(2.0), Some(4.0), Some(6.0),
+      Some(8.0), Some(8.0), None))
+  }
+
+  test("TargetEncoder: smoothed category means, unseen → global mean") {
+    import spark.implicits._
+    val train = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0))
+      .toDF("cat", "y")
+    val fitted = TargetEncoder("cat", "y", "enc", smoothing = 1.0).fit(train)
+    val heldOut = Seq("a", "b", "zzz").toDF("cat")
+    val out = fitted(heldOut).orderBy("cat")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val g = (10.0 + 20.0 + 100.0) / 3
+    def exp(s: Double, n: Long) = BigDecimal((s + 1.0 * g) / (n + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a") == exp(30.0, 2) && out("b") == exp(100.0, 1))
+    assert(out("zzz") == BigDecimal(g).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) // unseen → global mean
+  }
 }
