@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.util.Tables._
 import graft.util.Det._
 
@@ -152,6 +153,32 @@ object Aggregations {
             (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
               sqrt(col("n") * col("sy2") - col("sy") * col("sy"))))
             .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // pandas .skew()/.kurt(): 3rd/4th standardized moments from EXACT
+    // integer power sums (l_quantity is integer-valued; powers cast to
+    // DECIMAL(38,0) so the sums stay exact at any row count), finished in
+    // IEEE double spelled identically in the oracle. The denominator uses
+    // va·sqrt(va) — not pow(va, 1.5) — because sqrt is correctly rounded
+    // in both engines while pow is libm-dependent.
+    "agg_skew_kurt" -> ((s, d) => {
+      val q = col("l_quantity").cast("long")
+      def qd(e: Column): Column = sum(e.cast(DecimalType(38, 0)))
+        .cast("double")
+      val n = col("n"); val m1 = col("s1") / n; val m2 = col("s2") / n
+      val m3 = col("s3") / n; val m4 = col("s4") / n
+      val va = m2 - m1 * m1
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          qd(q).as("s1"), qd(q * q).as("s2"),
+          qd(q * q * q).as("s3"), qd(q * q * q * q).as("s4"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          r6((m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1) /
+            (va * sqrt(va))).as("skew"),
+          r6((m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 -
+            lit(3) * m1 * m1 * m1 * m1) / (va * va) - lit(3)).as("kurt"))
         .orderBy("l_returnflag")
     }),
 
@@ -333,6 +360,35 @@ object Aggregations {
       s"""SELECT event_type, COUNT(*) AS n,
          |${dsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+        |    AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(CAST(l_quantity AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+        |    AS DOUBLE) AS s2,
+        |  CAST(SUM(CAST(CAST(l_quantity AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+        |    AS DOUBLE) AS s3,
+        |  CAST(SUM(CAST(CAST(l_quantity AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+        |    AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  ROUND((s3/n - 3 * (s1/n) * (s2/n)
+        |      + 2 * (s1/n) * (s1/n) * (s1/n))
+        |    / ((s2/n - (s1/n) * (s1/n))
+        |      * sqrt(s2/n - (s1/n) * (s1/n))), 6) AS skew,
+        |  ROUND((s4/n - 4 * (s1/n) * (s3/n)
+        |      + 6 * (s1/n) * (s1/n) * (s2/n)
+        |      - 3 * (s1/n) * (s1/n) * (s1/n) * (s1/n))
+        |    / ((s2/n - (s1/n) * (s1/n)) * (s2/n - (s1/n) * (s1/n)))
+        |    - 3, 6) AS kurt
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_bool" ->
       """SELECT event_type,
         |bool_and(value > 100) AS all_gt100,

@@ -57,6 +57,68 @@ object Curation {
           col("keep"))
         .orderBy("doc_id")),
 
+    // LM-based quality filtering (the CCNet/perplexity-filter shape): fit
+    // the same Laplace-smoothed unigram model the language-ID op uses,
+    // score each doc by mean log-prob under its OWN language's model, and
+    // bucket into quartiles. Scale notes: the model table is |vocab|-sized
+    // → plain shuffle equi-join (never hint-broadcast, the llm_lang_id
+    // rule); quartile BOUNDARIES come from a 1-row percentile aggregate
+    // applied as a broadcast — bucketing never needs ntile's global sort.
+    "llm_perplexity_bucket" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val langTok = toks.groupBy("lang", "token")
+        .agg(count(lit(1)).as("c_lt"))
+      val langTot = langTok.groupBy("lang").agg(sum(col("c_lt")).as("c_l"))
+      val vocabN = langTok.select("token").distinct()
+        .agg(count(lit(1)).as("v"))
+      // every (doc.lang, token) pair that occurs is in langTok by
+      // construction, so scoring needs no smoothing grid — only the
+      // smoothed formula
+      val probs = langTok.join(langTot, "lang")
+        .crossJoin(broadcast(vocabN))
+        .select(col("lang"), col("token"),
+          round(log((col("c_lt") + 1).cast("double") /
+            (col("c_l") + col("v"))), 9)
+            .cast(DecimalType(18, 9)).as("logp"))
+      val scores = toks.join(probs, Seq("lang", "token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("logp")).as("slogp"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("slogp").cast("double") / col("n_tok"), 6)
+            .as("avg_logp"))
+      val qs = scores.agg(
+        round(percentile(col("avg_logp"), lit(0.25)), 6).as("q1"),
+        round(percentile(col("avg_logp"), lit(0.5)), 6).as("q2"),
+        round(percentile(col("avg_logp"), lit(0.75)), 6).as("q3"))
+      scores.crossJoin(broadcast(qs))
+        .select(col("doc_id"), col("n_tok"), col("avg_logp"),
+          when(col("avg_logp") <= col("q1"), 1)
+            .when(col("avg_logp") <= col("q2"), 2)
+            .when(col("avg_logp") <= col("q3"), 3)
+            .otherwise(4).as("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // the dedup END: candidates → jaccard verify → connected components →
+    // keep ONE doc per duplicate cluster (the min-id representative) —
+    // materialized as an anti-join of the corpus against the non-
+    // representative members. This is the row-level output a training run
+    // actually consumes.
+    "llm_dedup_apply" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = graft.api.TextDedup
+        .jaccardWithinBucket(docs, col("doc_id"), col("source"),
+          col("text"), minJaccard = 0.95)
+      val drop = graft.api.TextDedup
+        .clusters(pairs, col("doc_a"), col("doc_b"))
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // temperature-based domain mixing (α = 0.5): per-source sampling
     // weight ∝ n^α, normalized; expected docs at a fixed sample budget.
     // The √n terms round 6 dp then sum as exact DECIMAL so the weight
@@ -119,6 +181,47 @@ object Curation {
         |  ROUND(COALESCE(d.top_raw, 0.0), 6) AS top_bigram_frac,
         |  (b.dup_raw <= 0.55 AND COALESCE(d.top_raw, 0.0) <= 0.05) AS keep
         |FROM base b LEFT JOIN dom d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_perplexity_bucket" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(text, ' ')) AS token FROM documents),
+        |lt AS (SELECT lang, token, COUNT(*) AS c_lt FROM toks
+        |  GROUP BY lang, token),
+        |tot AS (SELECT lang, SUM(c_lt) AS c_l FROM lt GROUP BY lang),
+        |v AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+        |probs AS (SELECT lang, token,
+        |    CAST(ROUND(ln(CAST(c_lt + 1 AS DOUBLE) / (c_l + v.v)), 9)
+        |      AS DECIMAL(18,9)) AS logp
+        |  FROM lt JOIN tot USING (lang) CROSS JOIN v),
+        |s AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |    ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |  FROM toks JOIN probs USING (lang, token) GROUP BY doc_id),
+        |q AS (SELECT ROUND(quantile_cont(avg_logp, 0.25), 6) AS q1,
+        |    ROUND(quantile_cont(avg_logp, 0.5), 6) AS q2,
+        |    ROUND(quantile_cont(avg_logp, 0.75), 6) AS q3 FROM s)
+        |SELECT doc_id, n_tok, avg_logp,
+        |  CASE WHEN avg_logp <= q1 THEN 1
+        |       WHEN avg_logp <= q2 THEN 2
+        |       WHEN avg_logp <= q3 THEN 3
+        |       ELSE 4 END AS ppl_bucket
+        |FROM s, q ORDER BY doc_id""".stripMargin,
+    "llm_dedup_apply" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |  list_distinct(string_split_regex(text, ' ')) AS tk FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+        |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
+        |      - len(list_intersect(a.tk, b.tk))), 4) >= 0.95),
+        |e AS (SELECT doc_a AS x, doc_b AS y FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |walk AS (SELECT x AS node, y AS label FROM e
+        |         UNION
+        |         SELECT e.x, w.label FROM e JOIN walk w ON e.y = w.node),
+        |comp AS (SELECT node, LEAST(node, MIN(label)) AS cluster_id
+        |  FROM walk GROUP BY node)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
         |ORDER BY doc_id""".stripMargin,
     "llm_domain_weights" ->
       s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,

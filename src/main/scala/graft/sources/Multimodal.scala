@@ -250,6 +250,49 @@ object Multimodal {
       .select(col("path"), col("features._1").as("features"))
   }
 
+  /** Audio header decode. REAL for every format the JDK's
+    * `javax.sound.sampled` ships a provider for (WAV/AIFF/AU — zero extra
+    * dependencies): sample rate, channels, bit depth, frame count and
+    * duration parsed from the container header, O(header) not O(samples).
+    * Bytes no installed provider understands (MP3/OGG/video/unknown)
+    * return the (-1, …) sentinel row — the documented splice point for a
+    * full codec stack, same contract as [[decodeDims]]. Partition-wise
+    * iterator streaming; the payload column never shuffles. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val out = Encoders.product[(String, Int, Int, Int, Long, Long)]
+    df.select(col("path"), col("media.bytes"))
+      .as[(String, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          decodeAudioHeader(bytes) match {
+            case Some((rate, ch, bits, frames, durMs)) =>
+              (path, rate, ch, bits, frames, durMs)
+            case None => (path, -1, -1, -1, -1L, -1L)
+          }
+        }
+      }(out)
+      .toDF("path", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms")
+  }
+
+  /** Header-only (rate, channels, bits, frames, duration ms) via the
+    * JDK's sampled-audio provider registry; None when unrecognized. */
+  private[sources] def decodeAudioHeader(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val rate = f.getSampleRate
+      val durMs =
+        if (frames >= 0 && rate > 0) math.round(frames * 1000.0 / rate)
+        else -1L
+      Some((math.round(rate), f.getChannels, f.getSampleSizeInBits,
+        frames, durMs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Normalized `dims`-bin grayscale histogram over REAL pixels; None
     * when no installed reader decodes the bytes. */
   private[sources] def imageHistogram(bytes: Array[Byte],

@@ -64,6 +64,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded == sizes.toSet, s"decoded dims wrong: $decoded")
   }
 
+  test("WAV decode returns REAL rate/channels/bits/frames from real " +
+      "bytes; non-audio yields the sentinel row") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val dir = tempDir("graft_wav_")
+    val specs = Seq(("a.wav", 8000f, 1, 16, 800L), ("b.wav", 44100f, 2, 16, 441L))
+    specs.foreach { case (name, rate, ch, bits, frames) =>
+      val fmt = new AudioFormat(rate, bits, ch, true, false)
+      val pcm = new Array[Byte]((frames * fmt.getFrameSize).toInt)
+      (0 until pcm.length).foreach(i => pcm(i) = ((i * 37) & 0x7f).toByte)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      AudioSystem.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        new java.io.File(dir, name))
+    }
+    // a non-audio payload must get the sentinel, not an exception
+    java.nio.file.Files.write(new java.io.File(dir, "c.wav").toPath,
+      Array[Byte](1, 2, 3, 4))
+    val got = Multimodal
+      .decodeAudio(Multimodal.readDir(spark, dir.getAbsolutePath, "*.wav"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("a.wav", 8000, 1, 16, 800L, 100L),   // 800 frames @ 8 kHz = 100 ms
+      ("b.wav", 44100, 2, 16, 441L, 10L),   // 441 frames @ 44.1 kHz = 10 ms
+      ("c.wav", -1, -1, -1, -1L, -1L)), s"got $got")
+  }
+
   test("resizeImages REALLY resizes: aspect kept, box bound, no upscale; " +
       "non-images pass through byte-identical") {
     import java.awt.image.BufferedImage
