@@ -160,4 +160,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("llm_sim_topk").contains("dot_product_float"),
       "custom codegen expression not in the plan")
   }
+
+  test("llm_decontaminate: gram match is an equi-join, never a cartesian") {
+    val p = plan("llm_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination pair space must stay gram-bounded:\n$p")
+  }
+
+  test("llm_perplexity_bucket: model join unhinted; only 1-row scalars " +
+      "(vocab size ×2 branches, quartile bounds) are broadcast by hint") {
+    val analyzed = SparkEntry.queries("llm_perplexity_bucket")(spark, sf)
+      .queryExecution.analyzed.toString
+    // vocabN's scalar hint appears in BOTH consumers of `scores` (the row
+    // branch and the quartile-bounds branch) + the bounds broadcast = 3;
+    // a 4th would mean someone hinted the vocab-sized probs table
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints <= 3, s"vocab-sized probs must not carry a hint:\n$analyzed")
+    assert(!plan("llm_perplexity_bucket").contains("CartesianProduct"))
+  }
+
+  test("prep_target_encode: fitted category stats broadcast, no shuffle " +
+      "of the encoded table beyond the presentation sort") {
+    val p = plan("prep_target_encode")
+    assert(p.contains("BroadcastExchange"),
+      s"category stats must arrive via broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"transform must not shuffle-join the fact side:\n$p")
+  }
+
+  test("prep_interpolate: all five window frames share ONE hash shuffle") {
+    val p = plan("prep_interpolate")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected one shared window shuffle, got $hashEx:\n$p")
+  }
 }
