@@ -119,6 +119,28 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // per-source Shannon token entropy (corpus-diversity audit — low
+    // entropy flags TEMPLATED/boilerplate domains before training). The
+    // −Σ p·ln p reduction runs over thousands of terms, so each term
+    // rounds 9 dp into DECIMAL and sums exactly — an IEEE double Σ would
+    // be addition-order-dependent and hash-unstable (SURVEY §7.2.2).
+    "llm_token_entropy" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy("source")
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_distinct"))
+      val p = col("c").cast("double") / col("tot")
+      counts.join(tot, "source")
+        .withColumn("term",
+          round(p * log(p), 9).cast(DecimalType(18, 9)))
+        .groupBy("source")
+        .agg(max(col("tot")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          round(-sum(col("term")).cast("double"), 6).as("entropy"))
+        .orderBy("source")
+    }),
+
     // temperature-based domain mixing (α = 0.5): per-source sampling
     // weight ∝ n^α, normalized; expected docs at a fixed sample budget.
     // The √n terms round 6 dp then sum as exact DECIMAL so the weight
@@ -223,6 +245,19 @@ object Curation {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    "llm_token_entropy" ->
+      """WITH c AS (SELECT source, token, COUNT(*) AS c FROM
+        |  (SELECT source, unnest(string_split_regex(text, ' ')) AS token
+        |   FROM documents) GROUP BY source, token),
+        |t AS (SELECT source, SUM(c) AS tot, COUNT(*) AS n_distinct
+        |  FROM c GROUP BY source)
+        |SELECT source, CAST(MAX(tot) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(n_distinct) AS BIGINT) AS n_distinct,
+        |  ROUND(-CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / tot)
+        |    * ln(CAST(c AS DOUBLE) / tot), 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE), 6) AS entropy
+        |FROM c JOIN t USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "llm_domain_weights" ->
       s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,
          |    CAST(ROUND(sqrt(COUNT(*)), 6) AS DECIMAL(18,6)) AS sq

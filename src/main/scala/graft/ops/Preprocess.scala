@@ -109,6 +109,16 @@ object Preprocess {
         .orderBy("event_id")
     }),
 
+    // sklearn RobustScaler: (x − median)/IQR from fitted rounded bounds —
+    // completes the scaler family (standard, minmax, clip, robust)
+    "prep_robust_scale" -> ((s, d) => {
+      val o = orders(s, d)
+      new Pipeline(Seq(RobustScaler("o_totalprice", "price_rs")))
+        .fit(o).transform(o)
+        .select("o_orderkey", "price_rs")
+        .orderBy("o_orderkey")
+    }),
+
     // pandas/dask bfill: next following non-null per user in event-time
     // order (mirror window of ffill — frame-streaming, one shuffle)
     "prep_bfill" -> ((s, d) => {
@@ -293,6 +303,13 @@ object Preprocess {
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "prep_robust_scale" ->
+      """WITH q AS (SELECT
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3 FROM orders)
+        |SELECT o_orderkey, (o_totalprice - med) / (q3 - q1) AS price_rs
+        |FROM orders, q ORDER BY o_orderkey""".stripMargin,
     "prep_bfill" ->
       """SELECT event_id, user_id,
         |FIRST_VALUE(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END

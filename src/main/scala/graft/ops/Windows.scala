@@ -133,6 +133,37 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // pandas rolling(10).corr(other): windowed Pearson correlation from
+    // exact decimal power/cross sums (the agg_corr recipe over a moving
+    // frame). Emitted only for FULL windows with nonzero variance on both
+    // sides — the guard compares exact values, so the NULL set is
+    // engine-identical.
+    "window_rolling_corr" -> ((s, d) => {
+      // (orderkey, linenumber) is NOT unique in the fixture lineitem;
+      // partkey completes the unique tie-break so the rolling frame's
+      // contents — and therefore the correlation — are deterministic
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+        .rowsBetween(-9, Window.currentRow)
+      val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+      val n = count(lit(1)).over(w).cast("double")
+      val sx = sum(x).over(w).cast("double")
+      val sy = sum(y).over(w).cast("double")
+      val sxy = sum(x * y).over(w).cast("double")
+      val sx2 = sum(x * x).over(w).cast("double")
+      val sy2 = sum(y * y).over(w).cast("double")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          when(n === 10 && (n * sx2 - sx * sx) > 0 &&
+              (n * sy2 - sy * sy) > 0,
+            round((n * sxy - sx * sy) /
+              (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6))
+            .as("rolling_corr10"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     // pandas ewm(alpha=0.2).mean() in its scale-bounded form: a 10-lag
     // truncated exponential weighting ((1-α)^10 ≈ 0.107 tail mass
     // dropped) — the untruncated recursive form needs unbounded history
@@ -270,6 +301,32 @@ object Windows {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) t
         |ORDER BY event_id""".stripMargin,
+    "window_rolling_corr" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |CASE WHEN n = 10 AND (n * sx2 - sx * sx) > 0
+        |      AND (n * sy2 - sy * sy) > 0 THEN
+        |  ROUND((n * sxy - sx * sy) /
+        |    (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+        |END AS rolling_corr10
+        |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w
+        |    AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |    * CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |    * CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx2,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sy2
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) t
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "window_ewm_mean" -> {
       val num = ewmWeights.zipWithIndex.map { case (wi, i) =>
         s"COALESCE(LAG(value, $i) OVER w * $wi, 0.0)"

@@ -167,6 +167,24 @@ final case class MinMaxScaler(col0: String, outCol: String) extends Node {
       .drop("__min", "__max")
 }
 
+/** (x − median)/IQR — sklearn RobustScaler: outlier-insensitive scaling
+  * for heavy-tailed features. Fit = one exact percentile aggregation
+  * (approx_percentile is the drop-in at corpus scale); the three fitted
+  * bounds round 6 dp so the scale is engine-reproducible; transform =
+  * map-only broadcast arithmetic. */
+final case class RobustScaler(col0: String, outCol: String) extends Node {
+  val name = s"robust_scale($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] =
+    Some(df.agg(r6(percentile(col(col0), lit(0.5))).as("__med"),
+      r6(percentile(col(col0), lit(0.25))).as("__q1"),
+      r6(percentile(col(col0), lit(0.75))).as("__q3")))
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.crossJoin(broadcast(stats.get))
+      .withColumn(outCol,
+        (col(col0) - col("__med")) / (col("__q3") - col("__q1")))
+      .drop("__med", "__q1", "__q3")
+}
+
 /** Winsorize: clip to fitted [lo, hi] percentiles. Fit = one exact
   * percentile aggregation (a bounded sketch — approx_percentile — is the
   * drop-in at corpus scale, same stats shape); transform = map-only
