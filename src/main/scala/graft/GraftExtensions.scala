@@ -7,22 +7,28 @@ import graft.functions._
 
 /** SparkSessionExtensions entry point: exposes graft's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
-  * works for SQL-surface users too.
+  * works for SQL-surface users too, and injects the
+  * [[functions.RewriteDotProduct]] optimizer rule so the declarative
+  * zip_with/aggregate dot-product idiom compiles to the codegen'd native
+  * expression.
   *
   * Wire-up: `--conf spark.sql.extensions=graft.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`); an existing session can
   * call `GraftExtensions.register(spark)` directly.
   *
-  * This is the (c)-tier extension point from the design rules — used here
-  * only for function registration; no custom Rule/Strategy exists because
-  * every operator's semantics are expressible in Catalyst's built-in
-  * operators (SURVEY §4 conclusion).
+  * This is the (c)-tier extension point from the design rules. No custom
+  * Strategy/SparkPlan exists because every operator's SEMANTICS are
+  * expressible in Catalyst's built-in operators (SURVEY §4 conclusion);
+  * the one injected Rule is a pure PERFORMANCE rewrite with an exact
+  * semantics-preservation guard.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => functions.RewriteDotProduct)
+  }
 }
 
 object GraftExtensions {
@@ -63,10 +69,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       arity("graft_simhash64", 1)(args => SimHash64(args(0)))))
 
-  /** Register into an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an already-built session (functions + the dot-product
+    * rewrite rule via the experimental-methods slot, which runs at the
+    * end of optimization like an injected rule). */
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(functions.RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ functions.RewriteDotProduct
+  }
 }
