@@ -81,6 +81,17 @@ object Projections {
           Array(col("p_size"), col("p_retailprice")), "k", "v")
         .orderBy("p_partkey", "k")),
 
+    // pandas explode() keeps empty-list rows as a NaN row — Spark's
+    // explode() DROPS them, so the parity form is posexplode_outer (the
+    // doc survives with pos = NULL, token = NULL)
+    "project_explode_outer" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => x.startsWith("s")).as("arr"))
+        .select(col("doc_id"),
+          posexplode_outer(col("arr")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")),
+
     "project_conditional" -> ((s, d) =>
       lineitem(s, d)
         .withColumn("qclass",
@@ -129,6 +140,22 @@ object Projections {
     "project_conditional" ->
       """SELECT CASE WHEN l_quantity > 40 THEN 'H'
         |            WHEN l_quantity > 15 THEN 'M' ELSE 'L' END AS qclass,
-        |COUNT(*) AS n FROM lineitem GROUP BY qclass ORDER BY qclass""".stripMargin
+        |COUNT(*) AS n FROM lineitem GROUP BY qclass ORDER BY qclass""".stripMargin,
+    // the [NULL] substitute list reproduces posexplode_outer's survivor
+    // row; pos stays NULL for it (Spark emits NULL, not 0)
+    "project_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' '),
+        |      x -> starts_with(x, 's')) AS arr FROM documents),
+        |u AS (SELECT doc_id, len(arr) = 0 AS empty,
+        |    CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END AS arr2
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN empty THEN NULL ELSE p END AS pos, token
+        |FROM (SELECT doc_id, empty,
+        |    CAST(generate_subscripts(arr2, 1) - 1 AS INTEGER) AS p,
+        |    unnest(arr2) AS token
+        |  FROM u)
+        |ORDER BY doc_id, pos""".stripMargin
   )
 }

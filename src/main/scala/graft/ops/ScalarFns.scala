@@ -154,6 +154,18 @@ object ScalarFns {
           (col("l_partkey") % 7).as("pk_mod7"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // numpy/pandas bitwise ufuncs (&, |, ^, <<, >>) — pure codegen'd
+    // integer arithmetic, map-side
+    "fn_bitwise" -> ((s, d) =>
+      events(s, d).select(
+          col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("band"),
+          col("event_id").bitwiseOR(lit(16L)).as("bor"),
+          col("event_id").bitwiseXOR(lit(85L)).as("bxor"),
+          shiftleft(col("event_id") % 100, 2).as("shl"),
+          shiftright(col("event_id"), 3).as("shr"))
+        .orderBy("event_id")),
+
     "fn_json" -> ((s, d) =>
       events(s, d).select(
           col("event_id"),
@@ -288,6 +300,14 @@ object ScalarFns {
         |l_quantity * l_quantity AS qty_sq,
         |l_partkey % 7 AS pk_mod7
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT event_id,
+        |event_id & 255 AS band,
+        |event_id | 16 AS bor,
+        |xor(event_id, 85) AS bxor,
+        |(event_id % 100) << 2 AS shl,
+        |event_id >> 3 AS shr
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_json" ->
       """SELECT event_id,
         |CAST(json_extract(props, '$.k') AS INTEGER) AS k_int

@@ -133,6 +133,20 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // pandas groupby().transform('mean'): the per-group statistic
+    // broadcast back onto every member row — an unbounded-frame window
+    // (ONE shuffle on the group key, no join back). The mean is an exact
+    // decimal sum IEEE-divided by the count: bit-stable, no rounding.
+    "window_group_transform" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"),
+          (sum(dec(col("l_extendedprice"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("order_mean_price"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     // pandas rolling(10).corr(other): windowed Pearson correlation from
     // exact decimal power/cross sums (the agg_corr recipe over a moving
     // frame). Emitted only for FULL windows with nonzero variance on both
@@ -301,6 +315,14 @@ object Windows {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) t
         |ORDER BY event_id""".stripMargin,
+    "window_group_transform" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_extendedprice,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_orderkey) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY l_orderkey) AS order_mean_price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "window_rolling_corr" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |CASE WHEN n = 10 AND (n * sx2 - sx * sx) > 0
