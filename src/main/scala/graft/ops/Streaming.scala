@@ -55,6 +55,23 @@ object Streaming {
           col("w.end").as("sess_end"), col("n"))
         .orderBy("user_id", "sess_start")),
 
+    // top-3 event types per tumbling hour — the windowed-leaderboard shape.
+    // Streaming form: the windowed COUNT runs incrementally with a
+    // watermark (append mode); the RANK stage runs per emitted window in
+    // foreachBatch (ranking is not incremental — each closed window ranks
+    // once, exactly like this batch plan ranks all of them;
+    // StreamingSpec.twinWindowTopK drives it and pins equality)
+    "stream_topk_per_window" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      val w = Window.partitionBy("ws")
+        .orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .orderBy("ws", "rk")
+    }),
+
     // replayed stream dedup: batch twin of dropDuplicates("event_id") over
     // a doubled input (identical duplicate rows ⇒ deterministic survivor)
     "stream_dedup_ids" -> ((s, d) => {
@@ -99,6 +116,13 @@ object Streaming {
       s"""SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
          |${dsumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_topk_per_window" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT ws, event_type, n, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ws
+        |    ORDER BY n DESC, event_type ASC) AS INTEGER) AS rk FROM c) t
+        |WHERE rk <= 3 ORDER BY ws, rk""".stripMargin,
     "stream_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts)
         |    - m * INTERVAL '1 minute' AS ws, COUNT(*) AS n
@@ -145,6 +169,32 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** Streaming windowed top-k. The COUNT stage is incremental (append
+    * mode emits a window's rows exactly once, when the watermark closes
+    * it); RANKING is not an incremental operation, so each batch ranks
+    * the windows it received in foreachBatch. Correct because every
+    * (window, type) row of one window closes on the SAME watermark
+    * advance — one window never splits across micro-batches, so the
+    * per-window rank sees complete windows, exactly like the batch plan.
+    * `emit` receives each batch's ranked rows (a real pipeline writes a
+    * sink here). */
+  def twinWindowTopK(stream: DataFrame, k: Int)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val counts = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    counts.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy("ws")
+          .orderBy(col("n").desc, col("event_type").asc)
+        emit(batch.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k))
+    }
+  }
 
   /** Streaming dedup by id. dropDuplicatesWithinWatermark is the form
     * whose state store actually evicts on watermark advance — plain

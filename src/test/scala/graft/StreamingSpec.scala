@@ -223,4 +223,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest == Map(1L -> 2L, 2L -> 1L))
     } finally q.stop()
   }
+
+  test("windowed top-k: append-mode counts + foreachBatch rank match the " +
+      "batch leaderboard") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val in = MemoryStream[Ev]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Timestamp,
+      String, Long, Int)]
+    val q = Streaming.twinWindowTopK(in.toDF, k = 2) { ranked =>
+      got.synchronized {
+        got ++= ranked.collect().map { case Row(ws: Timestamp, et: String,
+          n: Long, rk: Int) => (ws, et, n, rk) }
+      }
+    }.start()
+    try {
+      // hour 10: click ×3, view ×2, error ×1 → top-2 = click, view
+      val h10 = Seq("click", "click", "click", "view", "view", "error")
+        .zipWithIndex.map { case (et, i) =>
+          Ev(i, t(s"2024-01-01 10:0$i:00"), 1, et) }
+      in.addData(h10: _*)
+      q.processAllAvailable()
+      assert(got.isEmpty, "window must not emit before the watermark")
+      // sentinel closes hour 10
+      in.addData(Ev(99, t("2024-01-01 13:00:00"), 2, "view"))
+      q.processAllAvailable()
+      val expected = Seq(
+        (t("2024-01-01 10:00:00"), "click", 3L, 1),
+        (t("2024-01-01 10:00:00"), "view", 2L, 2))
+      assert(got.synchronized(got.toSeq) == expected,
+        s"got ${got.synchronized(got.toSeq)}")
+    } finally q.stop()
+  }
 }
