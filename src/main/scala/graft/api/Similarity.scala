@@ -67,14 +67,26 @@ object Similarity {
     * `excludeSelf` semantics as in [[topK]]. */
   def topKIvf(corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, k: Int, bits: Int = 8,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, nprobe: Int = 1): DataFrame = {
     requireQuerySchema(queries)
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe must be in [1, bits + 1 = ${bits + 1}], got $nprobe")
     val e = corpus.select(id.as("vec_id"), vec.as("__v"),
       signBucket(vec, bits).as("__bucket"))
+    // multi-probe: the query's own bucket plus its first nprobe−1 one-bit-
+    // flip neighbors — the standard recall lever for sign LSH (a near-
+    // boundary vector lands one sign flip away). Probe cost grows linearly
+    // with nprobe and stays |list|-bounded; each corpus vector lives in
+    // exactly one bucket and probe buckets are distinct, so no pair dedup
+    // is needed.
+    val probes = (be: Column) =>
+      Seq(be) ++ (0 until (nprobe - 1)).map(i => be.bitwiseXOR(lit(1 << i)))
     val q = queries.withColumn("__qbucket", signBucket(col("qe"), bits))
+      .withColumn("__probe",
+        explode(array(probes(col("__qbucket")): _*)))
     val selfCond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
     val scored = e.join(broadcast(q),
-        col("__bucket") === col("__qbucket") && selfCond)
+        col("__bucket") === col("__probe") && selfCond)
       .select(col("qid"), col("vec_id"),
         round(dot(col("qe"), col("__v")), 6).as("sim_r"))
     val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))

@@ -269,6 +269,20 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // multi-probe IVF: same inverted lists, but each query also probes
+    // its 3 nearest one-bit-flip buckets (nprobe=4) — recall climbs while
+    // probe cost stays |list|-bounded × nprobe. The recall-vs-cost knob
+    // of every production ANN index, exercised end-to-end.
+    "llm_sim_topk_ivf_probe" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .topKIvf(emb, col("vec_id"), col("embedding"), q, k = 5, nprobe = 4)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // embedding near-dup: sign-bit LSH bucket join + cosine verify —
     // bounded candidate generation, the ANN scale path for dedup
     "llm_dedup_embedding" -> ((s, d) =>
@@ -404,6 +418,20 @@ object LlmExtras {
          |s AS (SELECT qid, vec_id,
          |  ROUND(${dotSql("qe", "e.embedding")}, 6) AS sim_r
          |  FROM q JOIN e ON e.bucket = q.qbucket AND e.vec_id != q.qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "llm_sim_topk_ivf_probe" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+         |  FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, e.vec_id,
+         |  ROUND(${dotSql("qe", "e.embedding")}, 6) AS sim_r
+         |  FROM q CROSS JOIN (VALUES (0), (1), (2), (4)) m(m)
+         |  JOIN e ON e.bucket = xor(q.qbucket, m.m)
+         |    AND e.vec_id != q.qid)
          |SELECT qid, rk, vec_id, sim_r FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t

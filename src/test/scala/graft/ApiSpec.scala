@@ -60,6 +60,25 @@ class ApiSpec extends AnyFunSuite {
     assert(got == expected, s"topK diverges from brute force")
   }
 
+  test("Similarity.topKIvf multi-probe: recall never drops vs single " +
+      "probe, and candidates stay a superset per query") {
+    val emb = graft.util.Tables.embeddings(spark, SparkFixture.sf0001)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def res(np: Int) = Similarity
+      .topKIvf(emb, col("vec_id"), col("embedding"), q, k = 5, nprobe = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet // (qid, vec_id, sim)
+    val single = res(1); val multi = res(9)
+    assert(multi.size >= single.size, "multi-probe must not lose results")
+    // per query, the multi-probe top-1 similarity is >= the single-probe
+    // top-1 (a wider candidate set can only improve the best hit)
+    val bestS = single.groupBy(_._1).view.mapValues(_.map(_._3).max)
+    val bestM = multi.groupBy(_._1).view.mapValues(_.map(_._3).max)
+    bestS.foreach { case (qid, s) =>
+      assert(bestM(qid) >= s, s"recall dropped for query $qid") }
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
