@@ -119,6 +119,24 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // cross-corpus dedup: drop training docs whose NORMALIZED text hash
+    // appears in the held-out corpus (exact-dup decontamination — the
+    // fast sibling of the n-gram screen above; run both in a real
+    // pipeline). A left anti join on the tiny hash key: shuffle volume
+    // is 32-byte hashes, never document bytes.
+    "llm_dedup_cross" -> ((s, d) => {
+      val norm = (c: org.apache.spark.sql.Column) =>
+        md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+      val docs = documents(s, d)
+      val evalHashes = docs.filter(expr(EvalPred))
+        .select(norm(col("text")).as("h")).distinct()
+      docs.filter(not(expr(EvalPred)))
+        .withColumn("h", norm(col("text")))
+        .join(evalHashes, Seq("h"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // per-source Shannon token entropy (corpus-diversity audit — low
     // entropy flags TEMPLATED/boilerplate domains before training). The
     // −Σ p·ln p reduction runs over thousands of terms, so each term
@@ -245,6 +263,15 @@ object Curation {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_cross" ->
+      s"""WITH ev AS (SELECT DISTINCT
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         |  FROM documents WHERE $EvalPred)
+         |SELECT doc_id, source FROM documents
+         |WHERE NOT ($EvalPred)
+         |  AND md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |    NOT IN (SELECT h FROM ev)
+         |ORDER BY doc_id""".stripMargin,
     "llm_token_entropy" ->
       """WITH c AS (SELECT source, token, COUNT(*) AS c FROM
         |  (SELECT source, unnest(string_split_regex(text, ' ')) AS token
