@@ -43,7 +43,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors ::= name; false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // between queries (outside the timed section): drop RDDs the last
+      // query left persisted — localCheckpoint generations from the
+      // iterative ops would otherwise accumulate across all ~170 queries
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     // The driver captures only a ~2000-char tail of stdout: a JSON line
     // carrying all ~130 full-precision timings gets head-truncated and the
