@@ -154,6 +154,73 @@ object TextDedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014 —
+    * public): the deep-graph alternative to [[clusters]]' plain min-label
+    * propagation. Plain propagation needs O(diameter) rounds — a chain of
+    * near-dup docs (common in crawl data: A≈B≈C≈…) makes that linear;
+    * star contraction converges in O(log² n) rounds regardless of shape.
+    *
+    * Per round (both halves are groupBy-min + shuffle equi-join — no
+    * neighbor-list collect, state one row per edge):
+    *  - large-star: every neighbor v > u links to m = min(N(u) ∪ {u});
+    *  - small-star: with edges directed high→low, every neighbor (all
+    *    ≤ u) and u itself link to m.
+    * Fixpoint: the edge set stops changing; every edge then points at its
+    * component's minimum, which is exactly [[clusters]]' labeling (the
+    * equivalence is property-tested on random graphs). Same checkpoint
+    * discipline as [[clusters]]: truncate lineage every round, release
+    * superseded generations. */
+  def clustersStar(pairs: DataFrame, a: Column, b: Column,
+      maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(a.as("u"), b.as("v")).filter(col("u") =!= col("v"))
+    var e = fwd.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    // not checkpointed: referenced once by the result, outside the loop
+    val nodes = fwd.select(col("u").as("n"))
+      .union(fwd.select(col("v").as("n"))).distinct()
+    var prevGen = checkpointRdd(e)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // large-star over the BIDIRECTIONAL view: m(u) = min(N(u) ∪ {u});
+      // strictly-larger neighbors re-link to m
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = bidir.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = bidir.filter(col("v") > col("u"))
+        .join(mL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star over the high→low direction: u and every (≤) neighbor
+      // link to m
+      val mS = afterLarge.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val withM = afterLarge.join(mS, "u")
+      val next = withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct().localCheckpoint()
+      changed = next.exceptAll(e).limit(1).count() +
+        e.exceptAll(next).limit(1).count()
+      prevGen.foreach(_.unpersist(blocking = false))
+      prevGen = checkpointRdd(next)
+      e = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"clustersStar() did not converge within $maxIters rounds")
+    // at the fixpoint every edge is (member, component-min); isolated-in-
+    // pairs nodes (self-pairs filtered) and centers label themselves
+    nodes
+      .join(e.select(col("u").as("n"), col("v").as("ctr")), Seq("n"), "left")
+      .select(col("n").as("node"),
+        coalesce(col("ctr"), col("n")).as("cluster_id"))
+  }
+
   /** The persisted RDD backing an (eager) localCheckpoint result — the
     * handle needed to release a superseded checkpoint generation. None
     * for non-checkpoint plans (then nothing is unpersisted). */

@@ -131,6 +131,39 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("TextDedup.clustersStar equals union-find AND clusters() on " +
+      "random graphs with deep chains") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 25
+      val edges = List.fill(20)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++
+        // the deep chain is the case star-contraction exists FOR: plain
+        // propagation needs O(length) rounds, stars need O(log²)
+        (0L until 15L).map(i => (200L + i, 201L + i))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val star = TextDedup
+        .clustersStar(edges.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == expected, "clustersStar diverges from union-find")
+      val plain = TextDedup
+        .clusters(edges.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == plain, "the two component engines must agree")
+    }
+  }
+
   test("TextDedup.clusters: transitive chains collapse, components stay " +
       "apart, singletons are not emitted") {
     // chain 1-2, 2-3 (1 and 3 never paired directly) + separate pair 7-9
