@@ -125,6 +125,19 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // the SAME pairs through the large-star/small-star engine
+    // (TextDedup.clustersStar): identical fixpoint labeling, O(log²)
+    // rounds instead of O(diameter) — hash-matching the clusters oracle
+    // proves the star algorithm end-to-end
+    "llm_dedup_clusters_star" -> ((s, d) => {
+      val pairs = graft.api.TextDedup
+        .jaccardWithinBucket(documents(s, d), col("doc_id"), col("source"),
+          col("text"), minJaccard = 0.95)
+      graft.api.TextDedup.clustersStar(pairs, col("doc_a"), col("doc_b"))
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "llm_sim_topk" -> ((s, d) => simTopk(s, d)),
 
     // all pairs with cosine ≥ τ WITHIN a label partition (equi-key bounds
@@ -231,6 +244,21 @@ object LlmOps {
         |      - len(list_intersect(a.tk, b.tk))), 4) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |  list_distinct(string_split_regex(text, ' ')) AS tk FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+        |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
+        |      - len(list_intersect(a.tk, b.tk))), 4) >= 0.95),
+        |e AS (SELECT doc_a AS x, doc_b AS y FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |walk AS (SELECT x AS node, y AS label FROM e
+        |         UNION
+        |         SELECT e.x, w.label FROM e JOIN walk w ON e.y = w.node)
+        |SELECT node AS doc_id, LEAST(node, MIN(label)) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    "llm_dedup_clusters_star" ->
       """WITH RECURSIVE t AS (SELECT doc_id, source,
         |  list_distinct(string_split_regex(text, ' ')) AS tk FROM documents),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

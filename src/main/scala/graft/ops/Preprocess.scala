@@ -150,6 +150,24 @@ object Preprocess {
         .orderBy("event_id")
     }),
 
+    // pandas interpolate(method='time'): fills weighted by the row's
+    // actual timestamp between its non-null neighbors (epoch micros both
+    // engines: Spark `ts div 1000` ≡ DuckDB epoch_us of the ns fixture)
+    "prep_interpolate_time" -> ((s, d) => {
+      val nullEvery7 = StatelessNode("null_every7")(df =>
+        df.withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(col("value"))))
+      val ev = events(s, d)
+        .withColumn("eps", unix_micros(col("ts").cast("timestamp")))
+      new Pipeline(Seq(nullEvery7,
+          TimeInterpolator("value", "eps", Seq("user_id"),
+            Seq("ts", "event_id"))))
+        .fit(ev).transform(ev)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     // smoothed mean target encoding (fit = one groupBy producing the
     // category table, transform = map-only broadcast join) — the standard
     // tabular-ML categorical encoder, through the Node layer
@@ -342,6 +360,29 @@ object Preprocess {
         |       WHEN pv IS NULL THEN nv
         |       WHEN nv IS NULL THEN pv
         |       ELSE ROUND(pv + (nv - pv) * (rn - prn) / (nrn - prn), 6)
+        |  END AS value
+        |FROM w ORDER BY event_id""".stripMargin,
+    "prep_interpolate_time" ->
+      """WITH t AS (SELECT event_id, user_id, ts, epoch_us(ts) AS eps,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, v, eps,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN eps END IGNORE NULLS)
+        |      OVER wb AS pe,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN eps END IGNORE NULLS)
+        |      OVER wf AS ne
+        |  FROM t WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE ROUND(pv + (nv - pv) * (eps - pe) / (ne - pe), 6)
         |  END AS value
         |FROM w ORDER BY event_id""".stripMargin,
     "prep_target_encode" ->

@@ -274,6 +274,38 @@ final case class LinearInterpolator(col0: String, partitionCols: Seq[String],
   }
 }
 
+/** Linear interpolation of interior NULLs weighted by TIME (pandas
+  * `interpolate(method='time')`): the fill sits on the line between the
+  * surrounding non-nulls at the row's actual timestamp, not its row
+  * position — the right semantics for irregular series. `epochCol` is an
+  * integer epoch column (e.g. microseconds); edge NULLs bfill/ffill like
+  * [[LinearInterpolator]]. Same one-shuffle two-window-pass shape. */
+final case class TimeInterpolator(col0: String, epochCol: String,
+    partitionCols: Seq[String], orderCols: Seq[String]) extends Node {
+  val name = s"interpolate_time($col0,$epochCol)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = { df =>
+    val W = org.apache.spark.sql.expressions.Window
+    val base = W.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val back = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val fwd = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    val markedE = when(col(col0).isNotNull, col(epochCol))
+    df.withColumn("__pv", last(col(col0), ignoreNulls = true).over(back))
+      .withColumn("__pe", last(markedE, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(col0), ignoreNulls = true).over(fwd))
+      .withColumn("__ne", first(markedE, ignoreNulls = true).over(fwd))
+      .withColumn(col0,
+        when(col(col0).isNotNull, col(col0))
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(round(col("__pv") +
+            (col("__nv") - col("__pv")) * (col(epochCol) - col("__pe")) /
+              (col("__ne") - col("__pe")), 6)))
+      .drop("__pv", "__pe", "__nv", "__ne")
+  }
+}
+
 /** Smoothed mean target encoding (the standard categorical encoder for
   * gradient-boosting / tabular ML): enc(cat) = (sum_y(cat) + m·ȳ_global)
   * / (n(cat) + m). Fit = ONE groupBy over the data producing a per-category
