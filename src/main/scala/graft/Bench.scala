@@ -32,7 +32,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
-      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case Some(ks) =>
+        val sel = SparkEntry.queries.filter { case (k, _) => ks(k) }
+        // a typo'd filter must fail loudly, not report a clean ~0s total
+        require(sel.nonEmpty,
+          s"SPARK_GRAFT_ONLY matched no queries: ${ks.mkString(",")}")
+        val unknown = ks -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] unknown keys ignored: " +
+            unknown.mkString(","))
+        sel
       case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>

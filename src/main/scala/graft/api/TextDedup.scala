@@ -173,13 +173,22 @@ object TextDedup {
     * superseded generations. */
   def clustersStar(pairs: DataFrame, a: Column, b: Column,
       maxIters: Int = 50): DataFrame = {
-    val fwd = pairs.select(a.as("u"), b.as("v")).filter(col("u") =!= col("v"))
-    var e = fwd.select(greatest(col("u"), col("v")).as("u"),
+    // the pairs input is typically the expensive stage (an LSH/jaccard
+    // self-join): checkpoint the projection ONCE so the edge
+    // canonicalization and the self-pair branch below both read the
+    // materialization, never re-running the join
+    val fwd0 = pairs.select(a.as("u"), b.as("v")).localCheckpoint()
+    val fwdGen = checkpointRdd(fwd0)
+    // self-pairs carry no connectivity but DO declare their node: keep
+    // them as singleton components, exactly like clusters() does (tiny,
+    // checkpointed so fwd0 can release after the initial edge set)
+    val selfs = fwd0.filter(col("u") === col("v"))
+      .select(col("u").as("n")).distinct().localCheckpoint()
+    var e = fwd0.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
-    // not checkpointed: referenced once by the result, outside the loop
-    val nodes = fwd.select(col("u").as("n"))
-      .union(fwd.select(col("v").as("n"))).distinct()
+    fwdGen.foreach(_.unpersist(blocking = false))
     var prevGen = checkpointRdd(e)
     var eCount = e.count()
     var changed = 1L
@@ -220,12 +229,18 @@ object TextDedup {
     }
     require(changed == 0,
       s"clustersStar() did not converge within $maxIters rounds")
-    // at the fixpoint every edge is (member, component-min); isolated-in-
-    // pairs nodes (self-pairs filtered) and centers label themselves
-    nodes
-      .join(e.select(col("u").as("n"), col("v").as("ctr")), Seq("n"), "left")
-      .select(col("n").as("node"),
-        coalesce(col("ctr"), col("n")).as("cluster_id"))
+    // at the fixpoint every edge is (member, component-min): members read
+    // off the u side, centers label themselves from the v side — every
+    // connected node appears (real edges are u ≠ v, so components have
+    // ≥ 2 members), no join back to the input needed
+    val connected = e.select(col("u").as("node"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("node"), col("v").as("cluster_id"))
+        .distinct())
+    // nodes seen ONLY as self-pairs become singleton components
+    val singletons = selfs
+      .join(connected.select(col("node").as("n")), Seq("n"), "left_anti")
+      .select(col("n").as("node"), col("n").as("cluster_id"))
+    connected.union(singletons)
   }
 
   /** The persisted RDD backing an (eager) localCheckpoint result — the

@@ -65,6 +65,10 @@ object TextQuality {
 
   /** Gopher-style repetition statistics (RAW, unrounded):
     * (id, n_tokens, dup_token_frac, top_bigram_frac).
+    * `sep` is a token-separator REGEX (quote metacharacters — the
+    * [[gopherStats]] contract); bigram keys re-join tokens with a single
+    * space, so with a custom separator whose tokens may CONTAIN spaces,
+    * distinct bigrams could alias — keep tokens space-free.
     * dup_token_frac = 1 − distinct/total tokens; top_bigram_frac = count of
     * the most frequent in-row bigram / (n_tokens − 1), 0.0 for docs with
     * fewer than 2 tokens. Scale shape: map-side token arithmetic plus ONE
@@ -117,6 +121,10 @@ object TextQuality {
     *
     * Output: (id, n_grams, n_matched, contamination_frac) for contaminated
     * documents only (n_matched ≥ 1).
+    *
+    * `sep` is a token-separator REGEX; gram keys re-join tokens with a
+    * single space (keep tokens space-free, the [[repetitionStats]]
+    * caveat).
     *
     * Scale shape: grams are built in-row from the materialized token
     * array; both sides deduplicate BEFORE the join (shuffle volume =

@@ -156,12 +156,15 @@ object Aggregations {
         .orderBy("l_returnflag")
     }),
 
-    // pandas .skew()/.kurt(): 3rd/4th standardized moments from EXACT
-    // integer power sums (l_quantity is integer-valued; powers cast to
-    // DECIMAL(38,0) so the sums stay exact at any row count), finished in
-    // IEEE double spelled identically in the oracle. The denominator uses
-    // va·sqrt(va) — not pow(va, 1.5) — because sqrt is correctly rounded
-    // in both engines while pow is libm-dependent.
+    // POPULATION skewness / excess kurtosis (3rd/4th standardized
+    // moments) from EXACT integer power sums (l_quantity is integer-
+    // valued; powers cast to DECIMAL(38,0) so the sums stay exact at any
+    // row count), finished in IEEE double spelled identically in the
+    // oracle. NOTE: pandas .skew()/.kurt() additionally apply the
+    // G1/G2 sample-bias corrections — an O(1/n) constant-factor
+    // post-step on these same moments, not computed here. The
+    // denominator uses va·sqrt(va) — not pow(va, 1.5) — because sqrt is
+    // correctly rounded in both engines while pow is libm-dependent.
     "agg_skew_kurt" -> ((s, d) => {
       val q = col("l_quantity").cast("long")
       def qd(e: Column): Column = sum(e.cast(DecimalType(38, 0)))

@@ -32,6 +32,13 @@ object Preprocess {
     df.withColumn("c_acctbal",
       when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))))
 
+  /** every 7th event's value → NULL — ONE definition for the three
+    * fill/interpolate entries, paired with `event_id % 7 = 0` in their
+    * oracles (drift between the copies was the risk) */
+  private val nullEvery7 = StatelessNode("null_every7")(df =>
+    df.withColumn("value",
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_fillna_mean" -> ((s, d) => {
       val c = customer(s, d)
@@ -122,10 +129,6 @@ object Preprocess {
     // pandas/dask bfill: next following non-null per user in event-time
     // order (mirror window of ffill — frame-streaming, one shuffle)
     "prep_bfill" -> ((s, d) => {
-      val nullEvery7 = StatelessNode("null_every7")(df =>
-        df.withColumn("value",
-          when(col("event_id") % 7 === 0, lit(null))
-            .otherwise(col("value"))))
       val ev = events(s, d)
       new Pipeline(Seq(nullEvery7,
           BackwardFill("value", Seq("user_id"), Seq("ts", "event_id"))))
@@ -138,10 +141,6 @@ object Preprocess {
     // between surrounding non-nulls by row position; leading/trailing
     // NULLs fall back to bfill/ffill. One shuffle, two window passes.
     "prep_interpolate" -> ((s, d) => {
-      val nullEvery7 = StatelessNode("null_every7")(df =>
-        df.withColumn("value",
-          when(col("event_id") % 7 === 0, lit(null))
-            .otherwise(col("value"))))
       val ev = events(s, d)
       new Pipeline(Seq(nullEvery7,
           LinearInterpolator("value", Seq("user_id"), Seq("ts", "event_id"))))
@@ -154,10 +153,6 @@ object Preprocess {
     // actual timestamp between its non-null neighbors (epoch micros both
     // engines: Spark `ts div 1000` ≡ DuckDB epoch_us of the ns fixture)
     "prep_interpolate_time" -> ((s, d) => {
-      val nullEvery7 = StatelessNode("null_every7")(df =>
-        df.withColumn("value",
-          when(col("event_id") % 7 === 0, lit(null))
-            .otherwise(col("value"))))
       val ev = events(s, d)
         .withColumn("eps", unix_micros(col("ts").cast("timestamp")))
       new Pipeline(Seq(nullEvery7,
@@ -326,7 +321,8 @@ object Preprocess {
         |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med,
         |  ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
         |  ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3 FROM orders)
-        |SELECT o_orderkey, (o_totalprice - med) / (q3 - q1) AS price_rs
+        |SELECT o_orderkey, (o_totalprice - med)
+        |  / (CASE WHEN q3 = q1 THEN 1.0 ELSE q3 - q1 END) AS price_rs
         |FROM orders, q ORDER BY o_orderkey""".stripMargin,
     "prep_bfill" ->
       """SELECT event_id, user_id,
@@ -382,6 +378,7 @@ object Preprocess {
         |  CASE WHEN v IS NOT NULL THEN v
         |       WHEN pv IS NULL THEN nv
         |       WHEN nv IS NULL THEN pv
+        |       WHEN ne = pe THEN pv
         |       ELSE ROUND(pv + (nv - pv) * (eps - pe) / (ne - pe), 6)
         |  END AS value
         |FROM w ORDER BY event_id""".stripMargin,

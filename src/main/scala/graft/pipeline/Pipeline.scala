@@ -180,8 +180,12 @@ final case class RobustScaler(col0: String, outCol: String) extends Node {
       r6(percentile(col(col0), lit(0.75))).as("__q3")))
   def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
     df.crossJoin(broadcast(stats.get))
+      // zero fitted IQR (a majority-constant feature) falls back to
+      // scale 1 like sklearn's RobustScaler — not an all-NULL column
       .withColumn(outCol,
-        (col(col0) - col("__med")) / (col("__q3") - col("__q1")))
+        (col(col0) - col("__med")) /
+          when(col("__q3") === col("__q1"), lit(1.0))
+            .otherwise(col("__q3") - col("__q1")))
       .drop("__med", "__q1", "__q3")
 }
 
@@ -299,6 +303,10 @@ final case class TimeInterpolator(col0: String, epochCol: String,
         when(col(col0).isNotNull, col(col0))
           .when(col("__pv").isNull, col("__nv"))
           .when(col("__nv").isNull, col("__pv"))
+          // equal-timestamp neighbors (ne = pe): the time weight is 0/0 —
+          // take the previous value instead of a silent NULL, keeping the
+          // 'output is total' contract
+          .when(col("__ne") === col("__pe"), col("__pv"))
           .otherwise(round(col("__pv") +
             (col("__nv") - col("__pv")) * (col(epochCol) - col("__pe")) /
               (col("__ne") - col("__pe")), 6)))

@@ -141,7 +141,10 @@ class ApiSpec extends AnyFunSuite {
         .filter { case (a, b) => a != b } ++
         // the deep chain is the case star-contraction exists FOR: plain
         // propagation needs O(length) rounds, stars need O(log²)
-        (0L until 15L).map(i => (200L + i, 201L + i))
+        (0L until 15L).map(i => (200L + i, 201L + i)) ++
+        // a self-pair-only node must survive as a singleton, like
+        // clusters() keeps it
+        Seq((999L, 999L))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         val p = parent.getOrElseUpdate(x, x)
