@@ -25,7 +25,8 @@ object SparkEntry {
       (ops.Udx.entries, ops.Udx.oracles),
       (ops.Streaming.entries, ops.Streaming.oracles),
       (ops.LlmExtras.entries, ops.LlmExtras.oracles),
-      (ops.Curation.entries, ops.Curation.oracles)
+      (ops.Curation.entries, ops.Curation.oracles),
+      (ops.Composites.entries, ops.Composites.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

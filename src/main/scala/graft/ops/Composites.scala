@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Det._
+import graft.util.Tables._
+
+/** Composite analytical queries + scale-technique showcases (round 4).
+  *
+  * The per-operator keys in the sibling modules exercise one operator
+  * each; a user of the reference library chains them. These keys pin the
+  * CHAINS: classic TPC-H-shaped multi-join plans (Q3/Q5/Q10 adapted to
+  * the fixture schema) where join order, broadcast choice, partial
+  * aggregation, and top-k pushdown all have to compose correctly in ONE
+  * Catalyst plan, plus two standalone scale techniques (Bloom-filter join
+  * pruning, fixed-width histogram) that a 100 TB pipeline reaches for
+  * daily.
+  *
+  * Scale notes:
+  *  - the dimension side of every join is hint-broadcast only when its
+  *    size is *schema-bounded* (region 5, nation 25 — constant at any
+  *    SF); customer/supplier/orders grow with the corpus, so their joins
+  *    stay shuffle equi-joins and AQE may locally promote them — the
+  *    llm_lang_id rule (SCALE.md).
+  *  - every money aggregate runs in DECIMAL (Det.dsumExpr idiom) so sums
+  *    are addition-order-free across partition counts and engines.
+  *  - top-k = orderBy + limit compiles to TakeOrderedAndProject (no
+  *    global sort materialization; per-partition heap + driver merge of
+  *    k rows).
+  */
+object Composites {
+
+  /** revenue term shared by the TPC-H-shaped queries: exact decimal
+    * l_extendedprice * (1 - l_discount). */
+  private def revTerm =
+    dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+  private val revTermSql =
+    """CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,2)))""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers'
+    // not-yet-shipped orders, top 10 by open revenue. Filters sit directly
+    // on the scans (pushdown), the two big joins shuffle on their keys,
+    // the final top-k is TakeOrderedAndProject.
+    "tpch_q3" -> ((s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1999-03-15").cast("timestamp_ntz"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1999-03-15").cast("timestamp_ntz"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsumExpr(revTerm).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    // TPC-H Q5 shape (local-supplier volume): six-table star join where
+    // the customer and the supplier must sit in the SAME nation, revenue
+    // per nation for one region-year slice. region/nation are the only
+    // hint-broadcast sides (constant-size dims); supplier/customer joins
+    // shuffle. The c_nationkey = s_nationkey predicate rides the supplier
+    // join as a second equi-key — never a post-join filter over a wider
+    // intermediate.
+    "tpch_q5" -> ((s, d) => {
+      val asiaNations = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumExpr(revTerm).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    // per customer for one quarter, top 20 customers. The groupBy keys
+    // include the customer attributes (functionally dependent on
+    // c_custkey) so no second join is needed after the aggregate.
+    "tpch_q10" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1998-10-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsumExpr(revTerm).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // Bloom-filter join pruning — the explicit form of the runtime filter
+    // a 100 TB engine injects on every selective join (Spark's own
+    // InjectRuntimeFilter does this under AQE): build a bounded-size
+    // Bloom sketch of the small side's join keys (ONE distributed
+    // aggregate; the sketch is ~18 KB at 1% fpp for 10k keys and its
+    // size is chosen up front, never data-proportional), probe it
+    // map-side on the big table BEFORE the shuffle, then let the exact
+    // semi-join remove the false positives. Result is bit-identical to
+    // the plain semi-join — the bloom stage only moves work off the
+    // shuffle — so the oracle is the plain semi-join SQL.
+    "join_bloom_prefilter" -> ((s, d) => {
+      val keys = supplier(s, d).filter(col("s_acctbal") > 5000)
+        .select(col("s_suppkey"))
+      val bf = keys.stat.bloomFilter("s_suppkey", 10000L, 0.01)
+      val mightContain = udf((k: Long) => bf.mightContainLong(k))
+      lineitem(s, d)
+        .filter(mightContain(col("l_suppkey")))
+        .join(keys, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_suppkey")
+    }),
+
+    // fixed-width histogram (the profiling primitive): one partial+final
+    // aggregate over bin = floor(price / width). Identical IEEE double
+    // division + floor on both engines; 2-dp money exactly at a bin edge
+    // (k*1000.00) is an exact double, so the quotient is exact and the
+    // edge cannot flip.
+    "agg_histogram" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 1000.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bin"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1999-03-15'
+         |  AND l_shipdate > TIMESTAMP '1999-03-15'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      s"""SELECT n_name,
+         |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1998-10-01'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    "join_bloom_prefilter" ->
+      s"""SELECT l_suppkey, COUNT(*) AS n_items,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_suppkey IN (
+         |  SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+         |GROUP BY l_suppkey
+         |ORDER BY l_suppkey""".stripMargin,
+    "agg_histogram" ->
+      s"""SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin,
+         |  COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY bin""".stripMargin
+  )
+}

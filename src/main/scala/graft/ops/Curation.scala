@@ -176,6 +176,69 @@ object Curation {
           round(col("__sq").cast("double") / col("__tot").cast("double") *
             SampleBudget, 2).as("expected_docs"))
         .orderBy("source")
+    }),
+
+    // deterministic global shuffle + shard assignment — the step between
+    // curation and tokenization: every training run must read the SAME
+    // byte order, so the "shuffle" is a hash ORDER, never an RNG. Shard =
+    // first hex nibble of a salted md5 (16 uniform shards; production
+    // widens the prefix for more), position = rank of the hash within the
+    // shard. One window per shard partition — each shard sorts
+    // independently, no global sort (at 100 TB this is a repartition-by-
+    // shard + in-partition sort, exactly Spark's write path for
+    // partitioned output).
+    "llm_shuffle_shard" -> ((s, d) => {
+      val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "source", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
+    // feature hashing (the hashing-trick vectorizer): token → bucket by
+    // a hash of the TOKEN (no fitted vocabulary — the point of the trick:
+    // the feature space is fixed up front, so streaming/sharded fits need
+    // no vocab merge). Sparse output (doc, bucket, count); 16 buckets via
+    // the md5 first nibble — engine-portable, unlike murmur3. Scale
+    // shape: explode → map-side partial agg → ONE shuffle on (doc,
+    // bucket).
+    "llm_feature_hashing" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .withColumn("bucket", substring(md5(col("token")), 1, 1))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "bucket")),
+
+    // corpus-wide duplicate-chunk fraction — the scalable approximation
+    // of exact-substring dedup (suffix arrays don't shard; disjoint
+    // fixed-width chunk hashing does): split each doc into disjoint
+    // 8-token chunks, hash them, count occurrences corpus-wide, and
+    // report per doc the fraction of its chunks that are non-unique.
+    // High dup_chunk_frac with a non-duplicate full-text hash = partial
+    // template reuse, the case document-level dedup misses. Shuffle
+    // volume is 32-byte chunk hashes.
+    "llm_dup_chunk_frac" -> ((s, d) => {
+      val docs = documents(s, d)
+      val chunks = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(transform(
+            sequence(lit(0), ceil(size(col("tk")) / 8.0).cast("int") - 1),
+            i => concat_ws(" ", slice(col("tk"), i * 8 + 1, lit(8)))))
+          .as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+      val freq = chunks.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast("double") /
+            col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -294,6 +357,32 @@ object Curation {
          |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
          |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * $SampleBudget,
          |    2) AS expected_docs
-         |FROM s, t ORDER BY source""".stripMargin
+         |FROM s, t ORDER BY source""".stripMargin,
+    "llm_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT doc_id, source, substr(h, 1, 1) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 1)
+        |    ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "llm_feature_hashing" ->
+      """SELECT doc_id, substr(md5(token), 1, 1) AS bucket, COUNT(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    "llm_dup_chunk_frac" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |ch AS (SELECT doc_id, md5(unnest(list_transform(
+        |    range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
+        |    i -> array_to_string(tk[i * 8 + 1 : i * 8 + 8], ' ')))) AS h
+        |  FROM tk),
+        |freq AS (SELECT h, COUNT(*) AS n_occ FROM ch GROUP BY h)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+        |  ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_chunk_frac
+        |FROM ch JOIN freq USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

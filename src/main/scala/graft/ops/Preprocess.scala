@@ -86,6 +86,14 @@ object Preprocess {
         .orderBy("c_custkey")
     }),
 
+    "prep_label_encode" -> ((s, d) => {
+      val c = customer(s, d)
+      new Pipeline(Seq(LabelEncoder("c_mktsegment", "segment_code"))).fit(c)
+        .transform(c)
+        .select("c_custkey", "c_mktsegment", "segment_code")
+        .orderBy("c_custkey")
+    }),
+
     "prep_standard_scale" -> ((s, d) => {
       val c = customer(s, d)
       new Pipeline(Seq(StandardScaler("c_acctbal", "acctbal_z"))).fit(c)
@@ -294,6 +302,13 @@ object Preprocess {
         |CASE WHEN c_mktsegment='MACHINERY' THEN 1 ELSE 0 END
         |  AS "c_mktsegment_MACHINERY"
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "prep_label_encode" ->
+      """WITH codes AS (SELECT c_mktsegment AS cat,
+        |    ROW_NUMBER() OVER (ORDER BY c_mktsegment) - 1 AS segment_code
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+        |SELECT c_custkey, c_mktsegment, segment_code
+        |FROM customer JOIN codes ON c_mktsegment = cat
+        |ORDER BY c_custkey""".stripMargin,
     "prep_standard_scale" ->
       """WITH s AS (SELECT
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,

@@ -134,6 +134,28 @@ final case class OneHot(col0: String, categories: Seq[String]) extends Node {
         when(col(col0) === c, 1).otherwise(0)))
 }
 
+/** Ordinal (label) encoding: category → dense code by SORTED category
+  * order (sklearn LabelEncoder semantics — alphabetic, so the coding is
+  * data-order-independent and refits are stable under re-partitioning).
+  * Fit = the distinct-category table with a rank (tiny: |categories|
+  * rows; the window's single-partition sort is over that stats table,
+  * never the data); transform = map-only broadcast join. Unseen
+  * categories at transform time encode as NULL (callers chain
+  * [[NaCategory]] upstream to pre-map them). */
+final case class LabelEncoder(col0: String, outCol: String) extends Node {
+  val name = s"label_encode($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(col0))
+    Some(df.select(col(col0)).distinct()
+      .select(col(col0).as("__cat"),
+        (row_number().over(w) - 1).as("__code")))
+  }
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.join(broadcast(stats.get), df(col0) === col("__cat"), "left")
+      .withColumn(outCol, col("__code"))
+      .drop("__cat", "__code")
+}
+
 /** (x − mean)/std from EXACT decimal moments: sum, sum-of-squares and count
   * are decimal (order-free); mean/variance arithmetic then runs in IEEE
   * double with an expression spelled identically in the oracle dialect. */
