@@ -1,0 +1,56 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation forms that sit between curation and tokenization:
+  * deterministic shuffle/sharding and hashing-trick featurization.
+  * Generic over arbitrary frames/column names (the fixture keys in
+  * graft.ops.Curation are thin wrappers).
+  */
+object Corpus {
+
+  /** Deterministic global shuffle + shard assignment. Every training run
+    * must read the SAME byte order, so the "shuffle" is a hash ORDER,
+    * never an RNG: shard = first `shardNibbles` hex chars of a salted
+    * md5 of the row id (16^nibbles uniform shards), pos = rank of the
+    * hash within its shard. Output: input columns + (shard, pos).
+    *
+    * Scale shape: one map-side hash, one window partitioned BY SHARD —
+    * each shard sorts independently (this is exactly Spark's
+    * partitioned-write path: repartition by shard key + in-partition
+    * sort), no global sort. Change `salt` to get a fresh epoch order
+    * with zero data movement difference. */
+  def shuffleShard(df: DataFrame, id: Column, salt: String = "shard",
+      shardNibbles: Int = 1): DataFrame = {
+    require(shardNibbles >= 1 && shardNibbles <= 8,
+      s"shardNibbles=$shardNibbles out of range [1,8]")
+    val h = md5(concat(lit(s"$salt:"), id.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), id)
+    df.withColumn("__h", h)
+      .withColumn("shard", substring(col("__h"), 1, shardNibbles))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
+  /** Hashing-trick featurizer (sparse output): token → bucket by a hash
+    * of the TOKEN — no fitted vocabulary, which is the point of the
+    * trick: the feature space is fixed up front, so sharded/streaming
+    * fits need no vocabulary merge, and an unseen token at serving time
+    * maps somewhere instead of erroring. Buckets are the first
+    * `bucketNibbles` hex chars of md5 (16^nibbles buckets) —
+    * engine-portable, unlike murmur3. Output: (doc_id, bucket, n)
+    * sparse counts.
+    *
+    * Scale shape: explode → map-side partial agg → ONE shuffle on
+    * (doc, bucket). */
+  def hashFeatures(df: DataFrame, id: Column, text: Column,
+      bucketNibbles: Int = 1): DataFrame = {
+    require(bucketNibbles >= 1 && bucketNibbles <= 8,
+      s"bucketNibbles=$bucketNibbles out of range [1,8]")
+    df.select(id.as("doc_id"), explode(split(text, " ")).as("__token"))
+      .withColumn("bucket", substring(md5(col("__token")), 1, bucketNibbles))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+  }
+}

@@ -310,4 +310,40 @@ object TextDedup {
       .filter(size(col("__hs")) >= k)
       .select(id.as("doc_id"),
         slice(array_sort(col("__hs")), 1, k).as("fingerprint"))
+
+  /** Corpus-wide duplicate-chunk fraction — the shardable approximation
+    * of exact-substring dedup (a suffix array doesn't partition; disjoint
+    * fixed-width chunk hashing does): each doc splits into disjoint
+    * `chunkTokens`-token chunks, chunks hash to md5, and a doc's score is
+    * the fraction of its chunks whose hash occurs more than once in the
+    * WHOLE corpus (in-doc repeats count — templated self-repetition is
+    * the same signal). Output: (doc_id, n_chunks, n_dup_chunks,
+    * dup_chunk_frac RAW double).
+    *
+    * Scale shape: one explode → md5 (map-side), one groupBy on the
+    * 32-byte hash, one equi-join back, one per-doc aggregate — shuffle
+    * volume is hashes, never text. High dup_chunk_frac with a unique
+    * full-text hash = partial template reuse, the case document-level
+    * dedup misses (complements [[exact]]/[[nearMinhash]]). */
+  def dupChunkFrac(df: DataFrame, id: Column, text: Column,
+      chunkTokens: Int = 8): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
+    val chunks = df
+      .select(id.as("doc_id"), split(text, " ").as("__tk"))
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(0),
+            ceil(size(col("__tk")) / chunkTokens.toDouble).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("__tk"), i * chunkTokens + 1, lit(chunkTokens)))))
+        .as("__chunk"))
+      .select(col("doc_id"), md5(col("__chunk")).as("__h"))
+    val freq = chunks.groupBy("__h").agg(count(lit(1)).as("__n_occ"))
+    chunks.join(freq, "__h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("dup_chunk_frac"))
+  }
 }

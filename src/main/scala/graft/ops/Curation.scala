@@ -187,17 +187,11 @@ object Curation {
     // independently, no global sort (at 100 TB this is a repartition-by-
     // shard + in-partition sort, exactly Spark's write path for
     // partitioned output).
-    "llm_shuffle_shard" -> ((s, d) => {
-      val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-      documents(s, d)
-        .select(col("doc_id"), col("source"), h.as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("pos", row_number().over(w))
+    "llm_shuffle_shard" -> ((s, d) =>
+      graft.api.Corpus.shuffleShard(
+          documents(s, d).select("doc_id", "source"), col("doc_id"))
         .select("doc_id", "source", "shard", "pos")
-        .orderBy("shard", "pos")
-    }),
+        .orderBy("shard", "pos")),
 
     // feature hashing (the hashing-trick vectorizer): token → bucket by
     // a hash of the TOKEN (no fitted vocabulary — the point of the trick:
@@ -207,10 +201,8 @@ object Curation {
     // shape: explode → map-side partial agg → ONE shuffle on (doc,
     // bucket).
     "llm_feature_hashing" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .withColumn("bucket", substring(md5(col("token")), 1, 1))
-        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      graft.api.Corpus.hashFeatures(documents(s, d), col("doc_id"),
+          col("text"))
         .orderBy("doc_id", "bucket")),
 
     // corpus-wide duplicate-chunk fraction — the scalable approximation
@@ -221,25 +213,11 @@ object Curation {
     // High dup_chunk_frac with a non-duplicate full-text hash = partial
     // template reuse, the case document-level dedup misses. Shuffle
     // volume is 32-byte chunk hashes.
-    "llm_dup_chunk_frac" -> ((s, d) => {
-      val docs = documents(s, d)
-      val chunks = docs
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), explode(transform(
-            sequence(lit(0), ceil(size(col("tk")) / 8.0).cast("int") - 1),
-            i => concat_ws(" ", slice(col("tk"), i * 8 + 1, lit(8)))))
-          .as("chunk"))
-        .select(col("doc_id"), md5(col("chunk")).as("h"))
-      val freq = chunks.groupBy("h").agg(count(lit(1)).as("n_occ"))
-      chunks.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
-        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
-          round(col("n_dup_chunks").cast("double") /
-            col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
-        .orderBy("doc_id")
-    })
+    "llm_dup_chunk_frac" -> ((s, d) =>
+      graft.api.TextDedup
+        .dupChunkFrac(documents(s, d), col("doc_id"), col("text"))
+        .withColumn("dup_chunk_frac", round(col("dup_chunk_frac"), 6))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(

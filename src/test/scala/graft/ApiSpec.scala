@@ -322,4 +322,64 @@ class ApiSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)),
       "cross-partition pair (1,3)/(2,3) must NOT appear")
   }
+
+  test("TextDedup.dupChunkFrac flags shared chunks, in-doc repeats, and " +
+      "uniques") {
+    // chunkTokens=2: doc 1 and 2 share chunk "aa bb"; doc 3 repeats its
+    // own chunk; doc 4 is all-unique; doc 5 has a short tail chunk
+    val df = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb xx yy"),
+      (3L, "pp qq pp qq"),
+      (4L, "uu vv ww zz"),
+      (5L, "mm nn tail")
+    ).toDF("k", "body")
+    val out = TextDedup.dupChunkFrac(df, col("k"), col("body"),
+        chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 1L)), "doc 1: one shared chunk of two")
+    assert(out(2L) == ((2L, 1L)), "doc 2: one shared chunk of two")
+    assert(out(3L) == ((2L, 2L)), "doc 3: in-doc repeat counts as dup")
+    assert(out(4L) == ((2L, 0L)), "doc 4: all chunks unique")
+    assert(out(5L) == ((2L, 0L)), "doc 5: short tail chunk is its own")
+  }
+
+  test("Corpus.shuffleShard: pos is a dense 1..n permutation per shard, " +
+      "deterministic, salt changes the order") {
+    val df = (1L to 200L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val a = graft.api.Corpus.shuffleShard(df, col("k")).collect()
+    assert(a.length == 200, "every input row survives")
+    val perShard = a.groupBy(_.getAs[String]("shard"))
+    perShard.foreach { case (sh, rows) =>
+      val ps = rows.map(_.getAs[Int]("pos")).sorted
+      assert(ps.toSeq == (1 to rows.length).toSeq,
+        s"shard $sh positions not dense: ${ps.mkString(",")}")
+    }
+    assert(perShard.size > 8, "200 keys should hit most of 16 shards")
+    val b = graft.api.Corpus.shuffleShard(df, col("k")).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq,
+      "re-run must be byte-identical")
+    val c = graft.api.Corpus.shuffleShard(df, col("k"), salt = "epoch2")
+      .collect()
+    assert(a.map(_.toString).sorted.toSeq != c.map(_.toString).sorted.toSeq,
+      "a new salt must produce a different order")
+  }
+
+  test("Corpus.hashFeatures: counts are sparse and sum to token count; " +
+      "same token always lands in the same bucket") {
+    val df = Seq((1L, "x y x"), (2L, "x")).toDF("k", "body")
+    val out = graft.api.Corpus.hashFeatures(df, col("k"), col("body"))
+      .collect()
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == 4L, "bucket counts must sum to the token count")
+    val xBuckets = out.filter(_.getAs[Long]("doc_id") == 2L)
+      .map(_.getAs[String]("bucket")).toSet
+    assert(xBuckets.size == 1)
+    // doc 1 has x twice + y once: x's bucket count includes both copies
+    val d1 = out.filter(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[String]("bucket") == xBuckets.head)
+    assert(d1.exists(_.getAs[Long]("n") >= 2),
+      "both copies of x must land in x's bucket")
+  }
 }
