@@ -99,6 +99,46 @@ object Composites {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
 
+    // TPC-H Q12 shape (shipping-mode priority audit): per lineitem status,
+    // how many high- vs low-priority orders shipped in one year —
+    // conditional aggregation over a fact-fact join. The count terms are
+    // when().otherwise() integer sums (partial-agg friendly, no second
+    // pass); l_linestatus stands in for the missing l_shipmode column.
+    "tpch_q12" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT"
+            || col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT"
+            && col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // quantity exceeds a threshold, with the customer attached — the
+    // aggregate-then-having-then-join pattern. The quantity aggregate
+    // runs FIRST and only qualifying orderkeys (rare by construction)
+    // join back to orders/customer, so the expensive join input shrinks
+    // before any wide row is formed.
+    "tpch_q18" -> ((s, d) => {
+      val bigOrders = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      bigOrders
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Bloom-filter join pruning — the explicit form of the runtime filter
     // a 100 TB engine injects on every selective join (Spark's own
     // InjectRuntimeFilter does this under AQE): build a bounded-size
@@ -176,6 +216,29 @@ object Composites {
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "tpch_q18" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |    ${dsumSql("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${dsumSql("l_quantity")} > 300.0)
+         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |  total_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_qty DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
     "join_bloom_prefilter" ->
       s"""SELECT l_suppkey, COUNT(*) AS n_items,
          |  ${dsumSql("l_quantity")} AS sum_qty
