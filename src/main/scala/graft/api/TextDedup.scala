@@ -69,25 +69,50 @@ object TextDedup {
   /** Token-set jaccard near-dups on pairs bounded by an equi-key bucket
     * (`bucket` column) — never all-pairs. Output: (bucket, doc_a, doc_b,
     * jac rounded 4 dp). `prefilterSlack` must stay below the rounded
-    * threshold (see LlmOps scaladoc on the 0.9499 edge). */
+    * threshold (see LlmOps scaladoc on the 0.9499 edge).
+    *
+    * Candidate enumeration joins on (bucket, size-band), not bucket alone
+    * — the length filter from the similarity-join literature (Arasu et al.
+    * VLDB'06; Bayardo et al. WWW'07 "All-Pairs"). Any pair passing the
+    * token-count ratio prefilter `min/max ≥ r` has sizes within factor
+    * 1/r, so with geometric bands of base g where ln(1/r)/ln(g) < 1 the
+    * two docs land in the same or adjacent band; the left side emits
+    * {band, band+1} and the right side its own band, which finds every
+    * such pair exactly once. Within a bucket this turns the O(n²) pair
+    * scan into Σ|band|·|adjacent band| — the difference between a skewed
+    * 5-task enumeration and an evenly-spread equi-join at corpus scale. */
   def jaccardWithinBucket(df: DataFrame, id: Column, bucket: Column,
       text: Column, minJaccard: Double = 0.95,
       prefilterSlack: Double = 0.0001): DataFrame = {
+    val r = minJaccard - prefilterSlack
     val t = df.select(id.as("__id"), bucket.as("__bucket"),
         array_sort(array_distinct(transform(split(text, " "),
           w => xxhash64(w)))).as("tk"))
       .withColumn("ntk", size(col("tk")))
-    val a = t.alias("a"); val b = t.alias("b")
+    val banded = if (r > 0.01) {
+      // g chosen so the band gap of a ratio-passing pair is ≤ 0.9 < 1
+      val g = math.exp(math.log(1.0 / r) / 0.9)
+      t.withColumn("band",
+        floor(log(greatest(col("ntk"), lit(1)).cast("double")) /
+          math.log(g)).cast("long"))
+    } else t.withColumn("band", lit(0L)) // no usable prefilter: one band
+    val a = banded
+      .withColumn("bandkey", explode(array(col("band"), col("band") + 1)))
+      .alias("a")
+    val b = banded.withColumn("bandkey", col("band")).alias("b")
     val inter = VectorExprs.sortedInterSize(col("a.tk"), col("b.tk"))
       .cast("double")
     val union = (size(col("a.tk")) + size(col("b.tk"))).cast("double") - inter
+    // equal bands pair once via the id order; adjacent bands pair once via
+    // the lower side's band+1 key (the reverse orientation never matches)
     a.join(b, col("a.__bucket") === col("b.__bucket") &&
-          col("a.__id") < col("b.__id") &&
+          col("a.bandkey") === col("b.bandkey") &&
+          (col("a.band") =!= col("b.band") || col("a.__id") < col("b.__id")) &&
           least(col("a.ntk"), col("b.ntk")).cast("double") >=
-            greatest(col("a.ntk"), col("b.ntk")) *
-              (minJaccard - prefilterSlack))
+            greatest(col("a.ntk"), col("b.ntk")) * r)
       .select(col("a.__bucket").as("bucket"),
-        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        least(col("a.__id"), col("b.__id")).as("doc_a"),
+        greatest(col("a.__id"), col("b.__id")).as("doc_b"),
         round(inter / union, 4).as("jac"))
       .filter(col("jac") >= minJaccard)
   }
