@@ -1,7 +1,8 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.functions.VectorExprs
 
 /** User-facing deduplication API over arbitrary DataFrames — the generic
@@ -123,26 +124,34 @@ object TextDedup {
     * its component (the canonical cluster id); nodes with no edge are not
     * emitted (singletons are their own cluster by definition).
     *
-    * Min-label propagation to a fixpoint: every round is one shuffle
-    * equi-join + partial-agg min, state is exactly one (node, label) row
-    * per member, and rounds are bounded by the component diameter —
-    * near-dup components are shallow cliques in practice, so 2–3 rounds.
-    * The per-round `count` action is inherent to any iterate-to-fixpoint
-    * algorithm, and each round MUST truncate lineage (`localCheckpoint`):
-    * the step references `labels` twice, so without truncation the
-    * logical plan doubles every round and Catalyst analysis alone goes
-    * exponential — the classic iterative-Spark failure mode. At extreme
-    * scale swap the inner step for alternating large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014 — public) — same fixpoint, provably O(log²) rounds — and
-    * prefer reliable `checkpoint` over executor-local; at fixture
-    * diameters the plain step wins on constant cost.
+    * Two-phase execution. Phase 1 (only when the edge list exceeds
+    * `localFinishEdges`): min-label propagation to a fixpoint — every
+    * round is one shuffle equi-join + partial-agg min, state is exactly
+    * one (node, label) row per member, rounds bounded by component
+    * diameter. Each round MUST truncate lineage (`localCheckpoint`): the
+    * step references `labels` twice, so without truncation the logical
+    * plan doubles every round and Catalyst analysis alone goes
+    * exponential — the classic iterative-Spark failure mode. Phase 2
+    * ("local finish", the standard endgame of every production CC engine):
+    * once the edge list fits one task's memory, a single-task union-find
+    * replaces further O(diameter) rounds, whose per-round scheduling cost
+    * would dominate on a shrinking graph. Near-dup edge lists after
+    * LSH/jaccard verification are tiny relative to the corpus (pairs, not
+    * documents), so at ANY corpus scale the distributed rounds run only
+    * while they genuinely pay for themselves. At extreme scale prefer the
+    * large-star/small-star variant [[clustersStar]] (O(log²) rounds
+    * regardless of diameter) and reliable `checkpoint` over
+    * executor-local.
     */
   def clusters(pairs: DataFrame, a: Column, b: Column,
-      maxIters: Int = 25): DataFrame = {
-    val fwd = pairs.select(a.as("x"), b.as("y"))
+      maxIters: Int = 25,
+      localFinishEdges: Long = DefaultLocalFinishEdges): DataFrame = {
+    val fwd = pairs.select(a.as("x"), b.as("y")).localCheckpoint()
+    if (fwd.count() <= localFinishEdges) return localComponents(fwd)
+    val fwdGen = checkpointRdd(fwd)
     val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
+    fwdGen.foreach(_.unpersist(blocking = false))
     var labels = edges.select(col("x").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     // each round's eager checkpoint supersedes the previous generation —
@@ -197,12 +206,16 @@ object TextDedup {
     * discipline as [[clusters]]: truncate lineage every round, release
     * superseded generations. */
   def clustersStar(pairs: DataFrame, a: Column, b: Column,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      localFinishEdges: Long = DefaultLocalFinishEdges): DataFrame = {
     // the pairs input is typically the expensive stage (an LSH/jaccard
     // self-join): checkpoint the projection ONCE so the edge
     // canonicalization and the self-pair branch below both read the
     // materialization, never re-running the join
     val fwd0 = pairs.select(a.as("u"), b.as("v")).localCheckpoint()
+    // same two-phase contract as clusters(): star rounds only while the
+    // edge list exceeds one task's memory, then a single-task finish
+    if (fwd0.count() <= localFinishEdges) return localComponents(fwd0)
     val fwdGen = checkpointRdd(fwd0)
     // self-pairs carry no connectivity but DO declare their node: keep
     // them as singleton components, exactly like clusters() does (tiny,
@@ -266,6 +279,60 @@ object TextDedup {
       .join(connected.select(col("node").as("n")), Seq("n"), "left_anti")
       .select(col("n").as("node"), col("n").as("cluster_id"))
     connected.union(singletons)
+  }
+
+  /** Edge-count bound for the single-task union-find finish: 4M edges ≈
+    * two ids + map entry per edge ≈ a few hundred MB in one task — far
+    * below executor memory, far above any near-dup edge list a bounded
+    * LSH candidate stage emits per corpus shard. Callers pass 0 to force
+    * the distributed rounds (tests do, to drive phase 1 end-to-end). */
+  val DefaultLocalFinishEdges: Long = 4000000L
+
+  /** Phase-2 "local finish": exact union-find (path compression) over an
+    * edge list known to fit one task. NOT a driver collect — the fold
+    * runs inside a single executor task via `mapPartitions`, and the
+    * caller's threshold bounds its memory. Ids may be any Catalyst
+    * atomic type (external forms are all `Comparable`); the emitted
+    * cluster_id is the component minimum, identical to the distributed
+    * engines' labeling. Null ids cannot join in the distributed path and
+    * are skipped here too. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val dt = edges.schema.head.dataType
+    val out = edges.coalesce(1).rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      def add(x: Any): Unit =
+        if (!parent.containsKey(x)) parent.put(x, x)
+      it.foreach { row =>
+        val u = row.get(0); val v = row.get(1)
+        if (u != null && v != null) {
+          add(u); add(v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) parent.put(ru, rv)
+        }
+      }
+      val keys = new scala.collection.mutable.ArrayBuffer[Any](parent.size)
+      val ki = parent.keySet.iterator()
+      while (ki.hasNext) keys += ki.next()
+      val minOf = new java.util.HashMap[Any, Any]()
+      keys.foreach { k =>
+        val r = find(k)
+        val cur = minOf.get(r)
+        if (cur == null || k.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+          minOf.put(r, k)
+      }
+      keys.iterator.map(k => Row(k, minOf.get(find(k))))
+    }
+    edges.sparkSession.createDataFrame(out, StructType(Seq(
+      StructField("node", dt), StructField("cluster_id", dt))))
   }
 
   /** The persisted RDD backing an (eager) localCheckpoint result — the

@@ -124,10 +124,18 @@ class ApiSpec extends AnyFunSuite {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(v => v -> find(v)).toMap
+      // default threshold → single-task local finish
       val got = graft.api.TextDedup
         .clusters(edges.toDF("a", "b"), col("a"), col("b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"components diverge from union-find")
+      // threshold 0 → forced distributed min-label propagation rounds
+      val dist = graft.api.TextDedup
+        .clusters(edges.toDF("a", "b"), col("a"), col("b"),
+          localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expected,
+        s"distributed propagation diverges from union-find")
     }
   }
 
@@ -156,12 +164,22 @@ class ApiSpec extends AnyFunSuite {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(v => v -> find(v)).toMap
+      // threshold 0 forces the distributed star rounds end-to-end; the
+      // default threshold takes the local finish — both must agree with
+      // the reference union-find
       val star = TextDedup
-        .clustersStar(edges.toDF("a", "b"), col("a"), col("b"))
+        .clustersStar(edges.toDF("a", "b"), col("a"), col("b"),
+          localFinishEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star == expected, "clustersStar diverges from union-find")
+      val starLocal = TextDedup
+        .clustersStar(edges.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(starLocal == expected,
+        "clustersStar local finish diverges from union-find")
       val plain = TextDedup
-        .clusters(edges.toDF("a", "b"), col("a"), col("b"))
+        .clusters(edges.toDF("a", "b"), col("a"), col("b"),
+          localFinishEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star == plain, "the two component engines must agree")
     }
