@@ -146,10 +146,15 @@ object TextQuality {
               .map(j => element_at(col("__tk"), i + j)): _*))).as("__gram"))
     val evalGrams = grams(eval0).select("__gram").distinct()
     val trainGrams = grams(train).distinct()
-    val totals = trainGrams.groupBy("__id").agg(count(lit(1)).as("n_grams"))
-    val matched = trainGrams.join(evalGrams, "__gram")
-      .groupBy("__id").agg(count(lit(1)).as("n_matched"))
-    totals.join(matched, "__id")
+    // ONE pass over the train grams: left-join the (distinct) eval grams
+    // and count rows vs hits in the same aggregation. The two-aggregate
+    // form (totals ⋈ matched) re-ran the corpus explode+distinct per
+    // consumer — 2× the dominant scan at any scale.
+    trainGrams
+      .join(evalGrams.withColumn("__hit", lit(1)), Seq("__gram"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_matched"))
+      .filter(col("n_matched") > 0) // ≡ the inner totals ⋈ matched join
       .select(col("__id").as("id"), col("n_grams"), col("n_matched"),
         (col("n_matched").cast("double") / col("n_grams"))
           .as("contamination_frac"))

@@ -102,11 +102,17 @@ object Scans {
     // merge happens at footer level; data files are untouched.
     "scan_parquet_merge_schema" -> ((s, d) => {
       val tmp = graft.util.Staging.dir("merge_schema", d)
-      val o = orders(s, d)
-      o.select("o_orderkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$tmp/p1")
-      o.select("o_orderkey", "o_orderstatus")
-        .write.mode("overwrite").parquet(s"$tmp/p2")
+      // stage once per (sf, pid), like join_bucketed: the drifting file
+      // generations are the FIXTURE; the operator under measurement is the
+      // footer-level schema merge on read, so repeat invocations (bench,
+      // tests) must not re-pay the writes
+      if (!new java.io.File(s"$tmp/p2/_SUCCESS").exists) {
+        val o = orders(s, d)
+        o.select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/p1")
+        o.select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite").parquet(s"$tmp/p2")
+      }
       s.read.option("mergeSchema", "true")
         .parquet(s"$tmp/p1", s"$tmp/p2")
         .groupBy("o_orderstatus")
