@@ -119,6 +119,39 @@ object Composites {
             .as("low_line_count"))
         .orderBy("l_linestatus")),
 
+    // TPC-H Q4 shape (order-priority checking): orders in one quarter
+    // that had at least one returned item, counted per priority — the
+    // EXISTS-subquery-as-semi-join pattern. The semi-join never widens a
+    // row (probe side streams, only the key set matters) and the date
+    // filter is pushed to the orders scan, so at 100 TB the shuffle
+    // carries one quarter's keys, not the fact table.
+    "tpch_q4" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-07-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1998-10-01").cast("timestamp_ntz"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q14 shape (promotion effect): share of one month's revenue
+    // from promo parts — conditional-sum ratio over a fact⋈dim join.
+    // Both sums come out of ONE aggregate pass in exact decimal; the
+    // final ratio is the only floating step, computed identically
+    // (100·promo)/total in both engines from the same exact inputs.
+    "tpch_q14" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-09-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-10-01").cast("timestamp_ntz"))
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", revTerm)
+              .otherwise(dec(lit(0)))).cast("double")
+            / sum(revTerm).cast("double")).as("promo_revenue_pct"),
+          dsumExpr(when(col("p_type") === "PROMO", revTerm)
+            .otherwise(dec(lit(0)))).as("promo_revenue"))),
+
     // TPC-H Q18 shape (large-volume customers): orders whose total
     // quantity exceeds a threshold, with the customer attached — the
     // aggregate-then-having-then-join pattern. The quantity aggregate
@@ -227,6 +260,25 @@ object Composites {
         |  AND l_shipdate < TIMESTAMP '1999-01-01'
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+        |  AND o_orderdate < TIMESTAMP '1998-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q14" ->
+      s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN $revTermSql ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |  / CAST(SUM($revTermSql) AS DOUBLE) AS promo_revenue_pct,
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN $revTermSql ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1998-09-01'
+         |  AND l_shipdate < TIMESTAMP '1998-10-01'""".stripMargin,
     "tpch_q18" ->
       s"""WITH big AS (SELECT l_orderkey,
          |    ${dsumSql("l_quantity")} AS total_qty

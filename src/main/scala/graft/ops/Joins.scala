@@ -281,6 +281,40 @@ object Joins {
         .orderBy("o_orderkey")
     }),
 
+    // dynamic partition pruning: the fact table is stored hive-partitioned
+    // on the join column; the dim side is small (broadcast) and carries a
+    // selective predicate, so Catalyst injects the dim's key set as a
+    // runtime partition filter into the fact scan — only the matching
+    // directories are ever listed or read. At 100 TB this is THE lever for
+    // star-schema queries over date/tenant-partitioned facts: the scan
+    // cost is proportional to the dim selectivity, not the table size.
+    // PlanSpec asserts the dynamicpruning expression reaches the scan.
+    // Staged once per (sf, pid) like join_bucketed: partition layout is a
+    // write-time property, repeat invocations measure only the pruned read.
+    "join_dpp_partitioned" -> ((s, d) => {
+      import s.implicits._
+      val loc = graft.util.Staging.dir("dpp_orders", d)
+      if (!new java.io.File(s"$loc/_SUCCESS").exists)
+        orders(s, d).write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(loc)
+      // the dim must be a SCAN under a Filter: an inline local relation
+      // gets its predicate constant-folded away at plan time and the
+      // PartitionPruning rule then sees no selective predicate to key on
+      val dimLoc = graft.util.Staging.dir("dpp_dim", d)
+      if (!new java.io.File(s"$dimLoc/_SUCCESS").exists)
+        Seq(("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+            ("4-NOT SPECIFIED", 4), ("5-LOW", 5))
+          .toDF("p_priority", "p_rank")
+          .coalesce(1).write.mode("overwrite").parquet(dimLoc)
+      val dim = s.read.parquet(dimLoc)
+        .filter(col("p_rank") <= 2) // the selective predicate DPP keys on
+      s.read.parquet(loc)
+        .join(dim, col("o_orderpriority") === col("p_priority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // interval join: events into fixed windows [start, end); the interval
     // side is bounded → broadcast; at scale, bucketize ts to an equi-key
     // first and keep the residual range predicate
@@ -443,6 +477,13 @@ object Joins {
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "join_dpp_partitioned" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

@@ -90,6 +90,29 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join must not shuffle on the key:\n$p")
   }
 
+  test("tpch_q4: EXISTS plans as a semi-join; date filter reaches the " +
+      "orders scan") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), s"expected semi-join plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"orders date filter not pushed to the scan:\n$p")
+  }
+
+  test("tpch_q14: one partial+final aggregate, no cartesian") {
+    val p = plan("tpch_q14")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+  }
+
+  test("join_dpp_partitioned: dim key set prunes fact partitions at runtime") {
+    val p = plan("join_dpp_partitioned")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"selective dim must broadcast (DPP reuses the exchange):\n$p")
+  }
+
   test("window_cumsum: exactly one shuffle (the window partition key)") {
     val p = plan("window_cumsum")
     val exchanges = "Exchange".r.findAllIn(p).size
