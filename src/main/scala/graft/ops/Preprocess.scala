@@ -134,6 +134,19 @@ object Preprocess {
         .orderBy("o_orderkey")
     }),
 
+    // sklearn QuantileTransformer (rank variant): acctbal → its empirical
+    // CDF position within the customer's market segment — per-domain
+    // uniformization, the feature-prep step before mixing heterogeneous
+    // domains. Exact integer-rank arithmetic; no global sort (partitioned).
+    "prep_quantile_transform" -> ((s, d) => {
+      val c = customer(s, d)
+      new Pipeline(Seq(QuantileTransform("c_acctbal", "acctbal_u",
+          Seq("c_mktsegment"))))
+        .fit(c).transform(c)
+        .select("c_custkey", "c_mktsegment", "acctbal_u")
+        .orderBy("c_custkey")
+    }),
+
     // pandas/dask bfill: next following non-null per user in event-time
     // order (mirror window of ffill — frame-streaming, one shuffle)
     "prep_bfill" -> ((s, d) => {
@@ -339,6 +352,11 @@ object Preprocess {
         |SELECT o_orderkey, (o_totalprice - med)
         |  / (CASE WHEN q3 = q1 THEN 1.0 ELSE q3 - q1 END) AS price_rs
         |FROM orders, q ORDER BY o_orderkey""".stripMargin,
+    "prep_quantile_transform" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal) AS acctbal_u
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "prep_bfill" ->
       """SELECT event_id, user_id,
         |FIRST_VALUE(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END

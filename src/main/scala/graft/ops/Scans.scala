@@ -96,6 +96,29 @@ object Scans {
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // stats-only aggregation: COUNT/MIN/MAX answered from parquet footer
+    // metadata (row-group statistics), never touching data pages — at
+    // 100 TB the difference between a metadata sweep and a full scan.
+    // Spark's aggregate pushdown needs the v2 parquet source + the
+    // aggregatePushDown flag; both are flipped on an ISOLATED newSession
+    // (own SQLConf, shared SparkContext) because the v2 source changes
+    // plan shapes session-wide (e.g. v2 scans ignore bucketing) and other
+    // declared queries must keep their asserted v1 plans. The rule only
+    // fires for filter-free, ungrouped aggregates over non-nested
+    // columns — exactly this shape. PlanSpec asserts PushedAggregation.
+    "scan_count_pushdown" -> ((s, d) => {
+      val s2 = s.newSession()
+      // NB: Spark 4 spells the key with lowercase "down" —
+      // spark.sql.parquet.aggregatePushdown (the 3.x camel-case spelling
+      // silently no-ops as an unregistered custom conf)
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      graft.util.Tables.lineitem(s2, d)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"))
+    }),
+
     // schema evolution (dd.read_parquet over drifting files): two parquet
     // file sets with different column sets, read back with
     // mergeSchema=true — the union schema, missing columns NULL. The
@@ -211,6 +234,9 @@ object Scans {
          |ORDER BY o_orderstatus""".stripMargin,
     "repartition_range" ->
       """SELECT COUNT(*) AS n_rows, true AS all_sorted FROM orders""".stripMargin,
+    "scan_count_pushdown" ->
+      """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_orderkey,
+        |MAX(l_orderkey) AS max_orderkey FROM lineitem""".stripMargin,
     "scan_parquet_merge_schema" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |${dsumSql("o_totalprice")} AS sum_price FROM (

@@ -113,6 +113,28 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // rolling(5).median(): exact percentile over a small rows frame.
+    // Frame values are integer-valued quantities, so the 0.5-interpolation
+    // (midpoint of two integers) is exact in IEEE double in any engine —
+    // the exactness argument that does NOT hold for arbitrary doubles
+    // (where interpolation formula order could differ); a production
+    // rolling quantile over continuous values would round or use the
+    // approx sketch. Frame cost is O(k log k) per row with k=5, streaming.
+    "window_rolling_quantile" -> ((s, d) => {
+      // fixture lineitem has no unique key (see window_rolling_corr): the
+      // frame order ends in l_quantity itself, so any residual tie swaps
+      // rows with EQUAL quantity — the frame multiset, hence the median,
+      // is deterministic either way
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"))
+        .rowsBetween(-4, Window.currentRow)
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          percentile(col("l_quantity"), lit(0.5)).over(w).as("roll_med5"))
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "roll_med5")
+    }),
+
     // rolling(3).std(): exact-decimal moments (sum, sum-of-squares are
     // DECIMAL — order-free) finished in IEEE double: the StandardScaler
     // recipe (Pipeline.scala) applied to a window frame. greatest(…, 0)
@@ -301,6 +323,14 @@ object Windows {
         |MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max3
         |FROM events ORDER BY event_id""".stripMargin,
+    "window_rolling_quantile" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+        |QUANTILE_CONT(l_quantity, 0.5) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+        |    l_quantity
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med5
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, roll_med5""".stripMargin,
     "window_rolling_std" ->
       """SELECT event_id, user_id,
         |CASE WHEN n > 1 THEN

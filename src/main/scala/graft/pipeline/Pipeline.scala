@@ -228,6 +228,25 @@ final case class QuantileClipper(col0: String, outCol: String,
       .drop("__lo", "__hi")
 }
 
+/** Rank-based quantile transform to uniform [0, 1] (sklearn
+  * QuantileTransformer's empirical-CDF mapping, the rank variant): value →
+  * percent_rank within its partition. Fit-free — the CDF IS the ranking —
+  * and exact: (rank−1)/(n−1) is integer arithmetic finished by one IEEE
+  * divide, identical in any engine. Partitioned (per-domain normalization)
+  * so no global sort: one shuffle on the partition key, rank streams
+  * within each group. */
+final case class QuantileTransform(col0: String, outCol: String,
+    partitionCols: Seq[String]) extends Node {
+  val name = s"quantile_transform($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] = None
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = { df =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(col0))
+    df.withColumn(outCol, percent_rank().over(w))
+  }
+}
+
 /** Forward-fill NULLs from the last prior non-null within a partition
   * (pandas/dask `ffill`): a running `last(ignoreNulls)` window — one
   * shuffle on the partition key, frame-streaming state. The order columns

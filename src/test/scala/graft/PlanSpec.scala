@@ -90,6 +90,13 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join must not shuffle on the key:\n$p")
   }
 
+  test("scan_count_pushdown: COUNT/MIN/MAX answered from parquet footer " +
+      "stats, not data pages") {
+    val p = plan("scan_count_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed to the parquet scan:\n$p")
+  }
+
   test("tpch_q4: EXISTS plans as a semi-join; date filter reaches the " +
       "orders scan") {
     val p = plan("tpch_q4")
