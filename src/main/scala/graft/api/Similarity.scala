@@ -109,6 +109,30 @@ object Similarity {
       .filter(col("sim_r") >= minSim)
   }
 
+  /** k-means-style assignment: every corpus vector goes to its most-
+    * similar centroid (argmax of the 6-dp-rounded dot, centroid-id
+    * tie-break). `centroids` must carry (cid, ce) — the same eager
+    * contract as the (qid, qe) query frames. Centroids broadcast: n·k
+    * map-side dot products, one per-vector window, never a corpus
+    * shuffle — the SemDeDup / IVF coarse-quantizer primitive, valid at
+    * any corpus size while k stays bounded.
+    * Output: (vec_id, cluster_id, sim_r). */
+  def assignClusters(corpus: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame = {
+    val cols = centroids.columns.toSet
+    require(cols.contains("cid") && cols.contains("ce"),
+      s"centroids frame must have columns 'cid' and 'ce' (got: " +
+        s"${centroids.columns.mkString(", ")}) — select(id.as(\"cid\"), " +
+        "vec.as(\"ce\")) before calling")
+    val w = Window.partitionBy("vec_id").orderBy(col("sim_r").desc, col("cid"))
+    corpus.select(id.as("vec_id"), vec.as("__v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("ce"), col("__v")), 6).as("sim_r"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("sim_r"))
+  }
+
   /** Near-dup by sign-bucket LSH + similarity verify (the embedding-space
     * analogue of MinHash-LSH). Output: (bucket, vec_a, vec_b, sim_r). */
   def nearDupLsh(corpus: DataFrame, id: Column, vec: Column,

@@ -140,6 +140,23 @@ object LlmOps {
 
     "llm_sim_topk" -> ((s, d) => simTopk(s, d)),
 
+    // k-means assignment step / IVF coarse quantization (the SemDeDup /
+    // cluster-then-curate primitive): every vector goes to its most-
+    // similar of k fixed centroids (seeds vec_id < 8 here; fitted means
+    // in production — the assignment plan is identical). Centroids are
+    // broadcast, so the cost is n·k codegen'd dot products map-side plus
+    // one window per vec for the argmax — no shuffle of the corpus, k
+    // stays bounded at any corpus size. Ties broken on the ROUNDED sim
+    // then centroid id, so ranks can never diverge between engines.
+    "llm_cluster_assign" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val c = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      graft.api.Similarity
+        .assignClusters(e, col("vec_id"), col("embedding"), c)
+        .orderBy("vec_id")
+    }),
+
     // all pairs with cosine ≥ τ WITHIN a label partition (equi-key bounds
     // the pair space; at 100 TB the label/bucket key is what keeps this
     // sane) — graft.api.Similarity.thresholdJoin
@@ -283,6 +300,16 @@ object LlmOps {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "llm_cluster_assign" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < 8),
+         |s AS (SELECT vec_id, cid,
+         |  ROUND(${dotSql("ce", "embedding")}, 6) AS sim_r
+         |  FROM embeddings CROSS JOIN c)
+         |SELECT vec_id, cid AS cluster_id, sim_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY sim_r DESC, cid) AS rk FROM s) t
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "llm_sim_threshold_join" ->
       s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ROUND(${dotSql("a.embedding", "b.embedding")}, 6) AS sim_r

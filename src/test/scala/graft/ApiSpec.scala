@@ -60,6 +60,34 @@ class ApiSpec extends AnyFunSuite {
     assert(got == expected, s"topK diverges from brute force")
   }
 
+  test("Similarity.assignClusters: every vector assigned to its argmax " +
+      "centroid on random vectors, custom column names") {
+    val rnd = new scala.util.Random(11)
+    val dims = 8; val n = 30; val k = 4
+    val vecs = (0L until n).map(i => (i, Seq.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val corpusDf = vecs.toDF("row_key", "emb")
+    val cents = vecs.take(k).map { case (i, v) => (i + 100L, v) }
+    val centDf = cents.toDF("cid", "ce")
+    val got = Similarity
+      .assignClusters(corpusDf, col("row_key"), col("emb"), centDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dotD(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val expected = vecs.map { case (i, v) =>
+      val best = cents.map { case (cid, cv) =>
+        (cid, BigDecimal(dotD(cv, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }.minBy { case (cid, s) => (-s, cid) }
+      i -> best._1
+    }.toMap
+    assert(got == expected, "assignment diverges from local argmax")
+    // missing contract columns fail eagerly with a clear message
+    val err = intercept[IllegalArgumentException] {
+      Similarity.assignClusters(corpusDf, col("row_key"), col("emb"),
+        centDf.withColumnRenamed("ce", "vec"))
+    }
+    assert(err.getMessage.contains("'cid' and 'ce'"))
+  }
+
   test("Similarity.topKIvf multi-probe: recall never drops vs single " +
       "probe, and candidates stay a superset per query") {
     val emb = graft.util.Tables.embeddings(spark, SparkFixture.sf0001)
