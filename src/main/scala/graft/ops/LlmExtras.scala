@@ -311,6 +311,35 @@ object LlmExtras {
       graft.api.TextDedup.clusters(pairs, col("vec_a"), col("vec_b"))
         .select(col("node").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
+    }),
+
+    // SemDeDup, end to end in ONE plan: coarse k-means assignment
+    // (broadcast centroids, map-side) → similarity pairs WITHIN each
+    // cluster (the cluster key bounds the pair space — that is the whole
+    // point of clustering first) → connected components → keep the
+    // lowest id per duplicate group, every other member marked dropped.
+    // At 100 TB: k grows with the corpus (10⁴–10⁵ centroids) so
+    // per-cluster candidate sets stay bounded; the fixture uses the 8
+    // seed centroids of llm_cluster_assign.
+    "llm_semdedup" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val assigned = graft.api.Similarity
+        .assignClusters(e, col("vec_id"), col("embedding"), cents)
+        .select(col("vec_id"), col("cluster_id"))
+      val withCluster = e.join(assigned, "vec_id")
+      val pairs = graft.api.Similarity.thresholdJoin(withCluster,
+        col("vec_id"), col("embedding"), col("cluster_id"), minSim = 0.2)
+      val comps = graft.api.TextDedup
+        .clusters(pairs, col("vec_a"), col("vec_b"))
+        .select(col("node").as("vec_id"), col("cluster_id").as("dup_group"))
+      withCluster.select("vec_id", "cluster_id")
+        .join(comps, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"),
+          (col("dup_group").isNull || col("dup_group") === col("vec_id"))
+            .as("keep"))
+        .orderBy("vec_id")
     })
   )
 
@@ -468,6 +497,32 @@ object LlmExtras {
          |FROM e a JOIN e b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ROUND(${dotSql("a.embedding", "b.embedding")}, 6) >= 0.2
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "llm_semdedup" ->
+      s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS ce
+         |  FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT vec_id, cid,
+         |  ROUND(${dotSql("ce", "embedding")}, 6) AS sim_r
+         |  FROM embeddings CROSS JOIN c),
+         |a AS (SELECT vec_id, cid AS cluster_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY sim_r DESC, cid) AS rk FROM sc) t WHERE rk = 1),
+         |j AS (SELECT e.vec_id, e.embedding, a.cluster_id
+         |  FROM embeddings e JOIN a USING (vec_id)),
+         |p AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |  FROM j x JOIN j y
+         |    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+         |  WHERE ROUND(${dotSql("x.embedding", "y.embedding")}, 6) >= 0.2),
+         |ed AS (SELECT va AS xx, vb AS yy FROM p
+         |       UNION ALL SELECT vb, va FROM p),
+         |walk AS (SELECT xx AS node, yy AS label FROM ed
+         |         UNION
+         |         SELECT ed.xx, w.label FROM ed JOIN walk w ON ed.yy = w.node),
+         |comp AS (SELECT node, LEAST(node, MIN(label)) AS dg
+         |  FROM walk GROUP BY node)
+         |SELECT j.vec_id, j.cluster_id,
+         |  (comp.node IS NULL OR comp.dg = j.vec_id) AS keep
+         |FROM j LEFT JOIN comp ON comp.node = j.vec_id
+         |ORDER BY vec_id""".stripMargin
   )
 }

@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join must not shuffle on the key:\n$p")
   }
 
+  test("llm_semdedup: centroids broadcast; pair space equi-key bounded, " +
+      "never a cartesian") {
+    val p = plan("llm_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pair join must stay equi-key bounded:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+  }
+
   test("scan_count_pushdown: COUNT/MIN/MAX answered from parquet footer " +
       "stats, not data pages") {
     val p = plan("scan_count_pushdown")
