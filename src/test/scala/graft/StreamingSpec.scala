@@ -49,6 +49,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed restart is exactly-once: closed windows survive a " +
+      "stop/start with no loss and no double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = SparkFixture.tempDir("graft_eo_out_").toString
+    val ckpt = SparkFixture.tempDir("graft_eo_ckpt_").toString
+    val in = MemoryStream[Ev]
+    def start() = Streaming.twinTumbling(in.toDF)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // run 1: two clicks in [10:00, 11:00); the 13:00 sentinel advances the
+    // watermark past the window end so it closes and commits to the sink
+    val q1 = start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click"),
+        Ev(2, t("2024-01-01 10:30:00"), 1, "click"),
+        Ev(3, t("2024-01-01 13:00:00"), 2, "view"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // data arriving while the query is DOWN, then a restart from the same
+    // checkpoint: offsets + watermark recover, the new window closes,
+    // and the already-committed window must not be re-emitted
+    in.addData(
+      Ev(4, t("2024-01-01 14:00:00"), 3, "click"),
+      Ev(5, t("2024-01-01 14:20:00"), 3, "click"),
+      Ev(6, t("2024-01-01 17:00:00"), 2, "view"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .filter(col("event_type") === "click")
+      .select(col("ws").cast("string"), col("n")).as[(String, Long)]
+      .collect().toList.sorted
+    assert(rows == List(("2024-01-01 10:00:00", 2L), ("2024-01-01 14:00:00", 2L)),
+      s"exactly-once violated: $rows")
+  }
+
   test("streaming dedup by event_id within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
