@@ -172,6 +172,28 @@ object Composites {
         .limit(100)
     }),
 
+    // TPC-H Q19 shape (discounted revenue, disjunctive bands): revenue
+    // over an OR of three (brand, size-band, quantity-band) predicates.
+    // The join key is conjunctive (l_partkey = p_partkey) so the join
+    // stays a plain equi-join; the disjunction is a post-join filter that
+    // Catalyst additionally DISTRIBUTES into per-scan prefilters (the
+    // brand/size disjunction's union reaches the part scan, the quantity
+    // union the lineitem scan) — rows matching no band never shuffle.
+    "tpch_q19" -> ((s, d) => {
+      val bands =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35)
+          && col("l_quantity").between(20, 30))
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(bands)
+        .agg(dsumExpr(revTerm).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // Bloom-filter join pruning — the explicit form of the runtime filter
     // a 100 TB engine injects on every selective join (Spark's own
     // InjectRuntimeFilter does this under AQE): build a bounded-size
@@ -291,6 +313,16 @@ object Composites {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY total_qty DESC, o_orderkey
          |LIMIT 100""".stripMargin,
+    "tpch_q19" ->
+      s"""SELECT CAST(SUM($revTermSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "join_bloom_prefilter" ->
       s"""SELECT l_suppkey, COUNT(*) AS n_items,
          |  ${dsumSql("l_quantity")} AS sum_qty

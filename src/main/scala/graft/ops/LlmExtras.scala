@@ -43,6 +43,12 @@ object LlmExtras {
   private val ChunkWidth = 16
   private val ChunkStep = 12
 
+  /** NFC composition (JDK Normalizer) — the one text-cleaning step with
+    * no Spark built-in; NULL-safe. */
+  private val nfcUdf = udf((t: String) =>
+    if (t == null) null
+    else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+
   private def chunked(docs: DataFrame, withText: Boolean = false): DataFrame = {
     val base = docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
@@ -293,6 +299,22 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // Unicode canonicalization — the cleaning step BEFORE any text dedup
+    // hashes bytes (é as one codepoint vs e+combining-acute must dedup
+    // together): NFC composition via a minimal UDF (the JDK Normalizer —
+    // Spark has no built-in NFC; this is the sanctioned UDF escape hatch,
+    // kept to the one non-expressible step), then codegen'd
+    // lower/whitespace-collapse/trim. Map-side only, no shuffle. The
+    // oracle's nfc_normalize/lower agree on the fixture corpus; exotic
+    // case foldings (U+0130 etc.) are pinned by a unit test instead.
+    "llm_text_normalize" -> ((s, d) => {
+      documents(s, d).select(col("doc_id"),
+          trim(regexp_replace(lower(nfcUdf(col("text"))), "\\s+", " "))
+            .as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))
+        .orderBy("doc_id")
+    }),
+
     // embedding near-dup: sign-bit LSH bucket join + cosine verify —
     // bounded candidate generation, the ANN scale path for dedup
     "llm_dedup_embedding" -> ((s, d) =>
@@ -498,6 +520,13 @@ object LlmExtras {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ROUND(${dotSql("a.embedding", "b.embedding")}, 6) >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "llm_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |    AS norm_text,
+        |  length(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '\s+', ' ', 'g'))) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_semdedup" ->
       s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS ce
          |  FROM embeddings WHERE vec_id < 8),

@@ -30,6 +30,30 @@ class LlmExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_text_normalize folds NFC-equivalent forms and whitespace " +
+      "variants to identical bytes") {
+    import spark.implicits._
+    val dir = SparkFixture.tempDir("graft_nfc_").toString
+    // é precomposed (U+00E9) vs e + combining acute (U+0301); mixed case
+    // and run-on whitespace — all four must normalize identically
+    val composed = "café au lait"
+    val decomposed = "café au lait"
+    Seq(
+      (1L, composed, "fr", "web", composed.length.toLong),
+      (2L, decomposed, "fr", "web", decomposed.length.toLong),
+      (3L, "CAFÉ   au\tlait ", "fr", "web", 16L),
+      (4L, null.asInstanceOf[String], "fr", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_text_normalize")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == out(2L), "NFC forms must collapse")
+    assert(out(1L) == out(3L), "case/whitespace variants must collapse")
+    assert(out(1L) == "café au lait")
+    assert(out(4L) == null, "NULL text must stay NULL")
+  }
+
   test("planted duplicates share identical simhash at sf0.1") {
     val sh = SparkEntry.queries("llm_simhash")(spark, SparkFixture.sf01)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -90,6 +90,16 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join must not shuffle on the key:\n$p")
   }
 
+  test("tpch_q19: the disjunctive band predicate distributes to BOTH " +
+      "scans as per-side prefilters") {
+    val p = plan("tpch_q19")
+    assert(p.contains("OR ((l_quantity"),
+      s"quantity-band union not prefiltering the lineitem scan:\n$p")
+    assert(p.contains("OR ((p_brand"),
+      s"brand/size-band union not prefiltering the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+  }
+
   test("llm_semdedup: centroids broadcast; pair space equi-key bounded, " +
       "never a cartesian") {
     val p = plan("llm_semdedup")
