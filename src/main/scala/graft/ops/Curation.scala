@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.util.Tables._
@@ -43,6 +44,35 @@ object Curation {
           col("doc_id"), col("text"), width = GramWidth)
         .select(col("id").as("doc_id"), col("n_grams"), col("n_matched"),
           round(col("contamination_frac"), 6).as("contamination_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // The whole curation story in ONE Catalyst plan — what a reference
+    // user actually runs nightly: Unicode/case/whitespace normalization
+    // (map-side) → quality gates on token stats (map-side) → exact dedup
+    // on the NORMALIZED bytes with a deterministic canonical survivor
+    // (one hash shuffle — the only data movement in the pipeline) →
+    // per-doc verdict. At 100 TB: shuffle volume is one 32-byte hash per
+    // row; everything else pipelines inside whole-stage codegen.
+    "llm_curation_pipeline" -> ((s, d) => {
+      val norm = documents(s, d).select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .as("norm_text"))
+      val toks = split(col("norm_text"), " ")
+      val gated = norm
+        .withColumn("n_tokens", size(toks))
+        .withColumn("dup_frac",
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        .withColumn("keep_quality",
+          col("n_tokens") >= 5 && col("dup_frac") <= 0.5)
+      val w = Window.partitionBy(md5(col("norm_text")))
+        .orderBy(col("doc_id"))
+      gated
+        .withColumn("is_canonical", row_number().over(w) === 1)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dup_frac"), 6).as("dup_frac_r"),
+          col("keep_quality"), col("is_canonical"),
+          (col("keep_quality") && col("is_canonical")).as("final_keep"))
         .orderBy("doc_id")
     }),
 
@@ -241,6 +271,23 @@ object Curation {
          |    AS contamination_frac
          |FROM tot t JOIN m USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "llm_curation_pipeline" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents),
+        |t AS (SELECT doc_id, norm_text,
+        |    len(string_split_regex(norm_text, ' ')) AS n_tokens,
+        |    1.0 - CAST(len(list_distinct(string_split_regex(norm_text, ' ')))
+        |        AS DOUBLE)
+        |      / len(string_split_regex(norm_text, ' ')) AS dup_frac
+        |  FROM norm),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm_text)
+        |    ORDER BY doc_id) AS rk FROM t)
+        |SELECT doc_id, n_tokens, ROUND(dup_frac, 6) AS dup_frac_r,
+        |  (n_tokens >= 5 AND dup_frac <= 0.5) AS keep_quality,
+        |  (rk = 1) AS is_canonical,
+        |  ((n_tokens >= 5 AND dup_frac <= 0.5) AND rk = 1) AS final_keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "llm_repetition_filter" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
         |  FROM documents),

@@ -90,6 +90,14 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join must not shuffle on the key:\n$p")
   }
 
+  test("llm_curation_pipeline: normalize + gates + dedup in ONE plan — " +
+      "only the dedup hash shuffle and the presentation sort") {
+    val p = plan("llm_curation_pipeline")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"curation pipeline must move data once (dedup hash) + present:\n$p")
+  }
+
   test("tpch_q19: the disjunctive band predicate distributes to BOTH " +
       "scans as per-side prefilters") {
     val p = plan("tpch_q19")
