@@ -68,6 +68,20 @@ object Windows {
         .orderBy("o_orderstatus", "o_orderkey")
     }),
 
+    // empirical CDF position INCLUDING the current row (pandas
+    // rank(pct=True)): cume_dist = rows ≤ current / partition rows —
+    // integer arithmetic finished by one IEEE divide, tie groups share a
+    // value in both engines. Completes the ranking family
+    // (row_number/rank/dense/percent_rank/ntile/cume_dist).
+    "window_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
     // groupby.shift(1) / shift(-1): previous & next event value per user
     "window_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -293,6 +307,11 @@ object Windows {
         |  ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
         |CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "window_cume_dist" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |CUME_DIST() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey) AS cdist
         |FROM orders ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "window_lag_lead" ->
       """SELECT event_id, user_id, ts,
