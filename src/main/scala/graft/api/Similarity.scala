@@ -125,8 +125,10 @@ object Similarity {
         s"${centroids.columns.mkString(", ")}) — select(id.as(\"cid\"), " +
         "vec.as(\"ce\")) before calling")
     val w = Window.partitionBy("vec_id").orderBy(col("sim_r").desc, col("cid"))
+    // project centroids down to the contract columns: an extra vec_id/__v
+    // column riding along would make the post-join references ambiguous
     corpus.select(id.as("vec_id"), vec.as("__v"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("ce"))))
       .select(col("vec_id"), col("cid"),
         round(dot(col("ce"), col("__v")), 6).as("sim_r"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
