@@ -189,6 +189,25 @@ object Curation {
         .orderBy("source")
     }),
 
+    // dataset card: the corpus profile a training run publishes — doc /
+    // token / char totals per (source, lang), per source, per lang, and
+    // overall, in ONE grouping-sets aggregate pass (no four separate
+    // scans). Token counts sum exactly (integers); one partial+final agg
+    // regardless of corpus size.
+    "llm_dataset_card" -> ((s, d) => {
+      val base = documents(s, d).select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("n_chars"))
+      base
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    }),
+
     // temperature-based domain mixing (α = 0.5): per-source sampling
     // weight ∝ n^α, normalized; expected docs at a fixed sample budget.
     // The √n terms round 6 dp then sum as exact DECIMAL so the weight
@@ -288,6 +307,13 @@ object Curation {
         |  (rk = 1) AS is_canonical,
         |  ((n_tokens >= 5 AND dup_frac <= 0.5) AND rk = 1) AS final_keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "llm_dataset_card" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  SUM(len(string_split_regex(text, ' '))) AS n_tokens,
+        |  SUM(n_chars) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
     "llm_repetition_filter" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
         |  FROM documents),

@@ -336,6 +336,43 @@ object Joins {
         .orderBy("iv")
     }),
 
+    // the same interval semantics WITHOUT broadcasting the interval side —
+    // the scale form SCALE.md promises for when the interval table is
+    // itself large (billions of maintenance windows / sessions): bucketize
+    // the time axis (3-day grid), EXPLODE each interval over the buckets
+    // it overlaps (bounded by interval span / bucket width), equi-join on
+    // the bucket, keep the exact range as a residual predicate. The join
+    // is a plain hash equi-join — shuffle volume n + Σ spans, never n×m —
+    // and the result is bit-identical to join_interval (same oracle
+    // modulo names). PlanSpec asserts no nested-loop/cartesian remains.
+    "join_interval_bucketized" -> ((s, d) => {
+      import s.implicits._
+      val bucketDays = 3
+      val iv = Seq(
+        ("w1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+        ("w2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+        ("w3", "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+        ("w4", "2024-01-22 00:00:00", "2024-01-29 00:00:00"))
+        .toDF("iv", "start_s", "end_s")
+        .select(col("iv"),
+          col("start_s").cast("timestamp_ntz").as("iv_start"),
+          col("end_s").cast("timestamp_ntz").as("iv_end"))
+      val epoch = lit("1970-01-01").cast("date")
+      val ivB = iv.withColumn("bucket",
+        explode(sequence(
+          floor(datediff(to_date(col("iv_start")), epoch) / bucketDays),
+          // end is EXCLUSIVE and day-aligned: last covered day is end−1
+          floor((datediff(to_date(col("iv_end")), epoch) - 1) / bucketDays))))
+      events(s, d)
+        .withColumn("bucket",
+          floor(datediff(to_date(col("ts")), epoch) / bucketDays))
+        .join(ivB, Seq("bucket"))
+        .filter(col("ts") >= col("iv_start") && col("ts") < col("iv_end"))
+        .groupBy("iv")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("iv")
+    }),
+
     // the JOIN-side skew lever (twin of agg_salted_skew): event_type has
     // ~5 hot keys, so a plain shuffle join would land each key on one
     // reducer. Salt the big side, replicate the small side across the salt
@@ -504,6 +541,17 @@ object Joins {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "join_interval" ->
+      s"""SELECT iv, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |JOIN (VALUES
+         |  ('w1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+         |  ('w2', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+         |  ('w3', TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+         |  ('w4', TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29'))
+         |  AS w(iv, iv_start, iv_end)
+         |  ON ts >= iv_start AND ts < iv_end
+         |GROUP BY iv ORDER BY iv""".stripMargin,
+    "join_interval_bucketized" ->
       s"""SELECT iv, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
          |FROM events
          |JOIN (VALUES

@@ -90,6 +90,16 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join must not shuffle on the key:\n$p")
   }
 
+  test("join_interval_bucketized: bucketization turns the range join " +
+      "into a hash equi-join — no nested loop, no cartesian") {
+    val p = plan("join_interval_bucketized")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"bucketized interval join must be an equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge equi-join on the bucket:\n$p")
+  }
+
   test("llm_curation_pipeline: normalize + gates + dedup in ONE plan — " +
       "only the dedup hash shuffle and the presentation sort") {
     val p = plan("llm_curation_pipeline")
