@@ -361,8 +361,12 @@ object Joins {
       val ivB = iv.withColumn("bucket",
         explode(sequence(
           floor(datediff(to_date(col("iv_start")), epoch) / bucketDays),
-          // end is EXCLUSIVE and day-aligned: last covered day is end−1
-          floor((datediff(to_date(col("iv_end")), epoch) - 1) / bucketDays))))
+          // include the end-day bucket unconditionally: for a non-day-
+          // aligned exclusive end, times before it on the end day are
+          // in range; for an aligned end this adds one empty candidate
+          // bucket that the residual predicate filters — correctness
+          // never depends on the interval's alignment
+          floor(datediff(to_date(col("iv_end")), epoch) / bucketDays))))
       events(s, d)
         .withColumn("bucket",
           floor(datediff(to_date(col("ts")), epoch) / bucketDays))
