@@ -172,6 +172,22 @@ object Composites {
         .limit(100)
     }),
 
+    // TPC-H Q6 (forecasting revenue change) — THE canonical scan-filter-
+    // aggregate microbenchmark: every predicate pushes to the parquet
+    // scan, no join, no shuffle beyond the final 1-row reduce. At 100 TB
+    // this plan is pure scan bandwidth (row-group min/max skipping does
+    // the rest) — if this query is slow, the storage layout is wrong,
+    // not the engine.
+    "tpch_q6" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(dsumExpr(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
     // TPC-H Q19 shape (discounted revenue, disjunctive bands): revenue
     // over an OR of three (brand, size-band, quantity-band) predicates.
     // The join key is conjunctive (l_partkey = p_partkey) so the join
@@ -313,6 +329,15 @@ object Composites {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY total_qty DESC, o_orderkey
          |LIMIT 100""".stripMargin,
+    "tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "tpch_q19" ->
       s"""SELECT CAST(SUM($revTermSql) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_lines

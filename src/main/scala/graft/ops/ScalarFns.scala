@@ -56,6 +56,18 @@ object ScalarFns {
           expr("try_cast(lang AS DOUBLE)").as("lang_as_double"))
         .orderBy("doc_id")),
 
+    // binary plumbing (content-addressed storage / payload transport):
+    // base64 and hex encodings plus a decode roundtrip proof — map-side,
+    // byte-deterministic in any engine (RFC 4648 / uppercase hex both
+    // sides)
+    "fn_encode_decode" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+          base64(col("p_name").cast("binary")).as("b64"),
+          hex(col("p_name").cast("binary")).as("hx"),
+          (unbase64(base64(col("p_name").cast("binary"))).cast("string")
+            === col("p_name")).as("roundtrip_ok"))
+        .orderBy("p_partkey")),
+
     // dt.tz_convert: UTC wall time → America/New_York wall time (IANA
     // tzdb on both engines — DST boundaries agree; EDT −4 / EST −5 both
     // visible in the fixture's 2024 range)
@@ -231,6 +243,13 @@ object ScalarFns {
         |TRY_CAST(concat(CAST(doc_id AS VARCHAR), '7') AS INTEGER) AS idx7,
         |TRY_CAST(lang AS DOUBLE) AS lang_as_double
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_encode_decode" ->
+      """SELECT p_partkey,
+        |base64(encode(p_name)) AS b64,
+        |hex(p_name) AS hx,
+        |(decode(from_base64(base64(encode(p_name)))) = p_name)
+        |  AS roundtrip_ok
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_date_timezone" ->
       """SELECT event_id,
         |CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
