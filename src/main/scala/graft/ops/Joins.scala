@@ -281,6 +281,28 @@ object Joins {
         .orderBy("o_orderkey")
     }),
 
+    // null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): pandas
+    // merge treats NaN keys as EQUAL, so this — not `===`, which drops
+    // NULL keys — is the parity semantics for dask/pandas frames with
+    // missing keys. NULLs are synthesized deterministically (no fixture
+    // NULLs). Scale note: every NULL lands on ONE join key, so a
+    // null-heavy column makes this the worst skew case — salt the null
+    // group (join_salted_skew's recipe) or pre-filter if the product
+    // semantics aren't wanted; the aggregate here bounds the output.
+    "join_null_safe" -> ((s, d) => {
+      val o = orders(s, d).select(
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("o_ck"),
+        col("o_totalprice"))
+      val c = customer(s, d).select(
+        when(col("c_custkey") % 89 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey")).as("c_ck"))
+      o.join(c, col("o_ck") <=> col("c_ck"))
+        .groupBy(col("o_ck").isNull.as("null_key"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("null_key")
+    }),
+
     // dynamic partition pruning: the fact table is stored hive-partitioned
     // on the join column; the dim side is small (broadcast) and carries a
     // selective predicate, so Catalyst injects the dim's key set as a
@@ -518,6 +540,15 @@ object Joins {
       """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "join_null_safe" ->
+      s"""WITH o AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+         |    ELSE o_custkey END AS o_ck, o_totalprice FROM orders),
+         |c AS (SELECT CASE WHEN c_custkey % 89 = 0 THEN NULL
+         |    ELSE c_custkey END AS c_ck FROM customer)
+         |SELECT (o_ck IS NULL) AS null_key, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM o JOIN c ON o_ck IS NOT DISTINCT FROM c_ck
+         |GROUP BY (o_ck IS NULL) ORDER BY null_key""".stripMargin,
     "join_dpp_partitioned" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  ${dsumSql("o_totalprice")} AS sum_price
