@@ -99,6 +99,21 @@ def main():
             print(f"FAIL {key}: oracle SQL error: {e}")
             n_fail += 1; failures.append(key)
             continue
+        # HUGEINT guard (CORRECTNESS_r04 tpch_q12 class): DuckDB SUM over
+        # INTEGER returns HUGEINT; the driver's fetchdf() renders it as
+        # float64/object while Spark emits int64, so the hash gate fails
+        # even when values agree. fetchall() (python ints) can't see this —
+        # DESCRIBE the oracle and force an explicit BIGINT/DOUBLE cast.
+        try:
+            odesc = con.execute(f"DESCRIBE {oracle[key]}").fetchall()
+            huge = [(c[0], c[1]) for c in odesc if "HUGEINT" in c[1]]
+            if huge:
+                print(f"FAIL {key}: oracle yields HUGEINT column(s) {huge}; "
+                      f"CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1; failures.append(key)
+                continue
+        except Exception:
+            pass  # DESCRIBE can choke on some constructs; dtype check below
         try:
             # explicit sorted part-file list: glob ordering is lexicographic
             # in practice but not contractual, and the compare is ordered
@@ -121,6 +136,29 @@ def main():
             print(f"FAIL {key}: rows duck={len(duck_rows)} spark={len(sp_rows)}")
             n_fail += 1; failures.append(key)
             continue
+        # Pandas dtype-kind mirror of the driver's fetchdf() comparator:
+        # same column must land in the same numpy kind (i=int, f=float,
+        # O=object, b=bool, M=datetime) on both sides, else the driver's
+        # value rendering (1831 vs 1831.0) diverges and the hash fails.
+        try:
+            ddf = con.execute(oracle[key]).fetchdf()
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet({parts!r})").fetchdf()
+            kind_bad = []
+            for c in duck_cols:
+                dk, sk = ddf[c].dtype.kind, sdf[c].dtype.kind
+                # all-null columns surface as object/float interchangeably
+                if dk != sk and not (ddf[c].isna().all()
+                                     or sdf[c].isna().all()):
+                    kind_bad.append((c, f"duck:{ddf[c].dtype}",
+                                     f"spark:{sdf[c].dtype}"))
+            if kind_bad:
+                print(f"FAIL {key}: pandas dtype kind mismatch (driver "
+                      f"hash would diverge): {kind_bad}")
+                n_fail += 1; failures.append(key)
+                continue
+        except Exception as e:
+            print(f"WARN {key}: dtype mirror check skipped: {e}")
         # driver sorts columns by name before hashing
         dperm = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
         sperm = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])

@@ -141,4 +141,55 @@ object Similarity {
       minSim: Double, bits: Int = 8): DataFrame =
     thresholdJoin(corpus, id, vec, signBucket(vec, bits), minSim)
       .withColumnRenamed("key", "bucket")
+
+  /** Symmetric per-vector int8 quantization — at 100 TB the embedding
+    * BYTES (not the doc text) dominate ANN storage and shuffle: float32
+    * → int8 is a 4× cut in both, the standard first step before PQ.
+    * scale = max(|x|)/127 per vector; q_i = floor(x_i/scale + 0.5)
+    * (spelled with floor, not round: floor is correctly rounded IEEE in
+    * every engine while round-half ties are implementation-defined).
+    * All-zero vectors quantize to all-zero with scale 0. Map-side only,
+    * codegen'd HOFs, no shuffle. Output: (vec_id, scale, qvec
+    * ARRAY<TINYINT>); reconstruct x ≈ q·scale, dot via
+    * [[quantizedDot]]. */
+  def quantizeInt8(corpus: DataFrame, id: Column, vec: Column): DataFrame =
+    corpus.select(id.as("vec_id"), vec.as("__v"))
+      .withColumn("scale",
+        array_max(transform(col("__v"), x => abs(x))).cast("double")
+          / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, lit(0.0))
+            .otherwise(floor(x.cast("double") / col("scale") + lit(0.5)))
+            .cast("byte")).as("qvec"))
+
+  /** Reconstructed dot product of two int8-quantized vectors:
+    * (scale_a·scale_b)·Σ qa_i·qb_i. The integer sum is EXACT (long
+    * accumulator — order-free, engine-stable); only the final two
+    * multiplies run in floating point. */
+  def quantizedDot(scaleA: Column, qa: Column,
+      scaleB: Column, qb: Column): Column =
+    scaleA * scaleB *
+      aggregate(zip_with(qa, qb, (a, b) => a.cast("long") * b.cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double")
+
+  /** Brute-force top-k over int8-quantized vectors — the memory-bound
+    * scale path: 4× less corpus to scan/broadcast than [[topK]], with
+    * recall pinned by a unit test against the exact ranking. Same
+    * (qid, qe) query contract and excludeSelf semantics as [[topK]]. */
+  def topKQuantized(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    val qc = quantizeInt8(corpus, id, vec)
+    val qq = quantizeInt8(queries, col("qid"), col("qe"))
+      .select(col("vec_id").as("qid"), col("scale").as("__qscale"),
+        col("qvec").as("__qq"))
+    val cond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    val scored = qc.join(broadcast(qq), cond)
+      .select(col("qid"), col("vec_id"),
+        round(quantizedDot(col("__qscale"), col("__qq"),
+          col("scale"), col("qvec")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

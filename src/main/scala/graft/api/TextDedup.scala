@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 import graft.functions.VectorExprs
@@ -140,20 +140,31 @@ object TextDedup {
     * documents), so at ANY corpus scale the distributed rounds run only
     * while they genuinely pay for themselves. At extreme scale prefer the
     * large-star/small-star variant [[clustersStar]] (O(log²) rounds
-    * regardless of diameter) and reliable `checkpoint` over
+    * regardless of diameter) and a reliable `checkpointDir` over
     * executor-local.
+    *
+    * `checkpointDir`: by default rounds truncate via `localCheckpoint` —
+    * executor-local, unreplicated, so on a real cluster losing ONE
+    * executor mid-job kills a multi-hour dedup run ("lineage truncated …
+    * cannot be recomputed"). Pass a reliable directory (HDFS/object
+    * store) to switch every round to fault-tolerant `.checkpoint()` —
+    * the standard production answer; costs one distributed write per
+    * round, and superseded round files stay on disk until session end
+    * (enable `spark.cleaner.referenceTracking.cleanCheckpoints` to reap
+    * them eagerly).
     */
   def clusters(pairs: DataFrame, a: Column, b: Column,
       maxIters: Int = 25,
-      localFinishEdges: Long = DefaultLocalFinishEdges): DataFrame = {
-    val fwd = pairs.select(a.as("x"), b.as("y")).localCheckpoint()
+      localFinishEdges: Long = DefaultLocalFinishEdges,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ck = ckptFn(pairs.sparkSession, checkpointDir)
+    val fwd = ck(pairs.select(a.as("x"), b.as("y")))
     if (fwd.count() <= localFinishEdges) return localComponents(fwd)
     val fwdGen = checkpointRdd(fwd)
-    val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint()
+    val edges = ck(fwd.union(fwd.select(col("y").as("x"), col("x").as("y"))))
     fwdGen.foreach(_.unpersist(blocking = false))
-    var labels = edges.select(col("x").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    var labels = ck(edges.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node")))
     // each round's eager checkpoint supersedes the previous generation —
     // unpersist it, or a long-lived session accumulates one persisted RDD
     // per round per clusters() call (measured: a ~170-query bench session
@@ -164,11 +175,10 @@ object TextDedup {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, col("y") === col("node"))
         .groupBy(col("x")).agg(min(col("label")).as("nbr_label"))
-      val joined = labels.join(nbrMin, col("node") === col("x"), "left")
+      val joined = ck(labels.join(nbrMin, col("node") === col("x"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("newl"))
-        .localCheckpoint()
+            .as("newl")))
       changed = joined.filter(col("newl") < col("label")).count()
       labels = joined.select(col("node"), col("newl").as("label"))
       prevGen.foreach(_.unpersist(blocking = false))
@@ -204,15 +214,18 @@ object TextDedup {
     * component's minimum, which is exactly [[clusters]]' labeling (the
     * equivalence is property-tested on random graphs). Same checkpoint
     * discipline as [[clusters]]: truncate lineage every round, release
-    * superseded generations. */
+    * superseded generations; pass `checkpointDir` for fault-tolerant
+    * round state on a real cluster (see [[clusters]]). */
   def clustersStar(pairs: DataFrame, a: Column, b: Column,
       maxIters: Int = 50,
-      localFinishEdges: Long = DefaultLocalFinishEdges): DataFrame = {
+      localFinishEdges: Long = DefaultLocalFinishEdges,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ck = ckptFn(pairs.sparkSession, checkpointDir)
     // the pairs input is typically the expensive stage (an LSH/jaccard
     // self-join): checkpoint the projection ONCE so the edge
     // canonicalization and the self-pair branch below both read the
     // materialization, never re-running the join
-    val fwd0 = pairs.select(a.as("u"), b.as("v")).localCheckpoint()
+    val fwd0 = ck(pairs.select(a.as("u"), b.as("v")))
     // same two-phase contract as clusters(): star rounds only while the
     // edge list exceeds one task's memory, then a single-task finish
     if (fwd0.count() <= localFinishEdges) return localComponents(fwd0)
@@ -220,12 +233,12 @@ object TextDedup {
     // self-pairs carry no connectivity but DO declare their node: keep
     // them as singleton components, exactly like clusters() does (tiny,
     // checkpointed so fwd0 can release after the initial edge set)
-    val selfs = fwd0.filter(col("u") === col("v"))
-      .select(col("u").as("n")).distinct().localCheckpoint()
-    var e = fwd0.filter(col("u") =!= col("v"))
+    val selfs = ck(fwd0.filter(col("u") === col("v"))
+      .select(col("u").as("n")).distinct())
+    var e = ck(fwd0.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     fwdGen.foreach(_.unpersist(blocking = false))
     var prevGen = checkpointRdd(e)
     var eCount = e.count()
@@ -246,12 +259,12 @@ object TextDedup {
       val mS = afterLarge.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
       val withM = afterLarge.join(mS, "u")
-      val next = withM.select(col("v").as("u"), col("m").as("v"))
+      val next = ck(withM.select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
-        .distinct().localCheckpoint()
+        .distinct())
       // set equality in 1 count + at most 1 anti-join: |next| = |e| plus
       // next ⊆ e (both distinct sets) ⇒ next = e — halves the old
       // two-exceptAll check's per-round job cost
@@ -333,6 +346,21 @@ object TextDedup {
     }
     edges.sparkSession.createDataFrame(out, StructType(Seq(
       StructField("node", dt), StructField("cluster_id", dt))))
+  }
+
+  /** Round-state truncation strategy: executor-local (fast, default) or
+    * reliable (fault-tolerant, when a checkpoint directory is given).
+    * setCheckpointDir is called ONCE per engine invocation — it mints a
+    * UUID subdirectory, so calling it per round would scatter files.
+    * With the reliable path the superseded-generation `unpersist` calls
+    * below are harmless no-ops (reliable checkpoints live in files, not
+    * the block manager). */
+  private def ckptFn(spark: SparkSession,
+      dir: Option[String]): DataFrame => DataFrame = dir match {
+    case Some(d) =>
+      spark.sparkContext.setCheckpointDir(d)
+      df => df.checkpoint()
+    case None => df => df.localCheckpoint()
   }
 
   /** The persisted RDD backing an (eager) localCheckpoint result — the

@@ -303,7 +303,40 @@ object Aggregations {
         max(col("l_quantity")).as("qty_max"),
         davg(col("l_extendedprice")).as("price_mean"),
         min(col("l_extendedprice")).as("price_min"),
-        max(col("l_extendedprice")).as("price_max")))
+        max(col("l_extendedprice")).as("price_max"))),
+
+    // Pairwise correlation MATRIX (DataFrame.corr() over all numeric
+    // columns — the pandas/dask profiling staple), long-form output.
+    // ONE scan, ONE partial-agg pass computes every per-column sum,
+    // square sum, and cross-product as an exact order-free decimal
+    // (k + k(k+1)/2 aggregates for k columns — still a single global
+    // HashAggregate row); `inline` then fans the 1-row moment vector out
+    // to one row per pair with the Pearson r finished in IEEE double,
+    // spelled identically in the oracle. At 100 TB this is the same cost
+    // as one agg_global — no per-pair passes, no shuffle beyond the
+    // 1-row aggregate.
+    "agg_corr_matrix" -> ((s, d) => {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val prs = for { i <- cs.indices; j <- (i + 1) until cs.size }
+        yield (cs(i), cs(j))
+      val moments =
+        Seq(count(lit(1)).cast("double").as("n")) ++
+          cs.map(c => sum(dec(col(c))).cast("double").as(s"s_$c")) ++
+          cs.map(c =>
+            sum(dec(col(c)) * dec(col(c))).cast("double").as(s"q_$c")) ++
+          prs.map { case (a, b) =>
+            sum(dec(col(a)) * dec(col(b))).cast("double").as(s"p_${a}_$b") }
+      def rOf(a: String, b: String): Column =
+        r6((col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          (sqrt(col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
+            sqrt(col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))))
+      lineitem(s, d)
+        .agg(moments.head, moments.tail: _*)
+        .select(inline(array(prs.map { case (a, b) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"),
+            rOf(a, b).as("corr_r")) }: _*)))
+        .orderBy("col_a", "col_b")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -465,6 +498,27 @@ object Aggregations {
          |MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
          |${davgSql("l_extendedprice")} AS price_mean,
          |MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max
-         |FROM lineitem""".stripMargin
+         |FROM lineitem""".stripMargin,
+    "agg_corr_matrix" -> {
+      // generated from the SAME column list as the Spark side so the two
+      // can't drift; exact decimal moments, r finished in double
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val prs = for { i <- cs.indices; j <- (i + 1) until cs.size }
+        yield (cs(i), cs(j))
+      val moments =
+        Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+          cs.map(c => s"CAST(SUM(${decSql(c)}) AS DOUBLE) AS s_$c") ++
+          cs.map(c =>
+            s"CAST(SUM(${decSql(c)} * ${decSql(c)}) AS DOUBLE) AS q_$c") ++
+          prs.map { case (a, b) =>
+            s"CAST(SUM(${decSql(a)} * ${decSql(b)}) AS DOUBLE) AS p_${a}_$b" }
+      val rows = prs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          s"ROUND((n * p_${a}_$b - s_$a * s_$b) / " +
+          s"(sqrt(n * q_$a - s_$a * s_$a) * " +
+          s"sqrt(n * q_$b - s_$b * s_$b)), 6) AS corr_r FROM m" }
+      s"WITH m AS (SELECT ${moments.mkString(", ")} FROM lineitem) " +
+        rows.mkString(" UNION ALL ") + " ORDER BY col_a, col_b"
+    }
   )
 }

@@ -309,8 +309,8 @@ object Curation {
         |FROM r ORDER BY doc_id""".stripMargin,
     "llm_dataset_card" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
-        |  SUM(len(string_split_regex(text, ' '))) AS n_tokens,
-        |  SUM(n_chars) AS sum_chars
+        |  CAST(SUM(len(string_split_regex(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
@@ -430,7 +430,8 @@ object Curation {
         |  FROM tk),
         |freq AS (SELECT h, COUNT(*) AS n_occ FROM ch GROUP BY h)
         |SELECT doc_id, COUNT(*) AS n_chunks,
-        |  SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
         |  ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*), 6) AS dup_chunk_frac
         |FROM ch JOIN freq USING (h)

@@ -305,10 +305,26 @@ object LlmExtras {
     // Spark has no built-in NFC; this is the sanctioned UDF escape hatch,
     // kept to the one non-expressible step), then codegen'd
     // lower/whitespace-collapse/trim. Map-side only, no shuffle. The
-    // oracle's nfc_normalize/lower agree on the fixture corpus; exotic
-    // case foldings (U+0130 etc.) are pinned by a unit test instead.
+    // fixture corpus is ASCII-only, so the query unions three
+    // NFC-divergent probe rows (negative doc_ids, mirrored in the oracle
+    // SQL via chr()) — decomposed vs precomposed accents and the U+212B
+    // angstrom compatibility mapping — so the DuckDB hash gate genuinely
+    // exercises the composition path instead of collapsing to a
+    // byte-identical twin of udf_scalar. Exotic case foldings (U+0130
+    // etc.) stay pinned by the unit test.
     "llm_text_normalize" -> ((s, d) => {
-      documents(s, d).select(col("doc_id"),
+      import s.implicits._
+      val probes = Seq(
+        // decomposed (combining marks), run-on whitespace
+        (-3L, "Cafe\u0301  de\u0301ja\u0300 vu"),
+        // precomposed twin of -3 — must normalize byte-identically
+        (-2L, "Caf\u00e9 d\u00e9j\u00e0 vu"),
+        // U+212B ANGSTROM SIGN: NFC maps to U+00C5, lower to U+00E5
+        (-1L, "\u212Bngstr\u00f6m UNITS"))
+        .toDF("doc_id", "text")
+      documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(probes)
+        .select(col("doc_id"),
           trim(regexp_replace(lower(nfcUdf(col("text"))), "\\s+", " "))
             .as("norm_text"))
         .withColumn("n_chars_norm", length(col("norm_text")))
@@ -362,10 +378,72 @@ object LlmExtras {
           (col("dup_group").isNull || col("dup_group") === col("vec_id"))
             .as("keep"))
         .orderBy("vec_id")
+    }),
+
+    // int8 embedding quantization (graft.api.Similarity.quantizeInt8):
+    // the 4× storage/shuffle cut that makes 100 TB ANN affordable —
+    // float32 embedding bytes, not doc text, dominate at that scale.
+    // Map-side HOFs only. qvec flattens ARRAY<TINYINT> → '|' string for
+    // the comparator; API users get the raw array.
+    "llm_embed_quantize" -> ((s, d) =>
+      graft.api.Similarity
+        .quantizeInt8(embeddings(s, d), col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("scale"),
+          concat_ws("|", transform(col("qvec"), v => v.cast("string")))
+            .as("qvec"))
+        .orderBy("vec_id")),
+
+    // brute-force top-k over the QUANTIZED vectors — the memory-bound
+    // sibling of llm_sim_topk (integer dot exact in a long accumulator,
+    // scales multiplied back in double, spelled identically in the
+    // oracle); recall vs the exact ranking is pinned in SimilaritySpec
+    "llm_sim_topk_quantized" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .topKQuantized(e, col("vec_id"), col("embedding"), q, k = 5)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
     })
   )
 
+  /** DuckDB twin of Similarity.quantizeInt8 (CTE pair `q0`/`qz`): two
+    * stages because a lambda cannot reference an alias minted in its own
+    * SELECT. floor(x/scale + 0.5), never round(): round-half ties are
+    * implementation-defined across engines, floor is correctly rounded
+    * IEEE everywhere. */
+  private val quantCte: String =
+    """q0 AS (SELECT vec_id,
+      |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |    / 127.0 AS scale, embedding FROM embeddings),
+      |qz AS (SELECT vec_id, scale,
+      |  list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0
+      |    ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS TINYINT))
+      |    AS q
+      |  FROM q0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "llm_embed_quantize" ->
+      s"""WITH $quantCte
+         |SELECT vec_id, scale,
+         |  array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), '|')
+         |    AS qvec
+         |FROM qz ORDER BY vec_id""".stripMargin,
+    "llm_sim_topk_quantized" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id AS qid, scale AS qscale, q AS qq FROM qz
+         |  WHERE vec_id < 10),
+         |s AS (SELECT qid, qz.vec_id,
+         |  ROUND(qscale * scale * CAST(list_sum(list_transform(
+         |    list_zip(qq, q),
+         |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS DOUBLE),
+         |    6) AS sim_r
+         |  FROM qs, qz WHERE qz.vec_id != qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // llm_simhash / llm_fingerprint: omitted (engine-specific xxhash64);
     // pinned by planted-duplicate tests in LlmExtrasSpec
     "llm_gopher_filters" ->
@@ -521,12 +599,22 @@ object LlmExtras {
          |WHERE ROUND(${dotSql("a.embedding", "b.embedding")}, 6) >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin,
     "llm_text_normalize" ->
-      """SELECT doc_id,
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-3 AS BIGINT), 'Cafe' || chr(769) || '  de' || chr(769)
+        |      || 'ja' || chr(768) || ' vu'),
+        |    (CAST(-2 AS BIGINT), 'Caf' || chr(233) || ' d' || chr(233)
+        |      || 'j' || chr(224) || ' vu'),
+        |    (CAST(-1 AS BIGINT), chr(8491) || 'ngstr' || chr(246)
+        |      || 'm UNITS')) AS v(doc_id, text))
+        |SELECT doc_id,
         |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
         |    AS norm_text,
         |  length(trim(regexp_replace(lower(nfc_normalize(text)),
         |    '\s+', ' ', 'g'))) AS n_chars_norm
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM src ORDER BY doc_id""".stripMargin,
     "llm_semdedup" ->
       s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS ce
          |  FROM embeddings WHERE vec_id < 8),

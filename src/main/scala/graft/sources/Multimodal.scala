@@ -276,6 +276,97 @@ object Multimodal {
         "duration_ms")
   }
 
+  /** Audio FEATURE extraction — one streamed pass over the decoded PCM
+    * samples (not just the header): RMS energy, peak amplitude, and
+    * zero-crossing rate, the standard cheap speech/music/silence
+    * discriminators (silence → low rms; speech → mid zcr; hiss/noise →
+    * high zcr). REAL decode for every format the JDK ships a provider
+    * for (PCM WAV/AIFF/AU); compressed formats return the sentinel row —
+    * the same external-codec splice contract as [[decodeAudio]].
+    *
+    * Scale shape: samples stream through a fixed 8 KiB buffer inside one
+    * `mapPartitions` task — O(samples) time, O(1) memory, no shuffle of
+    * the payload column; features are 3 doubles + a long per file.
+    * First channel only (channels are interleaved per frame): energy
+    * stats on mixed-down stereo would double-count phase-correlated
+    * channels. Amplitudes normalize to [-1, 1] by the sample bit depth
+    * so rms/peak are comparable across 8/16-bit inputs. */
+  def audioFeatures(df: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val out = Encoders.product[(String, Long, Double, Double, Double)]
+    df.select(col("path"), col("media.bytes"))
+      .as[(String, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          pcmFeatures(bytes) match {
+            case Some((n, rms, peak, zcr)) => (path, n, rms, peak, zcr)
+            case None => (path, -1L, -1.0, -1.0, -1.0)
+          }
+        }
+      }(out)
+      .toDF("path", "n_samples", "rms", "peak", "zcr")
+  }
+
+  /** (n_samples, rms, peak, zero-crossing rate) over channel-0 PCM;
+    * None when no provider decodes the bytes or the frame layout is not
+    * integer PCM. Sums accumulate in double (a single file's sample
+    * count keeps the error far below the 6-dp display precision). */
+  private[sources] def pcmFeatures(
+      bytes: Array[Byte]): Option[(Long, Double, Double, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = in.getFormat
+      val bits = f.getSampleSizeInBits
+      val frameSize = f.getFrameSize
+      val enc = f.getEncoding
+      import javax.sound.sampled.AudioFormat.Encoding._
+      if (frameSize <= 0 || bits % 8 != 0 ||
+        (enc != PCM_SIGNED && enc != PCM_UNSIGNED)) { in.close(); None }
+      else {
+        val bytesPer = bits / 8
+        val full = (1L << (bits - 1)).toDouble // normalizer to [-1, 1]
+        val buf = new Array[Byte](8192 - 8192 % frameSize)
+        var n = 0L; var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+        var prevNeg = false
+        var read = in.read(buf)
+        while (read > 0) {
+          var off = 0
+          while (off + frameSize <= read) {
+            // channel 0 = first sample of the frame
+            var raw = 0L
+            if (f.isBigEndian) {
+              var i = 0
+              while (i < bytesPer) { raw = (raw << 8) | (buf(off + i) & 0xffL); i += 1 }
+            } else {
+              var i = bytesPer - 1
+              while (i >= 0) { raw = (raw << 8) | (buf(off + i) & 0xffL); i -= 1 }
+            }
+            val v: Double =
+              if (enc == PCM_UNSIGNED) raw - full // center at zero
+              else { // sign-extend two's complement at `bits`
+                val shift = 64 - bits
+                ((raw << shift) >> shift).toDouble
+              }
+            val amp = v / full
+            sumSq += amp * amp
+            val ab = math.abs(amp)
+            if (ab > peak) peak = ab
+            val neg = amp < 0
+            if (n > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            n += 1
+            off += frameSize
+          }
+          read = in.read(buf)
+        }
+        in.close()
+        if (n == 0) Some((0L, 0.0, 0.0, 0.0))
+        else Some((n, math.sqrt(sumSq / n), peak,
+          if (n > 1) crossings.toDouble / (n - 1) else 0.0))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Header-only (rate, channels, bits, frames, duration ms) via the
     * JDK's sampled-audio provider registry; None when unrecognized. */
   private[sources] def decodeAudioHeader(

@@ -428,4 +428,79 @@ class ApiSpec extends AnyFunSuite {
     assert(d1.exists(_.getAs[Long]("n") >= 2),
       "both copies of x must land in x's bucket")
   }
+
+  test("TextDedup.clusters/clustersStar with a reliable checkpointDir " +
+      "match the localCheckpoint default and actually write round state") {
+    val edges = (Seq((1L, 2L), (2L, 3L), (9L, 7L)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("a", "b")
+    val ckDir = SparkFixture.tempDir("graft_ck_")
+    // localFinishEdges=0 forces the distributed rounds — the only path
+    // that checkpoints per round
+    val base = TextDedup.clusters(edges, col("a"), col("b"),
+      localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = TextDedup.clusters(edges, col("a"), col("b"),
+      localFinishEdges = 0L, checkpointDir = Some(ckDir.getAbsolutePath))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == base,
+      "reliable-checkpoint result diverges from the default")
+    def rddFiles(d: java.io.File): Int = {
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      fs.count(f => f.isFile && f.getName.startsWith("part-")) +
+        fs.filter(_.isDirectory).map(rddFiles).sum
+    }
+    assert(rddFiles(ckDir) > 0,
+      "no checkpoint part-files written — rounds still executor-local")
+    val starReliable = TextDedup.clustersStar(edges, col("a"), col("b"),
+      localFinishEdges = 0L, checkpointDir = Some(ckDir.getAbsolutePath))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starReliable == base,
+      "clustersStar reliable-checkpoint result diverges")
+  }
+
+  test("Similarity.quantizeInt8: qvec within int8 range, reconstruction " +
+      "error bounded by scale/2 per dimension, zero vector safe") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.001f, 0.002f, -0.003f, 0.004f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vid", "emb")
+    val out = Similarity.quantizeInt8(vecs, col("vid"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Byte](2))).toList
+    out.foreach { case (_, _, q) =>
+      assert(q.forall(v => v >= -127 && v <= 127), s"int8 range: $q") }
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(3L)._2 == 0.0 && byId(3L)._3.forall(_ == 0),
+      "zero vector must quantize to zeros with scale 0")
+    val orig = Map(1L -> Seq(0.5, -1.0, 0.25, 0.0),
+      2L -> Seq(0.001, 0.002, -0.003, 0.004))
+    orig.foreach { case (id, xs) =>
+      val (_, scale, q) = byId(id)
+      xs.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(qi * scale - x) <= scale / 2 + 1e-12,
+          s"vec $id: |${qi * scale} - $x| > scale/2") }
+      // max-|x| dimension must hit ±127 exactly (symmetric scaling)
+      assert(q.map(v => math.abs(v.toInt)).max == 127)
+    }
+  }
+
+  test("Similarity.topKQuantized recall@5 vs exact topK is high on the " +
+      "fixture embeddings") {
+    val e = spark.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity
+      .topK(e, col("vec_id"), col("embedding"), q, k = 5))
+    val quant = sets(Similarity
+      .topKQuantized(e, col("vec_id"), col("embedding"), q, k = 5))
+    val hits = exact.keys.toSeq.map(k =>
+      (exact(k) intersect quant.getOrElse(k, Set.empty)).size).sum
+    val total = exact.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, f"int8 recall@5 = $recall%.2f < 0.8 " +
+      s"($hits/$total) — quantization broke the ranking")
+  }
 }

@@ -199,4 +199,48 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(media).orderBy("path").head()
     assert(f.getSeq[Float](1).length == 8)
   }
+
+  test("audioFeatures computes REAL rms/peak/zcr from decoded PCM: a " +
+      "1 kHz half-amplitude sine matches closed forms; silence is zero; " +
+      "non-audio yields the sentinel") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val dir = tempDir("graft_sine_")
+    val rate = 8000f; val n = 1600
+    def writeWav(name: String, sample: Int => Double): Unit = {
+      val fmt = new AudioFormat(rate, 16, 1, true, false) // 16-bit LE mono
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val s = math.max(-32767, math.min(32767,
+          math.round(sample(i) * 32767).toInt))
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      AudioSystem.write(
+        new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        new java.io.File(dir, name))
+    }
+    // 1 kHz at half amplitude: rms = A/sqrt(2), zcr = 2f/rate, peak ≈ A
+    writeWav("sine.wav",
+      i => 0.5 * math.sin(2 * math.Pi * 1000.0 * i / rate))
+    writeWav("silence.wav", _ => 0.0)
+    java.nio.file.Files.write(new java.io.File(dir, "junk.wav").toPath,
+      Array[Byte](9, 9, 9, 9))
+    val got = Multimodal
+      .audioFeatures(Multimodal.readDir(spark, dir.getAbsolutePath, "*.wav"))
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val (sn, srms, speak, szcr) = got("sine.wav")
+    assert(sn == n.toLong)
+    assert(math.abs(srms - 0.5 / math.sqrt(2)) < 0.01,
+      s"sine rms $srms != A/sqrt(2)")
+    assert(math.abs(speak - 0.5) < 0.01, s"sine peak $speak != 0.5")
+    assert(math.abs(szcr - 2 * 1000.0 / rate) < 0.02,
+      s"sine zcr $szcr != 2f/rate")
+    assert(got("silence.wav") == ((n.toLong, 0.0, 0.0, 0.0)))
+    assert(got("junk.wav") == ((-1L, -1.0, -1.0, -1.0)))
+  }
 }
