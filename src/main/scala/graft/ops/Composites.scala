@@ -243,7 +243,167 @@ object Composites {
         .groupBy(floor(col("o_totalprice") / 1000.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy("bin"))
+        .orderBy("bin")),
+
+    // TPC-H Q7 shape (volume shipping between two nations): revenue per
+    // (supplier nation, customer nation, year) for the two directed
+    // pairs of one nation pair. The SAME constant-size nation dim is
+    // broadcast TWICE under different role names (n1 = supplier side,
+    // n2 = customer side) — the self-role-join pattern every
+    // region-to-region report needs; the disjunctive pair filter sits on
+    // the two broadcast outputs, so it prunes before the fact shuffles.
+    "tpch_q7" -> ((s, d) => {
+      val n1 = broadcast(nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+      supplier(s, d)
+        .join(lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_3"
+            && col("cust_nation") === "NATION_7")
+          || (col("supp_nation") === "NATION_7"
+            && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsumExpr(revTerm).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q9 shape (product-type profit, adapted: the fixture has no
+    // partsupp/supplycost, so profit = revenue): revenue per (supplier
+    // nation, order year) over name-matched parts. The LIKE filter
+    // prunes the part dim BEFORE its join (pushed to the scan); nation
+    // broadcast; year extraction groups post-join.
+    "tpch_q9" -> ((s, d) =>
+      part(s, d).filter(col("p_name").like("%a%"))
+        .join(lineitem(s, d), col("p_partkey") === col("l_partkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsumExpr(revTerm).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // zero-order customers keep count 0, with a residual predicate ON
+    // the join (not a post-filter — that would turn the left join into
+    // an inner one), then a second aggregate over the first's output —
+    // the two-level "histogram of group sizes" pattern. Both aggregates
+    // partial-agg; the second one's input is one row per customer.
+    "tpch_q13" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // keep the max-revenue supplier(s) — aggregate → scalar-max →
+    // equality-join-back. The comparison runs on the EXACT decimal sums
+    // (a double tie at the top would be engine-dependent); the 1-row max
+    // broadcasts. Revenue is cast to double only at output.
+    "tpch_q15" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revTerm).as("rev_dec"))
+      val top = rev.agg(max(col("rev_dec")).as("max_dec"))
+      supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("rev_dec") === col("max_dec"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): lineitems below
+    // 20% of their part's average quantity, for one brand. The
+    // correlated AVG subquery becomes a per-part aggregate joined back;
+    // the threshold compare is INTEGER-EXACT (5·q·n < Σq in decimal —
+    // algebraically q < 0.2·avg, no engine-dependent division), and only
+    // the final /7.0 runs in floating point. The brand filter prunes
+    // part before the join, and the per-part aggregate runs over ONLY
+    // the brand's lineitems (semi-join first) — at 100 TB the avg
+    // aggregate never touches the other brands' rows.
+    "tpch_q17" -> ((s, d) => {
+      val brandParts = part(s, d).filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val brandLines = lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val perPart = brandLines.groupBy(col("l_partkey").as("ap_key"))
+        .agg(sum(dec(col("l_quantity"))).as("qsum"),
+          count(lit(1)).as("qn"))
+      brandLines
+        .join(perPart, col("l_partkey") === col("ap_key"))
+        .filter(lit(5) * dec(col("l_quantity")) * col("qn") < col("qsum"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape (adapted to the fixture: no receipt/commit dates,
+    // so "kept waiting" = the ONLY supplier whose lines were returned in
+    // a finished multi-supplier order): the classic EXISTS + NOT-EXISTS
+    // double correlation — a conditional semi-join (same order, another
+    // supplier) then a conditional anti-join (same order, another
+    // supplier, also returned). Both compile to one-pass hash joins on
+    // l_orderkey with the supplier inequality as residual; no row ever
+    // widens.
+    "tpch_q21" -> ((s, d) => {
+      val l1 = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+      val l2 = lineitem(s, d)
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"),
+          "left_anti")
+        .join(supplier(s, d), col("s1") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (global-acctbal anti-join, adapted: grouped by
+    // nation instead of the absent phone country code, and "never
+    // ordered" relaxed to "never placed an URGENT order" — every fixture
+    // customer has some order): customers richer than the positive-
+    // balance average without an urgent order. The global average is ONE
+    // tiny aggregate broadcast as a 1-row cross join, and the compare is
+    // integer-exact (bal·n > Σbal in decimal — never a double mean); the
+    // anti-join probes only the urgent subset's keys (filter pushed
+    // below the anti-join build side).
+    "tpch_q22" -> ((s, d) => {
+      val bal = customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("bsum"),
+          count(lit(1)).as("bn"))
+      customer(s, d)
+        .crossJoin(broadcast(bal))
+        .filter(dec(col("c_acctbal")) * col("bn") > col("bsum"))
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,6 +522,95 @@ object Composites {
          |  ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders
          |GROUP BY 1
-         |ORDER BY bin""".stripMargin
+         |ORDER BY bin""".stripMargin,
+    "tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue
+         |FROM supplier
+         |JOIN lineitem ON s_suppkey = l_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1999-01-01'
+         |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "tpch_q9" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(SUM($revTermSql) AS DOUBLE) AS sum_profit
+         |FROM part
+         |JOIN lineitem ON p_partkey = l_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%a%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q15" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    SUM($revTermSql) AS rev_dec
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name,
+         |  CAST(rev_dec AS DOUBLE) AS total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q17" ->
+      s"""WITH bl AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#23'),
+         |pp AS (SELECT l_partkey AS ap_key,
+         |    SUM(${decSql("l_quantity")}) AS qsum,
+         |    COUNT(*) AS qn
+         |  FROM bl GROUP BY l_partkey)
+         |SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  COUNT(*) AS n_lines
+         |FROM bl JOIN pp ON l_partkey = ap_key
+         |WHERE 5 * ${decSql("l_quantity")} * qn < qsum""".stripMargin,
+    "tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    "tpch_q22" ->
+      s"""WITH bal AS (SELECT SUM(${decSql("c_acctbal")}) AS bsum,
+         |    COUNT(*) AS bn
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, COUNT(*) AS numcust,
+         |  ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer, bal
+         |WHERE ${decSql("c_acctbal")} * bn > bsum
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin
   )
 }

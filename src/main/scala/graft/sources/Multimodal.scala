@@ -293,26 +293,30 @@ object Multimodal {
     * so rms/peak are comparable across 8/16-bit inputs. */
   def audioFeatures(df: DataFrame): DataFrame = {
     val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
-    val out = Encoders.product[(String, Long, Double, Double, Double)]
+    val out = Encoders.product[(String, Long, Double, Double, Double, Double)]
     df.select(col("path"), col("media.bytes"))
       .as[(String, Array[Byte])](enc)
       .mapPartitions { it =>
         it.map { case (path, bytes) =>
           pcmFeatures(bytes) match {
-            case Some((n, rms, peak, zcr)) => (path, n, rms, peak, zcr)
-            case None => (path, -1L, -1.0, -1.0, -1.0)
+            case Some((n, rms, peak, zcr, hz)) => (path, n, rms, peak, zcr, hz)
+            case None => (path, -1L, -1.0, -1.0, -1.0, -1.0)
           }
         }
       }(out)
-      .toDF("path", "n_samples", "rms", "peak", "zcr")
+      .toDF("path", "n_samples", "rms", "peak", "zcr", "dominant_hz")
   }
 
-  /** (n_samples, rms, peak, zero-crossing rate) over channel-0 PCM;
-    * None when no provider decodes the bytes or the frame layout is not
-    * integer PCM. Sums accumulate in double (a single file's sample
-    * count keeps the error far below the 6-dp display precision). */
+  /** (n_samples, rms, peak, zero-crossing rate, dominant frequency Hz)
+    * over channel-0 PCM; None when no provider decodes the bytes or the
+    * frame layout is not integer PCM. Sums accumulate in double (a
+    * single file's sample count keeps the error far below the 6-dp
+    * display precision). The dominant frequency is a coarse 64-bin DFT
+    * magnitude argmax over the first ≤8192 samples — the spectral peak
+    * estimator a speech/music/tone classifier starts from; bounded work
+    * per file regardless of duration (0 Hz for silence). */
   private[sources] def pcmFeatures(
-      bytes: Array[Byte]): Option[(Long, Double, Double, Double)] =
+      bytes: Array[Byte]): Option[(Long, Double, Double, Double, Double)] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -329,6 +333,8 @@ object Multimodal {
         val buf = new Array[Byte](8192 - 8192 % frameSize)
         var n = 0L; var sumSq = 0.0; var peak = 0.0; var crossings = 0L
         var prevNeg = false
+        val dftCap = 8192
+        val prefix = new Array[Double](dftCap)
         var read = in.read(buf)
         while (read > 0) {
           var off = 0
@@ -355,15 +361,40 @@ object Multimodal {
             val neg = amp < 0
             if (n > 0 && neg != prevNeg) crossings += 1
             prevNeg = neg
+            if (n < dftCap) prefix(n.toInt) = amp
             n += 1
             off += frameSize
           }
           read = in.read(buf)
         }
         in.close()
-        if (n == 0) Some((0L, 0.0, 0.0, 0.0))
-        else Some((n, math.sqrt(sumSq / n), peak,
-          if (n > 1) crossings.toDouble / (n - 1) else 0.0))
+        if (n == 0) Some((0L, 0.0, 0.0, 0.0, 0.0))
+        else {
+          // coarse spectrum: K magnitude probes uniformly spaced up to
+          // Nyquist (Goertzel-style direct DFT, skipping DC); a silent
+          // prefix reports 0 Hz rather than the arbitrary first bin
+          val m = math.min(n, dftCap.toLong).toInt
+          val rate = f.getSampleRate.toDouble
+          val bins = 64
+          var bestMag = 0.0; var bestHz = 0.0
+          var k = 1
+          while (k <= bins) {
+            val hz = rate / 2.0 * k / bins
+            val w = 2.0 * math.Pi * hz / rate
+            var re = 0.0; var im = 0.0; var i = 0
+            while (i < m) {
+              re += prefix(i) * math.cos(w * i)
+              im -= prefix(i) * math.sin(w * i)
+              i += 1
+            }
+            val mag = re * re + im * im
+            if (mag > bestMag) { bestMag = mag; bestHz = hz }
+            k += 1
+          }
+          val dominant = if (bestMag < 1e-9) 0.0 else bestHz
+          Some((n, math.sqrt(sumSq / n), peak,
+            if (n > 1) crossings.toDouble / (n - 1) else 0.0, dominant))
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

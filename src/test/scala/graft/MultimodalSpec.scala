@@ -231,16 +231,20 @@ class MultimodalSpec extends AnyFunSuite {
       .audioFeatures(Multimodal.readDir(spark, dir.getAbsolutePath, "*.wav"))
       .collect()
       .map(r => r.getString(0).split('/').last ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))
       .toMap
-    val (sn, srms, speak, szcr) = got("sine.wav")
+    val (sn, srms, speak, szcr, shz) = got("sine.wav")
     assert(sn == n.toLong)
     assert(math.abs(srms - 0.5 / math.sqrt(2)) < 0.01,
       s"sine rms $srms != A/sqrt(2)")
     assert(math.abs(speak - 0.5) < 0.01, s"sine peak $speak != 0.5")
     assert(math.abs(szcr - 2 * 1000.0 / rate) < 0.02,
       s"sine zcr $szcr != 2f/rate")
-    assert(got("silence.wav") == ((n.toLong, 0.0, 0.0, 0.0)))
-    assert(got("junk.wav") == ((-1L, -1.0, -1.0, -1.0)))
+    // 64 bins to Nyquist 4 kHz → 62.5 Hz spacing; the 1 kHz tone must
+    // land on the nearest probe
+    assert(math.abs(shz - 1000.0) <= 62.5, s"dominant $shz not ~1 kHz")
+    assert(got("silence.wav") == ((n.toLong, 0.0, 0.0, 0.0, 0.0)))
+    assert(got("junk.wav") == ((-1L, -1.0, -1.0, -1.0, -1.0)))
   }
 }

@@ -296,4 +296,63 @@ class PlanSpec extends AnyFunSuite {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx == 1, s"expected exactly one shuffle, got $hashEx:\n$p")
   }
+
+  test("tpch_q7: both nation roles broadcast, ship-date filter pushed, " +
+      "no cartesian") {
+    val p = plan("tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both nation roles must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"ship-date filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("tpch_q9: LIKE filter reaches the part scan (dim pruned BEFORE " +
+      "its join)") {
+    val p = plan("tpch_q9")
+    assert(p.contains("StringContains(p_name,a)"),
+      s"LIKE not pushed to part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("tpch_q13: residual priority predicate stays ON the left join " +
+      "(not a post-filter that would drop zero-order customers)") {
+    val p = plan("tpch_q13")
+    assert(p.contains("LeftOuter"), s"expected left outer join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected two partial+final aggregate pairs:\n$p")
+  }
+
+  test("tpch_q15: 1-row max broadcasts back (no shuffle of the revenue " +
+      "aggregate for the equality probe)") {
+    val p = plan("tpch_q15")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNested"),
+      s"scalar max must broadcast:\n$p")
+  }
+
+  test("tpch_q17: brand part-key set broadcasts into both lineitem " +
+      "probes; no cartesian") {
+    val p = plan("tpch_q17")
+    assert(p.contains("BroadcastHashJoin"), s"brand keys must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("tpch_q21: EXISTS compiles to LeftSemi and NOT EXISTS to " +
+      "LeftAnti, both as hash joins with the inequality as residual") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi"), s"expected semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin Inner"),
+      s"correlation must stay hash-joined:\n$p")
+  }
+
+  test("tpch_q22: the global balance aggregate is a broadcast 1-row " +
+      "join, urgent filter sits below the anti-join build") {
+    val p = plan("tpch_q22")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), " +
+      "EqualTo(o_orderpriority,1-URGENT)"),
+      s"urgent filter not pushed to the orders scan:\n$p")
+  }
 }
