@@ -173,6 +173,124 @@ object Similarity {
       aggregate(zip_with(qa, qb, (a, b) => a.cast("long") * b.cast("long")),
         lit(0L), (acc, x) => acc + x).cast("double")
 
+  /** Deterministic product-quantization codebook from the k lowest-id
+    * corpus vectors: subspace j's centroid `code` is seed-vector
+    * `code`'s j-th sub-slice. Output: (j, code, cvec) — m·k rows, always
+    * broadcast-sized. Production systems k-means-train the codebook (the
+    * [[assignClusters]] primitive iterated per subspace); the seed
+    * codebook keeps every downstream plan identical while staying
+    * engine-reproducible, so encode/search are oracle-checkable. */
+  def pqSeedCodebook(corpus: DataFrame, id: Column, vec: Column,
+      m: Int, subDim: Int, k: Int = 16): DataFrame = {
+    val seeds = corpus.select(id.as("__sid"), vec.as("__sv"))
+      .orderBy("__sid").limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("__sid")) - 1).cast("int"))
+    seeds
+      .select(col("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("__sv"))
+      .select(col("j"), col("code"),
+        slice(col("__sv"), col("j") * subDim + 1, lit(subDim)).as("cvec"))
+  }
+
+  /** PQ encode: each vector becomes m sub-codes (argmin L2 to the
+    * subspace's centroids, 6-dp-rounded distance with a code tie-break
+    * so the assignment can never diverge between engines). m·k distance
+    * evaluations per vector against a BROADCAST codebook — map-side
+    * compute plus one per-(vector,subspace) window; at 64-dim/m=8/k=16
+    * the code array is 8 bytes replacing 256 — a 32× cut, the step past
+    * [[quantizeInt8]]'s 4×. Output: (vec_id, codes ARRAY<TINYINT>
+    * ordered by subspace). */
+  def pqEncode(corpus: DataFrame, id: Column, vec: Column,
+      codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val sub = corpus.select(id.as("vec_id"), vec.as("__v"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("__v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("__v"), col("j") * subDim + 1, lit(subDim)).as("sv"))
+    val d2 = aggregate(zip_with(col("sv"), col("cvec"),
+        (a, b) => (a.cast("double") - b.cast("double"))
+          * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("vec_id", "j")
+      .orderBy(col("d2_r"), col("code"))
+    sub.join(broadcast(codebook), "j")
+      .withColumn("d2_r", round(d2, 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code").cast("byte")).as("codes"))
+  }
+
+  /** Lloyd-trained PQ codebook: `iters` rounds of argmin-assign →
+    * per-(subspace, code) element-wise mean, seeded by
+    * [[pqSeedCodebook]]. Each round is one broadcast-codebook assignment
+    * (map-side, same plan as [[pqEncode]]) plus one partial-agg mean —
+    * never a corpus collect; rounds truncate lineage (`localCheckpoint`,
+    * the iterative-Spark rule). Empty clusters keep their previous
+    * centroid. Training averages in float — inherently not
+    * engine-reproducible, so trained codebooks are for production use
+    * and the recall test; the oracle-checked keys use the seed
+    * codebook. */
+  def pqTrainCodebook(corpus: DataFrame, id: Column, vec: Column,
+      m: Int, subDim: Int, k: Int = 16, iters: Int = 3): DataFrame = {
+    val sub = corpus.select(id.as("vec_id"), vec.as("__v"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("__v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("__v"), col("j") * subDim + 1, lit(subDim)).as("sv"))
+      .localCheckpoint()
+    val d2 = aggregate(zip_with(col("sv"), col("cvec"),
+        (a, b) => (a.cast("double") - b.cast("double"))
+          * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    var cb = pqSeedCodebook(corpus, id, vec, m, subDim, k).localCheckpoint()
+    val w = Window.partitionBy("vec_id", "j")
+      .orderBy(col("d2_r"), col("code"))
+    (1 to iters).foreach { _ =>
+      val assigned = sub.join(broadcast(cb), "j")
+        .withColumn("d2_r", round(d2, 6))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("j"), col("code"), col("sv"))
+      val means = assigned
+        .select(col("j"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos")
+        .agg(avg(col("x").cast("double")).as("mx"))
+        .groupBy("j", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx").cast("float")).as("newc"))
+      cb = cb.join(means, Seq("j", "code"), "left")
+        .select(col("j"), col("code"),
+          coalesce(col("newc"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Inverse of [[pqEncode]]: stitch each vector's centroid slices back
+    * into a full-width approximation (the ADC search operand). */
+  def pqReconstruct(codes: DataFrame, codebook: DataFrame): DataFrame =
+    codes.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(codebook), Seq("j", "code"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("cvec")))),
+        s => s.getField("cvec"))).as("recon"))
+
+  /** Top-k by dot product against PQ-RECONSTRUCTED corpus vectors
+    * (asymmetric distance computation: queries stay full-precision) —
+    * the 32×-compressed scale path. Same contracts as [[topK]]. */
+  def topKPq(corpus: DataFrame, id: Column, vec: Column,
+      codebook: DataFrame, queries: DataFrame, k: Int, m: Int, subDim: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val recon = pqReconstruct(
+      pqEncode(corpus, id, vec, codebook, m, subDim), codebook)
+    topK(recon, col("vec_id"), col("recon"), queries, k, excludeSelf)
+  }
+
   /** Brute-force top-k over int8-quantized vectors — the memory-bound
     * scale path: 4× less corpus to scan/broadcast than [[topK]], with
     * recall pinned by a unit test against the exact ranking. Same

@@ -405,6 +405,42 @@ object LlmExtras {
         .topKQuantized(e, col("vec_id"), col("embedding"), q, k = 5)
         .select("qid", "rk", "vec_id", "sim_r")
         .orderBy("qid", "rk")
+    }),
+
+    // Product quantization encode (graft.api.Similarity.pqEncode): 64-dim
+    // float32 → 8 one-byte sub-codes against a deterministic 8×16 seed
+    // codebook — the 32× compression step past int8's 4×; argmin
+    // assignment on 6-dp-rounded L2 with code tie-break, broadcast
+    // codebook, map-side distances. codes flatten to '|' string for the
+    // comparator; API users get the raw ARRAY<TINYINT>.
+    "llm_pq_encode" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cb = graft.api.Similarity
+        .pqSeedCodebook(e, col("vec_id"), col("embedding"), m = 8,
+          subDim = 8, k = 16)
+      graft.api.Similarity
+        .pqEncode(e, col("vec_id"), col("embedding"), cb, m = 8, subDim = 8)
+        .select(col("vec_id"),
+          concat_ws("|", transform(col("codes"), c => c.cast("string")))
+            .as("codes"))
+        .orderBy("vec_id")
+    }),
+
+    // ADC top-k over PQ-reconstructed vectors (queries full-precision) —
+    // the end-to-end search path over the 32×-compressed corpus; recall
+    // vs the exact ranking pinned in ApiSpec
+    "llm_sim_topk_pq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cb = graft.api.Similarity
+        .pqSeedCodebook(e, col("vec_id"), col("embedding"), m = 8,
+          subDim = 8, k = 16)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .topKPq(e, col("vec_id"), col("embedding"), cb, q, k = 5, m = 8,
+          subDim = 8)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
     })
   )
 
@@ -423,7 +459,51 @@ object LlmExtras {
       |    AS q
       |  FROM q0)""".stripMargin
 
+  /** DuckDB twin of the PQ pipeline (seed codebook → sub-slices →
+    * rounded-L2 argmin), shared by the encode and search oracles.
+    * Same sequential-double distance fold as the Spark side. */
+  private val pqCte: String =
+    """seeds AS (SELECT embedding,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+      |      AS code
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16) s0),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |cb AS (SELECT j, code, embedding[j*8+1 : j*8+8] AS cvec
+      |  FROM seeds, js),
+      |sub AS (SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS sv
+      |  FROM embeddings, js),
+      |dist AS (SELECT vec_id, j, code,
+      |    ROUND(list_sum(list_transform(list_zip(sv, cvec),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2
+      |  FROM sub JOIN cb USING (j)),
+      |best AS (SELECT vec_id, j, code FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code)
+      |      AS rk FROM dist) t
+      |  WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "llm_pq_encode" ->
+      s"""WITH $pqCte
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(code AS VARCHAR) ORDER BY j), '|')
+         |    AS codes
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "llm_sim_topk_pq" ->
+      s"""WITH $pqCte,
+         |recon AS (SELECT b.vec_id, flatten(list(cb.cvec ORDER BY b.j))
+         |    AS rv
+         |  FROM best b JOIN cb ON b.j = cb.j AND b.code = cb.code
+         |  GROUP BY b.vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 10),
+         |s AS (SELECT qid, r.vec_id,
+         |  ROUND(${dotSql("qe", "rv")}, 6) AS sim_r
+         |  FROM q, recon r WHERE r.vec_id != qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "llm_embed_quantize" ->
       s"""WITH $quantCte
          |SELECT vec_id, scale,
