@@ -124,15 +124,24 @@ object Similarity {
       s"centroids frame must have columns 'cid' and 'ce' (got: " +
         s"${centroids.columns.mkString(", ")}) — select(id.as(\"cid\"), " +
         "vec.as(\"ce\")) before calling")
-    val w = Window.partitionBy("vec_id").orderBy(col("sim_r").desc, col("cid"))
+    // argmax as a PARTIAL-AGGREGABLE min-struct, not a window: a window
+    // must SORT every (vec, centroid) row within its partition before
+    // ranking, while min(struct(-sim, cid, …)) combines map-side — at
+    // 100 TB the n·k candidate rows never need a sort or a full shuffle,
+    // only k-fold-reduced partials. Field order IS the tie-break:
+    // (-sim_r, cid) ⇒ highest rounded sim, then lowest centroid id —
+    // identical to the previous rank semantics.
     // project centroids down to the contract columns: an extra vec_id/__v
     // column riding along would make the post-join references ambiguous
     corpus.select(id.as("vec_id"), vec.as("__v"))
       .crossJoin(broadcast(centroids.select(col("cid"), col("ce"))))
       .select(col("vec_id"), col("cid"),
         round(dot(col("ce"), col("__v")), 6).as("sim_r"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cluster_id"), col("sim_r"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("sim_r")).as("neg_sim"), col("cid").as("cid"),
+        col("sim_r").as("sim_r"))).as("__best"))
+      .select(col("vec_id"), col("__best.cid").as("cluster_id"),
+        col("__best.sim_r").as("sim_r"))
   }
 
   /** Near-dup by sign-bucket LSH + similarity verify (the embedding-space
@@ -212,13 +221,17 @@ object Similarity {
         (a, b) => (a.cast("double") - b.cast("double"))
           * (a.cast("double") - b.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy("vec_id", "j")
-      .orderBy(col("d2_r"), col("code"))
+    // argmin as a partial-aggregable min-struct (field order = tie-break:
+    // rounded distance, then code), not a window — no per-(vec, subspace)
+    // sort, map-side combine over the k candidates (see assignClusters)
     sub.join(broadcast(codebook), "j")
       .withColumn("d2_r", round(d2, 6))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2_r").as("d2_r"), col("code").as("code")))
+        .as("__best"))
       .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("__best.code")))),
         s => s.getField("code").cast("byte")).as("codes"))
   }
 
@@ -245,13 +258,14 @@ object Similarity {
           * (a.cast("double") - b.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
     var cb = pqSeedCodebook(corpus, id, vec, m, subDim, k).localCheckpoint()
-    val w = Window.partitionBy("vec_id", "j")
-      .orderBy(col("d2_r"), col("code"))
     (1 to iters).foreach { _ =>
       val assigned = sub.join(broadcast(cb), "j")
         .withColumn("d2_r", round(d2, 6))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("j"), col("code"), col("sv"))
+        .groupBy("vec_id", "j")
+        .agg(min(struct(col("d2_r").as("d2_r"), col("code").as("code"),
+          col("sv").as("sv"))).as("__best"))
+        .select(col("j"), col("__best.code").as("code"),
+          col("__best.sv").as("sv"))
       val means = assigned
         .select(col("j"), col("code"),
           posexplode(col("sv")).as(Seq("pos", "x")))

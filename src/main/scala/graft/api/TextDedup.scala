@@ -67,6 +67,52 @@ object TextDedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[nearMinhash]] with ENGINE-PORTABLE hashing: the k minhash
+    * functions are h_i(s) = md5(i ‖ ':' ‖ shingle) with the min taken
+    * lexicographically on the hex digest, and band buckets are
+    * md5-of-concatenated-rows — every step reproducible in any engine
+    * with an md5 builtin, so unlike the xxhash64 variant this one is
+    * DuckDB-oracle-checkable end to end (same banding theory, same
+    * LSH-bounded candidate generation, exact jaccard verify on distinct
+    * shingle sets). md5 costs ~4× xxhash64 per call — at 100 TB prefer
+    * [[nearMinhash]] inside one engine and this variant when signatures
+    * must match across engines (e.g. incremental dedup against an
+    * external corpus index). Output: (doc_a, doc_b, jaccard 4 dp). */
+  def nearMinhashMd5(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val k = bands * rowsPerBand
+    val docs = df.select(id.as("__id"), split(text, " ").as("tk"))
+      .filter(size(col("tk")) >= shingleWidth)
+      .withColumn("sh", array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - (shingleWidth - 1)),
+        i => concat_ws(" ", slice(col("tk"), i, lit(shingleWidth))))))
+      .withColumn("mh", array((0 until k).map(i =>
+        array_min(transform(col("sh"),
+          s => md5(concat(lit(s"$i:"), s))))): _*))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          slice(col("mh"), b * rowsPerBand + 1, rowsPerBand))).as("sig"))
+    }
+    val sigs = docs.select(col("__id"), col("sh"),
+      explode(array(bandCols: _*)).as("bs"))
+      .select(col("__id"), col("sh"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    pairs.select(col("doc_a"), col("doc_b"),
+        round(inter / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Token-set jaccard near-dups on pairs bounded by an equi-key bucket
     * (`bucket` column) — never all-pairs. Output: (bucket, doc_a, doc_b,
     * jac rounded 4 dp). `prefilterSlack` must stay below the rounded

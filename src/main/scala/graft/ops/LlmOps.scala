@@ -100,6 +100,19 @@ object LlmOps {
 
     "llm_dedup_near_minhash" -> ((s, d) => nearDupMinhash(s, d)),
 
+    // MinHash-LSH near-dup with ENGINE-PORTABLE md5 hashing
+    // (graft.api.TextDedup.nearMinhashMd5): unlike llm_dedup_near_minhash
+    // (xxhash64, sanctioned no-oracle) every hash here reproduces in
+    // DuckDB, so the whole LSH pipeline — shingle → k-minhash → band
+    // bucket → jaccard verify — is hash-checked end to end. Same
+    // LSH-bounded candidate generation; see the API scaladoc for when to
+    // pay md5's ~4× per-call cost.
+    "llm_dedup_minhash_md5" -> ((s, d) =>
+      graft.api.TextDedup
+        .nearMinhashMd5(documents(s, d), col("doc_id"), col("text"),
+          minJaccard = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     // near-dup verification on candidate pairs bounded by `source` bucket —
     // a plain equi-join, never O(n²) over the corpus (graft.api: hashed
     // pre-sorted token sets, merge-pass intersection, rounding-aware
@@ -242,6 +255,38 @@ object LlmOps {
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // full DuckDB twin of the md5 MinHash-LSH pipeline: 3-gram shingles →
+    // 16 md5 minhashes → 4 bands of 4 → band-bucket self-join → exact
+    // jaccard on distinct shingle sets
+    "llm_dedup_minhash_md5" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> array_to_string(tk[i : i + 2], ' '))) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |sig AS (SELECT doc_id, i,
+        |    MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+        |  FROM d, unnest(d.sh) AS u(s), unnest(range(0, 16)) AS v(i)
+        |  GROUP BY doc_id, i),
+        |band AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(m, '|' ORDER BY i)) AS sig
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |jac AS (SELECT doc_a, doc_b,
+        |    ROUND(
+        |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+        |        AS DOUBLE)
+        |      / (len(da.sh) + len(db.sh)
+        |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+        |      4) AS jaccard
+        |  FROM cand
+        |  JOIN d da ON da.doc_id = doc_a
+        |  JOIN d db ON db.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM jac
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "llm_dedup_norm" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
         |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

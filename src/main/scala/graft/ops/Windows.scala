@@ -265,6 +265,31 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // batch sessionization (the gap-based session labeling every
+    // clickstream pipeline runs; the batch twin of stream_session):
+    // new-session flag = gap to the previous event > 30 min, session
+    // index = running sum of flags — lag + cumsum in ONE per-user window
+    // pass, no self-join. Gaps compare in integer MICROSECONDS
+    // (epoch_us / unix_micros both engines — never fractional-second
+    // doubles). At 100 TB this shuffles once on user_id and streams each
+    // partition; the session key then bounds any downstream per-session
+    // aggregate.
+    "window_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        // NTZ → long needs the LTZ hop; identity under the pinned-UTC
+        // session
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull
+            || col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L,
+            1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(run))
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+        .orderBy("event_id")
+    }),
+
     // groupby.first()/last() with an explicit full-partition frame
     "window_first_last" -> ((s, d) => {
       val w = perCust.rowsBetween(Window.unboundedPreceding,
@@ -434,6 +459,20 @@ object Windows {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |  AS second_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (SELECT event_id, user_id, us,
+        |  CASE WHEN LAG(us) OVER w IS NULL
+        |       OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |FROM g ORDER BY event_id""".stripMargin,
     "window_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey

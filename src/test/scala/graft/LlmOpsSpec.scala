@@ -36,6 +36,18 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(found.contains(p), s"planted pair $p missed by LSH")
       assert(found(p) == 1.0, s"planted pair $p jaccard ${found(p)} != 1.0")
     }
+    // the engine-portable md5 variant must recover the same planted
+    // pairs (different hash family, same LSH guarantee for jaccard 1.0:
+    // identical shingle sets ⇒ identical signatures ⇒ same band buckets)
+    val foundMd5 = SparkEntry.queries("llm_dedup_minhash_md5")(
+        spark, SparkFixture.sf01)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    truth.foreach { p =>
+      assert(foundMd5.contains(p), s"planted pair $p missed by md5 LSH")
+      assert(foundMd5(p) == 1.0,
+        s"planted pair $p md5-variant jaccard ${foundMd5(p)} != 1.0")
+    }
   }
 
   test("approx_count_distinct within 5% of exact (sf0.01)") {
