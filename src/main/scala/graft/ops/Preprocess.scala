@@ -110,6 +110,17 @@ object Preprocess {
         .orderBy("o_orderkey")
     }),
 
+    // sklearn MaxAbsScaler as a fitted pipeline node: [−1, 1] scaling
+    // that preserves zero and sign (no centering) — the sparse-safe
+    // scaler; c_acctbal's negative balances exercise the sign path
+    "prep_maxabs_scale" -> ((s, d) => {
+      val c = customer(s, d)
+      new Pipeline(Seq(MaxAbsScaler("c_acctbal", "acctbal_ma"))).fit(c)
+        .transform(c)
+        .select("c_custkey", "acctbal_ma")
+        .orderBy("c_custkey")
+    }),
+
     // pandas/dask ffill: last prior non-null per user in event-time order
     "prep_ffill" -> ((s, d) => {
       val nullEvery5 = StatelessNode("null_every5")(df =>
@@ -337,6 +348,11 @@ object Preprocess {
         |  FROM orders)
         |SELECT o_orderkey, (o_totalprice - mn) / (mx - mn) AS price_mm
         |FROM orders CROSS JOIN s ORDER BY o_orderkey""".stripMargin,
+    "prep_maxabs_scale" ->
+      """WITH s AS (SELECT MAX(ABS(c_acctbal)) AS ma FROM customer)
+        |SELECT c_custkey,
+        |  c_acctbal / (CASE WHEN ma = 0 THEN 1.0 ELSE ma END) AS acctbal_ma
+        |FROM customer CROSS JOIN s ORDER BY c_custkey""".stripMargin,
     "prep_ffill" ->
       """SELECT event_id, user_id,
         |LAST_VALUE(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END

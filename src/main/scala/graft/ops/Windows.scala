@@ -265,6 +265,19 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // pandas pct_change: relative step vs the previous row per group —
+    // (x − lag)/lag in one window pass; first row per group is NULL like
+    // pandas. Identical IEEE subtract/divide both engines, rounded 6 dp.
+    "window_pct_change" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round((col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+            / lag(col("o_totalprice"), 1).over(w), 6).as("pct_change"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // batch sessionization (the gap-based session labeling every
     // clickstream pipeline runs; the batch twin of stream_session):
     // new-session flag = gap to the previous event > 30 min, session
@@ -459,6 +472,14 @@ object Windows {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |  AS second_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_pct_change" ->
+      """SELECT o_custkey, o_orderkey,
+        |ROUND((o_totalprice - LAG(o_totalprice) OVER w)
+        |  / LAG(o_totalprice) OVER w, 6) AS pct_change
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
         |  FROM events),

@@ -189,6 +189,23 @@ final case class MinMaxScaler(col0: String, outCol: String) extends Node {
       .drop("__min", "__max")
 }
 
+/** x / max(|x|) — sklearn MaxAbsScaler: scales into [−1, 1] while
+  * preserving zero and sign (no centering — the sparse-feature-safe
+  * scaler). Fit = ONE max aggregate; transform = map-only broadcast
+  * arithmetic; an all-zero feature falls back to scale 1 like sklearn
+  * (stays zero, never NULL). */
+final case class MaxAbsScaler(col0: String, outCol: String) extends Node {
+  val name = s"maxabs_scale($col0)"
+  def fitStats(df: DataFrame): Option[DataFrame] =
+    Some(df.agg(max(abs(col(col0))).as("__maxabs")))
+  def transform(stats: Option[DataFrame]): DataFrame => DataFrame = df =>
+    df.crossJoin(broadcast(stats.get))
+      .withColumn(outCol,
+        col(col0) / when(col("__maxabs") === 0, lit(1.0))
+          .otherwise(col("__maxabs")))
+      .drop("__maxabs")
+}
+
 /** (x − median)/IQR — sklearn RobustScaler: outlier-insensitive scaling
   * for heavy-tailed features. Fit = one exact percentile aggregation
   * (approx_percentile is the drop-in at corpus scale); the three fitted
