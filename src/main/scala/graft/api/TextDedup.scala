@@ -81,6 +81,47 @@ object TextDedup {
   def nearMinhashMd5(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
+    val sigs = md5Sigs(df, id, text, shingleWidth, bands, rowsPerBand)
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardVerify(pairs, minJaccard)
+  }
+
+  /** Cross-frame variant of [[nearMinhashMd5]]: near-dup pairs BETWEEN
+    * two corpora — the fuzzy-decontamination primitive (screen training
+    * docs against a benchmark/eval set where exact n-gram matching
+    * misses paraphrased leakage). Candidates come from a band-bucket
+    * equi-join of the two signature sets (LSH-bounded, never |L|×|R|);
+    * at 100 TB the right side is typically the small benchmark corpus,
+    * and its signature frame — not its text — is what the join
+    * broadcasts. Output: (doc_a from `left`, doc_b from `right`,
+    * jaccard 4 dp). */
+  def nearMinhashMd5Between(left: DataFrame, leftId: Column,
+      leftText: Column, right: DataFrame, rightId: Column,
+      rightText: Column, shingleWidth: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
+    val a = md5Sigs(left, leftId, leftText, shingleWidth, bands,
+      rowsPerBand).alias("a")
+    val b = md5Sigs(right, rightId, rightText, shingleWidth, bands,
+      rowsPerBand).alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardVerify(pairs, minJaccard)
+  }
+
+  /** (\_\_id, sh, band, sig) signature frame shared by the md5 MinHash
+    * entry points: distinct `shingleWidth`-gram shingles, k = bands ×
+    * rowsPerBand md5 minhashes, one md5 bucket key per band. */
+  private def md5Sigs(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val docs = df.select(id.as("__id"), split(text, " ").as("tk"))
       .filter(size(col("tk")) >= shingleWidth)
@@ -95,17 +136,16 @@ object TextDedup {
         md5(concat_ws("|",
           slice(col("mh"), b * rowsPerBand + 1, rowsPerBand))).as("sig"))
     }
-    val sigs = docs.select(col("__id"), col("sh"),
+    docs.select(col("__id"), col("sh"),
       explode(array(bandCols: _*)).as("bs"))
       .select(col("__id"), col("sh"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = sigs.alias("a"); val b = sigs.alias("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
-      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact jaccard on distinct shingle sets over (doc_a, doc_b, sa, sb)
+    * candidate pairs; keeps pairs at or above `minJaccard`. */
+  private def jaccardVerify(pairs: DataFrame,
+      minJaccard: Double): DataFrame = {
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
     pairs.select(col("doc_a"), col("doc_b"),

@@ -51,6 +51,24 @@ object LlmOps {
   private val Bands = 4
   private val RowsPerBand = MinhashK / Bands
 
+  /** Shared DuckDB CTEs (`t`→`d`→`sig`→`band`) reproducing
+    * TextDedup.md5Sigs: 3-gram distinct shingles, 16 md5 minhashes,
+    * md5 band-bucket keys. */
+  private val md5MinhashCte: String =
+    """t AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+      |  FROM documents),
+      |d AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i : i + 2], ' '))) AS sh
+      |  FROM t WHERE len(tk) >= 3),
+      |sig AS (SELECT doc_id, i,
+      |    MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+      |  FROM d, unnest(d.sh) AS u(s), unnest(range(0, 16)) AS v(i)
+      |  GROUP BY doc_id, i),
+      |band AS (SELECT doc_id, i // 4 AS band,
+      |    md5(string_agg(m, '|' ORDER BY i)) AS sig
+      |  FROM sig GROUP BY doc_id, i // 4)""".stripMargin
+
   /** MinHash-LSH candidate pairs verified by true shingle jaccard ≥ 0.8
     * (3-word shingles: unigrams are useless on this 31-word-vocabulary
     * corpus). Fixture wiring over the generic library API
@@ -112,6 +130,24 @@ object LlmOps {
         .nearMinhashMd5(documents(s, d), col("doc_id"), col("text"),
           minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
+
+    // FUZZY decontamination (TextDedup.nearMinhashMd5Between): training
+    // docs (doc_id ≥ 100 here) near-duplicate to a benchmark set
+    // (doc_id < 100) — the cross-corpus LSH screen that catches the
+    // paraphrased/partial leakage llm_decontaminate's exact n-gram match
+    // misses. Candidates from a band-bucket equi-join of the two
+    // signature sets, never |train|×|bench|; output columns renamed to
+    // the decontamination roles.
+    "llm_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.api.TextDedup.nearMinhashMd5Between(
+          docs.filter(col("doc_id") >= 100), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 100), col("doc_id"), col("text"),
+          minJaccard = 0.8)
+        .select(col("doc_a").as("train_doc"), col("doc_b").as("bench_doc"),
+          col("jaccard"))
+        .orderBy("train_doc", "bench_doc")
+    }),
 
     // near-dup verification on candidate pairs bounded by `source` bucket —
     // a plain equi-join, never O(n²) over the corpus (graft.api: hashed
@@ -259,34 +295,44 @@ object LlmOps {
     // 16 md5 minhashes → 4 bands of 4 → band-bucket self-join → exact
     // jaccard on distinct shingle sets
     "llm_dedup_minhash_md5" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
-        |  FROM documents),
-        |d AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(1, len(tk) - 1),
-        |    i -> array_to_string(tk[i : i + 2], ' '))) AS sh
-        |  FROM t WHERE len(tk) >= 3),
-        |sig AS (SELECT doc_id, i,
-        |    MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
-        |  FROM d, unnest(d.sh) AS u(s), unnest(range(0, 16)) AS v(i)
-        |  GROUP BY doc_id, i),
-        |band AS (SELECT doc_id, i // 4 AS band,
-        |    md5(string_agg(m, '|' ORDER BY i)) AS sig
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b
-        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |jac AS (SELECT doc_a, doc_b,
-        |    ROUND(
-        |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
-        |        AS DOUBLE)
-        |      / (len(da.sh) + len(db.sh)
-        |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
-        |      4) AS jaccard
-        |  FROM cand
-        |  JOIN d da ON da.doc_id = doc_a
-        |  JOIN d db ON db.doc_id = doc_b)
-        |SELECT doc_a, doc_b, jaccard FROM jac
-        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $md5MinhashCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |jac AS (SELECT doc_a, doc_b,
+         |    ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) AS jaccard
+         |  FROM cand
+         |  JOIN d da ON da.doc_id = doc_a
+         |  JOIN d db ON db.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // cross-corpus variant: signatures are per-doc (independent of the
+    // frame split), so the twin computes them once and applies the
+    // train/bench id-range roles at the candidate join
+    "llm_decontaminate_fuzzy" ->
+      s"""WITH $md5MinhashCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS train_doc,
+         |    b.doc_id AS bench_doc
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id >= 100 AND b.doc_id < 100),
+         |jac AS (SELECT train_doc, bench_doc,
+         |    ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) AS jaccard
+         |  FROM cand
+         |  JOIN d da ON da.doc_id = train_doc
+         |  JOIN d db ON db.doc_id = bench_doc)
+         |SELECT train_doc, bench_doc, jaccard FROM jac
+         |WHERE jaccard >= 0.8 ORDER BY train_doc, bench_doc""".stripMargin,
     "llm_dedup_norm" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
         |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
