@@ -297,6 +297,21 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected exactly one shuffle, got $hashEx:\n$p")
   }
 
+  test("agg_corr_matrix: all moments in ONE aggregate pass — no " +
+      "per-pair scans, no hash shuffle") {
+    val p = plan("agg_corr_matrix")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corr matrix must be one global aggregate:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"corr matrix must scan lineitem exactly once:\n$p")
+  }
+
+  test("llm_embed_quantize: map-side only — zero shuffles of any kind") {
+    val p = plan("llm_embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"int8 quantization must not shuffle:\n$p")
+  }
+
   test("tpch_q7: both nation roles broadcast, ship-date filter pushed, " +
       "no cartesian") {
     val p = plan("tpch_q7")
