@@ -144,6 +144,50 @@ object Similarity {
         col("__best.sim_r").as("sim_r"))
   }
 
+  /** Spherical k-means fit over full vectors: Lloyd rounds of
+    * [[assignClusters]] assignment (broadcast centroids, argmax dot) and
+    * L2-NORMALIZED per-cluster means — normalization is what makes the
+    * cosine objective (Σ max-sim) provably non-decreasing per round
+    * (spherical k-means, Dhillon & Modha 2001, public). Seeded from the
+    * k lowest-id vectors. Per round: one broadcast assignment (n·k
+    * map-side dots, no corpus shuffle) + one partial-agg mean — never a
+    * collect; lineage truncated per round. Returns (cid, ce) — feed
+    * straight into [[assignClusters]] / the SemDeDup and IVF paths.
+    * Training averages in float, so like [[pqTrainCodebook]] this is the
+    * production fit step, not an oracle-checked op. Empty clusters keep
+    * their previous centroid. */
+  def kMeansFit(corpus: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int = 5): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), vec.as("__v")).localCheckpoint()
+    var cents = c.orderBy("vec_id").limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select(col("cid"), col("__v").as("ce")).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = assignClusters(c, col("vec_id"), col("__v"), cents)
+        .select(col("vec_id"), col("cluster_id"))
+      val means = c.join(assigned, "vec_id")
+        .select(col("cluster_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos")
+        .agg(avg(col("x").cast("double")).as("mx"))
+        .groupBy("cluster_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mean"))
+        .withColumn("norm",
+          sqrt(aggregate(col("mean"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("cluster_id").as("cid"),
+          when(col("norm") === 0.0, col("mean"))
+            .otherwise(transform(col("mean"), x => x / col("norm")))
+            .as("newc"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("newc").cast("array<float>"), col("ce")).as("ce"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Near-dup by sign-bucket LSH + similarity verify (the embedding-space
     * analogue of MinHash-LSH). Output: (bucket, vec_a, vec_b, sim_r). */
   def nearDupLsh(corpus: DataFrame, id: Column, vec: Column,

@@ -543,6 +543,29 @@ class ApiSpec extends AnyFunSuite {
     assert(recallWith(trainedCb) > 0.10, "trained recall collapsed")
   }
 
+  test("Similarity.kMeansFit: spherical objective non-decreasing vs the " +
+      "seed centroids; k centroids returned, unit-norm") {
+    val e = spark.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignClusters(e, col("vec_id"), col("embedding"), cents)
+        .agg(sum(col("sim_r"))).head().getDouble(0)
+    val seed = e.orderBy("vec_id").limit(8)
+      .select((col("vec_id")).cast("int").as("cid"),
+        col("embedding").as("ce"))
+    val fitted = Similarity.kMeansFit(e, col("vec_id"), col("embedding"),
+      k = 8, iters = 3)
+    val rows = fitted.collect()
+    assert(rows.length == 8, s"expected 8 centroids, got ${rows.length}")
+    rows.foreach { r =>
+      val n = math.sqrt(r.getSeq[Float](1).map(x => x * x.toDouble).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid not unit-norm: $n")
+    }
+    val before = objective(seed)
+    val after = objective(fitted)
+    assert(after >= before - 1e-6,
+      f"spherical k-means objective DECREASED: $after%.4f < $before%.4f")
+  }
+
   test("Similarity.topKQuantized recall@5 vs exact topK is high on the " +
       "fixture embeddings") {
     val e = spark.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
