@@ -29,6 +29,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release localCheckpoint generations the iterative ops persist —
+      // same leak Bench drains between queries (a ~200-query session
+      // otherwise accumulates one persisted RDD per round per call)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
