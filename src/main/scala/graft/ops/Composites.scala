@@ -381,6 +381,152 @@ object Composites {
         .limit(20)
     }),
 
+    // TPC-H Q1 (the canonical pricing summary, FULL 8-aggregate output —
+    // the flagship agg_groupby_basic is this shape with fewer columns):
+    // one scan, one partial+final aggregate, every money sum in exact
+    // decimal, averages as decimal-sum/count. At 100 TB this is the
+    // purest partial-aggregation showcase: 6 groups total, so the final
+    // shuffle carries 6 rows per partition regardless of input size.
+    "tpch_q1" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumExpr(revTerm).as("sum_disc_price"),
+          dsumExpr(revTerm * (lit(1) + dec(col("l_tax")))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q2 shape (min-cost supplier, adapted: no partsupp, so the
+    // supply relation is the DISTINCT (part, supplier) pairs observed in
+    // lineitem and s_acctbal proxies the supply cost): for each size-25
+    // part, the cheapest European supplier — the correlated-MIN-subquery
+    // pattern as a per-part aggregate joined back on equality. The
+    // region/nation dims broadcast; the distinct supply projection is
+    // computed ONCE and reused for both the candidate rows and the min.
+    "tpch_q2" -> ((s, d) => {
+      val ps = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val euroSupp = supplier(s, d)
+        .join(broadcast(nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+      val supply = ps.join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      val minCost = supply.groupBy(col("l_partkey").as("mpk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      part(s, d).filter(col("p_size") === 25)
+        .join(supply, col("p_partkey") === col("l_partkey"))
+        .join(minCost,
+          col("mpk") === col("l_partkey")
+            && col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q8 shape (national market share): one nation's suppliers'
+    // share of total revenue per order year — the ratio-of-conditional-
+    // sums pattern with BOTH sums from ONE aggregate pass in exact
+    // decimal, finished by a single double division.
+    "tpch_q8" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("n_name") === "NATION_5", revTerm)
+              .otherwise(dec(lit(0)))).cast("double")
+            / sum(revTerm).cast("double")).as("mkt_share"),
+          dsumExpr(when(col("n_name") === "NATION_5", revTerm)
+            .otherwise(dec(lit(0)))).as("nation_revenue"))
+        .orderBy("o_year")),
+
+    // TPC-H Q11 shape (important stock, adapted: part value = total
+    // lineitem extended price; the original's one-nation filter is
+    // dropped — the tiniest fixture has no lines for a fixed nation and
+    // the filter is flavor, not the plan shape): parts whose value
+    // exceeds 1.5× the MEAN part value (the original's fixed 0.0001
+    // fraction is calibrated to one SF; mean-relative is the scale-free
+    // twin) — the HAVING-against-a-scalar-aggregate pattern; the global
+    // total+count is a 1-row broadcast and the threshold compare is
+    // INTEGER-EXACT (2·value·n > 3·total in decimal, never a double
+    // fraction).
+    "tpch_q11" -> ((s, d) => {
+      val perPart = lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("val_dec"))
+      val tot = perPart.agg(sum(col("val_dec")).as("tot_dec"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("val_dec") * col("n_parts") * 2 > col("tot_dec") * 3)
+        .select(col("l_partkey"),
+          col("val_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q16 shape (supplier-count distribution, adapted: the
+    // complaint exclusion becomes negative-balance suppliers): distinct
+    // supplier counts per (brand, type, size) over the observed supply
+    // pairs, excluding one brand and the bad suppliers — NOT-IN as an
+    // anti-join BEFORE the fact join, count distinct per multi-key
+    // group.
+    "tpch_q16" -> ((s, d) => {
+      val ps = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val badSupp = supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      ps.join(broadcast(badSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(part(s, d).filter(col("p_brand") =!= "Brand#45"
+            && col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (excess-stock suppliers, adapted: "supplied more
+    // than half a part's yearly volume" replaces the partsupp availqty
+    // test): nested per-(part, supplier) vs per-part aggregates with an
+    // integer-exact 2·sq > total compare, then a semi-join back to
+    // supplier — no wide row ever forms, and the name-matched part set
+    // broadcasts into the lineitem scan.
+    "tpch_q20" -> ((s, d) => {
+      val pk = part(s, d).filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val ln = lineitem(s, d)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      val perPartSupp = ln.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"))
+      val perPart = ln.groupBy(col("l_partkey").as("pk2"))
+        .agg(sum(dec(col("l_quantity"))).as("tq"))
+      val qualified = perPartSupp
+        .join(perPart, col("l_partkey") === col("pk2"))
+        .filter(col("sq") * 2 > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      supplier(s, d)
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q22 shape (global-acctbal anti-join, adapted: grouped by
     // nation instead of the absent phone country code, and "never
     // ordered" relaxed to "never placed an URGENT order" — every fixture
@@ -523,6 +669,95 @@ object Composites {
          |FROM orders
          |GROUP BY 1
          |ORDER BY bin""".stripMargin,
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM($revTermSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($revTermSql
+         |    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         |    AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  ${davgSql("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q2" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |sup AS (SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name
+        |  FROM ps JOIN rs ON l_suppkey = s_suppkey),
+        |mc AS (SELECT l_partkey AS mpk, MIN(s_acctbal) AS min_bal
+        |  FROM sup GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part
+        |JOIN sup ON p_partkey = l_partkey
+        |JOIN mc ON mpk = l_partkey AND s_acctbal = min_bal
+        |WHERE p_size = 25
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q8" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(SUM(CASE WHEN n_name = 'NATION_5' THEN $revTermSql
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    / CAST(SUM($revTermSql) AS DOUBLE) AS mkt_share,
+         |  CAST(SUM(CASE WHEN n_name = 'NATION_5' THEN $revTermSql
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    AS nation_revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "tpch_q11" ->
+      s"""WITH pp AS (SELECT l_partkey,
+         |    SUM(${decSql("l_extendedprice")}) AS val_dec
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT SUM(val_dec) AS tot_dec, COUNT(*) AS n_parts
+         |  FROM pp)
+         |SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+         |FROM pp, t WHERE val_dec * n_parts * 2 > tot_dec * 3
+         |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q20" ->
+      s"""WITH pk AS (SELECT p_partkey FROM part
+         |  WHERE p_name LIKE 'red%'),
+         |ln AS (SELECT l_partkey, l_suppkey, l_quantity
+         |  FROM lineitem JOIN pk ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |    AND l_shipdate < TIMESTAMP '1999-01-01'),
+         |pss AS (SELECT l_partkey, l_suppkey,
+         |    SUM(${decSql("l_quantity")}) AS sq
+         |  FROM ln GROUP BY 1, 2),
+         |pt AS (SELECT l_partkey AS pk2,
+         |    SUM(${decSql("l_quantity")}) AS tq
+         |  FROM ln GROUP BY 1),
+         |q AS (SELECT DISTINCT l_suppkey FROM pss
+         |  JOIN pt ON l_partkey = pk2 WHERE sq * 2 > tq)
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (SELECT l_suppkey FROM q)
+         |ORDER BY s_suppkey""".stripMargin,
     "tpch_q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,

@@ -362,6 +362,43 @@ class PlanSpec extends AnyFunSuite {
       s"correlation must stay hash-joined:\n$p")
   }
 
+  test("tpch_q1: one scan, one partial+final aggregate — the pure " +
+      "partial-aggregation showcase") {
+    val p = plan("tpch_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"Q1 must scan lineitem exactly once:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"date filter not pushed:\n$p")
+  }
+
+  test("tpch_q2: region/nation dims broadcast; size filter reaches the " +
+      "part scan; no cartesian in the min-join-back") {
+    val p = plan("tpch_q2")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(p.contains("EqualTo(p_size,25)"),
+      s"size filter not pushed to part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("tpch_q16: bad-supplier NOT IN is an anti-join below the part " +
+      "join; brand/size filters pushed") {
+    val p = plan("tpch_q16")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(p.contains("In(p_size, [1,4,9,16,25,36,49])") ||
+      p.contains("In(p_size"),
+      s"size IN-list not pushed to part scan:\n$p")
+  }
+
+  test("tpch_q20: qualified suppliers reach supplier as a semi-join; " +
+      "name-matched part set broadcasts into lineitem") {
+    val p = plan("tpch_q20")
+    assert(p.contains("LeftSemi"), s"expected semi join:\n$p")
+    assert(p.contains("StringStartsWith(p_name,red)"),
+      s"name prefix not pushed to part scan:\n$p")
+  }
+
   test("tpch_q22: the global balance aggregate is a broadcast 1-row " +
       "join, urgent filter sits below the anti-join build") {
     val p = plan("tpch_q22")
