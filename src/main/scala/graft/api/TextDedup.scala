@@ -128,9 +128,11 @@ object TextDedup {
       .withColumn("sh", array_distinct(transform(
         sequence(lit(1), size(col("tk")) - (shingleWidth - 1)),
         i => concat_ws(" ", slice(col("tk"), i, lit(shingleWidth))))))
-      .withColumn("mh", array((0 until k).map(i =>
-        array_min(transform(col("sh"),
-          s => md5(concat(lit(s"$i:"), s))))): _*))
+      // all k digests in ONE native-expression traversal with a reused
+      // MessageDigest — bit-identical to the k-chain
+      // array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))) it
+      // replaces (golden + oracle pin the equality)
+      .withColumn("mh", VectorExprs.minhashMd5(col("sh"), k))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",

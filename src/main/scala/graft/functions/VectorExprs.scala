@@ -59,6 +59,13 @@ object VectorExprs {
     * HOF fold: one scan of the array per output bit). */
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+
+  /** k md5 minhash digests of a shingle array in ONE pass (vs k
+    * interpreted array_min(transform(md5)) chains). Bit-identical to
+    * `array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))`
+    * per i — the engine-portable signature the DuckDB oracle reproduces. */
+  def minhashMd5(shingles: Column, k: Int): Column =
+    GraftShim.column(MinHashMd5Sigs(GraftShim.expression(shingles), k))
 }
 
 case class DotProductFloat(left: Expression, right: Expression)
@@ -263,6 +270,71 @@ case class MinHashSig(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** All k md5 minhash digests of a shingle array in ONE traversal with one
+  * reused MessageDigest — replaces k interpreted
+  * array_min(transform(sh, s ⇒ md5("i:" ‖ s))) chains (k array scans, a
+  * fresh digest and UTF8String concat per call). Semantics are
+  * BIT-IDENTICAL to that chain: per i the minimum lowercase-hex digest of
+  * the UTF-8 bytes of "i:" + shingle, min taken in binary string order
+  * (hex is ASCII, so binary = lexicographic); null shingle elements are
+  * skipped exactly as array_min skips the null md5(concat(null)) would
+  * produce; an empty array yields k nulls like array_min(empty). The
+  * DuckDB oracle reproduces the same digests, so md5-minhash keys stay
+  * hash-checked. */
+case class MinHashMd5Sigs(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> input")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_md5_sigs"
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(i => s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData]
+    val m = sh.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[String](k)
+    var i = 0
+    while (i < m) {
+      if (!sh.isNullAt(i)) {
+        val sBytes = sh.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(sBytes)
+          val dg = md.digest()
+          val hex = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            hex(2 * b) = hexDigits((dg(b) >> 4) & 0xf)
+            hex(2 * b + 1) = hexDigits(dg(b) & 0xf)
+            b += 1
+          }
+          val hs = new String(hex)
+          if (mins(j) == null || hs.compareTo(mins(j)) < 0) mins(j) = hs
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(s =>
+      if (s == null) null else UTF8String.fromString(s)))
   }
 
   override protected def withNewChildInternal(newChild: Expression) =
