@@ -85,6 +85,32 @@ object LlmExtras {
       graft.api.TextDedup.simhash(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ENGINE-PORTABLE SimHash twin (r5): the 60-bit signature built from
+    // md5 token hashes — like llm_dedup_minhash_md5 this closes the
+    // oracle gap the xxhash64 llm_simhash is sanctioned for. Per doc:
+    // distinct tokens → 60-bit hash (first 15 md5 hex chars, parsed
+    // identically by Spark conv(…,16,10) and DuckDB CAST('0x…')) →
+    // per-bit ±1 vote → bit b set iff the vote is positive. The
+    // explode-by-bit groupBy is the oracle-mirrorable spelling; the
+    // production one-pass form is the native SimHash64 expression behind
+    // llm_simhash.
+    "llm_simhash_md5" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("hv",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+        .select(col("doc_id"), col("hv"),
+          explode(sequence(lit(0), lit(59))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("(shiftright(hv, b) & 1)") === 1, 1L)
+          .otherwise(-1L)).as("sgn"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sgn") > 0,
+            expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L))
+          .as("simhash_md5"))
+        .orderBy("doc_id")),
+
     // SimHash near-dup pairing (the classic web-dedup method) — thin
     // delegate to graft.api.TextDedup.nearSimhash: banded equi-join
     // candidates, map-side hamming verify BEFORE the pair-dedup shuffle.
@@ -483,6 +509,21 @@ object LlmExtras {
       |  WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "llm_simhash_md5" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(text, ' '))) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+        |  FROM t),
+        |bits AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM h, unnest(range(0, 60)) AS u(b)
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b)
+        |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash_md5
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_pq_encode" ->
       s"""WITH $pqCte
          |SELECT vec_id,

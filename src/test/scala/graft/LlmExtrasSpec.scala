@@ -60,6 +60,13 @@ class LlmExtrasSpec extends AnyFunSuite {
     plantedPairs.foreach { case (a, b) =>
       assert(sh(a) == sh(b), s"simhash differs for duplicate pair ($a,$b)")
     }
+    // the oracle-checked md5 twin must agree on the same invariant
+    val shMd5 = SparkEntry.queries("llm_simhash_md5")(spark, SparkFixture.sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plantedPairs.foreach { case (a, b) =>
+      assert(shMd5(a) == shMd5(b),
+        s"md5 simhash differs for duplicate pair ($a,$b)")
+    }
   }
 
   test("planted duplicates share identical fingerprints at sf0.1") {
