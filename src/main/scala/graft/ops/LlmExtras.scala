@@ -85,6 +85,24 @@ object LlmExtras {
       graft.api.TextDedup.simhash(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ENGINE-PORTABLE fingerprint twin (r5): bottom-16 md5 digests of
+    // the distinct 3-gram shingles (a KMV / mod-p winnowing sketch —
+    // same containment-estimation role as llm_fingerprint's min-k
+    // xxhash form, which stays the fast in-engine path). Completes the
+    // md5-twin family: every signature scheme now has an oracle-checked
+    // variant.
+    "llm_fingerprint_md5" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .withColumn("sh", array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3))))))
+        .select(col("doc_id"),
+          concat_ws("|", slice(array_sort(transform(col("sh"),
+            s => md5(s))), 1, 16)).as("fingerprint"))
+        .orderBy("doc_id")),
+
     // ENGINE-PORTABLE SimHash twin (r5): the 60-bit signature built from
     // md5 token hashes — like llm_dedup_minhash_md5 this closes the
     // oracle gap the xxhash64 llm_simhash is sanctioned for. Per doc:
@@ -509,6 +527,17 @@ object LlmExtras {
       |  WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "llm_fingerprint_md5" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> array_to_string(tk[i : i + 2], ' '))) AS sh
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT doc_id, array_to_string(
+        |    list_sort(list_transform(sh, s -> md5(s)))[1:16], '|')
+        |  AS fingerprint
+        |FROM d ORDER BY doc_id""".stripMargin,
     "llm_simhash_md5" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(list_distinct(string_split_regex(text, ' '))) AS tok
