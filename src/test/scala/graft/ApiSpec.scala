@@ -429,6 +429,31 @@ class ApiSpec extends AnyFunSuite {
       "both copies of x must land in x's bucket")
   }
 
+  test("TextDedup.nearMinhashMd5Between works on arbitrary frames and " +
+      "column names: finds the planted cross-corpus near-dup, not the " +
+      "unrelated docs") {
+    // the planted pair shares the full shingle set (jaccard 1.0 ⇒
+    // identical signatures ⇒ a band collision is CERTAIN; at j < 1 LSH
+    // recall is probabilistic by design — the oracle-checked
+    // llm_decontaminate_fuzzy key covers the sub-1.0 path on the corpus)
+    val train = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (102L, "completely unrelated text about distributed query engines")
+    ).toDF("tid", "ttext")
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (2L, "benchmark prose sharing no shingles with anything above")
+    ).toDF("bid", "btext")
+    val got = TextDedup.nearMinhashMd5Between(
+        train, col("tid"), col("ttext"), bench, col("bid"), col("btext"),
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((101L, 1L)),
+      s"planted cross-corpus duplicate (101,1) missed: $got")
+    assert(!got.exists(p => p._1 == 102L || p._2 == 2L),
+      s"unrelated docs paired: $got")
+  }
+
   test("TextDedup.clusters/clustersStar with a reliable checkpointDir " +
       "match the localCheckpoint default and actually write round state") {
     val edges = (Seq((1L, 2L), (2L, 3L), (9L, 7L)) ++
