@@ -31,7 +31,11 @@ object Verify {
       }
       // release localCheckpoint generations the iterative ops persist —
       // same leak Bench drains between queries (a ~200-query session
-      // otherwise accumulates one persisted RDD per round per call)
+      // otherwise accumulates one persisted RDD per round per call).
+      // Standalone-harness assumption: this drains EVERY persistent RDD
+      // in the context, which would evict caller-cached frames in a
+      // SHARED session — if Verify ever embeds elsewhere, snapshot
+      // getPersistentRDDs before each query and unpersist only new ids.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }

@@ -163,6 +163,10 @@ object Similarity {
       .withColumn("cid",
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
       .select(col("cid"), col("__v").as("ce")).localCheckpoint()
+    // TextDedup.clusters' generation discipline: each round's checkpoint
+    // supersedes the previous one — release it, or a long-lived session
+    // accumulates one persisted RDD per round per fit call
+    var prevGen = TextDedup.checkpointRdd(cents)
     (1 to iters).foreach { _ =>
       val assigned = assignClusters(c, col("vec_id"), col("__v"), cents)
         .select(col("vec_id"), col("cluster_id"))
@@ -184,7 +188,12 @@ object Similarity {
         .select(col("cid"),
           coalesce(col("newc").cast("array<float>"), col("ce")).as("ce"))
         .localCheckpoint()
+      prevGen.foreach(_.unpersist(blocking = false))
+      prevGen = TextDedup.checkpointRdd(cents)
     }
+    // the final centroids are materialized — the corpus projection is no
+    // longer reachable from the result and can release now
+    TextDedup.checkpointRdd(c).foreach(_.unpersist(blocking = false))
     cents
   }
 
@@ -250,7 +259,8 @@ object Similarity {
     * subspace's centroids, 6-dp-rounded distance with a code tie-break
     * so the assignment can never diverge between engines). m·k distance
     * evaluations per vector against a BROADCAST codebook — map-side
-    * compute plus one per-(vector,subspace) window; at 64-dim/m=8/k=16
+    * compute, with the argmin as a partial-aggregable min-struct groupBy
+    * (no per-(vector,subspace) window sort); at 64-dim/m=8/k=16
     * the code array is 8 bytes replacing 256 — a 32× cut, the step past
     * [[quantizeInt8]]'s 4×. Output: (vec_id, codes ARRAY<TINYINT>
     * ordered by subspace). */
@@ -302,6 +312,8 @@ object Similarity {
           * (a.cast("double") - b.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
     var cb = pqSeedCodebook(corpus, id, vec, m, subDim, k).localCheckpoint()
+    // same generation-release discipline as kMeansFit / TextDedup.clusters
+    var prevGen = TextDedup.checkpointRdd(cb)
     (1 to iters).foreach { _ =>
       val assigned = sub.join(broadcast(cb), "j")
         .withColumn("d2_r", round(d2, 6))
@@ -323,7 +335,10 @@ object Similarity {
         .select(col("j"), col("code"),
           coalesce(col("newc"), col("cvec")).as("cvec"))
         .localCheckpoint()
+      prevGen.foreach(_.unpersist(blocking = false))
+      prevGen = TextDedup.checkpointRdd(cb)
     }
+    TextDedup.checkpointRdd(sub).foreach(_.unpersist(blocking = false))
     cb
   }
 

@@ -206,6 +206,72 @@ object TextDedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Exact jaccard near-dup pairs within an equi-key bucket with
+    * PREFIX-FILTERED candidate generation — [[jaccardWithinBucket]]'s
+    * skew-proof sibling and the candidate stage `llm_dedup_apply` runs.
+    *
+    * Why a prefix filter and not MinHash banding in front of this
+    * verify: the operator's contract is EXACT (every pair with token-set
+    * jaccard ≥ `minJaccard` is found), so the candidate stage needs
+    * deterministic 100% recall — a probabilistically-missed borderline
+    * pair would silently keep a duplicate document. LSH banding is the
+    * right candidate stage for [[nearMinhash]]'s own sketch-based
+    * contract; the prefix filter (Chaudhuri et al. ICDE'06 "SSJoin";
+    * Bayardo et al. WWW'07 "All-Pairs") is its deterministic equivalent:
+    * with every doc's distinct hashed tokens sorted in one global order,
+    * emit only the first p = n − ⌈r·n⌉ + 1 of them; any pair with
+    * jaccard ≥ r must share at least one EMITTED token. (Proof: the
+    * globally-smallest common token e has only non-shared tokens before
+    * it on either side, and each side has at most n − ⌈r·n⌉ = p − 1 of
+    * those, so e sits within both prefixes.) Candidate generation is
+    * then an equi-join on (bucket, prefix-token) with the size-ratio
+    * prefilter riding in the join condition.
+    *
+    * Scale shape vs [[jaccardWithinBucket]]'s size-band join: the pair
+    * space groups by (bucket, prefix-token), and prefix tokens are the
+    * r-tail's smallest xxhash64 values — effectively a ~(1−r) uniform
+    * random sample of each doc's vocabulary, so a bucket that one
+    * source dominates no longer yields a |bucket|²-shaped join; group
+    * sizes are bounded by per-token document frequency × the ~(1−r)
+    * sampling. At minJaccard = 0.95 each doc emits ~5% of its distinct
+    * tokens + 1. Output: (bucket, doc_a, doc_b, jac 4 dp) — identical
+    * contract to [[jaccardWithinBucket]] (equivalence property-pinned
+    * in ApiSpec). */
+  def jaccardPrefixFiltered(df: DataFrame, id: Column, bucket: Column,
+      text: Column, minJaccard: Double = 0.95,
+      prefilterSlack: Double = 0.0001): DataFrame = {
+    val r = minJaccard - prefilterSlack
+    require(r > 0.0 && r < 1.0,
+      s"minJaccard - prefilterSlack = $r must be in (0, 1) for the " +
+        "prefix-length bound n - ceil(r*n) + 1 to hold")
+    val t = df.select(id.as("__id"), bucket.as("__bucket"),
+        array_sort(array_distinct(transform(split(text, " "),
+          w => xxhash64(w)))).as("tk"))
+      .withColumn("ntk", size(col("tk")))
+    // p = n − ceil(r·n) + 1; the slack keeps the rounded-threshold edge
+    // (a true jaccard of 0.94995 rounding up to the 0.95 gate) inside
+    // the guarantee, exactly as in jaccardWithinBucket's ratio prefilter
+    val pref = t.withColumn("__ptok",
+      explode(slice(col("tk"), lit(1),
+        (col("ntk") - ceil(col("ntk") * r) + 1).cast("int"))))
+    val a = pref.alias("a"); val b = pref.alias("b")
+    val cand = a.join(b, col("a.__bucket") === col("b.__bucket") &&
+          col("a.__ptok") === col("b.__ptok") &&
+          col("a.__id") < col("b.__id") &&
+          least(col("a.ntk"), col("b.ntk")).cast("double") >=
+            greatest(col("a.ntk"), col("b.ntk")) * r)
+      .select(col("a.__bucket").as("bucket"),
+        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.tk").as("sa"), col("b.tk").as("sb"))
+      .dropDuplicates("doc_a", "doc_b") // pairs sharing >1 prefix token
+    val inter = VectorExprs.sortedInterSize(col("sa"), col("sb"))
+      .cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    cand.select(col("bucket"), col("doc_a"), col("doc_b"),
+        round(inter / union, 4).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
   /** Connected components over an undirected near-duplicate edge list —
     * the pairs→clusters step that turns pairwise dedup output into "keep
     * one doc per cluster". Each node maps to the minimum id reachable in
@@ -239,7 +305,10 @@ object TextDedup {
     * the standard production answer; costs one distributed write per
     * round, and superseded round files stay on disk until session end
     * (enable `spark.cleaner.referenceTracking.cleanCheckpoints` to reap
-    * them eagerly).
+    * them eagerly). If the session ALREADY has a checkpoint directory
+    * configured, that one is honored and the argument is ignored —
+    * setting ours would be a global mutation redirecting the caller's
+    * unrelated `.checkpoint()` use.
     */
   def clusters(pairs: DataFrame, a: Column, b: Column,
       maxIters: Int = 25,
@@ -446,15 +515,22 @@ object TextDedup {
   private def ckptFn(spark: SparkSession,
       dir: Option[String]): DataFrame => DataFrame = dir match {
     case Some(d) =>
-      spark.sparkContext.setCheckpointDir(d)
+      // respect a caller-configured checkpoint directory: overwriting it
+      // here would silently redirect the session's unrelated
+      // .checkpoint() use (see clusters() scaladoc) — only set ours when
+      // the session has none
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
       df => df.checkpoint()
     case None => df => df.localCheckpoint()
   }
 
   /** The persisted RDD backing an (eager) localCheckpoint result — the
     * handle needed to release a superseded checkpoint generation. None
-    * for non-checkpoint plans (then nothing is unpersisted). */
-  private def checkpointRdd(
+    * for non-checkpoint plans (then nothing is unpersisted). Shared with
+    * Similarity's iterative fits (kMeansFit / pqTrainCodebook), which
+    * follow the same generation-release discipline. */
+  private[api] def checkpointRdd(
       df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)

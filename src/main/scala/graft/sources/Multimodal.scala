@@ -284,7 +284,9 @@ object Multimodal {
     * for (PCM WAV/AIFF/AU); compressed formats return the sentinel row —
     * the same external-codec splice contract as [[decodeAudio]].
     *
-    * Scale shape: samples stream through a fixed 8 KiB buffer inside one
+    * Scale shape: samples stream through a fixed ~8 KiB buffer (floored
+    * at one frame, so exotic high-channel-count frame sizes > 8 KiB
+    * still read) inside one
     * `mapPartitions` task — O(samples) time, O(1) memory, no shuffle of
     * the payload column; features are 3 doubles + a long per file.
     * First channel only (channels are interleaved per frame): energy
@@ -330,7 +332,12 @@ object Multimodal {
       else {
         val bytesPer = bits / 8
         val full = (1L << (bits - 1)).toDouble // normalizer to [-1, 1]
-        val buf = new Array[Byte](8192 - 8192 % frameSize)
+        // whole frames only, floored at 8 KiB — but never zero-length:
+        // a frameSize > 8192 (high channel-count PCM) would make
+        // 8192 - 8192 % frameSize = 0 and read() would loop returning 0,
+        // reporting (0, 0, 0, 0, 0) indistinguishable from real silence
+        val buf = new Array[Byte](
+          math.max(frameSize, 8192 - 8192 % frameSize))
         var n = 0L; var sumSq = 0.0; var peak = 0.0; var crossings = 0L
         var prevNeg = false
         val dftCap = 8192

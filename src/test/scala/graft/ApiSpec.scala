@@ -131,6 +131,45 @@ class ApiSpec extends AnyFunSuite {
       (1L, "call <TEL> or <TEL>", 2), (2L, "no digits", 0)))
   }
 
+  test("TextDedup.jaccardPrefixFiltered equals brute-force all-pairs AND " +
+      "the size-band sibling on a maximally-skewed single-bucket corpus") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val base = (0L until 60L).map { i =>
+      (i, "hub", rnd.shuffle(vocab).take(30).mkString(" "))
+    }
+    // planted near-dups: drop-one variants (jaccard 29/30 ≈ 0.9667, above
+    // the 0.95 gate) and exact duplicates; everything lives in ONE bucket,
+    // the skew case where a raw-bucket candidate join is |bucket|²
+    val planted = base.take(8).zipWithIndex.map { case ((i, b, t), k) =>
+      val v = if (k % 2 == 0) t.split(" ").drop(1).mkString(" ") else t
+      (100L + i, b, v)
+    }
+    val all = base ++ planted
+    val df = all.toDF("docid", "grp", "body")
+    def pairsOf(out: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      out.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val got = pairsOf(TextDedup.jaccardPrefixFiltered(df, col("docid"),
+      col("grp"), col("body"), minJaccard = 0.95))
+    // local exact reference: all-pairs jaccard on distinct token sets,
+    // same 4-dp HALF_UP rounding before the gate
+    val sets = all.map { case (i, _, t) => i -> t.split(" ").toSet }.toMap
+    val ids = all.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      sa = sets(a); sb = sets(b)
+      inter = (sa & sb).size.toDouble
+      jac = inter / (sa.size + sb.size - inter)
+      if BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP) >=
+        BigDecimal("0.95")
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "planted dups must survive the gate")
+    assert(got == expected, "prefix-filtered pairs diverge from brute force")
+    val sibling = pairsOf(TextDedup.jaccardWithinBucket(df, col("docid"),
+      col("grp"), col("body"), minJaccard = 0.95))
+    assert(got == sibling, "prefix filter and size-band siblings disagree")
+  }
+
   test("TextDedup.clusters equals a reference union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { _ =>

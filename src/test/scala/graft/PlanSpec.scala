@@ -228,6 +228,31 @@ class PlanSpec extends AnyFunSuite {
       "custom codegen expression not in the plan")
   }
 
+  test("llm_dedup_apply candidate stage: join keys include the prefix " +
+      "token on a maximally-skewed single-source frame — never the raw " +
+      "source bucket alone (quadratic under source skew)") {
+    // the final llm_dedup_apply plan can't show this join (clusters()
+    // runs it eagerly and truncates lineage), so assert on the candidate
+    // stage the key composes, over the skew case the r5 verdict flagged:
+    // every doc in ONE source
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val skewed = (0L until 50L)
+      .map(i => (i, "only_source", s"tok$i alpha beta gamma delta"))
+      .toDF("i", "g", "t")
+    val p = graft.api.TextDedup
+      .jaccardPrefixFiltered(skewed, col("i"), col("g"), col("t"),
+        minJaccard = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage must stay an equi-join:\n$p")
+    assert(
+      "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\\s*\\[[^\\]]*__ptok"
+        .r.findFirstIn(p).isDefined,
+      s"prefix-token key missing from the candidate join:\n$p")
+  }
+
   test("llm_decontaminate: gram match is an equi-join, never a cartesian") {
     val p = plan("llm_decontaminate")
     assert(!p.contains("CartesianProduct") &&
