@@ -364,6 +364,51 @@ object Similarity {
     topK(recon, col("vec_id"), col("recon"), queries, k, excludeSelf)
   }
 
+  /** IVF+PQ — THE production 100 TB ANN architecture, composing the two
+    * halves this module already proves separately: the sign-bucket
+    * coarse quantizer ([[topKIvf]]) bounds each query's probe set to
+    * nprobe inverted lists, and asymmetric distance computation over
+    * PQ-reconstructed vectors ([[topKPq]]) scores within those lists
+    * against the 32×-compressed corpus. Probe cost per query =
+    * nprobe · |list| ADC dot products — independent of corpus size, over
+    * codes whose bytes are 1/32 of the raw vectors (what actually
+    * matters at 10⁹+ vectors: the scan is memory-bandwidth-bound).
+    *
+    * Cell assignment reads the ORIGINAL vector (the coarse quantizer
+    * sees full precision — this variant encodes raw vectors, not
+    * IVF residuals, keeping every stage engine-reproducible and
+    * oracle-checkable); queries stay full-precision on their side of
+    * the dot. The codes→cell join is a plain equi-join on the vector id
+    * (both sides hash-partition on it at scale). Same (qid, qe) query
+    * contract, excludeSelf and tie-break semantics as [[topK]]. */
+  def topKIvfPq(corpus: DataFrame, id: Column, vec: Column,
+      codebook: DataFrame, queries: DataFrame, k: Int, m: Int, subDim: Int,
+      bits: Int = 8, nprobe: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe must be in [1, bits + 1 = ${bits + 1}], got $nprobe")
+    val base = corpus.select(id.as("vec_id"), vec.as("__v"),
+      signBucket(vec, bits).as("__bucket"))
+    val recon = pqReconstruct(
+      pqEncode(base, col("vec_id"), col("__v"), codebook, m, subDim),
+      codebook)
+    val e = recon.join(base.select(col("vec_id"), col("__bucket")),
+      "vec_id")
+    // multi-probe: own cell + first nprobe−1 one-bit flips (see topKIvf)
+    val probes = (be: Column) =>
+      Seq(be) ++ (0 until (nprobe - 1)).map(i => be.bitwiseXOR(lit(1 << i)))
+    val q = queries.withColumn("__qbucket", signBucket(col("qe"), bits))
+      .withColumn("__probe", explode(array(probes(col("__qbucket")): _*)))
+    val selfCond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    val scored = e.join(broadcast(q),
+        col("__bucket") === col("__probe") && selfCond)
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("recon")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Brute-force top-k over int8-quantized vectors — the memory-bound
     * scale path: 4× less corpus to scan/broadcast than [[topK]], with
     * recall pinned by a unit test against the exact ranking. Same

@@ -117,6 +117,51 @@ object TextDedup {
     jaccardVerify(pairs, minJaccard)
   }
 
+  /** Persist an md5-MinHash signature index for [[screenAgainstIndex]]
+    * — the nightly-production incremental-dedup shape: the accumulated
+    * corpus is signed ONCE and written as a parquet index
+    * (__id, sh, band, sig); each new delta shard then screens against
+    * the index with a band equi-join instead of re-signing (or even
+    * re-reading) the corpus text. Signatures are the ENGINE-PORTABLE
+    * md5 family ([[nearMinhashMd5]]), so an index written by any engine
+    * with an md5 builtin interoperates — the reason to pay md5 over
+    * xxhash64 here. Refresh cadence at scale: signatures are
+    * deterministic per doc, so accepting a screened shard = appending
+    * its signature rows to the index (no rebuild); compact
+    * periodically, and rebuild only when shingle/band parameters
+    * change. See SCALE.md. */
+  def writeSignatureIndex(df: DataFrame, id: Column, text: Column,
+      path: String, shingleWidth: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4): Unit =
+    md5Sigs(df, id, text, shingleWidth, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(path)
+
+  /** Screen a delta shard against a PERSISTED signature index written
+    * by [[writeSignatureIndex]]: candidate pairs from the (band, sig)
+    * equi-join of the delta's signatures against the index — LSH-
+    * bounded, never |delta| × |index| — then exact jaccard ≥
+    * `minJaccard` on the stored shingle sets. The delta side is
+    * typically a day's shard vs a corpus-sized index: what shuffles is
+    * the delta's signature frame (tiny) and only the index rows whose
+    * band buckets collide; the index parquet is read column-pruned
+    * (sh loads only for verified candidates' rows). Parameters MUST
+    * match the index's write-time values — a mismatch changes every
+    * bucket key and silently screens nothing. Output: (doc_a = delta
+    * id, doc_b = index id, jaccard 4 dp). */
+  def screenAgainstIndex(delta: DataFrame, id: Column, text: Column,
+      indexPath: String, shingleWidth: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
+    val a = md5Sigs(delta, id, text, shingleWidth, bands, rowsPerBand)
+      .alias("a")
+    val b = delta.sparkSession.read.parquet(indexPath).alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardVerify(pairs, minJaccard)
+  }
+
   /** (\_\_id, sh, band, sig) signature frame shared by the md5 MinHash
     * entry points: distinct `shingleWidth`-gram shingles, k = bands ×
     * rowsPerBand md5 minhashes, one md5 bucket key per band. */

@@ -154,6 +154,34 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // incremental dedup against a PERSISTED signature index — the
+    // nightly-production shape: the accumulated corpus (doc_id % 10 != 0
+    // here) is signed once into a parquet index; the day's delta shard
+    // (doc_id % 10 == 0) screens against it via the (band, sig)
+    // equi-join + exact jaccard verify, and the survivors are what gets
+    // appended to the training set. The corpus TEXT is never re-read —
+    // at 100 TB that is the whole point (the index is ~1% of corpus
+    // bytes). md5 signature family, so the index interoperates across
+    // engines and the full pipeline is oracle-checked.
+    "llm_dedup_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      // harness-local index location, keyed by scale factor; a real
+      // deployment passes an object-store path and writes once per
+      // refresh, not per query (the write is timed here — honest cost)
+      val idx = new java.io.File("target/graft-sig-index/" +
+        java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+      graft.api.TextDedup.writeSignatureIndex(corpus, col("doc_id"),
+        col("text"), idx)
+      val dups = graft.api.TextDedup
+        .screenAgainstIndex(delta, col("doc_id"), col("text"), idx)
+        .select(col("doc_a").as("doc_id")).distinct()
+      delta.join(dups, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // cross-corpus dedup: drop training docs whose NORMALIZED text hash
     // appears in the held-out corpus (exact-dup decontamination — the
     // fast sibling of the n-gram screen above; run both in a real
@@ -382,6 +410,29 @@ object Curation {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    // twin of the persisted-index screen: signatures are per-doc and
+    // deterministic, so the oracle computes the SAME md5 signature
+    // scheme (LlmOps.md5MinhashCte) for both roles directly — the
+    // parquet round trip changes bytes on disk, not values
+    "llm_dedup_incremental" ->
+      s"""WITH ${LlmOps.md5MinhashCte},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+         |dup AS (SELECT DISTINCT doc_a FROM cand
+         |  JOIN d da ON da.doc_id = cand.doc_a
+         |  JOIN d db ON db.doc_id = cand.doc_b
+         |  WHERE ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) >= 0.8)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id NOT IN (SELECT doc_a FROM dup)
+         |ORDER BY doc_id""".stripMargin,
     "llm_dedup_cross" ->
       s"""WITH ev AS (SELECT DISTINCT
          |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h

@@ -470,6 +470,26 @@ object LlmExtras {
         .orderBy("vec_id")
     }),
 
+    // IVF+PQ (graft.api.Similarity.topKIvfPq): the composition of the
+    // coarse sign-bucket probe (llm_sim_topk_ivf_probe) with ADC over
+    // PQ codes (llm_sim_topk_pq) — the architecture a 10⁹-vector ANN
+    // index actually runs: nprobe bounded inverted lists scanned over
+    // the 32×-compressed corpus. nprobe=4 multi-probe; recall vs the
+    // single-stage paths pinned in ApiSpec.
+    "llm_sim_topk_ivfpq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cb = graft.api.Similarity
+        .pqSeedCodebook(e, col("vec_id"), col("embedding"), m = 8,
+          subDim = 8, k = 16)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .topKIvfPq(e, col("vec_id"), col("embedding"), cb, q, k = 5,
+          m = 8, subDim = 8, nprobe = 4)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // ADC top-k over PQ-reconstructed vectors (queries full-precision) —
     // the end-to-end search path over the 32×-compressed corpus; recall
     // vs the exact ranking pinned in ApiSpec
@@ -570,6 +590,27 @@ object LlmExtras {
          |s AS (SELECT qid, r.vec_id,
          |  ROUND(${dotSql("qe", "rv")}, 6) AS sim_r
          |  FROM q, recon r WHERE r.vec_id != qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "llm_sim_topk_ivfpq" ->
+      s"""WITH $pqCte,
+         |recon AS (SELECT b.vec_id, flatten(list(cb.cvec ORDER BY b.j))
+         |    AS rv
+         |  FROM best b JOIN cb ON b.j = cb.j AND b.code = cb.code
+         |  GROUP BY b.vec_id),
+         |e AS (SELECT vec_id, embedding,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |er AS (SELECT e.vec_id, e.bucket, r.rv
+         |  FROM e JOIN recon r USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+         |  FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, er.vec_id,
+         |  ROUND(${dotSql("qe", "er.rv")}, 6) AS sim_r
+         |  FROM q CROSS JOIN (VALUES (0), (1), (2), (4)) m(m)
+         |  JOIN er ON er.bucket = xor(q.qbucket, m.m)
+         |    AND er.vec_id != q.qid)
          |SELECT qid, rk, vec_id, sim_r FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t

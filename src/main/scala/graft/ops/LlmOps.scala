@@ -53,8 +53,10 @@ object LlmOps {
 
   /** Shared DuckDB CTEs (`t`→`d`→`sig`→`band`) reproducing
     * TextDedup.md5Sigs: 3-gram distinct shingles, 16 md5 minhashes,
-    * md5 band-bucket keys. */
-  private val md5MinhashCte: String =
+    * md5 band-bucket keys. Shared with Curation's
+    * llm_dedup_incremental oracle (same signature scheme — that is the
+    * point of the md5 family: one portable definition). */
+  private[ops] val md5MinhashCte: String =
     """t AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
       |  FROM documents),
       |d AS (SELECT doc_id, list_distinct(list_transform(

@@ -170,6 +170,39 @@ class ApiSpec extends AnyFunSuite {
     assert(got == sibling, "prefix filter and size-band siblings disagree")
   }
 
+  test("TextDedup signature index round trip: screenAgainstIndex over a " +
+      "persisted parquet index equals nearMinhashMd5Between in-memory, " +
+      "on arbitrary column names") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 150).map(i => s"v$i")
+    def doc() = Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpusRows = (0L until 40L).map(i => (i, doc()))
+    // delta: one exact dup of corpus doc 0, one near-dup of doc 1 (last
+    // token swapped: ~35/41 ≈ 0.85 shingle jaccard), rest fresh
+    val nearDup = {
+      val t = corpusRows(1)._2.split(" "); t(t.length - 1) = "swapped"
+      t.mkString(" ")
+    }
+    val deltaRows = Seq((100L, corpusRows(0)._2), (101L, nearDup)) ++
+      (102L until 110L).map(i => (i, doc()))
+    val corpusDf = corpusRows.toDF("k", "txt")
+    val deltaDf = deltaRows.toDF("dk", "dtxt")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx")
+      .resolve("idx").toString
+    TextDedup.writeSignatureIndex(corpusDf, col("k"), col("txt"), dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs(TextDedup.screenAgainstIndex(deltaDf, col("dk"),
+      col("dtxt"), dir))
+    val ref = pairs(TextDedup.nearMinhashMd5Between(deltaDf, col("dk"),
+      col("dtxt"), corpusDf, col("k"), col("txt")))
+    assert(got.map(p => (p._1, p._2)).contains((100L, 0L)),
+      "exact dup must screen out")
+    assert(got == ref && got.nonEmpty,
+      "persisted-index screen diverges from the in-memory cross-frame run")
+  }
+
   test("TextDedup.clusters equals a reference union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { _ =>
@@ -605,6 +638,48 @@ class ApiSpec extends AnyFunSuite {
         f"$trainedErr%.2f >= $seedErr%.2f")
     // trained recall stays usable (sanity, loose bound for noise)
     assert(recallWith(trainedCb) > 0.10, "trained recall collapsed")
+  }
+
+  test("Similarity.topKIvfPq: composition tracks the full-precision IVF " +
+      "ranking on the same probed cells and beats chance vs exact top-k") {
+    val e = spark.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cb = Similarity.pqSeedCodebook(e, col("vec_id"), col("embedding"),
+      m = 8, subDim = 8, k = 16)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(got: Map[Long, Set[Long]], ref: Map[Long, Set[Long]]) = {
+      val hits = ref.keys.toSeq.map(k =>
+        (ref(k) intersect got.getOrElse(k, Set.empty)).size).sum
+      hits.toDouble / ref.values.map(_.size).sum
+    }
+    val ivfpq = sets(Similarity.topKIvfPq(e, col("vec_id"),
+      col("embedding"), cb, q, k = 5, m = 8, subDim = 8, nprobe = 4))
+    // same inverted lists probed as the full-precision IVF path — the
+    // only divergence is ADC re-ranking within small cells, so overlap
+    // stays high even with the untrained seed codebook
+    val ivf = sets(Similarity.topKIvf(e, col("vec_id"), col("embedding"),
+      q, k = 5, nprobe = 4))
+    val vsIvf = recall(ivfpq, ivf)
+    assert(vsIvf >= 0.5,
+      f"IVF+PQ diverged from full-precision IVF on shared cells: $vsIvf%.2f")
+    // vs the exact ranking the CEILING is the coarse stage: with 256
+    // cells over 500 random vectors, nprobe=4 scans ~8 of 499
+    // candidates, so absolute exact-recall is structurally tiny at
+    // fixture scale (production tunes bits/nprobe to the corpus). The
+    // composition must retain most of whatever the full-precision IVF
+    // path achieves, and stay above chance (≈ 0.01 for k=5 over 499).
+    val exact = sets(Similarity.topK(e, col("vec_id"), col("embedding"),
+      q, k = 5))
+    val vsExact = recall(ivfpq, exact)
+    val ivfVsExact = recall(ivf, exact)
+    assert(vsExact >= 0.4 * ivfVsExact,
+      f"ADC lost most of the coarse stage's recall: " +
+        f"$vsExact%.2f vs IVF's $ivfVsExact%.2f")
+    assert(vsExact > 0.02,
+      f"IVF+PQ recall vs exact at chance level: $vsExact%.2f")
   }
 
   test("Similarity.kMeansFit: spherical objective non-decreasing vs the " +

@@ -70,6 +70,35 @@ class PlanSpec extends AnyFunSuite {
       s"near-dup must stay bucket-bounded:\n$p")
   }
 
+  test("md5 signature family: every candidate stage is a (band, sig) " +
+      "equi-join — no cartesian, no nested loop (the heaviest bench keys " +
+      "must stay LSH-bounded)") {
+    Seq("llm_dedup_minhash_md5", "llm_decontaminate_fuzzy",
+        "llm_dedup_cross", "llm_dedup_incremental").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$k pair space must stay band-bounded:\n$p")
+    }
+    // the self-join's equi keys are literally (band, sig) — pin them on
+    // the in-engine representative so a regression to a theta-join (keys
+    // sliding into the residual condition) fails mechanically
+    val p = plan("llm_dedup_minhash_md5")
+    assert(
+      "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\\s*\\[band#[^\\]]*sig#"
+        .r.findFirstIn(p).isDefined,
+      s"(band, sig) not the equi-join keys:\n$p")
+  }
+
+  test("llm_sim_topk_ivfpq: bounded query set broadcasts; codes→cell " +
+      "join is an equi-join; no cartesian") {
+    val p = plan("llm_sim_topk_ivfpq")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbounded cartesian:\n$p")
+  }
+
   test("llm_dedup_jaccard / llm_sim_threshold_join: pair generation is an " +
       "equi-join on the bounding key") {
     Seq("llm_dedup_jaccard", "llm_sim_threshold_join").foreach { k =>
