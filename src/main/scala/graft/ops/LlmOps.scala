@@ -162,6 +162,21 @@ object LlmOps {
         .withColumnRenamed("bucket", "source")
         .orderBy("doc_a", "doc_b")),
 
+    // the SAME pair contract through the PREFIX-FILTER candidate engine
+    // (TextDedup.jaccardPrefixFiltered): output identical to
+    // llm_dedup_jaccard by construction, so hash-matching the same
+    // oracle proves the All-Pairs prefix filter end to end — while the
+    // plan swaps the size-band join for the skew-proof
+    // (bucket, prefix-token) equi-join (candidate keys are the
+    // ~(1-r)·n smallest token hashes, a uniform vocabulary sample a
+    // dominant source cannot collapse onto one key)
+    "llm_dedup_jaccard_prefix" -> ((s, d) =>
+      graft.api.TextDedup
+        .jaccardPrefixFiltered(documents(s, d), col("doc_id"),
+          col("source"), col("text"), minJaccard = 0.95)
+        .withColumnRenamed("bucket", "source")
+        .orderBy("doc_a", "doc_b")),
+
     // pairs → clusters: connected components over the jaccard-verified
     // edge list (graft.api.TextDedup.clusters — min-label propagation to a
     // fixpoint). The step every real dedup pipeline needs after pairwise
@@ -289,6 +304,23 @@ object LlmOps {
     })
   )
 
+  /** Exact all-pairs same-source jaccard ≥ 0.95 — the shared contract of
+    * llm_dedup_jaccard (size-band candidates) and
+    * llm_dedup_jaccard_prefix (prefix-filter candidates): both plans
+    * must hash-match this one definition. */
+  private val JaccardPairsOracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  list_distinct(string_split_regex(text, ' ')) AS tk FROM documents)
+      |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
+      |      - len(list_intersect(a.tk, b.tk))), 4) AS jac
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
+      |      - len(list_intersect(a.tk, b.tk))), 4) >= 0.95
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -341,18 +373,10 @@ object LlmOps {
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
     // llm_dedup_near_minhash: omitted (engine-specific hashing); pinned by
     // the planted-duplicates unit test instead
-    "llm_dedup_jaccard" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  list_distinct(string_split_regex(text, ' ')) AS tk FROM documents)
-        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-        |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
-        |      - len(list_intersect(a.tk, b.tk))), 4) AS jac
-        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-        |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
-        |      - len(list_intersect(a.tk, b.tk))), 4) >= 0.95
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_dedup_jaccard" -> JaccardPairsOracle,
+    // identical contract, different candidate engine — one oracle
+    // definition proves both plans (size-band and prefix-filter)
+    "llm_dedup_jaccard_prefix" -> JaccardPairsOracle,
     "llm_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, source,
         |  list_distinct(string_split_regex(text, ' ')) AS tk FROM documents),
