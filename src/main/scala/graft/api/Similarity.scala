@@ -390,16 +390,24 @@ object Similarity {
       s"nprobe must be in [1, bits + 1 = ${bits + 1}], got $nprobe")
     val base = corpus.select(id.as("vec_id"), vec.as("__v"),
       signBucket(vec, bits).as("__bucket"))
-    val recon = pqReconstruct(
-      pqEncode(base, col("vec_id"), col("__v"), codebook, m, subDim),
-      codebook)
-    val e = recon.join(base.select(col("vec_id"), col("__bucket")),
-      "vec_id")
     // multi-probe: own cell + first nprobe−1 one-bit flips (see topKIvf)
     val probes = (be: Column) =>
       Seq(be) ++ (0 until (nprobe - 1)).map(i => be.bitwiseXOR(lit(1 << i)))
     val q = queries.withColumn("__qbucket", signBucket(col("qe"), bits))
       .withColumn("__probe", explode(array(probes(col("__qbucket")): _*)))
+    // encode ONLY the probed cells: codes are per-vector and
+    // deterministic, so the cell semi-join commutes with encoding — and
+    // it mirrors the production cost model, where codes are precomputed
+    // and search touches only the probed inverted lists, never the
+    // whole corpus
+    val hit = base.join(
+      broadcast(q.select(col("__probe")).distinct()),
+      col("__bucket") === col("__probe"), "left_semi")
+    val recon = pqReconstruct(
+      pqEncode(hit, col("vec_id"), col("__v"), codebook, m, subDim),
+      codebook)
+    val e = recon.join(hit.select(col("vec_id"), col("__bucket")),
+      "vec_id")
     val selfCond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
     val scored = e.join(broadcast(q),
         col("__bucket") === col("__probe") && selfCond)
