@@ -38,27 +38,38 @@ object TextDedup {
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
     val k = bands * rowsPerBand
+    // (__id, hs): sorted distinct shingle hashes — the verify operand
     val docs = df.select(id.as("__id"),
         array_sort(VectorExprs.shingleHashes(split(text, " "), shingleWidth))
           .as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("mh", VectorExprs.minhashSig(col("hs"), k))
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand)
         .map(r => element_at(col("mh"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }
-    val sigs = docs.select(col("__id"), col("hs"),
-      explode(array(bandCols: _*)).as("bs"))
-      .select(col("__id"), col("hs"),
+    // band rows carry ONLY (__id, band, sig): shuffling the full shingle
+    // array ×bands through the self-join exchange was 4× the bytes the
+    // join needs (r6 fix — the verify re-acquires shingles below)
+    val sigs = docs
+      .withColumn("mh", VectorExprs.minhashSig(col("hs"), k))
+      .select(col("__id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("__id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = sigs.alias("a"); val b = sigs.alias("b")
-    val pairs = a.join(b,
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        col("a.hs").as("sa"), col("b.hs").as("sb"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // candidates are LSH-bounded and tiny relative to the corpus, so
+    // these joins broadcast the candidate side and the shingle frames
+    // stream map-side — no corpus-wide array shuffle anywhere
+    val pairs = cand
+      .join(docs.select(col("__id").as("doc_a"), col("hs").as("sa")),
+        "doc_a")
+      .join(docs.select(col("__id").as("doc_b"), col("hs").as("sb")),
+        "doc_b")
     val inter = VectorExprs.sortedInterSize(col("sa"), col("sb"))
       .cast("double")
     val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
@@ -81,15 +92,15 @@ object TextDedup {
   def nearMinhashMd5(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
-    val sigs = md5Sigs(df, id, text, shingleWidth, bands, rowsPerBand)
+    val sh = md5Shingles(df, id, text, shingleWidth)
+    val sigs = md5BandSigs(sh, bands, rowsPerBand)
     val a = sigs.alias("a"); val b = sigs.alias("b")
-    val pairs = a.join(b,
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    jaccardVerify(pairs, minJaccard)
+    jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
   }
 
   /** Cross-frame variant of [[nearMinhashMd5]]: near-dup pairs BETWEEN
@@ -105,16 +116,57 @@ object TextDedup {
       leftText: Column, right: DataFrame, rightId: Column,
       rightText: Column, shingleWidth: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
-    val a = md5Sigs(left, leftId, leftText, shingleWidth, bands,
-      rowsPerBand).alias("a")
-    val b = md5Sigs(right, rightId, rightText, shingleWidth, bands,
-      rowsPerBand).alias("b")
-    val pairs = a.join(b,
+    val shA = md5Shingles(left, leftId, leftText, shingleWidth)
+    val shB = md5Shingles(right, rightId, rightText, shingleWidth)
+    val a = md5BandSigs(shA, bands, rowsPerBand).alias("a")
+    val b = md5BandSigs(shB, bands, rowsPerBand).alias("b")
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    jaccardVerify(pairs, minJaccard)
+    jaccardVerify(joinShingles(cand, shA, shB), minJaccard)
+  }
+
+  /** [[nearMinhashMd5]] with Kirsch–Mitzenmacher double hashing
+    * ("Less Hashing, Same Performance", ESA 2006 — public): ONE md5
+    * digest per shingle, split into two 32-bit halves (h1, h2); the k
+    * minhash functions are h_i = h1 + i·h2 (exact in 64-bit — values
+    * stay < 2³⁶, so the arithmetic is portable to engines with strict
+    * BIGINT overflow like DuckDB). Same banding theory, same LSH-bounded
+    * candidate join, same exact jaccard verify — at ~1/k of the md5
+    * work, which is the dominant cost of the 16-digest scheme. Use THIS
+    * variant for portable signatures when both engines agree on the
+    * scheme; [[nearMinhashMd5]]'s independent-digest form stays for
+    * compatibility with already-written signature indexes. Output:
+    * (doc_a, doc_b, jaccard 4 dp). */
+  def nearMinhashKM(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = md5Shingles(df, id, text, shingleWidth)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          transform(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand),
+            v => v.cast("string")))).as("sig"))
+    }
+    // one digest per shingle, k minima in ONE native-expression
+    // traversal (the HOF spelling pays an interpreted closure per
+    // (i, shingle) — measured 5× slower than even the 16-digest scheme;
+    // bit-identity to the HOF chain is pinned in ApiSpec). Band rows
+    // carry no shingles — same exchange-volume rule as md5BandSigs.
+    val sigs = sh
+      .withColumn("mh", VectorExprs.minhashKM(col("sh"), k))
+      .select(col("__id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("__id"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
   }
 
   /** Persist an md5-MinHash signature index for [[screenAgainstIndex]]
@@ -129,12 +181,27 @@ object TextDedup {
     * deterministic per doc, so accepting a screened shard = appending
     * its signature rows to the index (no rebuild); compact
     * periodically, and rebuild only when shingle/band parameters
-    * change. See SCALE.md. */
+    * change. See SCALE.md.
+    *
+    * Layout: `path/sigs` = (__id, band, sig) band-bucket keys,
+    * `path/shingles` = (__id, sh) verify operands — normalized so the
+    * shingle arrays are stored ONCE per doc, not once per band row
+    * (×bands), and the candidate join scans only the 32-byte key
+    * table. */
   def writeSignatureIndex(df: DataFrame, id: Column, text: Column,
       path: String, shingleWidth: Int = 3, bands: Int = 4,
-      rowsPerBand: Int = 4): Unit =
-    md5Sigs(df, id, text, shingleWidth, bands, rowsPerBand)
-      .write.mode("overwrite").parquet(path)
+      rowsPerBand: Int = 4): Unit = {
+    // shingles land first; the sig table derives from the WRITTEN
+    // parquet, so the corpus is tokenized exactly once regardless of
+    // scale (re-deriving from text would re-run split+distinct per
+    // output; a localCheckpoint would pin corpus-sized arrays in
+    // executor memory)
+    md5Shingles(df, id, text, shingleWidth)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    val sh = df.sparkSession.read.parquet(s"$path/shingles")
+    md5BandSigs(sh, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+  }
 
   /** Screen a delta shard against a PERSISTED signature index written
     * by [[writeSignatureIndex]]: candidate pairs from the (band, sig)
@@ -151,43 +218,67 @@ object TextDedup {
   def screenAgainstIndex(delta: DataFrame, id: Column, text: Column,
       indexPath: String, shingleWidth: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
-    val a = md5Sigs(delta, id, text, shingleWidth, bands, rowsPerBand)
-      .alias("a")
-    val b = delta.sparkSession.read.parquet(indexPath).alias("b")
-    val pairs = a.join(b,
+    val spark = delta.sparkSession
+    val shA = md5Shingles(delta, id, text, shingleWidth)
+    val a = md5BandSigs(shA, bands, rowsPerBand).alias("a")
+    val b = spark.read.parquet(s"$indexPath/sigs").alias("b")
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    jaccardVerify(pairs, minJaccard)
+    // the index's shingle table loads only for verified candidates'
+    // rows: the candidate frame is LSH-bounded and broadcasts, so this
+    // is a map-side probe over the shingles parquet, never a corpus-
+    // wide array shuffle
+    val shB = spark.read.parquet(s"$indexPath/shingles")
+    jaccardVerify(joinShingles(cand, shA, shB), minJaccard)
   }
 
-  /** (\_\_id, sh, band, sig) signature frame shared by the md5 MinHash
-    * entry points: distinct `shingleWidth`-gram shingles, k = bands ×
-    * rowsPerBand md5 minhashes, one md5 bucket key per band. */
-  private def md5Sigs(df: DataFrame, id: Column, text: Column,
-      shingleWidth: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
-    val docs = df.select(id.as("__id"), split(text, " ").as("tk"))
+  /** (\_\_id, sh) distinct `shingleWidth`-gram shingles per doc — the
+    * jaccard-verify operand of the md5 MinHash family. */
+  private def md5Shingles(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int): DataFrame =
+    df.select(id.as("__id"), split(text, " ").as("tk"))
       .filter(size(col("tk")) >= shingleWidth)
-      .withColumn("sh", array_distinct(transform(
+      .select(col("__id"), array_distinct(transform(
         sequence(lit(1), size(col("tk")) - (shingleWidth - 1)),
-        i => concat_ws(" ", slice(col("tk"), i, lit(shingleWidth))))))
-      // all k digests in ONE native-expression traversal with a reused
-      // MessageDigest — bit-identical to the k-chain
-      // array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))) it
-      // replaces (golden + oracle pin the equality)
-      .withColumn("mh", VectorExprs.minhashMd5(col("sh"), k))
+        i => concat_ws(" ", slice(col("tk"), i, lit(shingleWidth)))))
+        .as("sh"))
+
+  /** (\_\_id, band, sig) band-bucket keys from a [[md5Shingles]] frame:
+    * k = bands × rowsPerBand md5 minhashes (ONE native-expression
+    * traversal with a reused MessageDigest — bit-identical to the
+    * k-chain array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+    * it replaces; golden + oracle pin the equality), one md5 bucket key
+    * per band. Deliberately does NOT carry `sh`: band rows ride the
+    * candidate self-join exchange, and shuffling the full shingle array
+    * ×bands was 4× the bytes the join needs (r6 fix) — the verify joins
+    * candidates back to the shingle frame instead, map-side (the
+    * candidate side is LSH-bounded and broadcasts). */
+  private def md5BandSigs(shingles: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
           slice(col("mh"), b * rowsPerBand + 1, rowsPerBand))).as("sig"))
     }
-    docs.select(col("__id"), col("sh"),
-      explode(array(bandCols: _*)).as("bs"))
-      .select(col("__id"), col("sh"),
+    shingles
+      .withColumn("mh", VectorExprs.minhashMd5(col("sh"), k))
+      .select(col("__id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("__id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  /** Attach both sides' shingle arrays to a (doc_a, doc_b) candidate
+    * frame: (doc_a, doc_b, sa, sb) for [[jaccardVerify]]. */
+  private def joinShingles(cand: DataFrame, shA: DataFrame,
+      shB: DataFrame): DataFrame =
+    cand
+      .join(shA.select(col("__id").as("doc_a"), col("sh").as("sa")),
+        "doc_a")
+      .join(shB.select(col("__id").as("doc_b"), col("sh").as("sb")),
+        "doc_b")
 
   /** Exact jaccard on distinct shingle sets over (doc_a, doc_b, sa, sb)
     * candidate pairs; keeps pairs at or above `minJaccard`. */

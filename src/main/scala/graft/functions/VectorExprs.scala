@@ -66,6 +66,17 @@ object VectorExprs {
     * per i — the engine-portable signature the DuckDB oracle reproduces. */
   def minhashMd5(shingles: Column, k: Int): Column =
     GraftShim.column(MinHashMd5Sigs(GraftShim.expression(shingles), k))
+
+  /** k Kirsch–Mitzenmacher minhashes of a shingle array in ONE pass:
+    * ONE md5 per shingle, h_i = h1 + i·h2 over the digest's two leading
+    * 32-bit halves — ~1/k of [[minhashMd5]]'s digest work. Bit-identical
+    * to the HOF spelling
+    * `transform(seq(0,k-1), i => array_min(transform(sh, s =>
+    * conv(substr(md5(s),1,8),16,10) + i*conv(substr(md5(s),9,8),16,10))))`
+    * and to the DuckDB twin's BIGINT arithmetic (values < 2³⁶ — no
+    * overflow anywhere). */
+  def minhashKM(shingles: Column, k: Int): Column =
+    GraftShim.column(MinHashKMSigs(GraftShim.expression(shingles), k))
 }
 
 case class DotProductFloat(left: Expression, right: Expression)
@@ -335,6 +346,64 @@ case class MinHashMd5Sigs(child: Expression, k: Int)
     }
     new GenericArrayData(mins.map(s =>
       if (s == null) null else UTF8String.fromString(s)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** One-pass Kirsch–Mitzenmacher k-minhash ("Less Hashing, Same
+  * Performance: Building a Better Bloom Filter", Kirsch & Mitzenmacher,
+  * ESA 2006 — public): per shingle ONE md5 digest, h1/h2 = its two
+  * leading 32-bit halves read big-endian (exactly
+  * `conv(substring(hex, 1, 8), 16, 10)` / `(hex, 9, 8)`), and the k
+  * hash functions are h_i = h1 + i·h2. All values < 2³⁶, so the 64-bit
+  * arithmetic is exact and portable to engines with strict BIGINT
+  * overflow (DuckDB). Returns the k minima over the array (nulls
+  * skipped; all-null/empty input → k nulls, matching the
+  * array_min-over-empty HOF semantics). */
+case class MinHashKMSigs(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> input")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_km_sigs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData]
+    val m = sh.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Long](k)
+    var seen = false
+    var i = 0
+    while (i < m) {
+      if (!sh.isNullAt(i)) {
+        md.reset()
+        md.update(sh.getUTF8String(i).getBytes)
+        val dg = md.digest()
+        val h1 = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+          ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+        val h2 = ((dg(4) & 0xffL) << 24) | ((dg(5) & 0xffL) << 16) |
+          ((dg(6) & 0xffL) << 8) | (dg(7) & 0xffL)
+        var j = 0
+        var h = h1
+        if (!seen) {
+          while (j < k) { mins(j) = h; h += h2; j += 1 }
+          seen = true
+        } else {
+          while (j < k) { if (h < mins(j)) mins(j) = h; h += h2; j += 1 }
+        }
+      }
+      i += 1
+    }
+    if (!seen) new GenericArrayData(new Array[Any](k))
+    else new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression) =

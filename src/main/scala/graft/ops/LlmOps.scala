@@ -133,6 +133,19 @@ object LlmOps {
           minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // Kirsch–Mitzenmacher variant (TextDedup.nearMinhashKM): ONE md5
+    // per shingle, k hashes derived as h1 + i·h2 from the digest's two
+    // 32-bit halves — the standard "less hashing, same performance"
+    // trick, still engine-portable (exact 64-bit integer arithmetic,
+    // reproduced verbatim in the oracle) at ~1/k of the md5 work the
+    // 16-digest scheme pays. Same planted pairs found; the scheme to
+    // prefer for NEW cross-engine signature exchanges.
+    "llm_dedup_minhash_km" -> ((s, d) =>
+      graft.api.TextDedup
+        .nearMinhashKM(documents(s, d), col("doc_id"), col("text"),
+          minJaccard = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     // FUZZY decontamination (TextDedup.nearMinhashMd5Between): training
     // docs (doc_id ≥ 100 here) near-duplicate to a benchmark set
     // (doc_id < 100) — the cross-corpus LSH screen that catches the
@@ -345,6 +358,39 @@ object LlmOps {
          |  JOIN d db ON db.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // K-M twin: one digest per shingle, h_i = h1 + i·h2 over the two
+    // leading 32-bit halves — values < 2^36 so DuckDB's strict BIGINT
+    // arithmetic cannot overflow
+    "llm_dedup_minhash_km" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> array_to_string(tk[i : i + 2], ' '))) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |sig AS (SELECT doc_id, i,
+        |    MIN(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+        |      + i * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) AS m
+        |  FROM d, unnest(d.sh) AS u(s), unnest(range(0, 16)) AS v(i)
+        |  GROUP BY doc_id, i),
+        |band AS (SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |jac AS (SELECT doc_a, doc_b,
+        |    ROUND(
+        |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+        |        AS DOUBLE)
+        |      / (len(da.sh) + len(db.sh)
+        |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+        |      4) AS jaccard
+        |  FROM cand
+        |  JOIN d da ON da.doc_id = doc_a
+        |  JOIN d db ON db.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM jac
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     // cross-corpus variant: signatures are per-doc (independent of the
     // frame split), so the twin computes them once and applies the
     // train/bench id-range roles at the candidate join

@@ -203,6 +203,27 @@ class ApiSpec extends AnyFunSuite {
       "persisted-index screen diverges from the in-memory cross-frame run")
   }
 
+  test("VectorExprs.minhashKM is bit-identical to the declarative " +
+      "conv(md5) HOF spelling the DuckDB oracle mirrors") {
+    val rows = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("x y z")),
+      (3L, Seq.empty[String])).toDF("rid", "sh")
+    val k = 16
+    val native = rows.select(col("rid"),
+      graft.functions.VectorExprs.minhashKM(col("sh"), k).as("mh"))
+    val hof = rows.select(col("rid"),
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(col("sh"), s =>
+          conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+            + i * conv(substring(md5(s), 9, 8), 16, 10).cast("long"))))
+        .as("mh"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(n == h, s"native vs HOF minhash diverge:\n$n\n$h")
+    assert(n(3L).forall(_ == null), "empty shingle array must yield nulls")
+  }
+
   test("TextDedup.clusters equals a reference union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { _ =>
