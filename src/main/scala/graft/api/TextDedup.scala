@@ -321,23 +321,35 @@ object TextDedup {
         floor(log(greatest(col("ntk"), lit(1)).cast("double")) /
           math.log(g)).cast("long"))
     } else t.withColumn("band", lit(0L)) // no usable prefilter: one band
-    val a = banded
+    // candidate rows carry keys only — shipping each doc's token-hash
+    // array through the pair exchange (×2 for the a-side's two bandkeys)
+    // was most of the shuffle bytes; the verify joins the bounded
+    // candidate set back to `t` instead (r6 exchange-volume rule)
+    val keyed = banded.select(col("__id"), col("__bucket"), col("ntk"),
+      col("band"))
+    val a = keyed
       .withColumn("bandkey", explode(array(col("band"), col("band") + 1)))
       .alias("a")
-    val b = banded.withColumn("bandkey", col("band")).alias("b")
-    val inter = VectorExprs.sortedInterSize(col("a.tk"), col("b.tk"))
-      .cast("double")
-    val union = (size(col("a.tk")) + size(col("b.tk"))).cast("double") - inter
+    val b = keyed.withColumn("bandkey", col("band")).alias("b")
     // equal bands pair once via the id order; adjacent bands pair once via
     // the lower side's band+1 key (the reverse orientation never matches)
-    a.join(b, col("a.__bucket") === col("b.__bucket") &&
+    val cand = a.join(b, col("a.__bucket") === col("b.__bucket") &&
           col("a.bandkey") === col("b.bandkey") &&
           (col("a.band") =!= col("b.band") || col("a.__id") < col("b.__id")) &&
           least(col("a.ntk"), col("b.ntk")).cast("double") >=
             greatest(col("a.ntk"), col("b.ntk")) * r)
       .select(col("a.__bucket").as("bucket"),
         least(col("a.__id"), col("b.__id")).as("doc_a"),
-        greatest(col("a.__id"), col("b.__id")).as("doc_b"),
+        greatest(col("a.__id"), col("b.__id")).as("doc_b"))
+    // no pair dedup needed: the equal/adjacent band orientation rules
+    // above make every candidate pair match exactly once
+    val pairs = cand
+      .join(t.select(col("__id").as("doc_a"), col("tk").as("ta")), "doc_a")
+      .join(t.select(col("__id").as("doc_b"), col("tk").as("tb")), "doc_b")
+    val inter = VectorExprs.sortedInterSize(col("ta"), col("tb"))
+      .cast("double")
+    val union = (size(col("ta")) + size(col("tb"))).cast("double") - inter
+    pairs.select(col("bucket"), col("doc_a"), col("doc_b"),
         round(inter / union, 4).as("jac"))
       .filter(col("jac") >= minJaccard)
   }
@@ -387,9 +399,13 @@ object TextDedup {
     // p = n − ceil(r·n) + 1; the slack keeps the rounded-threshold edge
     // (a true jaccard of 0.94995 rounding up to the 0.95 gate) inside
     // the guarantee, exactly as in jaccardWithinBucket's ratio prefilter
-    val pref = t.withColumn("__ptok",
+    // prefix rows carry keys only — each exploded prefix token would
+    // otherwise duplicate the doc's whole token-hash array through the
+    // pair exchange (×p per side); the verify joins the bounded
+    // candidate set back to `t` instead (r6 exchange-volume rule)
+    val pref = t.select(col("__id"), col("__bucket"), col("ntk"),
       explode(slice(col("tk"), lit(1),
-        (col("ntk") - ceil(col("ntk") * r) + 1).cast("int"))))
+        (col("ntk") - ceil(col("ntk") * r) + 1).cast("int"))).as("__ptok"))
     val a = pref.alias("a"); val b = pref.alias("b")
     val cand = a.join(b, col("a.__bucket") === col("b.__bucket") &&
           col("a.__ptok") === col("b.__ptok") &&
@@ -397,13 +413,15 @@ object TextDedup {
           least(col("a.ntk"), col("b.ntk")).cast("double") >=
             greatest(col("a.ntk"), col("b.ntk")) * r)
       .select(col("a.__bucket").as("bucket"),
-        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        col("a.tk").as("sa"), col("b.tk").as("sb"))
+        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // pairs sharing >1 prefix token
-    val inter = VectorExprs.sortedInterSize(col("sa"), col("sb"))
+    val pairs = cand
+      .join(t.select(col("__id").as("doc_a"), col("tk").as("ta")), "doc_a")
+      .join(t.select(col("__id").as("doc_b"), col("tk").as("tb")), "doc_b")
+    val inter = VectorExprs.sortedInterSize(col("ta"), col("tb"))
       .cast("double")
-    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
-    cand.select(col("bucket"), col("doc_a"), col("doc_b"),
+    val union = (size(col("ta")) + size(col("tb"))).cast("double") - inter
+    pairs.select(col("bucket"), col("doc_a"), col("doc_b"),
         round(inter / union, 4).as("jac"))
       .filter(col("jac") >= minJaccard)
   }
