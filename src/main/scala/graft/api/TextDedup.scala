@@ -203,6 +203,24 @@ object TextDedup {
       .write.mode("overwrite").parquet(s"$path/sigs")
   }
 
+  /** Append a shard's signatures to an existing index — the accept step
+    * of the nightly cycle ([[screenAgainstIndex]] survivors join the
+    * corpus, so the NEXT delta must screen against them too).
+    * Signatures are deterministic per doc, which is what makes append
+    * (not rebuild) sufficient; parameters MUST match the index's
+    * write-time values. Caller guarantees the shard's ids are not
+    * already in the index (screen survivors by construction). */
+  def appendToSignatureIndex(df: DataFrame, id: Column, text: Column,
+      path: String, shingleWidth: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4): Unit = {
+    md5Shingles(df, id, text, shingleWidth)
+      .write.mode("append").parquet(s"$path/shingles")
+    // derive from the frame, not the re-read table: re-reading would
+    // re-sign the WHOLE index, defeating the append
+    md5BandSigs(md5Shingles(df, id, text, shingleWidth), bands,
+      rowsPerBand).write.mode("append").parquet(s"$path/sigs")
+  }
+
   /** Screen a delta shard against a PERSISTED signature index written
     * by [[writeSignatureIndex]]: candidate pairs from the (band, sig)
     * equi-join of the delta's signatures against the index — LSH-

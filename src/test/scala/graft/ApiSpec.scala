@@ -201,6 +201,20 @@ class ApiSpec extends AnyFunSuite {
       "exact dup must screen out")
     assert(got == ref && got.nonEmpty,
       "persisted-index screen diverges from the in-memory cross-frame run")
+    // the nightly accept step: append the screen SURVIVORS to the index,
+    // then a second delta containing a dup of a survivor must be caught
+    // against the GROWN index (append, never rebuild — SCALE.md cadence)
+    val dupIds = got.map(_._1)
+    val survivors = deltaRows.filter(r => !dupIds.contains(r._1))
+    assert(survivors.nonEmpty)
+    TextDedup.appendToSignatureIndex(survivors.toDF("dk", "dtxt"),
+      col("dk"), col("dtxt"), dir)
+    val delta2 = Seq((200L, survivors.head._2), (201L, doc()))
+      .toDF("dk", "dtxt")
+    val got2 = pairs(TextDedup.screenAgainstIndex(delta2, col("dk"),
+      col("dtxt"), dir))
+    assert(got2.map(p => (p._1, p._2)).contains((200L, survivors.head._1)),
+      "dup of an appended survivor must screen out against the grown index")
   }
 
   test("VectorExprs.minhashKM is bit-identical to the declarative " +
