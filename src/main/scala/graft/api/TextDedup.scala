@@ -244,10 +244,10 @@ object TextDedup {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // the index's shingle table loads only for verified candidates'
-    // rows: the candidate frame is LSH-bounded and broadcasts, so this
-    // is a map-side probe over the shingles parquet, never a corpus-
-    // wide array shuffle
+    // the candidate frame is LSH-bounded and broadcasts, so attaching
+    // the index side's shingles is a map-side probe over the shingles
+    // parquet (a scan of the ~1%-of-corpus index, never a shuffle of
+    // its arrays and never a read of corpus text)
     val shB = spark.read.parquet(s"$indexPath/shingles")
     jaccardVerify(joinShingles(cand, shA, shB), minJaccard)
   }
