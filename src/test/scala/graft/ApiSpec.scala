@@ -149,25 +149,31 @@ class ApiSpec extends AnyFunSuite {
     val df = all.toDF("docid", "grp", "body")
     def pairsOf(out: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       out.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
-    val got = pairsOf(TextDedup.jaccardPrefixFiltered(df, col("docid"),
-      col("grp"), col("body"), minJaccard = 0.95))
     // local exact reference: all-pairs jaccard on distinct token sets,
     // same 4-dp HALF_UP rounding before the gate
     val sets = all.map { case (i, _, t) => i -> t.split(" ").toSet }.toMap
     val ids = all.map(_._1)
-    val expected = (for {
-      a <- ids; b <- ids if a < b
-      sa = sets(a); sb = sets(b)
-      inter = (sa & sb).size.toDouble
-      jac = inter / (sa.size + sb.size - inter)
-      if BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP) >=
-        BigDecimal("0.95")
-    } yield (a, b)).toSet
-    assert(expected.nonEmpty, "planted dups must survive the gate")
-    assert(got == expected, "prefix-filtered pairs diverge from brute force")
-    val sibling = pairsOf(TextDedup.jaccardWithinBucket(df, col("docid"),
-      col("grp"), col("body"), minJaccard = 0.95))
-    assert(got == sibling, "prefix filter and size-band siblings disagree")
+    // several thresholds = several prefix lengths (~5%, ~10%, ~20% of
+    // each doc's tokens) — the recall guarantee must hold at each
+    Seq(0.95, 0.9, 0.8).foreach { tau =>
+      val got = pairsOf(TextDedup.jaccardPrefixFiltered(df, col("docid"),
+        col("grp"), col("body"), minJaccard = tau))
+      val expected = (for {
+        a <- ids; b <- ids if a < b
+        sa = sets(a); sb = sets(b)
+        inter = (sa & sb).size.toDouble
+        jac = inter / (sa.size + sb.size - inter)
+        if BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP) >=
+          BigDecimal(tau)
+      } yield (a, b)).toSet
+      assert(expected.nonEmpty, s"planted dups must survive the $tau gate")
+      assert(got == expected,
+        s"prefix-filtered pairs diverge from brute force at tau=$tau")
+      val sibling = pairsOf(TextDedup.jaccardWithinBucket(df, col("docid"),
+        col("grp"), col("body"), minJaccard = tau))
+      assert(got == sibling,
+        s"prefix filter and size-band siblings disagree at tau=$tau")
+    }
   }
 
   test("TextDedup signature index round trip: screenAgainstIndex over a " +
