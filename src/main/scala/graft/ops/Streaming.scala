@@ -233,6 +233,35 @@ object Streaming {
   def twinStatefulCounts(stream: DataFrame): DataFrame =
     stream.groupBy("user_id").agg(count(lit(1)).as("n_events"))
 
+  /** Streaming incremental dedup against a PERSISTED signature index —
+    * the continuous-ingestion form of `llm_dedup_incremental`'s nightly
+    * batch: each micro-batch of arriving documents screens against the
+    * index written by `graft.api.TextDedup.writeSignatureIndex` and
+    * `emit` receives the batch's SURVIVORS (docs with no near-dup in
+    * the index). Runs the batch `screenAgainstIndex` verbatim inside
+    * `foreachBatch`: every operator is stateless per micro-batch (a
+    * stream-STATIC screen, no stream-stream state), so there is no
+    * state store to grow regardless of index size — the scaling knob is
+    * the static index alone, exactly as in the batch path. A real
+    * deployment appends each emitted batch's signatures to the index
+    * (`appendToSignatureIndex`) on its refresh cadence; the index
+    * snapshot a given micro-batch sees is the last refresh, the
+    * standard freshness trade of every stream-static join.
+    * `id`/`text` select the document key and body from `docs`'s
+    * schema. */
+  def twinDedupAgainstIndex(docs: DataFrame, id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, indexPath: String)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val dups = graft.api.TextDedup
+          .screenAgainstIndex(batch, id, text, indexPath)
+          .select(col("doc_a")).distinct()
+        emit(batch.join(dups, id === col("doc_a"), "left_anti"))
+    }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

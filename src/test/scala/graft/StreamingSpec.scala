@@ -110,6 +110,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: per-batch screen against the " +
+      "persisted signature index equals the batch screen over all " +
+      "arrivals; survivors only are emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 120).map(i => s"w$i")
+    def doc() = Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpus = (0L until 30L).map(i => (i, doc()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx-stream")
+      .resolve("idx").toString
+    graft.api.TextDedup.writeSignatureIndex(corpus.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    val in = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streaming.twinDedupAgainstIndex(
+        in.toDF.toDF("doc_id", "text"), col("doc_id"), col("text"), dir) {
+      batch => emitted.synchronized {
+        emitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      // batch 1: one exact dup of corpus doc 0 + one fresh doc
+      val fresh1 = (101L, doc())
+      in.addData((100L, corpus(0)._2), fresh1)
+      q.processAllAvailable()
+      // batch 2: a near-dup of corpus doc 1 (last token swapped) + fresh
+      val near = {
+        val t = corpus(1)._2.split(" "); t(t.length - 1) = "swapped"
+        (102L, t.mkString(" "))
+      }
+      val fresh2 = (103L, doc())
+      in.addData(near, fresh2)
+      q.processAllAvailable()
+      val survivors = emitted.synchronized(emitted.toSet)
+      // batch twin over ALL arrivals must agree exactly
+      val allArrivals = Seq((100L, corpus(0)._2), fresh1, near, fresh2)
+      val batchDups = graft.api.TextDedup
+        .screenAgainstIndex(allArrivals.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), dir)
+        .select("doc_a").collect().map(_.getLong(0)).toSet
+      assert(survivors == allArrivals.map(_._1).toSet -- batchDups,
+        s"stream survivors $survivors diverge from the batch screen")
+      assert(!survivors.contains(100L), "exact dup must not survive")
+      assert(!survivors.contains(102L), "near-dup must not survive")
+      assert(survivors.contains(101L) && survivors.contains(103L),
+        "fresh docs must survive")
+    } finally q.stop()
+  }
+
   test("session windows: gap split + [first, last+gap) bounds") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
