@@ -67,7 +67,17 @@ object GraftExtensions {
         MinHashSig(args(0), intLit(args(1), "signature size")))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      arity("graft_simhash64", 1)(args => SimHash64(args(0)))))
+      arity("graft_simhash64", 1)(args => SimHash64(args(0)))),
+    ("graft_minhash_md5",
+      new ExpressionInfo(classOf[MinHashMd5Sigs].getName,
+        "graft_minhash_md5"),
+      arity("graft_minhash_md5", 2)(args =>
+        MinHashMd5Sigs(args(0), intLit(args(1), "signature size")))),
+    ("graft_minhash_km",
+      new ExpressionInfo(classOf[MinHashKMSigs].getName,
+        "graft_minhash_km"),
+      arity("graft_minhash_km", 2)(args =>
+        MinHashKMSigs(args(0), intLit(args(1), "signature size")))))
 
   /** Register into an already-built session (functions + the dot-product
     * rewrite rule via the experimental-methods slot, which runs at the

@@ -17,12 +17,15 @@ class ExtensionsSpec extends AnyFunSuite {
         |                                 array(2L, 3L, 5L)) AS i,
         |  size(graft_shingle_hashes(array('a','b','c','d'), 3)) AS nsh,
         |  size(graft_minhash_sig(array(1L, 2L, 3L), 16)) AS nmh,
-        |  graft_simhash64(array('a','b','c')) AS sh
+        |  graft_simhash64(array('a','b','c')) AS sh,
+        |  size(graft_minhash_md5(array('a b c'), 16)) AS nmd5,
+        |  size(graft_minhash_km(array('a b c'), 16)) AS nkm
         |""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)
     assert(r.getInt(2) == 2) // "a b c", "b c d"
     assert(r.getInt(3) == 16)
+    assert(r.getInt(5) == 16 && r.getInt(6) == 16)
     // pin the SQL-registered function against the Column-API form of the
     // same expression (itself pinned by the planted-duplicate specs)
     import spark.implicits._

@@ -73,8 +73,9 @@ class PlanSpec extends AnyFunSuite {
   test("md5 signature family: every candidate stage is a (band, sig) " +
       "equi-join — no cartesian, no nested loop (the heaviest bench keys " +
       "must stay LSH-bounded)") {
-    Seq("llm_dedup_minhash_md5", "llm_decontaminate_fuzzy",
-        "llm_dedup_cross", "llm_dedup_incremental").foreach { k =>
+    Seq("llm_dedup_minhash_md5", "llm_dedup_minhash_km",
+        "llm_decontaminate_fuzzy", "llm_dedup_cross",
+        "llm_dedup_incremental").foreach { k =>
       val p = plan(k)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
