@@ -95,14 +95,45 @@ object Aggregations {
         .orderBy(col("n").desc, col("event_type"))),
 
     // exact interpolated percentiles (≡ DuckDB quantile_cont); rounded 6dp
-    // because the interpolation arithmetic is genuinely double
-    "agg_median_quantile" -> ((s, d) =>
-      orders(s, d)
-        .groupBy("o_orderstatus")
+    // because the interpolation arithmetic is genuinely double.
+    // SORT-BASED distributed plan (r6 — closes the carried `weak`):
+    // per-(group, value) counts → running-rank window (the sort is the
+    // shuffle's, spilling to disk) → rank-interval lookup + the same
+    // lower + frac·(upper − lower) arithmetic at pos = p·(n−1) that
+    // Spark's percentile() and DuckDB's quantile_cont run. The
+    // percentile() TypedImperativeAggregate it replaces buffers EVERY
+    // group value in one in-memory aggregation buffer — correct, but
+    // the one memory-unbounded aggregate at 100 TB; this plan's
+    // per-task state is a running sum.
+    "agg_median_quantile" -> ((s, d) => {
+      val vals = orders(s, d)
+        .select(col("o_orderstatus").as("g"),
+          col("o_totalprice").cast("double").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vals.withColumn("ck", sum(col("cnt")).over(w))
+      val n = vals.groupBy("g").agg(sum(col("cnt")).as("n"))
+      // a value row covers 0-based ranks [ck − cnt, ck − 1]; the row
+      // covering floor/ceil(pos) supplies the interpolation endpoints
+      def at(rank: Column) =
+        max(when(col("ck") - col("cnt") <= rank &&
+          col("ck") - 1 >= rank, col("v")))
+      val j = cum.join(broadcast(n), "g")
+        .withColumn("pos50", (col("n") - 1) * 0.5)
+        .withColumn("pos90", (col("n") - 1) * 0.9)
+      j.groupBy("g")
         .agg(
-          r6(percentile(col("o_totalprice"), lit(0.5))).as("median_price"),
-          r6(percentile(col("o_totalprice"), lit(0.9))).as("p90_price"))
-        .orderBy("o_orderstatus")),
+          at(floor(col("pos50"))).as("lo50"), at(ceil(col("pos50"))).as("hi50"),
+          at(floor(col("pos90"))).as("lo90"), at(ceil(col("pos90"))).as("hi90"),
+          max(col("pos50")).as("p50"), max(col("pos90")).as("p90"))
+        .select(col("g").as("o_orderstatus"),
+          round(col("lo50") + (col("p50") - floor(col("p50"))) *
+            (col("hi50") - col("lo50")), 6).as("median_price"),
+          round(col("lo90") + (col("p90") - floor(col("p90"))) *
+            (col("hi90") - col("lo90")), 6).as("p90_price"))
+        .orderBy("o_orderstatus")
+    }),
 
     // the 100 TB twin of agg_median_quantile: approx_percentile buffers a
     // bounded sketch per group instead of every value (exact percentile is
