@@ -169,6 +169,40 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // pandas rolling(5).skew()/.kurt() (population form): the
+    // agg_skew_kurt moment-sum recipe applied to a 5-row frame. Values
+    // become integer CENTS (skew/kurt are scale-invariant, so cents ≡
+    // dollars) whose powers fit a long per element (max value 490.02 →
+    // c⁴ ≈ 5.8e18) and sum EXACTLY as DECIMAL(38,0) over the frame —
+    // order-free (§7.2.2); only the final standardized-moment formula
+    // runs in double. Flat frames (variance 0) are NULL, gated on the
+    // identical double compare in both engines.
+    "window_rolling_skew" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      val c = round(col("value") * 100).cast("long")
+      def qd(e: org.apache.spark.sql.Column) =
+        sum(e.cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(w)
+          .cast("double")
+      val n = count(lit(1)).over(w).cast("double")
+      val m1 = col("s1") / col("n"); val m2 = col("s2") / col("n")
+      val m3 = col("s3") / col("n"); val m4 = col("s4") / col("n")
+      val va = m2 - m1 * m1
+      events(s, d)
+        .select(col("event_id"), col("user_id"), n.as("n"),
+          qd(c).as("s1"), qd(c * c).as("s2"), qd(c * c * c).as("s3"),
+          qd(c * c * c * c).as("s4"))
+        .select(col("event_id"), col("user_id"),
+          when(va > 0,
+            r6((m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1) /
+              (va * sqrt(va)))).as("skew5"),
+          when(va > 0,
+            r6((m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 -
+              lit(3) * m1 * m1 * m1 * m1) / (va * va) - lit(3)))
+            .as("kurt5"))
+        .orderBy("event_id")
+    }),
+
     // pandas groupby().transform('mean'): the per-group statistic
     // broadcast back onto every member row — an unbounded-frame window
     // (ONE shuffle on the group key, no join back). The mean is an exact
@@ -388,6 +422,32 @@ object Windows {
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med5
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_suppkey, roll_med5""".stripMargin,
+    "window_rolling_skew" ->
+      """WITH c0 AS (SELECT event_id, user_id, ts,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_id, user_id,
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(c AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(c * c * c AS DECIMAL(38,0))) OVER w AS DOUBLE)
+        |      AS s3,
+        |    CAST(SUM(CAST(c * c * c * c AS DECIMAL(38,0))) OVER w
+        |      AS DOUBLE) AS s4
+        |  FROM c0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN (s2/n - (s1/n)*(s1/n)) > 0 THEN
+        |    ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |      / ((s2/n - (s1/n)*(s1/n))
+        |         * sqrt(s2/n - (s1/n)*(s1/n))), 6)
+        |  END AS skew5,
+        |  CASE WHEN (s2/n - (s1/n)*(s1/n)) > 0 THEN
+        |    ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+        |        - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |      / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6)
+        |  END AS kurt5
+        |FROM m ORDER BY event_id""".stripMargin,
     "window_rolling_std" ->
       """SELECT event_id, user_id,
         |CASE WHEN n > 1 THEN
