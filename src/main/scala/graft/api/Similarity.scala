@@ -364,6 +364,47 @@ object Similarity {
     topK(recon, col("vec_id"), col("recon"), queries, k, excludeSelf)
   }
 
+  /** IVF over a TRAINED coarse quantizer — the production generalization
+    * of [[topKIvf]]'s sign buckets: corpus vectors shard into inverted
+    * lists by argmax-centroid ([[assignClusters]], typically over
+    * [[kMeansFit]] output), and each query probes the lists of its
+    * `nprobe` most-similar centroids (rounded-dot rank, centroid-id
+    * tie-break). Probe cost = Σ|probed lists| ≈ nprobe·n/k — the
+    * recall/cost knob real ANN indexes tune, with k grown alongside the
+    * corpus (10⁴–10⁵ cells at 10⁹ vectors) so lists stay bounded.
+    * Centroids broadcast twice (corpus assignment + query probe
+    * ranking); the corpus never shuffles. Training is float — recall is
+    * unit-test pinned (no oracle), like [[kMeansFit]] itself; the
+    * oracle-checked IVF keys stay on the deterministic sign-bucket
+    * quantizer. Same (qid, qe) / (cid, ce) contracts and excludeSelf
+    * semantics as the rest of the module. */
+  def topKIvfTrained(corpus: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cells = assignClusters(corpus, id, vec, centroids)
+      .select(col("vec_id"), col("cluster_id"))
+    val e = corpus.select(id.as("vec_id"), vec.as("__v")).join(cells,
+      "vec_id")
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("__csim").desc, col("cid"))
+    val qprobe = queries
+      .crossJoin(broadcast(centroids.select(col("cid"), col("ce"))))
+      .select(col("qid"), col("qe"), col("cid"),
+        round(dot(col("qe"), col("ce")), 6).as("__csim"))
+      .withColumn("__crk", row_number().over(probeW))
+      .filter(col("__crk") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val selfCond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    val scored = e.join(broadcast(qprobe),
+        col("cluster_id") === col("cid") && selfCond)
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("__v")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** IVF+PQ — THE production 100 TB ANN architecture, composing the two
     * halves this module already proves separately: the sign-bucket
     * coarse quantizer ([[topKIvf]]) bounds each query's probe set to

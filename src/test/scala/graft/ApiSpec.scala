@@ -723,6 +723,33 @@ class ApiSpec extends AnyFunSuite {
       f"IVF+PQ recall vs exact at chance level: $vsExact%.2f")
   }
 
+  test("Similarity.topKIvfTrained: full probe equals exact top-k; " +
+      "partial probe beats chance with trained centroids") {
+    val e = spark.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cents = Similarity.kMeansFit(e, col("vec_id"), col("embedding"),
+      k = 16, iters = 3)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // probing EVERY list is brute force: identical scoring + tie-breaks
+    // must reproduce the exact ranking bit-for-bit
+    val full = sets(Similarity.topKIvfTrained(e, col("vec_id"),
+      col("embedding"), cents, q, k = 5, nprobe = 16))
+    val exact = sets(Similarity.topK(e, col("vec_id"), col("embedding"),
+      q, k = 5))
+    assert(full == exact, "nprobe = k (all lists) must equal exact top-k")
+    // nprobe=4 of 16 cells scans ~25% of the corpus; trained lists must
+    // recover far more than that fraction's chance overlap
+    val part = sets(Similarity.topKIvfTrained(e, col("vec_id"),
+      col("embedding"), cents, q, k = 5, nprobe = 4))
+    val hits = exact.keys.toSeq.map(kq =>
+      (exact(kq) intersect part.getOrElse(kq, Set.empty)).size).sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    assert(recall >= 0.3, f"trained-IVF recall@5 = $recall%.2f < 0.3")
+  }
+
   test("Similarity.kMeansFit: spherical objective non-decreasing vs the " +
       "seed centroids; k centroids returned, unit-norm") {
     val e = spark.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
