@@ -49,6 +49,11 @@ object Bench {
       val wtmp = java.nio.file.Files.createTempDirectory("graft-warm")
       spark.range(100).write.mode("overwrite")
         .parquet(wtmp.resolve("w").toString)
+      // the write only exists to warm the committer path — reap it so
+      // repeated bench runs don't accumulate temp datasets
+      java.nio.file.Files.walk(wtmp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case scala.util.control.NonFatal(_) => () }
     // a failed query must be VISIBLE: it is timed as -1 and listed under
     // "errors" rather than silently contributing a near-zero duration

@@ -56,16 +56,10 @@ object TextDedup {
       .select(col("__id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("__id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = sigs.alias("a"); val b = sigs.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
     // candidates are LSH-bounded and tiny relative to the corpus, so
     // these joins broadcast the candidate side and the shingle frames
     // stream map-side — no corpus-wide array shuffle anywhere
-    val pairs = cand
+    val pairs = selfBandCandidates(sigs)
       .join(docs.select(col("__id").as("doc_a"), col("hs").as("sa")),
         "doc_a")
       .join(docs.select(col("__id").as("doc_b"), col("hs").as("sb")),
@@ -93,13 +87,7 @@ object TextDedup {
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
     val sh = md5Shingles(df, id, text, shingleWidth)
-    val sigs = md5BandSigs(sh, bands, rowsPerBand)
-    val a = sigs.alias("a"); val b = sigs.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = selfBandCandidates(md5BandSigs(sh, bands, rowsPerBand))
     jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
   }
 
@@ -118,12 +106,8 @@ object TextDedup {
       rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
     val shA = md5Shingles(left, leftId, leftText, shingleWidth)
     val shB = md5Shingles(right, rightId, rightText, shingleWidth)
-    val a = md5BandSigs(shA, bands, rowsPerBand).alias("a")
-    val b = md5BandSigs(shB, bands, rowsPerBand).alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = crossBandCandidates(md5BandSigs(shA, bands, rowsPerBand),
+      md5BandSigs(shB, bands, rowsPerBand))
     jaccardVerify(joinShingles(cand, shA, shB), minJaccard)
   }
 
@@ -142,31 +126,30 @@ object TextDedup {
   def nearMinhashKM(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
-    val k = bands * rowsPerBand
     val sh = md5Shingles(df, id, text, shingleWidth)
+    val cand = selfBandCandidates(kmBandSigs(sh, bands, rowsPerBand))
+    jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
+  }
+
+  /** K-M sibling of [[md5BandSigs]]: one digest per shingle, k minima
+    * in ONE native-expression traversal (the HOF spelling pays an
+    * interpreted closure per (i, shingle) — measured 5× slower than
+    * even the 16-digest scheme; bit-identity to the HOF chain is pinned
+    * in ApiSpec). Same no-shingles exchange-volume rule. */
+  private def kmBandSigs(shingles: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
           transform(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand),
             v => v.cast("string")))).as("sig"))
     }
-    // one digest per shingle, k minima in ONE native-expression
-    // traversal (the HOF spelling pays an interpreted closure per
-    // (i, shingle) — measured 5× slower than even the 16-digest scheme;
-    // bit-identity to the HOF chain is pinned in ApiSpec). Band rows
-    // carry no shingles — same exchange-volume rule as md5BandSigs.
-    val sigs = sh
+    shingles
       .withColumn("mh", VectorExprs.minhashKM(col("sh"), k))
       .select(col("__id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("__id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = sigs.alias("a"); val b = sigs.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
   }
 
   /** Persist an md5-MinHash signature index for [[screenAgainstIndex]]
@@ -191,34 +174,66 @@ object TextDedup {
   def writeSignatureIndex(df: DataFrame, id: Column, text: Column,
       path: String, shingleWidth: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4): Unit = {
+    val spark = df.sparkSession
+    // record the signature parameters IN the index: a parameter
+    // mismatch at screen/append time changes every bucket key and would
+    // otherwise silently screen nothing — readers require() a match
+    import spark.implicits._
+    Seq((shingleWidth, bands, rowsPerBand))
+      .toDF("shingle_width", "bands", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$path/params")
     // shingles land first; the sig table derives from the WRITTEN
     // parquet, so the corpus is tokenized exactly once regardless of
     // scale (re-deriving from text would re-run split+distinct per
     // output; a localCheckpoint would pin corpus-sized arrays in
-    // executor memory)
+    // executor memory). The multi-table write is not atomic: a failure
+    // between writes leaves a partial index — re-run the write (it
+    // overwrites), or stage to a temp path and rename on stores that
+    // support atomic rename.
     md5Shingles(df, id, text, shingleWidth)
       .write.mode("overwrite").parquet(s"$path/shingles")
-    val sh = df.sparkSession.read.parquet(s"$path/shingles")
+    val sh = spark.read.parquet(s"$path/shingles")
     md5BandSigs(sh, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$path/sigs")
+  }
+
+  /** Fail loudly when caller parameters disagree with the values the
+    * index was written with (the silent-empty-screen hazard). */
+  private def requireIndexParams(spark: SparkSession, path: String,
+      shingleWidth: Int, bands: Int, rowsPerBand: Int): Unit = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val (w0, b0, r0) = (p.getAs[Int]("shingle_width"),
+      p.getAs[Int]("bands"), p.getAs[Int]("rows_per_band"))
+    require(w0 == shingleWidth && b0 == bands && r0 == rowsPerBand,
+      s"signature index at $path was written with (shingleWidth=$w0, " +
+        s"bands=$b0, rowsPerBand=$r0) but caller passed ($shingleWidth, " +
+        s"$bands, $rowsPerBand) — every bucket key differs, the screen " +
+        "would silently match nothing")
   }
 
   /** Append a shard's signatures to an existing index — the accept step
     * of the nightly cycle ([[screenAgainstIndex]] survivors join the
     * corpus, so the NEXT delta must screen against them too).
     * Signatures are deterministic per doc, which is what makes append
-    * (not rebuild) sufficient; parameters MUST match the index's
-    * write-time values. Caller guarantees the shard's ids are not
-    * already in the index (screen survivors by construction). */
+    * (not rebuild) sufficient; parameters are checked against the
+    * index's recorded write-time values (loud mismatch). Caller
+    * guarantees the shard's ids are not already in the index (screen
+    * survivors by construction). */
   def appendToSignatureIndex(df: DataFrame, id: Column, text: Column,
       path: String, shingleWidth: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4): Unit = {
-    md5Shingles(df, id, text, shingleWidth)
-      .write.mode("append").parquet(s"$path/shingles")
-    // derive from the frame, not the re-read table: re-reading would
-    // re-sign the WHOLE index, defeating the append
-    md5BandSigs(md5Shingles(df, id, text, shingleWidth), bands,
-      rowsPerBand).write.mode("append").parquet(s"$path/sigs")
+    // materialize the SHARD-sized shingle frame once (not corpus-sized —
+    // safe to pin) so the shard isn't tokenized twice; deriving sigs
+    // from a re-read of the appended table would re-sign the WHOLE
+    // index, defeating the append
+    requireIndexParams(df.sparkSession, path, shingleWidth, bands,
+      rowsPerBand)
+    val sh = md5Shingles(df, id, text, shingleWidth).localCheckpoint()
+    try {
+      sh.write.mode("append").parquet(s"$path/shingles")
+      md5BandSigs(sh, bands, rowsPerBand)
+        .write.mode("append").parquet(s"$path/sigs")
+    } finally checkpointRdd(sh).foreach(_.unpersist(blocking = false))
   }
 
   /** Screen a delta shard against a PERSISTED signature index written
@@ -229,27 +244,50 @@ object TextDedup {
     * typically a day's shard vs a corpus-sized index: what shuffles is
     * the delta's signature frame (tiny) and only the index rows whose
     * band buckets collide; the index parquet is read column-pruned
-    * (sh loads only for verified candidates' rows). Parameters MUST
-    * match the index's write-time values — a mismatch changes every
-    * bucket key and silently screens nothing. Output: (doc_a = delta
-    * id, doc_b = index id, jaccard 4 dp). */
+    * (sh loads only for verified candidates' rows). Parameters are
+    * checked against the values recorded in the index at write time —
+    * a mismatch changes every bucket key, so it fails loudly instead
+    * of silently screening nothing. Output: (doc_a = delta id,
+    * doc_b = index id, jaccard 4 dp). */
   def screenAgainstIndex(delta: DataFrame, id: Column, text: Column,
       indexPath: String, shingleWidth: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
     val spark = delta.sparkSession
+    requireIndexParams(spark, indexPath, shingleWidth, bands, rowsPerBand)
     val shA = md5Shingles(delta, id, text, shingleWidth)
-    val a = md5BandSigs(shA, bands, rowsPerBand).alias("a")
-    val b = spark.read.parquet(s"$indexPath/sigs").alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = crossBandCandidates(md5BandSigs(shA, bands, rowsPerBand),
+      spark.read.parquet(s"$indexPath/sigs"))
     // the candidate frame is LSH-bounded and broadcasts, so attaching
     // the index side's shingles is a map-side probe over the shingles
     // parquet (a scan of the ~1%-of-corpus index, never a shuffle of
     // its arrays and never a read of corpus text)
     val shB = spark.read.parquet(s"$indexPath/shingles")
     jaccardVerify(joinShingles(cand, shA, shB), minJaccard)
+  }
+
+  /** (doc_a, doc_b) distinct candidate pairs from ONE signature frame's
+    * (band, sig) self-join, doc_a < doc_b — the LSH candidate stage
+    * every self-dedup variant shares (xxhash64, md5, K-M): one
+    * definition, so a join fix lands everywhere at once. */
+  private def selfBandCandidates(sigs: DataFrame): DataFrame = {
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Cross-frame sibling of [[selfBandCandidates]]: candidates BETWEEN
+    * two signature frames (no id-order constraint — the frames are
+    * different id domains). */
+  private def crossBandCandidates(aSigs: DataFrame,
+      bSigs: DataFrame): DataFrame = {
+    val a = aSigs.alias("a"); val b = bSigs.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** (\_\_id, sh) distinct `shingleWidth`-gram shingles per doc — the

@@ -109,6 +109,11 @@ object Aggregations {
       val vals = orders(s, d)
         .select(col("o_orderstatus").as("g"),
           col("o_totalprice").cast("double").as("v"))
+        // quantile_cont/percentile() ignore NULL metrics — without this
+        // filter a NULL group would join the rank intervals (NULLS
+        // FIRST) and shift every position (o_totalprice is NOT NULL in
+        // the fixture; the filter keeps the recipe reusable)
+        .filter(col("v").isNotNull)
         .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("g").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

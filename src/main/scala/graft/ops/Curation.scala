@@ -158,8 +158,11 @@ object Curation {
     // nightly-production shape: the accumulated corpus (doc_id % 10 != 0
     // here) is signed once into a parquet index; the day's delta shard
     // (doc_id % 10 == 0) screens against it via the (band, sig)
-    // equi-join + exact jaccard verify, and the survivors are what gets
-    // appended to the training set. The corpus TEXT is never re-read —
+    // equi-join + exact jaccard verify — AND against itself (near-dups
+    // arriving within the same shard never meet the index; the
+    // intra-shard pass keeps the earliest id of each pair). Survivors
+    // are what gets appended to the training set. The corpus TEXT is
+    // never re-read —
     // at 100 TB that is the whole point (the index is ~1% of corpus
     // bytes). md5 signature family, so the index interoperates across
     // engines and the full pipeline is oracle-checked.
@@ -174,10 +177,18 @@ object Curation {
         java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
       graft.api.TextDedup.writeSignatureIndex(corpus, col("doc_id"),
         col("text"), idx)
-      val dups = graft.api.TextDedup
+      val interDups = graft.api.TextDedup
         .screenAgainstIndex(delta, col("doc_id"), col("text"), idx)
-        .select(col("doc_a").as("doc_id")).distinct()
-      delta.join(dups, Seq("doc_id"), "left_anti")
+        .select(col("doc_a").as("doc_id"))
+      // near-dups arriving WITHIN the shard never meet the index — an
+      // intra-shard self-screen keeps the earliest id of each pair
+      // (pairwise keep-min: deterministic, errs toward dropping; the
+      // transitive-components treatment is llm_dedup_apply's job)
+      val intraDrops = graft.api.TextDedup
+        .nearMinhashMd5(delta, col("doc_id"), col("text"))
+        .select(col("doc_b").as("doc_id"))
+      delta.join(interDups.union(intraDrops).distinct(),
+          Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
@@ -428,10 +439,24 @@ object Curation {
          |        AS DOUBLE)
          |      / (len(da.sh) + len(db.sh)
          |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) >= 0.8),
+         |icand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+         |intra AS (SELECT DISTINCT doc_b FROM icand
+         |  JOIN d da ON da.doc_id = icand.doc_a
+         |  JOIN d db ON db.doc_id = icand.doc_b
+         |  WHERE ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
          |      4) >= 0.8)
          |SELECT doc_id, source FROM documents
          |WHERE doc_id % 10 = 0
          |  AND doc_id NOT IN (SELECT doc_a FROM dup)
+         |  AND doc_id NOT IN (SELECT doc_b FROM intra)
          |ORDER BY doc_id""".stripMargin,
     "llm_dedup_cross" ->
       s"""WITH ev AS (SELECT DISTINCT

@@ -169,37 +169,42 @@ object Windows {
         .orderBy("event_id")
     }),
 
-    // pandas rolling(5).skew()/.kurt() (population form): the
-    // agg_skew_kurt moment-sum recipe applied to a 5-row frame. Values
-    // become integer CENTS (skew/kurt are scale-invariant, so cents ≡
-    // dollars) whose powers fit a long per element (max value 490.02 →
-    // c⁴ ≈ 5.8e18) and sum EXACTLY as DECIMAL(38,0) over the frame —
-    // order-free (§7.2.2); only the final standardized-moment formula
-    // runs in double. Flat frames (variance 0) are NULL, gated on the
-    // identical double compare in both engines.
+    // pandas rolling(5).skew()/.kurt() parity: BIAS-CORRECTED sample
+    // statistics (G1 = g1·√(n(n−1))/(n−2); G2 = ((n+1)·g2 + 6)·(n−1)/
+    // ((n−2)(n−3))) with partial frames NULL — pandas' min_periods =
+    // window — plus NULL on zero variance, gated on identical double
+    // compares in both engines. Values become integer CENTS (skew/kurt
+    // are scale-invariant, so cents ≡ dollars) and the power sums run
+    // EXACTLY in wide integer arithmetic — DECIMAL(38,0) here, HUGEINT
+    // in the oracle — so the sums are order-free (§7.2.2) and the
+    // overflow envelope is ~1e38, not long's 9.2e18 (a plain long c⁴
+    // wraps silently past |value| ≈ 551); only the final formula runs
+    // in double.
     "window_rolling_skew" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-4, Window.currentRow)
-      val c = round(col("value") * 100).cast("long")
-      def qd(e: org.apache.spark.sql.Column) =
-        sum(e.cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(w)
-          .cast("double")
+      val cd = round(col("value") * 100).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      def qd(e: org.apache.spark.sql.Column) = sum(e).over(w).cast("double")
       val n = count(lit(1)).over(w).cast("double")
       val m1 = col("s1") / col("n"); val m2 = col("s2") / col("n")
       val m3 = col("s3") / col("n"); val m4 = col("s4") / col("n")
       val va = m2 - m1 * m1
+      val g1 = (m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1) /
+        (va * sqrt(va))
+      val g2 = (m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 -
+        lit(3) * m1 * m1 * m1 * m1) / (va * va) - lit(3)
       events(s, d)
         .select(col("event_id"), col("user_id"), n.as("n"),
-          qd(c).as("s1"), qd(c * c).as("s2"), qd(c * c * c).as("s3"),
-          qd(c * c * c * c).as("s4"))
+          qd(cd).as("s1"), qd(cd * cd).as("s2"), qd(cd * cd * cd).as("s3"),
+          qd(cd * cd * cd * cd).as("s4"))
         .select(col("event_id"), col("user_id"),
-          when(va > 0,
-            r6((m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1) /
-              (va * sqrt(va)))).as("skew5"),
-          when(va > 0,
-            r6((m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 -
-              lit(3) * m1 * m1 * m1 * m1) / (va * va) - lit(3)))
-            .as("kurt5"))
+          when(col("n") >= 5 && va > 0,
+            r6(g1 * sqrt(col("n") * (col("n") - 1)) / (col("n") - 2)))
+            .as("skew5"),
+          when(col("n") >= 5 && va > 0,
+            r6(((col("n") + 1) * g2 + lit(6)) * (col("n") - 1) /
+              ((col("n") - 2) * (col("n") - 3)))).as("kurt5"))
         .orderBy("event_id")
     }),
 
@@ -427,27 +432,29 @@ object Windows {
         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
         |m AS (SELECT event_id, user_id,
         |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(c AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s2,
-        |    CAST(SUM(CAST(c * c * c AS DECIMAL(38,0))) OVER w AS DOUBLE)
-        |      AS s3,
-        |    CAST(SUM(CAST(c * c * c * c AS DECIMAL(38,0))) OVER w
-        |      AS DOUBLE) AS s4
+        |    CAST(SUM(CAST(c AS HUGEINT)) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) OVER w AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c * c) OVER w AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c * c * c) OVER w AS DOUBLE)
+        |      AS s4
         |  FROM c0
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT event_id, user_id, n,
+        |    s2/n - (s1/n)*(s1/n) AS va,
+        |    s1/n AS m1, s2/n AS m2, s3/n AS m3, s4/n AS m4
+        |  FROM m)
         |SELECT event_id, user_id,
-        |  CASE WHEN (s2/n - (s1/n)*(s1/n)) > 0 THEN
-        |    ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-        |      / ((s2/n - (s1/n)*(s1/n))
-        |         * sqrt(s2/n - (s1/n)*(s1/n))), 6)
+        |  CASE WHEN n >= 5 AND va > 0 THEN
+        |    ROUND((m3 - 3*m1*m2 + 2*m1*m1*m1) / (va * sqrt(va))
+        |      * sqrt(n * (n - 1)) / (n - 2), 6)
         |  END AS skew5,
-        |  CASE WHEN (s2/n - (s1/n)*(s1/n)) > 0 THEN
-        |    ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
-        |        - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-        |      / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6)
+        |  CASE WHEN n >= 5 AND va > 0 THEN
+        |    ROUND(((n + 1) * ((m4 - 4*m1*m3 + 6*m1*m1*m2
+        |        - 3*m1*m1*m1*m1) / (va * va) - 3) + 6) * (n - 1)
+        |      / ((n - 2) * (n - 3)), 6)
         |  END AS kurt5
-        |FROM m ORDER BY event_id""".stripMargin,
+        |FROM f ORDER BY event_id""".stripMargin,
     "window_rolling_std" ->
       """SELECT event_id, user_id,
         |CASE WHEN n > 1 THEN

@@ -136,27 +136,25 @@ class StreamingSpec extends AnyFunSuite {
       val fresh1 = (101L, doc())
       in.addData((100L, corpus(0)._2), fresh1)
       q.processAllAvailable()
-      // batch 2: a near-dup of corpus doc 1 (last token swapped) + fresh
+      // batch 2: a near-dup of corpus doc 1 (last token swapped), a
+      // fresh doc, and an exact INTRA-BATCH dup of that fresh doc —
+      // the pair that never meets the index and only the self-screen
+      // catches
       val near = {
         val t = corpus(1)._2.split(" "); t(t.length - 1) = "swapped"
         (102L, t.mkString(" "))
       }
       val fresh2 = (103L, doc())
-      in.addData(near, fresh2)
+      val intraDup = (104L, fresh2._2)
+      in.addData(near, fresh2, intraDup)
       q.processAllAvailable()
       val survivors = emitted.synchronized(emitted.toSet)
-      // batch twin over ALL arrivals must agree exactly
-      val allArrivals = Seq((100L, corpus(0)._2), fresh1, near, fresh2)
-      val batchDups = graft.api.TextDedup
-        .screenAgainstIndex(allArrivals.toDF("doc_id", "text"),
-          col("doc_id"), col("text"), dir)
-        .select("doc_a").collect().map(_.getLong(0)).toSet
-      assert(survivors == allArrivals.map(_._1).toSet -- batchDups,
-        s"stream survivors $survivors diverge from the batch screen")
-      assert(!survivors.contains(100L), "exact dup must not survive")
-      assert(!survivors.contains(102L), "near-dup must not survive")
-      assert(survivors.contains(101L) && survivors.contains(103L),
-        "fresh docs must survive")
+      assert(!survivors.contains(100L), "exact index dup must not survive")
+      assert(!survivors.contains(102L), "near index dup must not survive")
+      assert(!survivors.contains(104L),
+        "intra-batch dup (never in the index) must not survive")
+      assert(survivors == Set(101L, 103L),
+        s"expected survivors {101, 103}, got $survivors")
     } finally q.stop()
   }
 
