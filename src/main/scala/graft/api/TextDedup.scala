@@ -197,6 +197,25 @@ object TextDedup {
       .write.mode("overwrite").parquet(s"$path/sigs")
   }
 
+  /** The COMPLETE nightly accept-screen over a delta shard: near-dups
+    * vs the persisted index ([[screenAgainstIndex]]) AND within the
+    * shard itself ([[nearMinhashMd5]] — pairs arriving together never
+    * meet the index; pairwise keep-min retains the earliest id).
+    * Returns the shard's surviving rows with all original columns —
+    * exactly what [[appendToSignatureIndex]] then accepts. One
+    * definition shared by the batch key and the streaming
+    * per-micro-batch twin, so the two paths cannot drift. */
+  def dedupShardAgainstIndex(shard: DataFrame, id: Column, text: Column,
+      indexPath: String, shingleWidth: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
+    val inter = screenAgainstIndex(shard, id, text, indexPath,
+      shingleWidth, bands, rowsPerBand, minJaccard).select(col("doc_a"))
+    val intra = nearMinhashMd5(shard, id, text, shingleWidth, bands,
+      rowsPerBand, minJaccard).select(col("doc_b").as("doc_a"))
+    shard.join(inter.union(intra).distinct(), id === col("doc_a"),
+      "left_anti")
+  }
+
   /** Fail loudly when caller parameters disagree with the values the
     * index was written with (the silent-empty-screen hazard). */
   private def requireIndexParams(spark: SparkSession, path: String,

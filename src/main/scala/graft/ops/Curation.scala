@@ -177,18 +177,11 @@ object Curation {
         java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
       graft.api.TextDedup.writeSignatureIndex(corpus, col("doc_id"),
         col("text"), idx)
-      val interDups = graft.api.TextDedup
-        .screenAgainstIndex(delta, col("doc_id"), col("text"), idx)
-        .select(col("doc_a").as("doc_id"))
-      // near-dups arriving WITHIN the shard never meet the index — an
-      // intra-shard self-screen keeps the earliest id of each pair
-      // (pairwise keep-min: deterministic, errs toward dropping; the
-      // transitive-components treatment is llm_dedup_apply's job)
-      val intraDrops = graft.api.TextDedup
-        .nearMinhashMd5(delta, col("doc_id"), col("text"))
-        .select(col("doc_b").as("doc_id"))
-      delta.join(interDups.union(intraDrops).distinct(),
-          Seq("doc_id"), "left_anti")
+      // index screen + intra-shard self-screen in one API call (the
+      // pairwise keep-min rule; the transitive-components treatment is
+      // llm_dedup_apply's job)
+      graft.api.TextDedup
+        .dedupShardAgainstIndex(delta, col("doc_id"), col("text"), idx)
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),

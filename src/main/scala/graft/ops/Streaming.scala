@@ -256,17 +256,11 @@ object Streaming {
         org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val interDups = graft.api.TextDedup
-          .screenAgainstIndex(batch, id, text, indexPath)
-          .select(col("doc_a"))
-        // near-dups arriving in the SAME micro-batch never meet the
-        // index — self-screen the batch, keeping the earliest id of
-        // each pair (cross-batch dups are the append cadence's job)
-        val intraDrops = graft.api.TextDedup
-          .nearMinhashMd5(batch, id, text)
-          .select(col("doc_b").as("doc_a"))
-        val dups = interDups.union(intraDrops).distinct()
-        emit(batch.join(dups, id === col("doc_a"), "left_anti"))
+        // index screen + intra-batch self-screen (pairs arriving in the
+        // SAME micro-batch never meet the index; cross-batch dups are
+        // the append cadence's job) — the exact batch accept-screen
+        emit(graft.api.TextDedup.dedupShardAgainstIndex(batch, id, text,
+          indexPath))
     }
 
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
