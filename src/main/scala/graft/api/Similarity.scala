@@ -477,4 +477,227 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  // ---------------------------------------------------------------------
+  // Dimensionality reduction: JL random projection (engine-reproducible,
+  // the oracle-checked twin) and PCA (data-trained sibling, test-pinned —
+  // same split as seed vs Lloyd-trained PQ codebooks above).
+  // ---------------------------------------------------------------------
+
+  /** Sequential-double dot of two DOUBLE arrays (codegen'd HOF fold) —
+    * the reduced-space score; [[dot]] is the float-input sibling. */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix, outDim rows ×
+    * inDim cols: sign(j,i) = parity of md5("rp:seed:j:i")'s first byte.
+    * Pure driver-side function of (seed, dims) — the SAME values are
+    * inlined as literals into the Spark plan and the DuckDB oracle, so
+    * the two can never drift (corr_matrix's shared-codegen discipline).
+    * Dense ±1 (Achlioptas 2001, public) rather than gaussian: exact in
+    * float, so the projection stays a plain [[dot]] against a literal. */
+  def rpSignMatrix(seed: Int, outDim: Int, inDim: Int): Seq[Seq[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val h = md.digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** JL random projection inDim → outDim: out_j = ⟨x, sign_j⟩/√outDim,
+    * rounded 6 dp (the rounded values ARE the reduced representation, so
+    * every downstream distance is engine-stable). Map-side only — outDim
+    * codegen'd [[dot]]s against literal sign rows, no shuffle, no fitted
+    * state: at 100 TB the projection is a free rider on whatever scan
+    * already touches the vectors, and shrinks ANN shuffle/storage by
+    * inDim/outDim before any index is built.
+    * Output: (vec_id, rp ARRAY<DOUBLE> length outDim). */
+  def randomProjection(corpus: DataFrame, id: Column, vec: Column,
+      inDim: Int, outDim: Int, seed: Int = 7): DataFrame = {
+    val signs = rpSignMatrix(seed, outDim, inDim)
+    val scale = math.sqrt(outDim.toDouble)
+    corpus.select(id.as("vec_id"),
+      array(signs.map { row =>
+        round(dot(vec, array(row.map(lit(_)): _*)) / lit(scale), 6)
+      }: _*).as("rp"))
+  }
+
+  /** Brute-force top-k in random-projection space — [[topK]]'s plan
+    * (broadcast bounded query set, one corpus scan) over outDim-wide
+    * vectors instead of inDim: the scan reads/multiplies inDim/outDim×
+    * less. Recall vs the exact ranking is pinned in ApiSpec; fully
+    * engine-reproducible (rounded projections, double fold, rounded
+    * score, id tie-break) so unlike PCA/trained-codebook paths this one
+    * is oracle-checkable end to end. */
+  def topKRandomProjection(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, inDim: Int, outDim: Int, seed: Int = 7,
+      excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    val pc = randomProjection(corpus, id, vec, inDim, outDim, seed)
+    val pq = randomProjection(queries, col("qid"), col("qe"),
+        inDim, outDim, seed)
+      .select(col("vec_id").as("qid"), col("rp").as("__qrp"))
+    val cond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    val scored = pc.join(broadcast(pq), cond)
+      .select(col("qid"), col("vec_id"),
+        round(dotd(col("rp"), col("__qrp")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Fitted PCA state: per-feature means, top-k principal components
+    * (rows, orthonormal), eigenvalues of the sample covariance (desc).
+    * Driver-sized: k·d doubles — broadcastable at any corpus size. */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double])
+
+  /** PCA fit in ONE corpus pass: `treeAggregate` accumulates (n, Σx,
+    * upper-tri Σxxᵀ) per partition in primitive arrays — d(d+3)/2
+    * doubles of state, map-side combined, so 100 TB costs one scan and
+    * a tree of tiny merges (the MLlib RowMatrix Gramian pattern). The
+    * d×d covariance is then finished on the driver (d is feature count,
+    * never row count) and eigen-decomposed with cyclic Jacobi — exact
+    * orthonormal output for symmetric matrices, no external library.
+    * Like [[kMeansFit]]/[[pqTrainCodebook]] this is the production fit
+    * step: float sums are order-dependent, so the fit is pinned by
+    * ApiSpec invariants (orthonormality, eigenvalue order, variance
+    * capture) rather than a SQL oracle; [[randomProjection]] is the
+    * oracle-checked twin in the dimensionality-reduction family. */
+  def pcaFit(corpus: DataFrame, vec: Column, inDim: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= inDim, s"k must be in [1, $inDim], got $k")
+    val tri = inDim * (inDim + 1) / 2
+    val rows = corpus.select(vec.cast("array<double>").as("__v"))
+      .na.drop("any").rdd
+      .map(_.getSeq[Double](0).toArray)
+    val (n, s, g) = rows.treeAggregate(
+      (0L, new Array[Double](inDim), new Array[Double](tri)))(
+      seqOp = { case ((cnt, sums, gram), x) =>
+        var i = 0; var t = 0
+        while (i < inDim) {
+          sums(i) += x(i)
+          var j = i
+          while (j < inDim) { gram(t) += x(i) * x(j); j += 1; t += 1 }
+          i += 1
+        }
+        (cnt + 1L, sums, gram)
+      },
+      combOp = { case ((c1, s1, g1), (c2, s2, g2)) =>
+        var i = 0
+        while (i < inDim) { s1(i) += s2(i); i += 1 }
+        var t = 0
+        while (t < tri) { g1(t) += g2(t); t += 1 }
+        (c1 + c2, s1, g1)
+      })
+    require(n > 1, s"pcaFit needs at least 2 rows, got $n")
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](inDim, inDim)
+    var i = 0; var t = 0
+    while (i < inDim) {
+      var j = i
+      while (j < inDim) {
+        val c = (g(t) - s(i) * s(j) / n) / (n - 1)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(idx => -evals(idx)).take(k)
+    PcaModel(mean,
+      order.map(idx => Array.tabulate(inDim)(r => evecs(r)(idx))).toArray,
+      order.map(evals).toArray)
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix (Golub &
+    * Van Loan §8.5, public): sweeps of 2×2 rotations zeroing each
+    * off-diagonal until convergence. Returns (eigenvalues, eigenvector
+    * matrix V with eigenvector i in COLUMN i, orthonormal). O(d³) per
+    * sweep on the driver — d is the feature dimension, never data. */
+  private[graft] def jacobiEigen(
+      sym: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = sym.length
+    val a = sym.map(_.clone())
+    val v = Array.tabulate(n, n)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-22) {
+      off = 0.0
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val tTan =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(tTan * tTan + 1)
+            val sn = tTan * c
+            var r = 0
+            while (r < n) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - sn * arq
+              a(r)(q) = sn * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < n) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - sn * aqr
+              a(q)(r) = sn * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - sn * vrq
+              v(r)(q) = sn * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(d => a(d)(d)), v)
+  }
+
+  /** Project vectors onto a fitted [[PcaModel]]: out_j = ⟨x−μ, c_j⟩ =
+    * ⟨x, c_j⟩ − ⟨μ, c_j⟩, with the constant ⟨μ, c_j⟩ precomputed on the
+    * driver so the per-row work is k codegen'd [[dotd]]s against
+    * LITERAL component rows — map-side only, no shuffle, no broadcast
+    * join (the model rides the plan itself, same as [[randomProjection]]
+    * sign rows). Output: (vec_id, pc ARRAY<DOUBLE> length k, 6 dp). */
+  def pcaProject(corpus: DataFrame, id: Column, vec: Column,
+      model: PcaModel): DataFrame = {
+    val offsets = model.components.map(comp =>
+      comp.zip(model.mean).map { case (c, m) => c * m }.sum)
+    corpus.select(id.as("vec_id"),
+      array(model.components.toSeq.zipWithIndex.map { case (comp, j) =>
+        round(dotd(vec.cast("array<double>"),
+          array(comp.toSeq.map(lit(_)): _*)) - lit(offsets(j)), 6)
+      }: _*).as("pc"))
+  }
+
+  /** Brute-force top-k in PCA space — [[topKRandomProjection]]'s plan
+    * over the fitted [[PcaModel]] projection: same k-wide scan economy,
+    * better recall per dimension (components chase variance instead of
+    * random directions; the gap is pinned in ApiSpec). Scores are
+    * cosine-of-projection against the CENTERED query, ranked on the
+    * rounded value with an id tie-break. */
+  def topKPca(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, model: PcaModel,
+      excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    val pc = pcaProject(corpus, id, vec, model)
+    val pq = pcaProject(queries, col("qid"), col("qe"), model)
+      .select(col("vec_id").as("qid"), col("pc").as("__qpc"))
+    val cond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    val scored = pc.join(broadcast(pq), cond)
+      .select(col("qid"), col("vec_id"),
+        round(dotd(col("pc"), col("__qpc")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

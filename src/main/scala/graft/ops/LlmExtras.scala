@@ -505,8 +505,95 @@ object LlmExtras {
           subDim = 8)
         .select("qid", "rk", "vec_id", "sim_r")
         .orderBy("qid", "rk")
+    }),
+
+    // JL random projection 64 → 8 (graft.api.Similarity.randomProjection):
+    // the deterministic dimensionality-reduction twin — ±1 sign rows
+    // derived from md5 driver-side and inlined as literals into BOTH
+    // plans, so the projection is oracle-checked value-for-value. Map-
+    // side only: 8 codegen'd dots per row, no shuffle, no fitted state.
+    "llm_embed_random_projection" -> ((s, d) => {
+      val p = graft.api.Similarity.randomProjection(embeddings(s, d),
+        col("vec_id"), col("embedding"), inDim = RpInDim, outDim = 8,
+        seed = RpSeed)
+      p.select(col("vec_id") +:
+          (0 until 8).map(j => element_at(col("rp"), j + 1).as(s"rp_$j")): _*)
+        .orderBy("vec_id")
+    }),
+
+    // brute-force top-k in 16-dim random-projection space — the reduced-
+    // width ANN scan (4× fewer multiplies/bytes than the 64-dim exact
+    // path); recall vs exact pinned in ApiSpec, and unlike PCA/trained
+    // codebooks the whole pipeline is engine-reproducible, so this is
+    // the family's oracle-checked search key.
+    "llm_sim_topk_rp" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .topKRandomProjection(e, col("vec_id"), col("embedding"), q,
+          k = 5, inDim = RpInDim, outDim = 16, seed = RpSeed)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
+    // sample covariance matrix of the first 8 embedding dims (long form,
+    // diagonal = variances): the profiling step before PCA/whitening.
+    // agg_corr_matrix's one-scan discipline with a FIXED-POINT twist —
+    // float values floor to exact micro-unit longs, so every sum is an
+    // order-free integer (≤7e14 here: exact even through the double
+    // finish) and the covariance is engine-stable to the last digit.
+    // ONE partial-agg row (8 sums + 36 products), `inline` fans out.
+    "llm_embed_cov_matrix" -> ((s, d) => {
+      val dims = 0 until 8
+      val prs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+      val base = embeddings(s, d).select(dims.map(i =>
+        floor(element_at(col("embedding"), i + 1).cast("double")
+          * lit(1000000.0)).as(s"u_$i")): _*)
+      val moments = Seq(count(lit(1)).cast("double").as("n")) ++
+        dims.map(i => sum(col(s"u_$i")).cast("double").as(s"s_$i")) ++
+        prs.map { case (i, j) =>
+          sum(col(s"u_$i") * col(s"u_$j")).cast("double").as(s"p_${i}_$j") }
+      def covOf(i: Int, j: Int) =
+        round((col(s"p_${i}_$j") - col(s"s_$i") * col(s"s_$j") / col("n"))
+          / (col("n") - 1) / lit(1.0e12), 9)
+      base.agg(moments.head, moments.tail: _*)
+        .select(inline(array(prs.map { case (i, j) =>
+          struct(lit(i).as("dim_a"), lit(j).as("dim_b"),
+            covOf(i, j).as("cov_r")) }: _*)))
+        .orderBy("dim_a", "dim_b")
+    }),
+
+    // brute-force top-k in 16-component PCA space
+    // (graft.api.Similarity.pcaFit/topKPca): the data-trained sibling of
+    // llm_sim_topk_rp — same reduced-width scan, components chase
+    // variance instead of random signs. Fit is one treeAggregate corpus
+    // pass + driver-side Jacobi eigen; float-order-dependent like
+    // kMeansFit, so the key is test-pinned (ApiSpec: orthonormality,
+    // eigenvalue order, variance capture, recall ≥ the RP path) with
+    // llm_sim_topk_rp as its oracle-checked twin.
+    "llm_sim_topk_pca" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val model = graft.api.Similarity
+        .pcaFit(e, col("embedding"), inDim = RpInDim, k = 16)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .topKPca(e, col("vec_id"), col("embedding"), q, k = 5, model)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
     })
   )
+
+  /** Embedding width of the fixture table + the shared RP seed — ONE
+    * definition feeds the Spark entries and the generated oracles so the
+    * inlined sign matrices can never drift. */
+  private val RpInDim = 64
+  private val RpSeed = 7
+
+  /** DuckDB literal for one ±1 sign row (float-exact values). */
+  private def rpRowSql(row: Seq[Float]): String =
+    row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
   /** DuckDB twin of Similarity.quantizeInt8 (CTE pair `q0`/`qz`): two
     * stages because a lambda cannot reference an alias minted in its own
@@ -635,6 +722,54 @@ object LlmExtras {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "llm_embed_random_projection" -> {
+      // the SAME driver-side sign matrix the Spark plan inlines
+      val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 8, RpInDim)
+      "SELECT vec_id, " + sm.zipWithIndex.map { case (row, j) =>
+        s"ROUND(${dotSql("embedding", rpRowSql(row))} / sqrt(8.0), 6)" +
+          s" AS rp_$j" }.mkString(", ") +
+        " FROM embeddings ORDER BY vec_id"
+    },
+    "llm_sim_topk_rp" -> {
+      val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 16, RpInDim)
+      val rpList = "[" + sm.zipWithIndex.map { case (row, j) =>
+        s"ROUND(${dotSql("embedding", rpRowSql(row))} / sqrt(16.0), 6)" }
+        .mkString(", ") + "]"
+      s"""WITH p AS (SELECT vec_id, $rpList AS rp FROM embeddings),
+         |q AS (SELECT vec_id AS qid, rp AS qrp FROM p WHERE vec_id < 10),
+         |s AS (SELECT qid, p.vec_id,
+         |  ROUND(list_sum(list_transform(list_zip(p.rp, qrp),
+         |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), 6)
+         |    AS sim_r
+         |  FROM q, p WHERE p.vec_id != qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    },
+    "llm_embed_cov_matrix" -> {
+      // generated from the SAME dim list as the Spark side; exact
+      // micro-unit integer moments, covariance finished in double
+      val dims = 0 until 8
+      val prs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+      val units = dims.map(i =>
+        s"CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0) " +
+          s"AS BIGINT) AS u_$i")
+      val moments = Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+        dims.map(i => s"CAST(SUM(u_$i) AS DOUBLE) AS s_$i") ++
+        prs.map { case (i, j) =>
+          s"CAST(SUM(u_$i * u_$j) AS DOUBLE) AS p_${i}_$j" }
+      val rows = prs.map { case (i, j) =>
+        s"SELECT $i AS dim_a, $j AS dim_b, " +
+          s"ROUND((p_${i}_$j - s_$i * s_$j / n) / (n - 1) / 1.0e12, 9) " +
+          s"AS cov_r FROM m" }
+      s"WITH b AS (SELECT ${units.mkString(", ")} FROM embeddings), " +
+        s"m AS (SELECT ${moments.mkString(", ")} FROM b) " +
+        rows.mkString(" UNION ALL ") + " ORDER BY dim_a, dim_b"
+    },
+    // llm_sim_topk_pca: omitted (float-order-dependent eigen fit, like
+    // the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec with
+    // llm_sim_topk_rp as the oracle-checked twin
     // llm_simhash / llm_fingerprint: omitted (engine-specific xxhash64);
     // pinned by planted-duplicate tests in LlmExtrasSpec
     "llm_gopher_filters" ->

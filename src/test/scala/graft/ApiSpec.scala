@@ -792,4 +792,104 @@ class ApiSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"int8 recall@5 = $recall%.2f < 0.8 " +
       s"($hits/$total) — quantization broke the ranking")
   }
+
+  test("Similarity.jacobiEigen recovers a known spectrum with " +
+      "orthonormal eigenvectors") {
+    // [[2,1],[1,2]] has eigenvalues 3 and 1 with eigenvectors along
+    // (1,1)/√2 and (1,-1)/√2
+    val (evals, evecs) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(evals.sorted.zip(Array(1.0, 3.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 },
+      s"eigenvalues off: ${evals.mkString(",")}")
+    // columns orthonormal
+    val c0 = Array(evecs(0)(0), evecs(1)(0))
+    val c1 = Array(evecs(0)(1), evecs(1)(1))
+    def d(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(d(c0, c0) - 1) < 1e-12 &&
+      math.abs(d(c1, c1) - 1) < 1e-12 && math.abs(d(c0, c1)) < 1e-12)
+  }
+
+  test("Similarity.pcaFit: orthonormal components, descending " +
+      "eigenvalues, dominant axis found on anisotropic data") {
+    // synthetic 6-dim data stretched along axis 2: PCA's first component
+    // must align with it (arbitrary column names per the ApiSpec charter)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(6)(j =>
+        (if (j == 2) 10.0 else 0.3) * (rnd.nextDouble() - 0.5)).map(_.toFloat))
+    }
+    val df = rows.toDF("rid", "feats")
+    val m = Similarity.pcaFit(df, col("feats"), inDim = 6, k = 3)
+    assert(m.components.length == 3 && m.components.head.length == 6)
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      s"eigenvalues not descending: ${m.eigenvalues.mkString(",")}")
+    assert(m.eigenvalues.forall(_ >= -1e-9), "negative covariance eigenvalue")
+    def d(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (i <- m.components.indices; j <- i until m.components.length) {
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d(m.components(i), m.components(j)) - expect) < 1e-9,
+        s"components $i,$j not orthonormal")
+    }
+    assert(math.abs(m.components.head(2)) > 0.99,
+      s"first component missed the dominant axis: " +
+        m.components.head.mkString(","))
+    // top eigenvalue ≈ dominant-axis variance (uniform(-5,5) ⇒ ~8.33)
+    assert(m.eigenvalues.head > 5.0 && m.eigenvalues.head < 12.0,
+      s"top eigenvalue implausible: ${m.eigenvalues.head}")
+  }
+
+  test("Similarity dimensionality reduction: PCA and RP top-k recall vs " +
+      "exact on fixture embeddings; PCA >= RP at the same width") {
+    val e = spark.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(got: Map[Long, Set[Long]], ref: Map[Long, Set[Long]]) = {
+      val hits = ref.keys.toSeq.map(k =>
+        (ref(k) intersect got.getOrElse(k, Set.empty)).size).sum
+      hits.toDouble / ref.values.map(_.size).sum
+    }
+    val exact = sets(Similarity.topK(e, col("vec_id"), col("embedding"),
+      q, k = 5))
+    val rp = sets(Similarity.topKRandomProjection(e, col("vec_id"),
+      col("embedding"), q, k = 5, inDim = 64, outDim = 16))
+    val model = Similarity.pcaFit(e, col("embedding"), inDim = 64, k = 16)
+    val pca = sets(Similarity.topKPca(e, col("vec_id"), col("embedding"),
+      q, k = 5, model))
+    val rpR = recall(rp, exact)
+    val pcaR = recall(pca, exact)
+    info(f"recall@5 vs exact: rp=$rpR%.2f pca=$pcaR%.2f")
+    // chance recall@5 over 499 candidates ≈ 0.01
+    assert(rpR > 0.1, f"16-dim RP recall at chance level: $rpR%.2f")
+    assert(pcaR > 0.1, f"16-dim PCA recall at chance level: $pcaR%.2f")
+    // variance-chasing projection must not lose to random signs (equal
+    // width); small slack for query-set noise
+    assert(pcaR >= rpR - 0.1,
+      f"PCA recall $pcaR%.2f fell below the RP twin $rpR%.2f")
+  }
+
+  test("Similarity.randomProjection: deterministic across calls, exact " +
+      "manual projection on a unit row, arbitrary column names") {
+    // a one-hot vector projects to sign(j, i)/√outDim exactly
+    val inDim = 8
+    val df = Seq((42L, (Seq.fill(3)(0f) :+ 1f) ++ Seq.fill(inDim - 4)(0f)))
+      .toDF("key", "v")
+    val out = Similarity.randomProjection(df, col("key"), col("v"),
+      inDim = inDim, outDim = 4, seed = 3)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(0) == 42L)
+    val signs = Similarity.rpSignMatrix(3, 4, inDim)
+    val expect = (0 until 4).map(j =>
+      BigDecimal(signs(j)(3) / math.sqrt(4.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getSeq[Double](1) == expect,
+      s"projection mismatch: ${out(0).getSeq[Double](1)} vs $expect")
+    assert(Similarity.rpSignMatrix(3, 4, inDim) == signs,
+      "sign matrix not deterministic")
+  }
 }
