@@ -582,8 +582,67 @@ object LlmExtras {
         .topKPca(e, col("vec_id"), col("embedding"), q, k = 5, model)
         .select("qid", "rk", "vec_id", "sim_r")
         .orderBy("qid", "rk")
+    }),
+
+    // BPE tokenizer-training pair counts (graft.api.Bpe): the corpus
+    // collapses to its word-frequency vocabulary (the ONE corpus-sized
+    // shuffle), then adjacent-symbol pairs are counted weighted by word
+    // frequency — the quantity a BPE merge maximizes. Paren-wrapped
+    // symbol encoding; top 50 pairs, count-then-pair total order.
+    "llm_bpe_pair_counts" -> ((s, d) => {
+      val vocab = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+        .select(graft.api.Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+      graft.api.Bpe.pairCounts(vocab, col("sym"), col("w_n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
+    }),
+
+    // one full BPE train round as ONE declarative plan: pair counts →
+    // argmax merge (1-row broadcast, the deterministic n-then-pair rule)
+    // → literal replace over the vocab segmentation → recount. The
+    // iterative graft.api.Bpe.train loop is this round repeated, pinned
+    // against a pure-Scala reference in ApiSpec; this key is its
+    // oracle-checked single step.
+    "llm_bpe_merge_step" -> ((s, d) => {
+      val vocab = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+        .select(graft.api.Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+      val pc = graft.api.Bpe.pairCounts(vocab, col("sym"), col("w_n"))
+      val top1 = pc.orderBy(col("n").desc, col("pair")).limit(1)
+        .select(split(col("pair"), " ").getItem(0).as("__a"),
+          split(col("pair"), " ").getItem(1).as("__b"))
+      val merged = vocab.crossJoin(broadcast(top1))
+        .select(replace(col("sym"),
+            concat(lit("("), col("__a"), lit(")("), col("__b"), lit(")")),
+            concat(lit("("), col("__a"), col("__b"), lit(")"))).as("sym"),
+          col("w_n"))
+      graft.api.Bpe.pairCounts(merged, col("sym"), col("w_n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     })
   )
+
+  /** DuckDB twin of the Bpe vocab → segmentation → pair-count pipeline:
+    * CTEs `wf` (word freq) → `seg` (paren-wrapped) → `pc` (weighted
+    * adjacent pairs). Shared by both BPE oracles. */
+  private val bpeCte: String =
+    """wf AS (SELECT word, COUNT(*) AS w_n FROM (
+      |    SELECT unnest(string_split_regex(text, ' ')) AS word
+      |    FROM documents) w
+      |  WHERE regexp_full_match(word, '[A-Za-z]+') GROUP BY word),
+      |seg AS (SELECT array_to_string(list_transform(
+      |    string_split_regex(word, ''), c -> '(' || c || ')'), '') AS sym,
+      |    w_n FROM wf)""".stripMargin
+
+  /** Pair-count CTE body over a given segmentation CTE (sym, w_n). */
+  private def bpePcSql(segName: String): String =
+    s"""SELECT pair, CAST(SUM(w_n) AS BIGINT) AS n FROM (
+       |    SELECT w_n, unnest(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i + 1])) AS pair
+       |    FROM (SELECT w_n, string_split(
+       |        substr(sym, 2, length(sym) - 2), ')(') AS tk
+       |      FROM $segName) s0
+       |    WHERE len(tk) > 1) p0
+       |  GROUP BY pair""".stripMargin
 
   /** Embedding width of the fixture table + the shared RP seed — ONE
     * definition feeds the Spark entries and the generated oracles so the
@@ -767,6 +826,20 @@ object LlmExtras {
         s"m AS (SELECT ${moments.mkString(", ")} FROM b) " +
         rows.mkString(" UNION ALL ") + " ORDER BY dim_a, dim_b"
     },
+    "llm_bpe_pair_counts" ->
+      s"""WITH $bpeCte,
+         |pc AS (${bpePcSql("seg")})
+         |SELECT pair, n FROM pc ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "llm_bpe_merge_step" ->
+      s"""WITH $bpeCte,
+         |pc AS (${bpePcSql("seg")}),
+         |top1 AS (SELECT string_split(pair, ' ')[1] AS a,
+         |    string_split(pair, ' ')[2] AS b
+         |  FROM pc ORDER BY n DESC, pair LIMIT 1),
+         |seg2 AS (SELECT replace(sym, '(' || a || ')(' || b || ')',
+         |    '(' || a || b || ')') AS sym, w_n FROM seg, top1),
+         |pc2 AS (${bpePcSql("seg2")})
+         |SELECT pair, n FROM pc2 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     // llm_sim_topk_pca: omitted (float-order-dependent eigen fit, like
     // the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec with
     // llm_sim_topk_rp as the oracle-checked twin

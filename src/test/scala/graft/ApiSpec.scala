@@ -873,6 +873,59 @@ class ApiSpec extends AnyFunSuite {
       f"PCA recall $pcaR%.2f fell below the RP twin $rpR%.2f")
   }
 
+  test("Bpe.train matches a pure-Scala reference BPE on a toy corpus; " +
+      "segment applies the learned merges") {
+    import graft.api.Bpe
+    val docs = Seq("low lower lowest low low", "new newer newest new 42 a")
+      .toDF("txt")
+    val merges = Bpe.train(docs, col("txt"), nMerges = 6)
+
+    // reference implementation: word-frequency BPE with the same argmax
+    // rule (max count, then lexicographic "a b" tie-break)
+    def refBpe(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+      var vocab = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 0 until n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          if (syms.size > 1) syms.sliding(2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c } }
+        if (counts.nonEmpty) {
+          val best = counts.toSeq.minBy { case ((a, b), c) =>
+            (-c, s"$a $b") }._1
+          out += best
+          vocab = vocab.map { case (syms, c) =>
+            val buf = Vector.newBuilder[String]; var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) {
+                buf += syms(i) + syms(i + 1); i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            (buf.result(), c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val words = "low lower lowest low low new newer newest new".split(" ")
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = refBpe(words, 6)
+    assert(merges == expect, s"train $merges != reference $expect")
+
+    // encode side: tokens concatenate back to the word, and a word whose
+    // full merge chain was learned segments to one token
+    val seg = Bpe.segment(Seq("low", "lowest", "news").toDF("w"),
+      col("w"), merges).collect()
+    seg.foreach { r =>
+      assert(r.getSeq[String](1).mkString == r.getString(0),
+        s"tokens do not rebuild ${r.getString(0)}")
+    }
+    val lowTokens = seg.find(_.getString(0) == "low").get.getSeq[String](1)
+    assert(lowTokens == Seq("low"),
+      s"'low' (freq 3 with every prefix merged) split as $lowTokens")
+  }
+
   test("Similarity.randomProjection: deterministic across calls, exact " +
       "manual projection on a unit row, arbitrary column names") {
     // a one-hot vector projects to sign(j, i)/√outDim exactly
