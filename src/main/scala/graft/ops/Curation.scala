@@ -170,11 +170,14 @@ object Curation {
       val docs = documents(s, d)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val delta = docs.filter(col("doc_id") % 10 === 0)
-      // harness-local index location, keyed by scale factor; a real
-      // deployment passes an object-store path and writes once per
-      // refresh, not per query (the write is timed here — honest cost)
+      // harness-local index location, keyed by the sanitized sf-dir
+      // string — hashCode would risk a silent collision across sf dirs
+      // (screening a delta against the WRONG corpus index) and gives no
+      // diagnosable path name; a real deployment passes an object-store
+      // path and writes once per refresh, not per query (the write is
+      // timed here — honest cost)
       val idx = new java.io.File("target/graft-sig-index/" +
-        java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       graft.api.TextDedup.writeSignatureIndex(corpus, col("doc_id"),
         col("text"), idx)
       // index screen + intra-shard self-screen in one API call (the

@@ -262,58 +262,18 @@ object LlmExtras {
 
     // fitted naive-Bayes language-ID: per-(lang, token) Laplace-smoothed
     // log-odds, doc score = order-free DECIMAL sum of rounded log-probs,
-    // output = confusion matrix of true vs predicted lang
-    "llm_lang_id" -> ((s, d) => {
-      val docs = documents(s, d)
-      val toks = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("token"))
-      // ONE corpus tokenization pass, MATERIALIZED: per-doc distinct-token
-      // counts feed both the model fit and the scoring probe, and the
-      // (lang, token) table below has four consumers (vocab size, per-lang
-      // totals, the smoothing grid, the probs join) — without the
-      // checkpoints each consumer re-runs the corpus explode (measured:
-      // ~5 redundant passes ≈ 2x the query's whole runtime)
-      val docTok = toks.groupBy(col("doc_id"), col("lang"), col("token"))
-        .agg(count(lit(1)).as("n_tok"))
-        .localCheckpoint()
-      val langTok = docTok.groupBy("lang", "token")
-        .agg(sum(col("n_tok")).as("c_lt")).localCheckpoint()
-      val vocabN = langTok.filter(col("c_lt") > 0)
-        .select("token").distinct().agg(count(lit(1)).as("v"))
-      val langTot = langTok.groupBy("lang").agg(sum(col("c_lt")).as("c_l"))
-      // complete (token × lang) grid so unseen pairs get the smoothed floor
-      val grid = langTok.filter(col("c_lt") > 0).select("token").distinct()
-        .crossJoin(langTot.select(col("lang").as("m_lang"), col("c_l")))
-      val probs = grid
-        .join(langTok,
-          grid("token") === langTok("token") &&
-            grid("m_lang") === langTok("lang"), "left")
-        .select(grid("token"), col("m_lang"),
-          coalesce(col("c_lt"), lit(0L)).as("c_lt"), col("c_l"))
-        .crossJoin(broadcast(vocabN))
-        .select(col("token"), col("m_lang"),
-          round(log((col("c_lt") + 1).cast("double") /
-            (col("c_l") + col("v"))), 9)
-            .cast(DecimalType(18, 9)).as("logp"))
-      // scoring join is a PLAIN shuffle equi-join on token: probs is
-      // |vocab|×|langs| and vocabulary grows with the corpus (Heaps' law),
-      // so a broadcast hint here would OOM executors at web scale. At
-      // fixture scale AQE may still pick BHJ from runtime stats — that is
-      // the planner's call, not a hard-coded hint. See SCALE.md.
-      // Σ logp over token instances ≡ Σ logp·count over distinct
-      // (doc, token) pairs, exactly, in decimal arithmetic — and the join
-      // probe side shrinks by the average within-doc repetition factor
-      val scores = docTok
-        .join(probs, "token")
-        .groupBy(col("doc_id"), col("lang"), col("m_lang"))
-        .agg(sum(col("logp") * col("n_tok")).as("score"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("m_lang").asc)
-      scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .groupBy(col("lang"), col("m_lang").as("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "pred_lang")
-    }),
+    // output = confusion matrix of true vs predicted lang. Plan shape,
+    // checkpoint discipline, and the no-broadcast scoring-join rule live
+    // in TextQuality.langIdConfusion's scaladoc (production callers pass
+    // a reliable checkpointDir there; the harness default is
+    // executor-local).
+    "llm_lang_id" -> ((s, d) =>
+      graft.api.TextQuality
+        .langIdConfusion(documents(s, d), col("doc_id"), col("lang"),
+          col("text"))
+        .select(col("label").as("lang"), col("pred_label").as("pred_lang"),
+          col("n"))
+        .orderBy("lang", "pred_lang")),
 
     // IVF-style ANN: the sign-bucket is the coarse quantizer (an inverted
     // list per bucket); a query probes ONLY its own list. At 100 TB this is

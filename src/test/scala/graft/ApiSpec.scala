@@ -945,4 +945,40 @@ class ApiSpec extends AnyFunSuite {
     assert(Similarity.rpSignMatrix(3, 4, inDim) == signs,
       "sign matrix not deterministic")
   }
+
+  test("llm_dedup_incremental: per-sf-dir signature indexes are isolated " +
+      "(sanitized-path keys, no cross-contamination between scale factors)") {
+    val q = graft.ops.Curation.entries("llm_dedup_incremental")
+    val first = q(spark, SparkFixture.sf0001).collect().toSeq
+    // writing the OTHER sf dir's index must not disturb the first one's
+    q(spark, SparkFixture.sf001).collect()
+    val again = q(spark, SparkFixture.sf0001).collect().toSeq
+    assert(first == again,
+      "sf0.001 screen changed after building the sf0.01 index")
+    // the sanitized-path key maps distinct dirs to distinct index paths
+    // (the hashCode key it replaced could silently collide)
+    val key = (s: String) => s.replaceAll("[^A-Za-z0-9._-]", "_")
+    assert(key(SparkFixture.sf0001) != key(SparkFixture.sf001))
+  }
+
+  test("TextQuality.langIdConfusion: reliable checkpointDir yields the " +
+      "same confusion matrix as the executor-local default") {
+    val df = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ran fast and far"),
+      (3L, "fr", "le chat est sur le tapis"),
+      (4L, "fr", "le chien court vite aussi"),
+      (5L, "en", "le the cat chien mat") // code-mixed row
+    ).toDF("k", "lbl", "body")
+    val base = TextQuality
+      .langIdConfusion(df, col("k"), col("lbl"), col("body"))
+      .orderBy("label", "pred_label").collect().toSeq
+    val dir = SparkFixture.tempDir("graft-langid-ckpt")
+    val ck = TextQuality
+      .langIdConfusion(df, col("k"), col("lbl"), col("body"),
+        checkpointDir = Some(dir.getAbsolutePath))
+      .orderBy("label", "pred_label").collect().toSeq
+    assert(base.nonEmpty && base == ck,
+      s"checkpointDir result diverged: $ck vs $base")
+  }
 }
