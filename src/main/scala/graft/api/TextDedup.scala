@@ -838,6 +838,73 @@ object TextDedup {
     * volume is hashes, never text. High dup_chunk_frac with a unique
     * full-text hash = partial template reuse, the case document-level
     * dedup misses (complements [[exact]]/[[nearMinhash]]). */
+  /** Rolling-shingle exact-substring duplication stats — the shardable
+    * approximation of suffix-array substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022,
+    * public; a suffix array doesn't partition, overlapping window
+    * hashing does). Every w = `windowTokens` consecutive tokens hash at
+    * EVERY position, so any exact repeat of ≥ w tokens is caught
+    * regardless of alignment — the case [[dupChunkFrac]]'s disjoint
+    * chunks provably miss (a repeat shifted by one token straddles its
+    * chunk boundaries; the recall pin in ApiSpec plants exactly that).
+    * Output per doc: (doc_id, n_windows, n_dup_windows, dup_window_frac
+    * RAW double, max_dup_run, max_dup_span_tokens), where a window is
+    * "dup" when its text occurs at more than one (doc, position)
+    * corpus-wide (in-doc repeats count — templated self-repetition is
+    * the same signal), max_dup_run is the longest streak of consecutive
+    * dup windows and max_dup_span_tokens = run + w − 1 is the length of
+    * the longest exactly-duplicated token span it certifies.
+    *
+    * Scale shape: one explode → md5 (map-side), one groupBy on the
+    * 32-byte hash, one equi-join back, one per-doc aggregate plus a
+    * per-doc window pass for the run length — shuffle volume is hashes
+    * and positions, never text. Overlap costs w× the hash rows of
+    * [[dupChunkFrac]] — that is the recall price, and why both exist:
+    * chunk hashing for a cheap screen, rolling windows when alignment
+    * robustness matters (it usually does before training). In-engine
+    * pipelines can halve the bytes again with an 8-byte xxhash64 in
+    * place of md5; md5 is what makes the stats engine-portable and
+    * DuckDB-oracle-checkable. */
+  def dupSubstringStats(df: DataFrame, id: Column, text: Column,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2,
+      s"windowTokens=$windowTokens must be >= 2 (1 would degrade to " +
+        "token frequency)")
+    val w = windowTokens
+    val wins = df
+      .select(id.as("doc_id"), split(text, " ").as("__tk"))
+      .filter(size(col("__tk")) >= w)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__tk")) - (w - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("__tk"), i, lit(w)))).as("h"))))
+        .as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("h"))
+    val freq = wins.groupBy("h").agg(count(lit(1)).as("__n_occ"))
+    val flagged = wins.join(freq, "h")
+      .select(col("doc_id"), col("pos"), (col("__n_occ") > 1).as("dup"))
+    val perDoc = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+    // longest consecutive-dup streak: gaps-and-islands on the dup
+    // positions (pos − row_number is constant within a streak) — one
+    // per-doc window pass over dup windows only
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = flagged.filter(col("dup"))
+      .withColumn("__g", col("pos") - row_number().over(runW))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("doc_id").agg(max(col("__len")).as("__max_run"))
+    perDoc.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double")).as("dup_window_frac"),
+        coalesce(col("__max_run"), lit(0L)).as("max_dup_run"),
+        when(col("__max_run").isNull, 0L)
+          .otherwise(col("__max_run") + (w - 1)).as("max_dup_span_tokens"))
+  }
+
   def dupChunkFrac(df: DataFrame, id: Column, text: Column,
       chunkTokens: Int = 8): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")

@@ -306,6 +306,18 @@ object Curation {
       graft.api.TextDedup
         .dupChunkFrac(documents(s, d), col("doc_id"), col("text"))
         .withColumn("dup_chunk_frac", round(col("dup_chunk_frac"), 6))
+        .orderBy("doc_id")),
+
+    // rolling-shingle exact-substring dedup stats — the alignment-robust
+    // upgrade of llm_dup_chunk_frac: OVERLAPPING 8-token window hashes,
+    // so any ≥8-token exact repeat is caught at any shift (the shardable
+    // approximation of suffix-array substring dedup, Lee et al. 2022);
+    // max_dup_span_tokens certifies the longest exactly-duplicated run
+    // per doc. Shuffle volume is hashes + positions, never text.
+    "llm_dedup_substring" -> ((s, d) =>
+      graft.api.TextDedup
+        .dupSubstringStats(documents(s, d), col("doc_id"), col("text"))
+        .withColumn("dup_window_frac", round(col("dup_window_frac"), 6))
         .orderBy("doc_id"))
   )
 
@@ -512,6 +524,38 @@ object Curation {
         |  ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*), 6) AS dup_chunk_frac
         |FROM ch JOIN freq USING (h)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // w = 8 rolling windows: positions 1..n-7 (range upper bound n-6 is
+    // exclusive); DuckDB zips the two parallel unnests positionally
+    "llm_dedup_substring" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(1, len(tk) - 6)) AS pos,
+        |    unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS h
+        |  FROM tk WHERE len(tk) >= 8),
+        |freq AS (SELECT h, COUNT(*) AS n_occ FROM w GROUP BY h),
+        |d AS (SELECT doc_id, pos, n_occ > 1 AS dup
+        |  FROM w JOIN freq USING (h)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_windows,
+        |    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_windows
+        |  FROM d GROUP BY doc_id),
+        |runs AS (SELECT doc_id,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM d WHERE dup),
+        |rmax AS (SELECT doc_id, MAX(c) AS max_run
+        |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM runs
+        |        GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_windows, a.n_dup_windows,
+        |  ROUND(CAST(a.n_dup_windows AS DOUBLE) / a.n_windows, 6)
+        |    AS dup_window_frac,
+        |  CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_dup_run,
+        |  CAST(CASE WHEN r.max_run IS NULL THEN 0
+        |       ELSE r.max_run + 7 END AS BIGINT) AS max_dup_span_tokens
+        |FROM agg a LEFT JOIN rmax r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -35,21 +35,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Read it as a long (ns since epoch) and convert
-    * to microsecond TIMESTAMP_NTZ — integer `div` 1000, never double
-    * division, so the value matches DuckDB's silent ns→µs truncation bit for
-    * bit. Under the UTC session the NTZ cast is an identity re-label.
+  /** `events.ts` normalized to microsecond TIMESTAMP_NTZ, whatever the
+    * file encodes. The driver has shipped the column two ways across
+    * rounds, so the reader dispatches on the footer schema:
     *
-    * The nanosAsLong conf is also set once in the Verify/Bench/test session
-    * builders; the set here is belt-and-braces for ad-hoc sessions. `ts div
-    * 1000` matches DuckDB's ns→µs truncation for non-negative (post-1970)
-    * epochs — the fixture range (2024) is safely positive.
+    *  - parquet TIMESTAMP(NANOS): Spark rejects it by default
+    *    (PARQUET_TYPE_ILLEGAL); with `nanosAsLong` (set here,
+    *    belt-and-braces with the Verify/Bench/test session builders) it
+    *    reads as a long of ns since epoch, converted with integer `ts
+    *    div 1000` — never double division — matching DuckDB's silent
+    *    ns→µs truncation bit for bit on the positive (post-1970)
+    *    fixture range. Same recipe for a raw BIGINT ns column.
+    *  - parquet TIMESTAMP(MICROS) (the r7 regeneration): already µs;
+    *    both engines read it directly, so the only work is the NTZ
+    *    re-label (an identity under the pinned UTC sessions).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 }

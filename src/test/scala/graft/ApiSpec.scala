@@ -981,4 +981,42 @@ class ApiSpec extends AnyFunSuite {
     assert(base.nonEmpty && base == ck,
       s"checkpointDir result diverged: $ck vs $base")
   }
+
+  test("TextDedup.dupSubstringStats catches a boundary-straddling exact " +
+      "repeat that dupChunkFrac provably misses") {
+    // a 10-token run R shared by both docs at DIFFERENT offsets: no
+    // disjoint 8-token chunk aligns with it on both sides, but the
+    // overlapping 8-token windows over R are position-independent
+    val a = "fa1 fa2 fa3 fa4 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 fa5 fa6"
+    val b = "gb1 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 gb2 gb3 gb4 gb5 gb6"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "body")
+    val chunk = TextDedup.dupChunkFrac(df, col("id"), col("body"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunk.values.forall(_ == 0L),
+      s"disjoint chunks unexpectedly matched: $chunk")
+    val roll = TextDedup.dupSubstringStats(df, col("id"), col("body"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    // 16 tokens -> 9 windows/doc; R contributes the 3 windows fully
+    // inside it (r1..r8, r2..r9, r3..r10) as ONE streak certifying a
+    // 3 + 8 - 1 = 10-token duplicated span — exactly |R|
+    assert(roll(1L) == ((9L, 3L, 3L, 10L)), s"doc 1: ${roll(1L)}")
+    assert(roll(2L) == ((9L, 3L, 3L, 10L)), s"doc 2: ${roll(2L)}")
+  }
+
+  test("TextDedup.dupSubstringStats: unrelated docs report zero dup " +
+      "windows; in-doc template repetition is counted") {
+    val df = Seq(
+      (10L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      // the same 8-token template twice IN ONE doc (positions 1 and 9)
+      (11L, "t1 t2 t3 t4 t5 t6 t7 t8 t1 t2 t3 t4 t5 t6 t7 t8")
+    ).toDF("id", "body")
+    val out = TextDedup.dupSubstringStats(df, col("id"), col("body"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(5)))).toMap
+    assert(out(10L) == ((0L, 0L)), s"clean doc flagged: ${out(10L)}")
+    assert(out(11L)._1 >= 2L && out(11L)._2 >= 8L,
+      s"in-doc repeat not caught: ${out(11L)}")
+  }
 }
