@@ -578,6 +578,21 @@ object LlmExtras {
       graft.api.Bpe.pairCounts(merged, col("sym"), col("w_n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    }),
+
+    // one full unigram-LM EM round as ONE declarative plan (graft.api.
+    // Unigram — the SentencePiece-style tokenizer next to BPE): seed
+    // piece inventory = all ≤4-char substrings of the vocabulary with
+    // integer micro-log costs, E-step = per-word Viterbi fold with the
+    // packed cost×100+split tie-break, M-step = renormalized usage
+    // counts. The corpus collapses to its word-frequency vocabulary
+    // first (the one corpus-sized shuffle — the Bpe scale contract);
+    // the iterative Unigram.train loop is this round repeated, pinned
+    // against a pure-Scala reference in ApiSpec.
+    "llm_unigram_em_step" -> ((s, d) => {
+      val wf = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+      graft.api.Unigram.emStep(wf, graft.api.Unigram.seedPieces(wf))
+        .orderBy("piece")
     })
   )
 
@@ -800,6 +815,59 @@ object LlmExtras {
          |    '(' || a || b || ')') AS sym, w_n FROM seg, top1),
          |pc2 AS (${bpePcSql("seg2")})
          |SELECT pair, n FROM pc2 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // unigram EM twin: the Viterbi DP is a recursive CTE building the
+    // same packed combined = cost×100 + split array the Spark fold
+    // builds (integer min ≡ cost argmin + smallest-split tie-break),
+    // then a second recursion walks the backpointers. len(word) < 100
+    // mirrors Unigram.MaxWordLen on both sides.
+    "llm_unigram_em_step" ->
+      """WITH RECURSIVE
+        |wf AS (SELECT word, COUNT(*) AS w_n FROM (
+        |    SELECT unnest(string_split_regex(text, ' ')) AS word
+        |    FROM documents) w
+        |  WHERE regexp_full_match(word, '[A-Za-z]+') AND len(word) < 100
+        |  GROUP BY word),
+        |sub AS (SELECT word, w_n, r1.i AS i, r1.i + r2.l AS j,
+        |    substr(word, CAST(r1.i AS INT) + 1, CAST(r2.l AS INT)) AS piece
+        |  FROM wf, range(0, 100) r1(i), range(1, 5) r2(l)
+        |  WHERE r1.i < len(word) AND r1.i + r2.l <= len(word)),
+        |seed AS (SELECT piece, CAST(SUM(w_n) AS BIGINT) AS cnt FROM sub
+        |  GROUP BY piece),
+        |seedtot AS (SELECT SUM(cnt) AS tot FROM seed),
+        |model AS (SELECT piece,
+        |    CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
+        |      AS cost
+        |  FROM seed, seedtot),
+        |edges AS (SELECT s.word, s.i, s.j, m.cost
+        |  FROM sub s JOIN model m USING (piece)),
+        |dp AS (
+        |  SELECT word, w_n, CAST(0 AS BIGINT) AS j,
+        |    CAST([0] AS BIGINT[]) AS arr FROM wf
+        |  UNION ALL
+        |  SELECT d.word, d.w_n, d.j + 1 AS j,
+        |    array_append(d.arr,
+        |      MIN(((d.arr[CAST(e.i AS INT) + 1] // 100) + e.cost) * 100
+        |          + e.i)) AS arr
+        |  FROM dp d JOIN edges e ON e.word = d.word AND e.j = d.j + 1
+        |  WHERE d.j < len(d.word)
+        |  GROUP BY d.word, d.w_n, d.j, d.arr),
+        |dpf AS (SELECT word, w_n, arr FROM dp WHERE j = len(word)),
+        |bt AS (
+        |  SELECT word, w_n, arr, CAST(len(word) AS BIGINT) AS j FROM dpf
+        |  UNION ALL
+        |  SELECT word, w_n, arr, arr[CAST(j AS INT) + 1] % 100 AS j
+        |  FROM bt WHERE j > 0),
+        |used AS (SELECT word, w_n,
+        |    substr(word, CAST(arr[CAST(j AS INT) + 1] % 100 AS INT) + 1,
+        |      CAST(j - arr[CAST(j AS INT) + 1] % 100 AS INT)) AS piece
+        |  FROM bt WHERE j > 0),
+        |cnts AS (SELECT piece, CAST(SUM(w_n) AS BIGINT) AS cnt FROM used
+        |  GROUP BY piece),
+        |ctot AS (SELECT SUM(cnt) AS tot FROM cnts)
+        |SELECT piece, cnt,
+        |  CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
+        |    AS cost_micro
+        |FROM cnts, ctot ORDER BY piece""".stripMargin,
     // llm_sim_topk_pca: omitted (float-order-dependent eigen fit, like
     // the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec with
     // llm_sim_topk_rp as the oracle-checked twin

@@ -1019,4 +1019,89 @@ class ApiSpec extends AnyFunSuite {
     assert(out(11L)._1 >= 2L && out(11L)._2 >= 8L,
       s"in-doc repeat not caught: ${out(11L)}")
   }
+
+  test("Unigram.train matches a pure-Scala Viterbi-EM reference, round " +
+      "for round; segment rebuilds words") {
+    import graft.api.Unigram
+    val docs = Seq(
+      (1L, "low lower lowest new newer newest wide wider widest"),
+      (2L, "low low lower new new newest wide wide wider"),
+      (3L, "newest lowest widest low new wide")
+    ).toDF("id", "body")
+    val m = 4
+    // reference word frequencies (the Bpe.wordFreq contract)
+    val words: Map[String, Long] = docs.collect()
+      .flatMap(_.getString(1).split(" ")).filter(_.matches("[A-Za-z]+"))
+      .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    def roundCost(x: Double): Long =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    def renorm(cnt: collection.Map[String, Long]): Map[String, (Long, Long)] = {
+      val tot = cnt.values.sum.toDouble
+      cnt.map { case (p, c) =>
+        p -> (c, roundCost(-math.log(c / tot) * 1e6)) }.toMap
+    }
+    def seedRef: Map[String, (Long, Long)] = {
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, n) <- words; i <- 0 until w.length;
+           l <- 1 to math.min(m, w.length - i))
+        cnt(w.substring(i, i + l)) += n
+      renorm(cnt)
+    }
+    // one hard-EM round: packed cost*100+split Viterbi per word, then
+    // usage counts -> renormalize (exactly Unigram.emStep's contract)
+    def emRef(model: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+      val used = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, n) <- words) {
+        val L = w.length
+        val arr = new Array[Long](L + 1)
+        for (j <- 1 to L) {
+          var best = Long.MaxValue
+          for (i <- math.max(0, j - m) until j if arr(i) != Long.MaxValue)
+            model.get(w.substring(i, j)).foreach { case (_, c) =>
+              val cand = ((arr(i) / 100) + c) * 100 + i
+              if (cand < best) best = cand
+            }
+          arr(j) = best
+        }
+        assert(arr(L) != Long.MaxValue, s"reference: $w unreachable")
+        var j = L
+        while (j > 0) {
+          val pi = (arr(j) % 100).toInt
+          used(w.substring(pi, j)) += n; j = pi
+        }
+      }
+      renorm(used)
+    }
+    // two reference rounds with train()'s prune rule: round output plus
+    // unused single chars at their previous cost with cnt 0
+    var refModel: Map[String, (Long, Long)] = seedRef
+    for (_ <- 1 to 2) {
+      val used = emRef(refModel)
+      val singles = refModel.collect {
+        case (p, (_, c)) if p.length == 1 && !used.contains(p) =>
+          p -> (0L, c)
+      }
+      refModel = used ++ singles
+    }
+    val got = Unigram.train(docs, col("body"), rounds = 2)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == refModel,
+      s"train diverges from reference:\n  extra=${got.keySet -- refModel.keySet}" +
+        s"\n  missing=${refModel.keySet -- got.keySet}" +
+        s"\n  diff=${got.collect { case (k, v) if refModel.get(k).exists(_ != v) => (k, v, refModel(k)) }}")
+    // encode side: tokens rebuild each word under the trained model
+    val modelDf = Unigram.train(docs, col("body"), rounds = 1)
+      .select(col("piece"), col("cost"))
+    val seg = Unigram.segment(words.keys.toSeq.toDF("w"), col("w"), modelDf)
+      .collect()
+    seg.foreach { r =>
+      assert(!r.isNullAt(1), s"${r.getString(0)} unsegmentable")
+      assert(r.getSeq[String](1).mkString == r.getString(0),
+        s"tokens do not rebuild ${r.getString(0)}")
+    }
+  }
 }
