@@ -565,6 +565,103 @@ object Similarity {
     * ApiSpec invariants (orthonormality, eigenvalue order, variance
     * capture) rather than a SQL oracle; [[randomProjection]] is the
     * oracle-checked twin in the dimensionality-reduction family. */
+  /** ENGINE-REPRODUCIBLE PCA fit — the oracle-checkable twin of
+    * [[pcaFit]]: exact fixed-point moments + a fixed-iteration power
+    * method, so the fitted components are a pure deterministic function
+    * of the data that any engine reproduces bit-for-bit.
+    *
+    * Three steps, each with a fixed cross-engine arithmetic story:
+    *  1. Moments: values floor to exact micro-unit longs
+    *     (the `llm_embed_cov_matrix` trick), so n, Σu and Σu·u are
+    *     order-free integers — ONE partial-agg row, one bounded
+    *     model-sized collect (the same class as a centroid fetch).
+    *  2. Covariance: finished in IEEE double with the exact formula
+    *     spelling of the cov-matrix oracle, rounded 9 dp (the proven
+    *     Spark-round/DuckDB-ROUND pairing).
+    *  3. Eigenvectors: `iters` rounds of un-normalized power iteration
+    *     from the fixed start vector 1/√d, one final normalization,
+    *     Rayleigh eigenvalue, rank-1 deflation, repeat for k components
+    *     — every sum LEFT TO RIGHT, every op a correctly-rounded IEEE
+    *     double op, so a recursive SQL CTE spelling the same
+    *     left-associative expressions computes identical doubles.
+    *
+    * The fixed iteration count trades exact convergence for
+    * reproducibility: with close eigenvalues the trailing components are
+    * approximate — identically approximate in every engine, which is
+    * what a hash gate needs; recall is pinned separately. Use [[pcaFit]]
+    * (Jacobi, converged) when only one engine consumes the model. */
+  def pcaFitExactPower(corpus: DataFrame, vec: Column, inDim: Int, k: Int,
+      iters: Int = 20): PcaModel = {
+    require(k >= 1 && k <= inDim, s"k must be in [1, $inDim], got $k")
+    val dims = 0 until inDim
+    val prs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+    val base = corpus.select(dims.map(i =>
+      floor(element_at(vec, i + 1).cast("double") * lit(1000000.0))
+        .as(s"u_$i")): _*)
+    val momentCols = Seq(count(lit(1)).cast("double").as("n")) ++
+      dims.map(i => sum(col(s"u_$i")).cast("double").as(s"s_$i")) ++
+      prs.map { case (i, j) =>
+        sum(col(s"u_$i") * col(s"u_$j")).cast("double").as(s"p_${i}_$j") }
+    val row = base.agg(momentCols.head, momentCols.tail: _*).head()
+    val n = row.getDouble(0)
+    require(n > 1, s"pcaFitExactPower needs at least 2 rows, got $n")
+    val s = dims.map(i => row.getDouble(1 + i)).toArray
+    val p = Array.ofDim[Double](inDim, inDim)
+    prs.zipWithIndex.foreach { case ((i, j), idx) =>
+      p(i)(j) = row.getDouble(1 + inDim + idx); p(j)(i) = p(i)(j) }
+    // Spark's round(x, 9) semantics (BigDecimal.valueOf + HALF_UP) — the
+    // exact driver twin of the oracle's ROUND(x, 9)
+    def r9(x: Double): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = Array.tabulate(inDim, inDim)((i, j) =>
+      r9((p(i)(j) - s(i) * s(j) / n) / (n - 1) / 1.0e12))
+    val comps = Array.ofDim[Double](k, inDim)
+    val evals = new Array[Double](k)
+    val start = 1.0 / math.sqrt(inDim.toDouble)
+    var comp = 0
+    while (comp < k) {
+      var v = Array.fill(inDim)(start)
+      var t = 0
+      while (t < iters) {
+        val w = new Array[Double](inDim)
+        var i = 0
+        while (i < inDim) {
+          var acc = 0.0; var j = 0
+          while (j < inDim) { acc = acc + c(i)(j) * v(j); j += 1 }
+          w(i) = acc; i += 1
+        }
+        v = w; t += 1
+      }
+      var ss = 0.0
+      var i = 0
+      while (i < inDim) { ss = ss + v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      val u = new Array[Double](inDim)
+      i = 0
+      while (i < inDim) { u(i) = v(i) / nrm; i += 1 }
+      val cu = new Array[Double](inDim)
+      i = 0
+      while (i < inDim) {
+        var acc = 0.0; var j = 0
+        while (j < inDim) { acc = acc + c(i)(j) * u(j); j += 1 }
+        cu(i) = acc; i += 1
+      }
+      var lam = 0.0
+      i = 0
+      while (i < inDim) { lam = lam + u(i) * cu(i); i += 1 }
+      comps(comp) = u; evals(comp) = lam
+      i = 0
+      while (i < inDim) {
+        var j = 0
+        while (j < inDim) { c(i)(j) = c(i)(j) - (lam * u(i)) * u(j); j += 1 }
+        i += 1
+      }
+      comp += 1
+    }
+    PcaModel(dims.map(i => s(i) / n / 1000000.0).toArray, comps, evals)
+  }
+
   def pcaFit(corpus: DataFrame, vec: Column, inDim: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= inDim, s"k must be in [1, $inDim], got $k")
     val tri = inDim * (inDim + 1) / 2

@@ -544,6 +544,29 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // ENGINE-REPRODUCIBLE PCA ANN (graft.api.Similarity
+    // .pcaFitExactPower) — the ORACLE-CHECKED member of the PCA family:
+    // exact micro-unit moments (one bounded model-sized collect, the
+    // centroid-fetch class), 9-dp covariance with the cov-matrix
+    // formula spelling, 20 fixed power-method iterations + rank-1
+    // deflation in pure left-to-right IEEE double (the oracle's
+    // recursive CTE computes the identical doubles), then top-k over
+    // the 4-component projection of the first 8 dims. Converts "PCA
+    // fit is float-order-dependent ⇒ no-oracle" from a family property
+    // into a property of the full-width Jacobi path only.
+    "llm_sim_topk_pca_exact" -> ((s, d) => {
+      val sliced = embeddings(s, d)
+        .select(col("vec_id"), slice(col("embedding"), 1, 8).as("emb8"))
+      val model = graft.api.Similarity
+        .pcaFitExactPower(sliced, col("emb8"), inDim = 8, k = 4)
+      val q = sliced.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb8").as("qe"))
+      graft.api.Similarity
+        .topKPca(sliced, col("vec_id"), col("emb8"), q, k = 5, model)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // BPE tokenizer-training pair counts (graft.api.Bpe): the corpus
     // collapses to its word-frequency vocabulary (the ONE corpus-sized
     // shuffle), then adjacent-symbol pairs are counted weighted by word
@@ -868,9 +891,88 @@ object LlmExtras {
         |  CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
         |    AS cost_micro
         |FROM cnts, ctot ORDER BY piece""".stripMargin,
-    // llm_sim_topk_pca: omitted (float-order-dependent eigen fit, like
-    // the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec with
-    // llm_sim_topk_rp as the oracle-checked twin
+    // llm_sim_topk_pca: omitted (float-order-dependent Jacobi eigen fit,
+    // like the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec.
+    // llm_sim_topk_pca_exact below IS the oracle-checked PCA: the whole
+    // fit (moments → covariance → power iteration → deflation) re-derived
+    // inside the oracle SQL with bit-matching IEEE arithmetic.
+    "llm_sim_topk_pca_exact" -> {
+      val d8 = 0 until 8
+      val prs = for { i <- d8; j <- d8 if j >= i } yield (i, j)
+      val units = d8.map(i =>
+        s"CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0) " +
+          s"AS BIGINT) AS u_$i")
+      val moments = Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+        d8.map(i => s"CAST(SUM(u_$i) AS DOUBLE) AS s_$i") ++
+        prs.map { case (i, j) =>
+          s"CAST(SUM(u_$i * u_$j) AS DOUBLE) AS p_${i}_$j" }
+      def pref(i: Int, j: Int) = if (i <= j) s"p_${i}_$j" else s"p_${j}_$i"
+      val cov0 = d8.flatMap(i => d8.map(j =>
+        s"ROUND((${pref(i, j)} - s_$i * s_$j / n) / (n - 1) / 1.0e12, 9)" +
+          s" AS c_${i}_$j")).mkString(", ")
+      val iters = 20
+      def matvecRow(m: String, v: Int => String)(i: Int): String =
+        d8.map(j => s"$m.c_${i}_$j * ${v(j)}").mkString(" + ")
+      // MATERIALIZED on every chain CTE: the deflation chain references
+      // each m_l twice (directly and through lam_l); inlined CTEs would
+      // double the expression tree per component — the same exponential
+      // plan blowup the Spark iterative ops checkpoint against
+      // per component: `iters` un-normalized power steps (recursive CTE
+      // carrying v_0..v_7), one normalization, Rayleigh lambda, rank-1
+      // deflation into the next component's matrix — every sum spelled
+      // left-associative to match the driver's sequential loops
+      val compCtes = (0 until 4).map { l =>
+        val m = s"m$l"
+        s"""it$l AS (
+           |  SELECT 0 AS t, ${d8.map(i =>
+                 s"CAST(1.0 / sqrt(8.0) AS DOUBLE) AS v_$i").mkString(", ")}
+           |  FROM (SELECT 1)
+           |  UNION ALL
+           |  SELECT t + 1, ${d8.map(i =>
+                 s"${matvecRow(m, j => s"v_$j")(i)} AS v_$i").mkString(", ")}
+           |  FROM it$l, $m WHERE t < $iters),
+           |fin$l AS MATERIALIZED (SELECT * FROM it$l WHERE t = $iters),
+           |nrm$l AS MATERIALIZED (SELECT sqrt(${d8.map(i => s"v_$i * v_$i")
+                 .mkString(" + ")}) AS nm, * FROM fin$l),
+           |u$l AS MATERIALIZED (SELECT ${d8.map(i => s"v_$i / nm AS u_$i")
+                 .mkString(", ")} FROM nrm$l),
+           |cu$l AS MATERIALIZED (SELECT u.*, ${d8.map(i =>
+                 s"${matvecRow(m, j => s"u.u_$j")(i)} AS cu_$i")
+                 .mkString(", ")} FROM u$l u, $m),
+           |lam$l AS MATERIALIZED (SELECT *, ${d8.map(i => s"u_$i * cu_$i")
+                 .mkString(" + ")} AS lam FROM cu$l),
+           |m${l + 1} AS MATERIALIZED (SELECT ${d8.flatMap(i => d8.map(j =>
+                 s"m.c_${i}_$j - (l.lam * l.u_$i) * l.u_$j AS c_${i}_$j"))
+                 .mkString(", ")} FROM $m m, lam$l l)""".stripMargin
+      }.mkString(",\n")
+      // projection: round(dot(x, comp) - offset, 6) with offset =
+      // sum of mean_i * comp_i (mean_i = s_i / n / 1e6), mirroring
+      // pcaProject's driver-precomputed offsets
+      def projExpr(l: Int): String =
+        s"ROUND((${d8.map(i =>
+            s"CAST(e.embedding[${i + 1}] AS DOUBLE) * u$l.u_$i")
+            .mkString(" + ")}) - (${d8.map(i =>
+            s"(s_$i / n / 1000000.0) * u$l.u_$i").mkString(" + ")}), 6)"
+      s"""WITH RECURSIVE
+         |b AS (SELECT ${units.mkString(", ")} FROM embeddings),
+         |mom AS MATERIALIZED (SELECT ${moments.mkString(", ")} FROM b),
+         |m0 AS MATERIALIZED (SELECT $cov0 FROM mom),
+         |$compCtes,
+         |proj AS MATERIALIZED (SELECT e.vec_id, ${(0 until 4).map(l =>
+             s"${projExpr(l)} AS pc_$l").mkString(", ")}
+         |  FROM embeddings e, mom, u0, u1, u2, u3),
+         |qproj AS (SELECT vec_id AS qid, ${(0 until 4).map(l =>
+             s"pc_$l AS qc_$l").mkString(", ")}
+         |  FROM proj WHERE vec_id < 10),
+         |sc AS (SELECT qid, p.vec_id,
+         |    ROUND(${(0 until 4).map(l => s"p.pc_$l * q.qc_$l")
+             .mkString(" + ")}, 6) AS sim_r
+         |  FROM qproj q, proj p WHERE p.vec_id != q.qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM sc) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    },
     // llm_simhash / llm_fingerprint: omitted (engine-specific xxhash64);
     // pinned by planted-duplicate tests in LlmExtrasSpec
     "llm_gopher_filters" ->

@@ -1104,4 +1104,34 @@ class ApiSpec extends AnyFunSuite {
         s"tokens do not rebuild ${r.getString(0)}")
     }
   }
+
+  test("Similarity.pcaFitExactPower: deterministic across calls, unit-norm " +
+      "components, descending eigenvalues, recovers a planted dominant axis " +
+      "in agreement with the Jacobi fit") {
+    val rnd = new scala.util.Random(5)
+    val d = 8
+    // anisotropic cloud: dim 2 carries 4x the spread of the others
+    val data = (0L until 200L).map { i =>
+      (i, Seq.tabulate(d)(j =>
+        (rnd.nextFloat() * 2 - 1) * (if (j == 2) 2.0f else 0.5f)))
+    }.toDF("id", "v")
+    val m1 = Similarity.pcaFitExactPower(data, col("v"), inDim = d, k = 3)
+    val m2 = Similarity.pcaFitExactPower(data, col("v"), inDim = d, k = 3)
+    assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq
+        && m1.eigenvalues.toSeq == m2.eigenvalues.toSeq,
+      "fit not deterministic across calls")
+    m1.components.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9, "non-unit component")
+    }
+    assert(m1.eigenvalues(0) >= m1.eigenvalues(1)
+        && m1.eigenvalues(1) >= m1.eigenvalues(2),
+      s"eigenvalues not descending: ${m1.eigenvalues.toSeq}")
+    assert(math.abs(m1.components(0)(2)) > 0.9,
+      s"dominant axis not recovered: ${m1.components(0).toSeq}")
+    val jac = Similarity.pcaFit(data, col("v"), inDim = d, k = 1)
+    val dp = m1.components(0).zip(jac.components(0))
+      .map { case (a, b) => a * b }.sum
+    assert(math.abs(dp) > 0.99,
+      s"power-method dominant component disagrees with Jacobi: $dp")
+  }
 }
