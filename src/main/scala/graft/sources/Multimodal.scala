@@ -56,6 +56,36 @@ object Multimodal {
             .as("meta"))
           .as("media"))
 
+  /** One-time conversion job: a binaryFile directory → a PACKED parquet
+    * table (path, mime, meta, bytes) — MULTIMODAL.md's "better layout
+    * for repeated scans". Why flat columns, not the media struct: each
+    * top-level column gets its own parquet column chunks, so a
+    * metadata-only query (count by mime, length histograms, path
+    * filters) reads kilobytes of metadata chunks and NEVER touches the
+    * payload chunks — no reliance on nested-schema pruning, and the
+    * property is plan-asserted in MultimodalSpec. `filesOut` bounds the
+    * output file count (many small media files pack into few row-group-
+    * sized parquet files — the small-files fix that motivates packing);
+    * at 100 TB run this once per ingest batch and size row groups so a
+    * single payload row cannot blow a reader's batch memory.
+    * [[readPacked]] restores the [[readDir]] struct view, so every
+    * downstream decode/feature operator runs unchanged on either
+    * source. */
+  def packToParquet(spark: SparkSession, srcDir: String, destPath: String,
+      glob: String = "*", filesOut: Int = 1): Unit =
+    readDir(spark, srcDir, glob)
+      .select(col("path"), col("media.mime").as("mime"),
+        col("media.meta").as("meta"), col("media.bytes").as("bytes"))
+      .repartition(filesOut)
+      .write.mode("overwrite").parquet(destPath)
+
+  /** Read a [[packToParquet]] table back as the [[readDir]]-shaped
+    * (path, media struct) frame. */
+  def readPacked(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("path"),
+        struct(col("mime"), col("bytes"), col("meta")).as("media"))
+
   /** Image dimension decode. REAL for every format the JDK's `javax.imageio`
     * ships a reader for (PNG, GIF, BMP, JPEG — zero extra dependencies):
     * the reader parses only the header, so cost is O(header) not O(pixels).

@@ -247,4 +247,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got("silence.wav") == ((n.toLong, 0.0, 0.0, 0.0, 0.0)))
     assert(got("junk.wav") == ((-1L, -1.0, -1.0, -1.0, -1.0)))
   }
+
+  test("packToParquet round-trips the media table; metadata-only queries " +
+      "over the packed layout prune the payload column at the scan") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    val dir = tempDir("graft_pack_src_")
+    Seq(("x.png", 10, 8), ("y.png", 4, 4)).foreach { case (name, w, h) =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      ImageIO.write(img, "png", new java.io.File(dir, name))
+    }
+    val dest = new java.io.File(tempDir("graft_pack_dst_"), "packed")
+      .getAbsolutePath
+    Multimodal.packToParquet(spark, dir.getAbsolutePath, dest, "*.png")
+    // struct view round-trips: same paths, same byte payloads
+    val orig = Multimodal.readDir(spark, dir.getAbsolutePath, "*.png")
+      .select(col("path"), col("media.bytes")).collect()
+      .map(r => new java.io.File(r.getString(0)).getName ->
+        r.getAs[Array[Byte]](1).toSeq).toMap
+    val packed = Multimodal.readPacked(spark, dest)
+      .select(col("path"), col("media.bytes")).collect()
+      .map(r => new java.io.File(r.getString(0)).getName ->
+        r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(packed == orig, "packed payloads diverge from source")
+    // decode operators run unchanged on the packed view
+    val dims = Multimodal.decodeDims(Multimodal.readPacked(spark, dest))
+      .collect().map(r => new java.io.File(r.getString(0)).getName ->
+        (r.getInt(1), r.getInt(2))).toMap
+    assert(dims("x.png") == ((10, 8)) && dims("y.png") == ((4, 4)))
+    // THE point of the flat layout: a metadata-only plan's parquet scan
+    // must not read the bytes column chunks
+    val metaOnly = spark.read.parquet(dest)
+      .groupBy("mime").count()
+    val scan = metaOnly.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("mime") && !scan.contains("bytes"),
+      s"payload column not pruned from the packed scan:\n$scan")
+  }
 }

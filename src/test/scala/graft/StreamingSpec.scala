@@ -242,13 +242,19 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${SparkFixture.sf0001}/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema(spark.read.parquet(
-        s"${SparkFixture.sf0001}/events.parquet").schema)
+    val fileSchema = spark.read.parquet(
+      s"${SparkFixture.sf0001}/events.parquet").schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-      .withColumn("ts",
+    // same schema dispatch as Tables.events: the driver has shipped ts
+    // as ns-as-long and as us TIMESTAMP across rounds
+    val stream = fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw.withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
     val q = Streaming.twinStatefulCounts(stream)
       .writeStream.format("memory").queryName("s_replay")
       .outputMode("complete").start()
