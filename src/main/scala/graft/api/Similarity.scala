@@ -547,6 +547,38 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Two-stage retrieval — coarse scan then exact rerank, the pattern
+    * behind every production ANN deployment: the cheap reduced-width
+    * random-projection scan ([[topKRandomProjection]]) over-fetches
+    * `coarseK` candidates per query, then ONLY those candidates are
+    * re-scored with the exact full-width dot and re-ranked to the final
+    * k. At 100 TB the economics are the whole point: the corpus-wide
+    * scan moves outDim/inDim× the bytes of the exact path, while the
+    * exact dots run on a (|queries| × coarseK)-bounded frame that
+    * broadcasts — the expensive arithmetic never touches the corpus.
+    * Raising `coarseK` buys recall at a rerank-only cost, which is the
+    * deployment's tuning knob. Fully engine-reproducible (both stages
+    * round + id-tie-break), so the composition is oracle-checkable.
+    * Output: (qid, vec_id, sim_r exact, rk ≤ k). */
+  def topKRerank(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, coarseK: Int, inDim: Int, outDim: Int,
+      seed: Int = 7, excludeSelf: Boolean = true): DataFrame = {
+    require(coarseK >= k, s"coarseK=$coarseK must be >= k=$k")
+    requireQuerySchema(queries)
+    val cand = topKRandomProjection(corpus, id, vec, queries, coarseK,
+      inDim, outDim, seed, excludeSelf).select(col("qid"), col("vec_id"))
+    val cv = corpus.select(id.as("vec_id"), vec.as("__cv"))
+    // the candidate frame broadcasts; the full-width vectors stream
+    // map-side through the join — no corpus-wide exact scoring
+    val scored = broadcast(cand)
+      .join(cv, "vec_id")
+      .join(broadcast(queries.select(col("qid"), col("qe"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("__cv")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Fitted PCA state: per-feature means, top-k principal components
     * (rows, orthonormal), eigenvalues of the sample covariance (desc).
     * Driver-sized: k·d doubles — broadcastable at any corpus size. */

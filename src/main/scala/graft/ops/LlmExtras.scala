@@ -616,6 +616,36 @@ object LlmExtras {
       val wf = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
       graft.api.Unigram.emStep(wf, graft.api.Unigram.seedPieces(wf))
         .orderBy("piece")
+    }),
+
+    // the encode side as a declared key: per-word Viterbi segmentation
+    // under the seed model (start-order pieces joined with '|' — the
+    // comparator-safe flattening of the tokens array)
+    "llm_unigram_segment" -> ((s, d) => {
+      val wf = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+      graft.api.Unigram
+        .viterbiSegment(wf, graft.api.Unigram.seedPieces(wf))
+        .select(col("word"), col("w_n"),
+          size(col("pieces")).as("n_pieces"),
+          concat_ws("|", col("pieces")).as("seg"))
+        .orderBy("word")
+    }),
+
+    // two-stage retrieval (graft.api.Similarity.topKRerank) — the
+    // production ANN deployment pattern: the 16-dim RP scan over-fetches
+    // 20 candidates per query (4× fewer corpus bytes/multiplies), then
+    // the exact 64-dim dot re-scores ONLY the bounded candidate frame.
+    // coarseK is the recall-vs-cost knob priced in rerank work, never in
+    // corpus scan. Both stages engine-reproducible ⇒ oracle-checked.
+    "llm_sim_topk_rerank" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .topKRerank(e, col("vec_id"), col("embedding"), q,
+          k = 5, coarseK = 20, inDim = RpInDim, outDim = 16, seed = RpSeed)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
     })
   )
 
@@ -630,6 +660,53 @@ object LlmExtras {
       |seg AS (SELECT array_to_string(list_transform(
       |    string_split_regex(word, ''), c -> '(' || c || ')'), '') AS sym,
       |    w_n FROM wf)""".stripMargin
+
+  /** DuckDB twin of the Unigram seed → Viterbi chain (graft.api.Unigram):
+    * CTEs `wf` (word freq, len < 100 = Unigram.MaxWordLen) → `sub`
+    * (substring lattice) → `seed`/`model` (micro-log costs) → `edges` →
+    * `dp` (recursive DP over the packed cost×100+split array) → `bt`
+    * (backpointer walk) → `used` (word, w_n, j = piece end, piece).
+    * Shared by the em-step and segment oracles. */
+  private val unigramCte: String =
+    """wf AS (SELECT word, COUNT(*) AS w_n FROM (
+      |    SELECT unnest(string_split_regex(text, ' ')) AS word
+      |    FROM documents) w
+      |  WHERE regexp_full_match(word, '[A-Za-z]+') AND len(word) < 100
+      |  GROUP BY word),
+      |sub AS (SELECT word, w_n, r1.i AS i, r1.i + r2.l AS j,
+      |    substr(word, CAST(r1.i AS INT) + 1, CAST(r2.l AS INT)) AS piece
+      |  FROM wf, range(0, 100) r1(i), range(1, 5) r2(l)
+      |  WHERE r1.i < len(word) AND r1.i + r2.l <= len(word)),
+      |seed AS (SELECT piece, CAST(SUM(w_n) AS BIGINT) AS cnt FROM sub
+      |  GROUP BY piece),
+      |seedtot AS (SELECT SUM(cnt) AS tot FROM seed),
+      |model AS (SELECT piece,
+      |    CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
+      |      AS cost
+      |  FROM seed, seedtot),
+      |edges AS (SELECT s.word, s.i, s.j, m.cost
+      |  FROM sub s JOIN model m USING (piece)),
+      |dp AS (
+      |  SELECT word, w_n, CAST(0 AS BIGINT) AS j,
+      |    CAST([0] AS BIGINT[]) AS arr FROM wf
+      |  UNION ALL
+      |  SELECT d.word, d.w_n, d.j + 1 AS j,
+      |    array_append(d.arr,
+      |      MIN(((d.arr[CAST(e.i AS INT) + 1] // 100) + e.cost) * 100
+      |          + e.i)) AS arr
+      |  FROM dp d JOIN edges e ON e.word = d.word AND e.j = d.j + 1
+      |  WHERE d.j < len(d.word)
+      |  GROUP BY d.word, d.w_n, d.j, d.arr),
+      |dpf AS (SELECT word, w_n, arr FROM dp WHERE j = len(word)),
+      |bt AS (
+      |  SELECT word, w_n, arr, CAST(len(word) AS BIGINT) AS j FROM dpf
+      |  UNION ALL
+      |  SELECT word, w_n, arr, arr[CAST(j AS INT) + 1] % 100 AS j
+      |  FROM bt WHERE j > 0),
+      |used AS (SELECT word, w_n, j,
+      |    substr(word, CAST(arr[CAST(j AS INT) + 1] % 100 AS INT) + 1,
+      |      CAST(j - arr[CAST(j AS INT) + 1] % 100 AS INT)) AS piece
+      |  FROM bt WHERE j > 0)""".stripMargin
 
   /** Pair-count CTE body over a given segmentation CTE (sym, w_n). */
   private def bpePcSql(segName: String): String =
@@ -804,6 +881,32 @@ object LlmExtras {
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
+    "llm_sim_topk_rerank" -> {
+      val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 16, RpInDim)
+      val rpList = "[" + sm.map(row =>
+        s"ROUND(${dotSql("embedding", rpRowSql(row))} / sqrt(16.0), 6)")
+        .mkString(", ") + "]"
+      s"""WITH p AS (SELECT vec_id, embedding, $rpList AS rp
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, rp AS qrp, embedding AS qe FROM p
+         |  WHERE vec_id < 10),
+         |cand AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, p.vec_id,
+         |    ROUND(list_sum(list_transform(list_zip(p.rp, qrp),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), 6)
+         |      AS crs
+         |  FROM q, p WHERE p.vec_id != qid) t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY crs DESC, vec_id) <= 20),
+         |sc AS (SELECT cand.qid, cand.vec_id,
+         |    ROUND(${dotSql("q.qe", "p.embedding")}, 6) AS sim_r
+         |  FROM cand JOIN p ON p.vec_id = cand.vec_id
+         |  JOIN q ON q.qid = cand.qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM sc) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    },
     "llm_embed_cov_matrix" -> {
       // generated from the SAME dim list as the Spark side; exact
       // micro-unit integer moments, covariance finished in double
@@ -841,56 +944,27 @@ object LlmExtras {
     // unigram EM twin: the Viterbi DP is a recursive CTE building the
     // same packed combined = cost×100 + split array the Spark fold
     // builds (integer min ≡ cost argmin + smallest-split tie-break),
-    // then a second recursion walks the backpointers. len(word) < 100
-    // mirrors Unigram.MaxWordLen on both sides.
+    // then a second recursion walks the backpointers (unigramCte below,
+    // shared with the segment key). len(word) < 100 mirrors
+    // Unigram.MaxWordLen on both sides.
     "llm_unigram_em_step" ->
-      """WITH RECURSIVE
-        |wf AS (SELECT word, COUNT(*) AS w_n FROM (
-        |    SELECT unnest(string_split_regex(text, ' ')) AS word
-        |    FROM documents) w
-        |  WHERE regexp_full_match(word, '[A-Za-z]+') AND len(word) < 100
-        |  GROUP BY word),
-        |sub AS (SELECT word, w_n, r1.i AS i, r1.i + r2.l AS j,
-        |    substr(word, CAST(r1.i AS INT) + 1, CAST(r2.l AS INT)) AS piece
-        |  FROM wf, range(0, 100) r1(i), range(1, 5) r2(l)
-        |  WHERE r1.i < len(word) AND r1.i + r2.l <= len(word)),
-        |seed AS (SELECT piece, CAST(SUM(w_n) AS BIGINT) AS cnt FROM sub
-        |  GROUP BY piece),
-        |seedtot AS (SELECT SUM(cnt) AS tot FROM seed),
-        |model AS (SELECT piece,
-        |    CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
-        |      AS cost
-        |  FROM seed, seedtot),
-        |edges AS (SELECT s.word, s.i, s.j, m.cost
-        |  FROM sub s JOIN model m USING (piece)),
-        |dp AS (
-        |  SELECT word, w_n, CAST(0 AS BIGINT) AS j,
-        |    CAST([0] AS BIGINT[]) AS arr FROM wf
-        |  UNION ALL
-        |  SELECT d.word, d.w_n, d.j + 1 AS j,
-        |    array_append(d.arr,
-        |      MIN(((d.arr[CAST(e.i AS INT) + 1] // 100) + e.cost) * 100
-        |          + e.i)) AS arr
-        |  FROM dp d JOIN edges e ON e.word = d.word AND e.j = d.j + 1
-        |  WHERE d.j < len(d.word)
-        |  GROUP BY d.word, d.w_n, d.j, d.arr),
-        |dpf AS (SELECT word, w_n, arr FROM dp WHERE j = len(word)),
-        |bt AS (
-        |  SELECT word, w_n, arr, CAST(len(word) AS BIGINT) AS j FROM dpf
-        |  UNION ALL
-        |  SELECT word, w_n, arr, arr[CAST(j AS INT) + 1] % 100 AS j
-        |  FROM bt WHERE j > 0),
-        |used AS (SELECT word, w_n,
-        |    substr(word, CAST(arr[CAST(j AS INT) + 1] % 100 AS INT) + 1,
-        |      CAST(j - arr[CAST(j AS INT) + 1] % 100 AS INT)) AS piece
-        |  FROM bt WHERE j > 0),
-        |cnts AS (SELECT piece, CAST(SUM(w_n) AS BIGINT) AS cnt FROM used
-        |  GROUP BY piece),
-        |ctot AS (SELECT SUM(cnt) AS tot FROM cnts)
-        |SELECT piece, cnt,
-        |  CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
-        |    AS cost_micro
-        |FROM cnts, ctot ORDER BY piece""".stripMargin,
+      s"""WITH RECURSIVE
+         |$unigramCte,
+         |cnts AS (SELECT piece, CAST(SUM(w_n) AS BIGINT) AS cnt FROM used
+         |  GROUP BY piece),
+         |ctot AS (SELECT SUM(cnt) AS tot FROM cnts)
+         |SELECT piece, cnt,
+         |  CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)
+         |    AS cost_micro
+         |FROM cnts, ctot ORDER BY piece""".stripMargin,
+    // encode side over the same chain: per-word segmentation in start
+    // order (backtrace emits end positions j; start order ≡ j order)
+    "llm_unigram_segment" ->
+      s"""WITH RECURSIVE
+         |$unigramCte
+         |SELECT word, w_n, CAST(COUNT(*) AS INT) AS n_pieces,
+         |  string_agg(piece, '|' ORDER BY j) AS seg
+         |FROM used GROUP BY word, w_n ORDER BY word""".stripMargin,
     // llm_sim_topk_pca: omitted (float-order-dependent Jacobi eigen fit,
     // like the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec.
     // llm_sim_topk_pca_exact below IS the oracle-checked PCA: the whole

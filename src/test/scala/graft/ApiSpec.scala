@@ -1134,4 +1134,35 @@ class ApiSpec extends AnyFunSuite {
     assert(math.abs(dp) > 0.99,
       s"power-method dominant component disagrees with Jacobi: $dp")
   }
+
+  test("Similarity.topKRerank: recall at least the RP-only path, and " +
+      "rerank scores equal the exact scores") {
+    val e = spark.read.parquet(SparkFixture.sf0001 + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = Similarity.topK(e, col("vec_id"), col("embedding"), q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    def pairsOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerank = Similarity.topKRerank(e, col("vec_id"), col("embedding"),
+      q, k = 5, coarseK = 20, inDim = 64, outDim = 16, seed = 11).collect()
+    val rpOnly = Similarity.topKRandomProjection(e, col("vec_id"),
+      col("embedding"), q, k = 5, inDim = 64, outDim = 16, seed = 11)
+      .collect()
+    val exactPairs = exact.keySet
+    val rrRecall = (pairsOf(rerank) & exactPairs).size.toDouble
+    val rpRecall = (pairsOf(rpOnly) & exactPairs).size.toDouble
+    assert(rrRecall >= rpRecall,
+      s"rerank recall $rrRecall below RP-only $rpRecall")
+    assert(rrRecall > 0, "rerank found nothing from the exact top-5")
+    // candidates the rerank DID return score with the exact dot — same
+    // value the brute-force path computes
+    rerank.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach { s =>
+        assert(r.getDouble(2) == s, s"rerank score diverges at $key")
+      }
+    }
+  }
 }
