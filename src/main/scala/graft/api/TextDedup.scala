@@ -905,6 +905,64 @@ object TextDedup {
           .otherwise(col("__max_run") + (w - 1)).as("max_dup_span_tokens"))
   }
 
+  /** The APPLY step of [[dupSubstringStats]] — materialize the corpus
+    * with exactly-duplicated token spans REMOVED, keeping the globally
+    * first occurrence (Lee et al. 2022's substring-dedup transform, in
+    * its shardable rolling-window realization): a token is cut when any
+    * w-token window covering it occurs at an earlier (doc, position)
+    * anywhere in the corpus. Earlier = the minimum of the packed key
+    * doc_id·10⁶ + pos, so `id` must be a non-negative integral column
+    * and docs must stay under 10⁶ tokens (any corpus shards to that).
+    *
+    * Output: (doc_id, n_tokens, n_kept, text_dedup) — docs whose entire
+    * content duplicates earlier text come back with n_kept = 0 and an
+    * empty string, exactly what a training-set materialization wants.
+    *
+    * Scale shape: the window/canonical stages are [[dupSubstringStats]]'s
+    * (hash shuffles only); the removal join is an equi-join on doc_id
+    * with the coverage band as a residual predicate — per-doc bounded,
+    * never corpus×corpus — and the rebuild is one per-doc aggregate
+    * (sort inside the row, no global sort). */
+  def dedupSubstrings(df: DataFrame, id: Column, text: Column,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2,
+      s"windowTokens=$windowTokens must be >= 2")
+    val w = windowTokens
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("__tk"))
+    val wins = toks
+      .filter(size(col("__tk")) >= w)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__tk")) - (w - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("__tk"), i, lit(w)))).as("h"))))
+        .as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("h"))
+    val canon = wins.groupBy("h")
+      .agg(count(lit(1)).as("__n_occ"),
+        min(col("doc_id") * 1000000L + col("pos")).as("__cn"))
+    val flagged = wins.join(canon, "h")
+      .filter(col("__n_occ") > 1 &&
+        col("doc_id") * 1000000L + col("pos") =!= col("__cn"))
+      .select(col("doc_id").as("__fd"), col("pos").as("__fp"))
+    val tok = toks
+      .select(col("doc_id"),
+        posexplode(col("__tk")).as(Seq("__p0", "token")))
+      .select(col("doc_id"), (col("__p0") + 1).as("t"), col("token"))
+    val kept = tok.join(flagged,
+      col("doc_id") === col("__fd") && col("t") >= col("__fp") &&
+        col("t") <= col("__fp") + (w - 1), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("t"), col("token")))),
+          s => s("token"))).as("text_dedup"))
+    toks.select(col("doc_id"), size(col("__tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   def dupChunkFrac(df: DataFrame, id: Column, text: Column,
       chunkTokens: Int = 8): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")

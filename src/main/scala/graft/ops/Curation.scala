@@ -318,6 +318,16 @@ object Curation {
       graft.api.TextDedup
         .dupSubstringStats(documents(s, d), col("doc_id"), col("text"))
         .withColumn("dup_window_frac", round(col("dup_window_frac"), 6))
+        .orderBy("doc_id")),
+
+    // the APPLY step: the corpus materialized with duplicated ≥8-token
+    // spans cut (keep the globally-first occurrence) — what a training
+    // run actually reads after substring dedup. Removal is an equi-join
+    // on doc_id with the coverage band as residual; rebuild sorts
+    // inside each row, no global sort.
+    "llm_dedup_substring_apply" -> ((s, d) =>
+      graft.api.TextDedup
+        .dedupSubstrings(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id"))
   )
 
@@ -556,6 +566,33 @@ object Curation {
         |  CAST(CASE WHEN r.max_run IS NULL THEN 0
         |       ELSE r.max_run + 7 END AS BIGINT) AS max_dup_span_tokens
         |FROM agg a LEFT JOIN rmax r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_substring_apply" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(1, len(tk) - 6)) AS pos,
+        |    unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS h
+        |  FROM tk WHERE len(tk) >= 8),
+        |canon AS (SELECT h, COUNT(*) AS n_occ,
+        |    MIN(doc_id * 1000000 + pos) AS cn
+        |  FROM w GROUP BY h),
+        |flg AS (SELECT doc_id, pos FROM w JOIN canon USING (h)
+        |  WHERE n_occ > 1 AND doc_id * 1000000 + pos != cn),
+        |tok AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS t,
+        |    unnest(tk) AS token FROM tk),
+        |kept AS (SELECT tok.doc_id, t, token FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM flg
+        |    WHERE flg.doc_id = tok.doc_id
+        |      AND tok.t BETWEEN flg.pos AND flg.pos + 7)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(token, ' ' ORDER BY t) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM tk b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1165,4 +1165,31 @@ class ApiSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TextDedup.dedupSubstrings cuts a shifted repeat from the later " +
+      "doc only, keeps short docs whole, empties full duplicates") {
+    val r = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val df = Seq(
+      (1L, s"fa1 fa2 fa3 fa4 $r fa5 fa6"),   // canonical holder of R
+      (2L, s"gb1 $r gb2 gb3 gb4 gb5 gb6"),   // R at a different offset
+      (3L, "tiny doc below window width"),    // < 8 tokens: untouched
+      (4L, s"fa1 fa2 fa3 fa4 $r fa5 fa6")     // full duplicate of doc 1
+    ).toDF("id", "body")
+    val out = TextDedup.dedupSubstrings(df, col("id"), col("body"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is the global first occurrence of every duplicated window:
+    // fully kept
+    assert(out(1L) == ((16L, 16L,
+      s"fa1 fa2 fa3 fa4 $r fa5 fa6")), s"doc1: ${out(1L)}")
+    // doc 2 loses exactly R (tokens 2..11), keeps its own fillers
+    assert(out(2L) == ((16L, 6L, "gb1 gb2 gb3 gb4 gb5 gb6")),
+      s"doc2: ${out(2L)}")
+    // short doc: no windows, fully kept
+    assert(out(3L) == ((5L, 5L, "tiny doc below window width")),
+      s"doc3: ${out(3L)}")
+    // doc 4 duplicates doc 1 wholesale: every token covered, emptied
+    assert(out(4L) == ((16L, 0L, "")), s"doc4: ${out(4L)}")
+  }
 }
