@@ -462,4 +462,22 @@ class PlanSpec extends AnyFunSuite {
       "EqualTo(o_orderpriority,1-URGENT)"),
       s"urgent filter not pushed to the orders scan:\n$p")
   }
+
+  test("llm_sim_topk_rerank: exact rerank never scans the corpus — the " +
+      "candidate frame broadcasts; no cartesian") {
+    val p = plan("llm_sim_topk_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate/query joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+    assert(!p.contains("SortMergeJoin"),
+      s"rerank must not shuffle the corpus for the bounded candidates:\n$p")
+  }
+
+  test("llm_dedup_substring_apply: removal join is doc-keyed (band as " +
+      "residual), never a cartesian") {
+    val p = plan("llm_dedup_substring_apply")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"coverage join degenerated to an unbounded pair scan:\n$p")
+  }
 }
