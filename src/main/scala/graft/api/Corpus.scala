@@ -53,4 +53,35 @@ object Corpus {
       .withColumn("bucket", substring(md5(col("__token")), 1, bucketNibbles))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
   }
+
+  /** Snapshot diff — the nightly "what changed between crawls" audit a
+    * dataset card links to: per `group` (e.g. source), how many docs
+    * were added (id only in the new snapshot), removed (only in the
+    * old), changed (same id, different content hash) and unchanged.
+    * Content comparison is by md5, so document BYTES never ride the
+    * diff join — the shuffle carries (id, 32-byte hash, group), and the
+    * one full-outer join is id-keyed. Output: (group, n_added,
+    * n_removed, n_changed, n_unchanged). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
+      text: Column, group: Column): DataFrame = {
+    val o = oldDf.select(id.as("__id"), md5(text).as("__oh"),
+      group.as("__og"))
+    val n = newDf.select(id.as("__id"), md5(text).as("__nh"),
+      group.as("__ng"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(coalesce(col("__ng"), col("__og")).as("group"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("__st"))
+      .groupBy("group")
+      .agg(sum(when(col("__st") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("__st") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("__st") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("__st") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
 }

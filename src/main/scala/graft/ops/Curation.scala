@@ -328,7 +328,27 @@ object Curation {
     "llm_dedup_substring_apply" -> ((s, d) =>
       graft.api.TextDedup
         .dedupSubstrings(documents(s, d), col("doc_id"), col("text"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // snapshot diff (graft.api.Corpus.snapshotDiff) — the nightly
+    // "what changed between crawls" audit: per source, docs added /
+    // removed / changed / unchanged between two corpus snapshots
+    // (derived deterministically from the fixture: %10==3 added since
+    // the old snapshot, %10==6 removed since, %10==7 re-crawled with
+    // edited text). Content compares by md5, so the diff join shuffles
+    // 32-byte hashes keyed by id — document bytes never move.
+    "llm_corpus_diff" -> ((s, d) => {
+      val docs = documents(s, d)
+      val old = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 7, substring(col("text"), 1, 40))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+      val nw = docs.filter(col("doc_id") % 10 =!= 6)
+      graft.api.Corpus
+        .snapshotDiff(old, nw, col("doc_id"), col("text"), col("source"))
+        .orderBy("group")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -593,6 +613,29 @@ object Curation {
         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
         |  COALESCE(a.text_dedup, '') AS text_dedup
         |FROM tk b LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "llm_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 7 THEN substr(text, 1, 40)
+        |         ELSE text END AS text, source
+        |  FROM documents WHERE doc_id % 10 != 3),
+        |n AS (SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id % 10 != 6),
+        |j AS (SELECT COALESCE(n.source, o.source) AS grp,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) != md5(n.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS st
+        |  FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT grp AS "group",
+        |  CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin
   )
 }

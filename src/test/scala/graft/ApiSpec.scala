@@ -1192,4 +1192,25 @@ class ApiSpec extends AnyFunSuite {
     // doc 4 duplicates doc 1 wholesale: every token covered, emptied
     assert(out(4L) == ((16L, 0L, "")), s"doc4: ${out(4L)}")
   }
+
+  test("Corpus.snapshotDiff classifies added/removed/changed/unchanged " +
+      "per group on arbitrary column names") {
+    import graft.api.Corpus
+    val old = Seq(
+      (1L, "alpha text", "web"), (2L, "beta text", "web"),
+      (3L, "gamma text", "books")
+    ).toDF("k", "body", "src")
+    val nw = Seq(
+      (1L, "alpha text", "web"),      // unchanged
+      (2L, "beta EDITED", "web"),     // changed
+      (4L, "delta text", "books")     // added; 3 removed
+    ).toDF("k", "body", "src")
+    val got = Corpus
+      .snapshotDiff(old, nw, col("k"), col("body"), col("src"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("web") == ((0L, 0L, 1L, 1L)), s"web: ${got("web")}")
+    assert(got("books") == ((1L, 1L, 0L, 0L)), s"books: ${got("books")}")
+  }
 }
