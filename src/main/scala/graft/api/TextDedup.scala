@@ -929,14 +929,7 @@ object TextDedup {
       s"windowTokens=$windowTokens must be >= 2")
     val w = windowTokens
     val toks = df.select(id.as("doc_id"), split(text, " ").as("__tk"))
-    val wins = toks
-      .filter(size(col("__tk")) >= w)
-      .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("__tk")) - (w - 1)),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(col("__tk"), i, lit(w)))).as("h"))))
-        .as("__w"))
-      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("h"))
+    val wins = rollingWindows(toks, w)
     val canon = wins.groupBy("h")
       .agg(count(lit(1)).as("__n_occ"),
         min(col("doc_id") * 1000000L + col("pos")).as("__cn"))
@@ -944,6 +937,28 @@ object TextDedup {
       .filter(col("__n_occ") > 1 &&
         col("doc_id") * 1000000L + col("pos") =!= col("__cn"))
       .select(col("doc_id").as("__fd"), col("pos").as("__fp"))
+    removeCoveredSpans(toks, flagged, w)
+  }
+
+  /** (doc_id, pos, h) rolling w-token window hashes over a
+    * (doc_id, __tk) token frame — the lattice both substring engines
+    * share. */
+  private def rollingWindows(toks: DataFrame, w: Int): DataFrame =
+    toks
+      .filter(size(col("__tk")) >= w)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__tk")) - (w - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("__tk"), i, lit(w)))).as("h"))))
+        .as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("h"))
+
+  /** Cut every token covered by a flagged (doc, window-start) span and
+    * rebuild the docs — the shared apply stage: equi-join on doc_id
+    * with the coverage band as residual, per-doc rebuild sorting inside
+    * the row. `flagged` carries (__fd, __fp). */
+  private def removeCoveredSpans(toks: DataFrame, flagged: DataFrame,
+      w: Int): DataFrame = {
     val tok = toks
       .select(col("doc_id"),
         posexplode(col("__tk")).as(Seq("__p0", "token")))
@@ -961,6 +976,66 @@ object TextDedup {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Persist the corpus's distinct rolling-window hashes as a parquet
+    * index for INCREMENTAL substring dedup — the nightly sibling of
+    * [[writeSignatureIndex]]: the accumulated corpus is windowed once;
+    * each delta shard then cuts spans against the index without
+    * re-reading corpus text ([[dedupSubstringsAgainstIndex]]). The
+    * index stores one 32-byte md5 per DISTINCT window (engine-portable,
+    * any md5-capable engine can write or probe it); `windowTokens` is
+    * recorded and checked at read time — a mismatch changes every hash
+    * and would silently cut nothing. Accepting a screened shard =
+    * appending its distinct window hashes (`mode("append")` on the
+    * hashes table); compact periodically. */
+  def writeSubstringIndex(df: DataFrame, id: Column, text: Column,
+      path: String, windowTokens: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(windowTokens)).toDF("window_tokens")
+      .write.mode("overwrite").parquet(s"$path/params")
+    rollingWindows(df.select(id.as("doc_id"), split(text, " ").as("__tk")),
+        windowTokens)
+      .select("h").distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+  }
+
+  /** Incremental substring dedup of a delta shard against a
+    * [[writeSubstringIndex]] corpus index: a delta token is cut when a
+    * covering window's text exists ANYWHERE in the indexed corpus
+    * (every corpus occurrence is by definition earlier than the delta)
+    * OR at an earlier packed (doc, pos) within the shard itself — so
+    * when delta ids sort after corpus ids, the result equals
+    * [[dedupSubstrings]] over corpus ∪ delta restricted to the delta
+    * (pinned in ApiSpec). The join probes the hashes table on the
+    * 32-byte key — corpus text is never re-read, and the index is a
+    * fraction of corpus bytes. Output: [[dedupSubstrings]]'s schema,
+    * delta rows only. */
+  def dedupSubstringsAgainstIndex(shard: DataFrame, id: Column,
+      text: Column, indexPath: String, windowTokens: Int = 8): DataFrame = {
+    val spark = shard.sparkSession
+    val p = spark.read.parquet(s"$indexPath/params").head()
+    val w0 = p.getAs[Int]("window_tokens")
+    require(w0 == windowTokens,
+      s"substring index at $indexPath was written with windowTokens=$w0 " +
+        s"but caller passed $windowTokens — every window hash differs, " +
+        "the screen would silently cut nothing")
+    val w = windowTokens
+    val toks = shard.select(id.as("doc_id"), split(text, " ").as("__tk"))
+    val wins = rollingWindows(toks, w)
+    val idx = spark.read.parquet(s"$indexPath/hashes")
+    val inCorpus = wins.join(idx, Seq("h"), "left_semi")
+      .select(col("doc_id").as("__fd"), col("pos").as("__fp"))
+    val canon = wins.groupBy("h")
+      .agg(count(lit(1)).as("__n_occ"),
+        min(col("doc_id") * 1000000L + col("pos")).as("__cn"))
+    val intraShard = wins.join(canon, "h")
+      .filter(col("__n_occ") > 1 &&
+        col("doc_id") * 1000000L + col("pos") =!= col("__cn"))
+      .select(col("doc_id").as("__fd"), col("pos").as("__fp"))
+    removeCoveredSpans(toks,
+      inCorpus.unionByName(intraShard).distinct(), w)
   }
 
   def dupChunkFrac(df: DataFrame, id: Column, text: Column,

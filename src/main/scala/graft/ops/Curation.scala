@@ -330,6 +330,26 @@ object Curation {
         .dedupSubstrings(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // INCREMENTAL substring dedup — the nightly form of
+    // llm_dedup_substring_apply, composing the r6 persisted-index shape
+    // with the r7 rolling-window engine: the corpus's distinct window
+    // hashes persist once (writeSubstringIndex); the day's delta shard
+    // cuts every span whose window text exists in the index OR earlier
+    // within the shard itself. Corpus text is never re-read; the probe
+    // is a 32-byte-hash semi-join.
+    "llm_dedup_substring_delta" -> ((s, d) => {
+      val docs = documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val idx = new java.io.File("target/graft-substr-index/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.TextDedup.writeSubstringIndex(corpus, col("doc_id"),
+        col("text"), idx)
+      graft.api.TextDedup
+        .dedupSubstringsAgainstIndex(delta, col("doc_id"), col("text"), idx)
+        .orderBy("doc_id")
+    }),
+
     // snapshot diff (graft.api.Corpus.snapshotDiff) — the nightly
     // "what changed between crawls" audit: per source, docs added /
     // removed / changed / unchanged between two corpus snapshots
@@ -614,6 +634,40 @@ object Curation {
         |  COALESCE(a.text_dedup, '') AS text_dedup
         |FROM tk b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_substring_delta" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(1, len(tk) - 6)) AS pos,
+        |    unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS h
+        |  FROM tk WHERE len(tk) >= 8),
+        |cw AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 != 0),
+        |dw AS (SELECT doc_id, pos, h FROM w WHERE doc_id % 10 = 0),
+        |ic AS (SELECT doc_id, pos FROM dw
+        |  WHERE h IN (SELECT h FROM cw)),
+        |cn AS (SELECT h, COUNT(*) AS n_occ,
+        |    MIN(doc_id * 1000000 + pos) AS cnk
+        |  FROM dw GROUP BY h),
+        |ish AS (SELECT doc_id, pos FROM dw JOIN cn USING (h)
+        |  WHERE n_occ > 1 AND doc_id * 1000000 + pos != cnk),
+        |flg AS (SELECT doc_id, pos FROM ic
+        |  UNION SELECT doc_id, pos FROM ish),
+        |tok AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS t,
+        |    unnest(tk) AS token FROM tk WHERE doc_id % 10 = 0),
+        |kept AS (SELECT tok.doc_id, t, token FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM flg
+        |    WHERE flg.doc_id = tok.doc_id
+        |      AND tok.t BETWEEN flg.pos AND flg.pos + 7)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(token, ' ' ORDER BY t) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM tk b LEFT JOIN agg a USING (doc_id)
+        |WHERE b.doc_id % 10 = 0
+        |ORDER BY b.doc_id""".stripMargin,
     "llm_corpus_diff" ->
       """WITH o AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 7 THEN substr(text, 1, 40)

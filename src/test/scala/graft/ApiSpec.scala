@@ -1213,4 +1213,43 @@ class ApiSpec extends AnyFunSuite {
     assert(got("web") == ((0L, 0L, 1L, 1L)), s"web: ${got("web")}")
     assert(got("books") == ((1L, 1L, 0L, 0L)), s"books: ${got("books")}")
   }
+
+  test("TextDedup.dedupSubstringsAgainstIndex equals the whole-corpus " +
+      "apply restricted to the delta when delta ids sort last") {
+    val r = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val corpus = Seq(
+      (1L, s"fa1 fa2 fa3 fa4 $r fa5 fa6"),
+      (2L, "ca1 ca2 ca3 ca4 ca5 ca6 ca7 ca8 ca9"),
+      (3L, "cb1 cb2 cb3 cb4 cb5 cb6 cb7 cb8")
+    ).toDF("id", "body")
+    val delta = Seq(
+      (10L, s"gb1 $r gb2 gb3 gb4 gb5 gb6"),     // R known to the index
+      (11L, "da1 da2 da3 da4 da5 da6 da7 da8"), // fresh content
+      (12L, "da1 da2 da3 da4 da5 da6 da7 da8")  // intra-shard duplicate
+    ).toDF("id", "body")
+    val dir = new java.io.File(SparkFixture.tempDir("graft_substr_idx_"),
+      "idx").getAbsolutePath
+    TextDedup.writeSubstringIndex(corpus, col("id"), col("body"), dir)
+    val got = TextDedup
+      .dedupSubstringsAgainstIndex(delta, col("id"), col("body"), dir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val expected = TextDedup
+      .dedupSubstrings(corpus.unionByName(delta), col("id"), col("body"))
+      .filter(col("doc_id") >= 10L)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == expected,
+      s"delta screen diverges from whole-corpus apply:\n$got\nvs\n$expected")
+    // and the screen did real work: doc 10 lost R, doc 12 emptied by 11
+    val byId = TextDedup
+      .dedupSubstringsAgainstIndex(delta, col("id"), col("body"), dir)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(2)).toMap
+    assert(byId(10L) == 6L && byId(11L) == 8L && byId(12L) == 0L,
+      s"unexpected kept counts: $byId")
+    // parameter mismatch fails loudly instead of cutting nothing
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.dedupSubstringsAgainstIndex(delta, col("id"), col("body"),
+        dir, windowTokens = 6)
+    }
+    assert(e.getMessage.contains("windowTokens"))
+  }
 }
