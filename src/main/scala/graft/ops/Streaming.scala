@@ -263,6 +263,27 @@ object Streaming {
           indexPath))
     }
 
+  /** Streaming twin of the INCREMENTAL SUBSTRING screen — the same
+    * stream-static shape as [[twinDedupAgainstIndex]]: each micro-batch
+    * runs the batch `dedupSubstringsAgainstIndex` verbatim against the
+    * persisted window-hash index (zero state store; the index is the
+    * only state, refreshed on its own append cadence). Spans duplicated
+    * WITHIN one micro-batch are cut by the intra-shard rule; dup spans
+    * split across batches are the index-append cadence's job — the
+    * documented divergence from a single batch run, identical to the
+    * signature-screen twin's contract. */
+  def twinSubstringDedupAgainstIndex(docs: DataFrame,
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, indexPath: String)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.TextDedup.dedupSubstringsAgainstIndex(batch, id,
+          text, indexPath))
+    }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

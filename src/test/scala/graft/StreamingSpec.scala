@@ -351,4 +351,46 @@ class StreamingSpec extends AnyFunSuite {
         s"got ${got.synchronized(got.toSeq)}")
     } finally q.stop()
   }
+
+  test("streaming substring screen: micro-batches match the batch " +
+      "dedupSubstringsAgainstIndex, intra-batch repeats cut by the " +
+      "self-rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val r = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val corpus = Seq(
+      (1L, s"fa1 fa2 fa3 fa4 $r fa5 fa6"),
+      (2L, "ca1 ca2 ca3 ca4 ca5 ca6 ca7 ca8 ca9")
+    ).toDF("doc_id", "text")
+    val dir = new java.io.File(
+      SparkFixture.tempDir("graft_substr_stream_"), "idx").getAbsolutePath
+    graft.api.TextDedup.writeSubstringIndex(corpus, col("doc_id"),
+      col("text"), dir)
+    val in = MemoryStream[(Long, String)]
+    val emitted =
+      scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val q = Streaming.twinSubstringDedupAgainstIndex(
+        in.toDF.toDF("doc_id", "text"), col("doc_id"), col("text"), dir) {
+      batch => emitted.synchronized {
+        batch.collect().foreach(row =>
+          emitted(row.getLong(0)) = (row.getLong(2), row.getString(3)))
+      }
+    }.start()
+    try {
+      // batch 1: a shifted copy of R (index cut) + a fresh doc
+      in.addData((10L, s"gb1 $r gb2 gb3 gb4 gb5 gb6"),
+        (11L, "da1 da2 da3 da4 da5 da6 da7 da8"))
+      q.processAllAvailable()
+      // batch 2: an intra-batch duplicated template — never in the index
+      in.addData((12L, "ea1 ea2 ea3 ea4 ea5 ea6 ea7 ea8"),
+        (13L, "ea1 ea2 ea3 ea4 ea5 ea6 ea7 ea8"))
+      q.processAllAvailable()
+      val got = emitted.synchronized(emitted.toMap)
+      assert(got(10L) == ((6L, "gb1 gb2 gb3 gb4 gb5 gb6")),
+        s"index span not cut: ${got(10L)}")
+      assert(got(11L)._1 == 8L, s"fresh doc modified: ${got(11L)}")
+      assert(got(12L)._1 == 8L && got(13L) == ((0L, "")),
+        s"intra-batch repeat not cut by the self-rule: $got")
+    } finally q.stop()
+  }
 }
