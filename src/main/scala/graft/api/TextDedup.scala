@@ -871,18 +871,15 @@ object TextDedup {
       s"windowTokens=$windowTokens must be >= 2 (1 would degrade to " +
         "token frequency)")
     val w = windowTokens
-    val wins = df
-      .select(id.as("doc_id"), split(text, " ").as("__tk"))
-      .filter(size(col("__tk")) >= w)
-      .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("__tk")) - (w - 1)),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(col("__tk"), i, lit(w)))).as("h"))))
-        .as("__w"))
-      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("h"))
-    val freq = wins.groupBy("h").agg(count(lit(1)).as("__n_occ"))
-    val flagged = wins.join(freq, "h")
-      .select(col("doc_id"), col("pos"), (col("__n_occ") > 1).as("dup"))
+    // occurrence counts via a window over the hash, not groupBy + join
+    // back: the join spelling re-derives the corpus tokenization for
+    // the probe side (two full passes); the window shuffles the same
+    // (doc, pos, h) rows by h ONCE and flags in place
+    val hW = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val flagged = rollingWindows(
+        df.select(id.as("doc_id"), split(text, " ").as("__tk")), w)
+      .withColumn("dup", count(lit(1)).over(hW) > 1)
+      .select(col("doc_id"), col("pos"), col("dup"))
     val perDoc = flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
@@ -929,15 +926,23 @@ object TextDedup {
       s"windowTokens=$windowTokens must be >= 2")
     val w = windowTokens
     val toks = df.select(id.as("doc_id"), split(text, " ").as("__tk"))
-    val wins = rollingWindows(toks, w)
-    val canon = wins.groupBy("h")
-      .agg(count(lit(1)).as("__n_occ"),
-        min(col("doc_id") * 1000000L + col("pos")).as("__cn"))
-    val flagged = wins.join(canon, "h")
+    removeCoveredSpans(toks, laterOccurrences(rollingWindows(toks, w)), w)
+  }
+
+  /** Windows whose text occurs at an earlier packed (doc·10⁶ + pos) key
+    * — the non-canonical occurrences a substring apply cuts. One window
+    * pass over the hash (count + min in the same shuffle); the groupBy
+    * + join-back spelling would tokenize the corpus twice. Output:
+    * (__fd, __fp). */
+  private def laterOccurrences(wins: DataFrame): DataFrame = {
+    val hW = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    wins
+      .withColumn("__n_occ", count(lit(1)).over(hW))
+      .withColumn("__cn",
+        min(col("doc_id") * 1000000L + col("pos")).over(hW))
       .filter(col("__n_occ") > 1 &&
         col("doc_id") * 1000000L + col("pos") =!= col("__cn"))
       .select(col("doc_id").as("__fd"), col("pos").as("__fp"))
-    removeCoveredSpans(toks, flagged, w)
   }
 
   /** (doc_id, pos, h) rolling w-token window hashes over a
@@ -1027,15 +1032,8 @@ object TextDedup {
     val idx = spark.read.parquet(s"$indexPath/hashes")
     val inCorpus = wins.join(idx, Seq("h"), "left_semi")
       .select(col("doc_id").as("__fd"), col("pos").as("__fp"))
-    val canon = wins.groupBy("h")
-      .agg(count(lit(1)).as("__n_occ"),
-        min(col("doc_id") * 1000000L + col("pos")).as("__cn"))
-    val intraShard = wins.join(canon, "h")
-      .filter(col("__n_occ") > 1 &&
-        col("doc_id") * 1000000L + col("pos") =!= col("__cn"))
-      .select(col("doc_id").as("__fd"), col("pos").as("__fp"))
     removeCoveredSpans(toks,
-      inCorpus.unionByName(intraShard).distinct(), w)
+      inCorpus.unionByName(laterOccurrences(wins)).distinct(), w)
   }
 
   def dupChunkFrac(df: DataFrame, id: Column, text: Column,
