@@ -1048,8 +1048,11 @@ object TextDedup {
             slice(col("__tk"), i * chunkTokens + 1, lit(chunkTokens)))))
         .as("__chunk"))
       .select(col("doc_id"), md5(col("__chunk")).as("__h"))
-    val freq = chunks.groupBy("__h").agg(count(lit(1)).as("__n_occ"))
-    chunks.join(freq, "__h")
+    // occurrence counts via a window over the hash (one shuffle, one
+    // tokenization) — the groupBy + join-back spelling re-derives the
+    // chunk lattice for the probe side (see dedupSubstrings)
+    val chunkW = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    chunks.withColumn("__n_occ", count(lit(1)).over(chunkW))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("__n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))

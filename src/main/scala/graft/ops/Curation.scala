@@ -216,10 +216,15 @@ object Curation {
       val counts = documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("c"))
-      val tot = counts.groupBy("source")
-        .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_distinct"))
+      // per-source totals via a window, not groupBy + join back: the
+      // join spelling re-runs the corpus explode for the probe side
+      // (the llm_lang_id multiple-consumer hazard, solved plan-side
+      // here since there are only two consumers)
+      val srcW = org.apache.spark.sql.expressions.Window.partitionBy("source")
       val p = col("c").cast("double") / col("tot")
-      counts.join(tot, "source")
+      counts
+        .withColumn("tot", sum(col("c")).over(srcW))
+        .withColumn("n_distinct", count(lit(1)).over(srcW))
         .withColumn("term",
           round(p * log(p), 9).cast(DecimalType(18, 9)))
         .groupBy("source")
