@@ -480,4 +480,19 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"coverage join degenerated to an unbounded pair scan:\n$p")
   }
+
+  test("llm_dedup_substring_delta: index probe is a hash semi-join; no " +
+      "cartesian anywhere in the screen") {
+    val p = plan("llm_dedup_substring_delta")
+    assert(p.contains("LeftSemi"), s"index probe must be a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"screen degenerated to an unbounded pair scan:\n$p")
+  }
+
+  test("llm_corpus_diff: one id-keyed full-outer join, hashes only") {
+    val p = plan("llm_corpus_diff")
+    assert(p.contains("FullOuter"), s"expected full-outer diff join:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+  }
 }
