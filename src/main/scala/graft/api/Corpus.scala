@@ -54,6 +54,37 @@ object Corpus {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** Materialized temperature sampling (α = 0.5) — the APPLY step of
+    * the domain-weights computation: each group's share of the `budget`
+    * is ∝ √n (upsampling small domains, the multilingual mixing rule),
+    * and the rows taken are the first n_take of the group's
+    * deterministic salted-hash order — so every training run samples
+    * the SAME documents, and a re-salt is a fresh epoch with zero
+    * layout change. √n terms round 6 dp into DECIMAL before the
+    * normalizing sum (order-free denominator, SURVEY §7.2.2).
+    *
+    * Scale shape: a |groups|-row aggregate broadcast back, one window
+    * partitioned BY GROUP (per-group sort, no global sort — the
+    * shuffleShard discipline). Output: the input rows of the sample. */
+  def temperatureSample(df: DataFrame, id: Column, group: Column,
+      budget: Int, salt: String = "sample"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perG = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .withColumn("__sq",
+        round(sqrt(col("__n")), 6).cast(DecimalType(18, 6)))
+    val tot = perG.agg(sum(col("__sq")).as("__tot"))
+    val take = perG.crossJoin(broadcast(tot))
+      .select(col("__g"),
+        round(col("__sq").cast("double") / col("__tot").cast("double")
+          * budget).cast("int").as("__take"))
+    val w = Window.partitionBy(group)
+      .orderBy(md5(concat(lit(s"$salt:"), id.cast("string"))), id)
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(take), group === col("__g"))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__g", "__take", "__rn")
+  }
+
   /** Snapshot diff — the nightly "what changed between crawls" audit a
     * dataset card links to: per `group` (e.g. source), how many docs
     * were added (id only in the new snapshot), removed (only in the

@@ -501,6 +501,66 @@ object TextDedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** CONTAINMENT near-dup pairs within an equi-key bucket: pairs where
+    * the smaller doc's shingle set is ≥ `minContainment` contained in
+    * the larger's — |A∩B| / |A| with A the shingle-smaller side. This is
+    * the asymmetric case jaccard-based dedup structurally misses: a
+    * 100-shingle doc fully embedded in a 10 000-shingle doc has jaccard
+    * ≈ 0.01 but containment 1.0 (quote farms, boilerplate wrappers,
+    * re-posts with long prefaces).
+    *
+    * Candidate generation adapts the prefix filter to the asymmetric
+    * overlap bound: containment ≥ c needs |A∩B| ≥ ⌈c·|A|⌉ shared
+    * shingles, so if NONE of A's (|A| − ⌈c·|A|⌉ + 1) smallest shingles
+    * were shared, the remaining overlap tops out at ⌈c·|A|⌉ − 1 — at
+    * least one prefix shingle must be shared (100% recall). The big
+    * side cannot be prefix-bounded (its share of A can sit anywhere in
+    * it), so the join probes A's prefix against the big side's FULL
+    * shingle inventory on (bucket, shingle): pair-space is bounded by
+    * per-shingle document frequency, and w-token shingles (not tokens)
+    * keep that df small — the selectivity knob. Output: (bucket,
+    * doc_small, doc_big, containment 4 dp). */
+  def containmentWithinBucket(df: DataFrame, id: Column, bucket: Column,
+      text: Column, minContainment: Double = 0.9,
+      shingleWidth: Int = 3): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment=$minContainment must be in (0, 1]")
+    val c = minContainment
+    val base = df.select(id.as("__id"), bucket.as("__bucket"),
+        split(text, " ").as("tk"))
+      .filter(size(col("tk")) >= shingleWidth)
+      .select(col("__id"), col("__bucket"), array_sort(array_distinct(
+        transform(sequence(lit(1), size(col("tk")) - (shingleWidth - 1)),
+          i => concat_ws(" ", slice(col("tk"), i, lit(shingleWidth))))))
+        .as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    // prefix rows carry keys only (the exchange-volume rule); the
+    // verify joins the bounded candidate set back to `base`
+    val pref = base.select(col("__id"), col("__bucket"), col("nsh"),
+      explode(slice(col("sh"), lit(1),
+        (col("nsh") - ceil(col("nsh") * c) + 1).cast("int"))).as("__ps"))
+    val inv = base.select(col("__id"), col("__bucket"), col("nsh"),
+      explode(col("sh")).as("__ps"))
+    val a = pref.alias("a"); val b = inv.alias("b")
+    val cand = a.join(b, col("a.__bucket") === col("b.__bucket") &&
+          col("a.__ps") === col("b.__ps") &&
+          (col("a.nsh") < col("b.nsh") ||
+            (col("a.nsh") === col("b.nsh") &&
+              col("a.__id") < col("b.__id"))))
+      .select(col("a.__bucket").as("bucket"),
+        col("a.__id").as("doc_small"), col("b.__id").as("doc_big"))
+      .dropDuplicates("doc_small", "doc_big")
+    val pairs = cand
+      .join(base.select(col("__id").as("doc_small"), col("sh").as("sa")),
+        "doc_small")
+      .join(base.select(col("__id").as("doc_big"), col("sh").as("sb")),
+        "doc_big")
+    pairs.select(col("bucket"), col("doc_small"), col("doc_big"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")).cast("double"), 4).as("containment"))
+      .filter(col("containment") >= c)
+  }
+
   /** Connected components over an undirected near-duplicate edge list —
     * the pairs→clusters step that turns pairwise dedup output into "keep
     * one doc per cluster". Each node maps to the minimum id reachable in

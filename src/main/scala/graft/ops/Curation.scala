@@ -272,6 +272,18 @@ object Curation {
         .orderBy("source")
     }),
 
+    // the domain-weights APPLY (graft.api.Corpus.temperatureSample):
+    // the √n-weighted sample MATERIALIZED — each source contributes its
+    // rounded share of the budget, rows chosen by the deterministic
+    // salted-hash order so every run reads the same sample. One
+    // |sources|-row broadcast + one per-source window; no global sort.
+    "llm_sample_temperature" -> ((s, d) =>
+      graft.api.Corpus.temperatureSample(
+          documents(s, d).select("doc_id", "source"), col("doc_id"),
+          col("source"), budget = SampleBudget)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // deterministic global shuffle + shard assignment — the step between
     // curation and tokenization: every training run must read the SAME
     // byte order, so the "shuffle" is a hash ORDER, never an RNG. Shard =
@@ -553,6 +565,22 @@ object Curation {
          |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * $SampleBudget,
          |    2) AS expected_docs
          |FROM s, t ORDER BY source""".stripMargin,
+    "llm_sample_temperature" ->
+      s"""WITH s AS (SELECT source, COUNT(*) AS n,
+         |    CAST(ROUND(sqrt(COUNT(*)), 6) AS DECIMAL(18,6)) AS sq
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT SUM(sq) AS tot FROM s),
+         |k AS (SELECT source,
+         |    CAST(ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)
+         |      * $SampleBudget) AS INT) AS n_take
+         |  FROM s, t),
+         |r AS (SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r JOIN k USING (source)
+         |WHERE rn <= n_take ORDER BY doc_id""".stripMargin,
     "llm_shuffle_shard" ->
       """WITH h AS (SELECT doc_id, source,
         |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)

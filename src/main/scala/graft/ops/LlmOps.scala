@@ -175,6 +175,19 @@ object LlmOps {
         .withColumnRenamed("bucket", "source")
         .orderBy("doc_a", "doc_b")),
 
+    // CONTAINMENT near-dups (TextDedup.containmentWithinBucket): the
+    // asymmetric case jaccard misses — a short doc embedded in a long
+    // one scores jaccard ≈ |A|/|B| but containment |A∩B|/|A| ≈ 1. The
+    // small side's prefix shingles probe the big side's full shingle
+    // inventory on (bucket, shingle) — pair space bounded by per-shingle
+    // document frequency, 100% recall at the gate by the prefix bound.
+    "llm_dedup_containment" -> ((s, d) =>
+      graft.api.TextDedup
+        .containmentWithinBucket(documents(s, d), col("doc_id"),
+          col("source"), col("text"), minContainment = 0.9)
+        .withColumnRenamed("bucket", "source")
+        .orderBy("doc_small", "doc_big")),
+
     // the SAME pair contract through the PREFIX-FILTER candidate engine
     // (TextDedup.jaccardPrefixFiltered): output identical to
     // llm_dedup_jaccard by construction, so hash-matching the same
@@ -420,6 +433,27 @@ object LlmOps {
     // llm_dedup_near_minhash: omitted (engine-specific hashing); pinned by
     // the planted-duplicates unit test instead
     "llm_dedup_jaccard" -> JaccardPairsOracle,
+    // the contract is EXACT (every qualifying pair), so the oracle is
+    // the direct all-pairs definition — DuckDB affords O(bucket²) at
+    // fixture scale; the Spark side must find the same set through the
+    // df-bounded prefix probe
+    "llm_dedup_containment" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_sort(list_distinct(list_transform(
+        |      range(1, len(string_split_regex(text, ' ')) - 1),
+        |      i -> array_to_string(
+        |        string_split_regex(text, ' ')[i:i+2], ' ')))) AS sh
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, ' ')) >= 3)
+        |SELECT a.source, a.doc_id AS doc_small, b.doc_id AS doc_big,
+        |  ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+        |      AS DOUBLE) / len(a.sh), 4) AS containment
+        |FROM t a JOIN t b ON a.source = b.source
+        |  AND (len(a.sh) < len(b.sh)
+        |       OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+        |WHERE ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+        |    AS DOUBLE) / len(a.sh), 4) >= 0.9
+        |ORDER BY doc_small, doc_big""".stripMargin,
     // identical contract, different candidate engine — one oracle
     // definition proves both plans (size-band and prefix-filter)
     "llm_dedup_jaccard_prefix" -> JaccardPairsOracle,

@@ -1252,4 +1252,28 @@ class ApiSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("windowTokens"))
   }
+
+  test("TextDedup.containmentWithinBucket finds a short doc embedded in " +
+      "a long one — the asymmetric case jaccard misses") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val small = (21 to 35).map(i => s"w$i").mkString(" ") // embedded slice
+    val df = Seq(
+      (1L, "web", big),
+      (2L, "web", small),
+      (3L, "web", (100 to 130).map(i => s"u$i").mkString(" ")) // unrelated
+    ).toDF("id", "grp", "body")
+    val got = TextDedup
+      .containmentWithinBucket(df, col("id"), col("grp"), col("body"),
+        minContainment = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 1L, 1.0)),
+      s"expected exactly the embedded pair at containment 1.0: ${got.toSeq}")
+    // the same pair is invisible to jaccard dedup: |A∩B|/|A∪B| ≈ 0.22
+    val jac = TextDedup
+      .jaccardWithinBucket(df, col("id"), col("grp"), col("body"),
+        minJaccard = 0.9)
+      .collect()
+    assert(jac.isEmpty, s"jaccard should miss the embedded pair: " +
+      s"${jac.mkString(",")}")
+  }
 }
