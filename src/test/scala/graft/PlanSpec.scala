@@ -495,4 +495,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), s"expected full-outer diff join:\n$p")
     assert(!p.contains("CartesianProduct"), "unbounded cartesian")
   }
+
+  test("llm_dedup_containment: prefix-probe join is (bucket, shingle)-" +
+      "keyed, never a cartesian") {
+    val p = plan("llm_dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment probe degenerated to an unbounded pair scan:\n$p")
+  }
 }
