@@ -1276,4 +1276,39 @@ class ApiSpec extends AnyFunSuite {
     assert(jac.isEmpty, s"jaccard should miss the embedded pair: " +
       s"${jac.mkString(",")}")
   }
+
+  test("dupSubstringStats boundary properties: all-unique corpus has " +
+      "zero dup windows; a verbatim repeat is fully spanned") {
+    val unique = (1 to 3).map(i => (i.toLong,
+      (1 to 20).map(j => s"t${i}_$j").mkString(" "))).toDF("id", "body")
+    val zero = TextDedup.dupSubstringStats(unique, col("id"), col("body"))
+      .agg(sum(col("n_dup_windows"))).collect()(0).getLong(0)
+    assert(zero == 0L, s"unique corpus flagged $zero dup windows")
+    val text = (1 to 20).map(j => s"x$j").mkString(" ")
+    val rep = Seq((1L, text), (2L, text)).toDF("id", "body")
+    val spans = TextDedup.dupSubstringStats(rep, col("id"), col("body"))
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(spans(1L) == 20L && spans(2L) == 20L,
+      s"verbatim repeat must certify the full 20-token span: $spans")
+  }
+
+  test("Corpus.temperatureSample: deterministic, per-group quota honored, " +
+      "whole corpus when the budget covers it") {
+    import graft.api.Corpus
+    val df = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("k", "g")
+    val s1 = Corpus.temperatureSample(df, col("k"), col("g"), budget = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val s2 = Corpus.temperatureSample(df, col("k"), col("g"), budget = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(s1 == s2, "sample not deterministic across calls")
+    val byG = s1.groupBy(_._2).map { case (g, xs) => g -> xs.size }
+    // sqrt weights: sq(big)=9.486833, sq(small)=3.162278; shares of 40
+    // round to 30 and 10
+    assert(byG == Map("big" -> 30, "small" -> 10),
+      s"quota mismatch: $byG")
+    val all = Corpus.temperatureSample(df, col("k"), col("g"), budget = 1000)
+      .count()
+    assert(all == 100L, s"over-budget sample must return the corpus: $all")
+  }
 }
