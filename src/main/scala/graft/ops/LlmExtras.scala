@@ -631,6 +631,32 @@ object LlmExtras {
         .orderBy("word")
     }),
 
+    // the multimodal COLUMN MODEL exercised as a declared, oracle-checked
+    // key: no binary fixture exists, so deterministic 16-byte payloads
+    // derive from the text fixture (unhex(md5)) and flow through the
+    // exact struct shape sources/Multimodal ships — (mime, bytes BINARY,
+    // meta MAP) — into binary-typed aggregation (byte lengths, distinct
+    // payloads, first-byte spread via hex round-trip). Proves the
+    // engine's binary-column plumbing end to end where the decode step
+    // itself remains the documented codec splice point.
+    "llm_multimodal_binary" -> ((s, d) => {
+      val media = documents(s, d).select(col("doc_id"),
+        struct(
+          when(col("doc_id") % 3 === 0, "image/png")
+            .when(col("doc_id") % 3 === 1, "audio/wav")
+            .otherwise("text/plain").as("mime"),
+          unhex(md5(col("text"))).as("bytes"),
+          map(lit("n_chars"), col("n_chars").cast("string")).as("meta"))
+          .as("media"))
+      media.groupBy(col("media.mime").as("mime"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("media.bytes"))).as("total_bytes"),
+          countDistinct(col("media.bytes")).as("n_distinct_payloads"),
+          countDistinct(upper(substring(hex(col("media.bytes")), 1, 2)))
+            .as("n_first_bytes"))
+        .orderBy("mime")
+    }),
+
     // two-stage retrieval (graft.api.Similarity.topKRerank) — the
     // production ANN deployment pattern: the 16-dim RP scan over-fetches
     // 20 candidates per query (4× fewer corpus bytes/multiplies), then
@@ -881,6 +907,17 @@ object LlmExtras {
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
+    "llm_multimodal_binary" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'text/plain' END AS mime,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(octet_length(unhex(md5(text)))) AS BIGINT)
+        |    AS total_bytes,
+        |  COUNT(DISTINCT unhex(md5(text))) AS n_distinct_payloads,
+        |  COUNT(DISTINCT upper(substr(hex(unhex(md5(text))), 1, 2)))
+        |    AS n_first_bytes
+        |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
     "llm_sim_topk_rerank" -> {
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 16, RpInDim)
       val rpList = "[" + sm.map(row =>
