@@ -49,8 +49,27 @@ def main():
     if not common:
         sys.exit("no common query keys between the two runs")
 
-    ratios = {k: new[k] / old[k] for k in common if old[k] > 0}
+    # graft.Bench times errored keys as -1; treat any non-positive timing
+    # as "did not run" — a key that errored in one run but not the other
+    # is a hard finding on its own, never a ratio
+    bad_old = {k for k in common if old[k] <= 0}
+    bad_new = {k for k in common if new[k] <= 0}
+    newly_failed = sorted(bad_new - bad_old)
+    recovered = sorted(bad_old - bad_new)
+    if newly_failed:
+        print(f"ERRORED in the new run (timed <= 0): "
+              f"{', '.join(newly_failed)}")
+    if recovered:
+        print(f"recovered (errored in old run, now timed): "
+              f"{', '.join(recovered)}")
+    comparable = [k for k in common if k not in bad_old and k not in bad_new]
+    if not comparable:
+        sys.exit("no key has a positive timing in both runs — "
+                 "nothing to compare")
+
+    ratios = {k: new[k] / old[k] for k in comparable}
     host = statistics.median(ratios.values())
+    common = comparable
     tot_old = sum(old[k] for k in common)
     tot_new = sum(new[k] for k in common)
     print(f"common keys: {len(common)}; total {tot_old:.1f}s -> "
@@ -77,13 +96,13 @@ def main():
     if not flagged:
         print(f"no per-query move beyond {args.threshold}x after "
               "host-speed normalization")
-        return 0
+        return 1 if newly_failed else 0
     print(f"\nmoves beyond {args.threshold}x (host-normalized):")
     for norm, k in flagged:
         arrow = "REGRESSED" if norm > 1 else "improved"
         print(f"  {k}: {old[k]:.2f}s -> {new[k]:.2f}s "
               f"(raw {ratios[k]:.2f}x, normalized {norm:.2f}x) {arrow}")
-    return 1 if any(n > 1 for n, _ in flagged) else 0
+    return 1 if (newly_failed or any(n > 1 for n, _ in flagged)) else 0
 
 
 if __name__ == "__main__":

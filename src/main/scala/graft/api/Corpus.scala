@@ -95,15 +95,19 @@ object Corpus {
     * n_removed, n_changed, n_unchanged). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
       text: Column, group: Column): DataFrame = {
+    // presence is tracked by explicit flags, not hash nullness: a row
+    // PRESENT with NULL text has md5 = NULL and would otherwise read as
+    // "side absent"; content equality is the null-safe <=> so NULL vs
+    // NULL counts as unchanged and NULL vs value as changed
     val o = oldDf.select(id.as("__id"), md5(text).as("__oh"),
-      group.as("__og"))
+      group.as("__og"), lit(true).as("__op"))
     val n = newDf.select(id.as("__id"), md5(text).as("__nh"),
-      group.as("__ng"))
+      group.as("__ng"), lit(true).as("__np"))
     o.join(n, Seq("__id"), "full_outer")
       .select(coalesce(col("__ng"), col("__og")).as("group"),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") =!= col("__nh"), "changed")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(!(col("__oh") <=> col("__nh")), "changed")
           .otherwise("unchanged").as("__st"))
       .groupBy("group")
       .agg(sum(when(col("__st") === "added", 1L).otherwise(0L))

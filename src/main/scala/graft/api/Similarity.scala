@@ -669,6 +669,14 @@ object Similarity {
       var i = 0
       while (i < inDim) { ss = ss + v(i) * v(i); i += 1 }
       val nrm = math.sqrt(ss)
+      // fail loudly on a degenerate spectrum instead of dividing into
+      // NaN components: identical rows (zero covariance), rank < k
+      // after deflation, or variance so small the un-normalized
+      // iterates underflow all collapse the iterate to ~zero
+      require(nrm > 0.0 && !nrm.isNaN,
+        s"pcaFitExactPower: power iterate collapsed at component $comp " +
+          "— the covariance is degenerate (identical rows, rank < k, " +
+          "or near-zero variance); reduce k or check the input")
       val u = new Array[Double](inDim)
       i = 0
       while (i < inDim) { u(i) = v(i) / nrm; i += 1 }

@@ -522,10 +522,22 @@ object TextDedup {
     * doc_small, doc_big, containment 4 dp). */
   def containmentWithinBucket(df: DataFrame, id: Column, bucket: Column,
       text: Column, minContainment: Double = 0.9,
-      shingleWidth: Int = 3): DataFrame = {
-    require(minContainment > 0.0 && minContainment <= 1.0,
-      s"minContainment=$minContainment must be in (0, 1]")
+      shingleWidth: Int = 3,
+      prefilterSlack: Double = 0.0001): DataFrame = {
+    // the slack keeps the rounded-threshold edge inside the recall
+    // guarantee (a true containment of 0.89995 rounds up to the 0.9
+    // gate — the prefix bound must be computed at r, not c; same rule
+    // as jaccardWithinBucket)
     val c = minContainment
+    val r = c - prefilterSlack
+    require(r > 0.0 && c <= 1.0,
+      s"minContainment - prefilterSlack = $r must be in (0, 1]")
+    // MATERIALIZED once for its four consumers (prefix explode, full
+    // inventory explode, both verify joins) — without the pin each one
+    // re-runs the corpus tokenization + shingle sort (the
+    // langIdConfusion multiple-consumer hazard). The pinned frame is
+    // corpus-sized; on a real cluster prefer a reliable checkpoint of
+    // the same frame (the clusters()/langIdConfusion discipline).
     val base = df.select(id.as("__id"), bucket.as("__bucket"),
         split(text, " ").as("tk"))
       .filter(size(col("tk")) >= shingleWidth)
@@ -534,11 +546,12 @@ object TextDedup {
           i => concat_ws(" ", slice(col("tk"), i, lit(shingleWidth))))))
         .as("sh"))
       .withColumn("nsh", size(col("sh")))
+      .localCheckpoint()
     // prefix rows carry keys only (the exchange-volume rule); the
     // verify joins the bounded candidate set back to `base`
     val pref = base.select(col("__id"), col("__bucket"), col("nsh"),
       explode(slice(col("sh"), lit(1),
-        (col("nsh") - ceil(col("nsh") * c) + 1).cast("int"))).as("__ps"))
+        (col("nsh") - ceil(col("nsh") * r) + 1).cast("int"))).as("__ps"))
     val inv = base.select(col("__id"), col("__bucket"), col("nsh"),
       explode(col("sh")).as("__ps"))
     val a = pref.alias("a"); val b = inv.alias("b")
@@ -1087,8 +1100,13 @@ object TextDedup {
         s"but caller passed $windowTokens — every window hash differs, " +
         "the screen would silently cut nothing")
     val w = windowTokens
+    // SHARD-sized frames — safe to pin (the appendToSignatureIndex
+    // precedent): toks feeds the window lattice plus removeCoveredSpans'
+    // two projections, wins feeds the index probe plus the intra-shard
+    // rule; without the pins each consumer re-tokenizes the shard
     val toks = shard.select(id.as("doc_id"), split(text, " ").as("__tk"))
-    val wins = rollingWindows(toks, w)
+      .localCheckpoint()
+    val wins = rollingWindows(toks, w).localCheckpoint()
     val idx = spark.read.parquet(s"$indexPath/hashes")
     val inCorpus = wins.join(idx, Seq("h"), "left_semi")
       .select(col("doc_id").as("__fd"), col("pos").as("__fp"))

@@ -99,10 +99,15 @@ object Unigram {
       |  st -> st.ps)""".stripMargin
 
   /** Viterbi-segment every vocab word under a (piece, cost) model.
-    * Output: (word, w_n, pieces ARRAY<STRING>). Words made unreachable
-    * by a model missing their covering pieces are dropped (the engines'
-    * prune rule keeps every piece used in the previous round plus all
-    * single characters, so EM iteration never loses a word). */
+    * Output: (word, w_n, pieces ARRAY<STRING>). Only words whose FULL
+    * length is unreachable are dropped: an unreachable intermediate
+    * position is fine (`array_min` skips the null candidates it
+    * produces, so a word like "ab" under a model holding only the piece
+    * "ab" segments correctly even with position 1 uncoverable). The
+    * train() prune rule keeps all single characters, so EM iteration
+    * never loses a word; the DuckDB oracle's recursive CTE is stricter
+    * (its recursion cannot step past an uncoverable position), which
+    * only matters for hand-pruned models the declared keys never use. */
   def viterbiSegment(wf: DataFrame, pieces: DataFrame,
       maxPieceLen: Int = 4): DataFrame =
     substrings(wf, maxPieceLen)
@@ -110,7 +115,7 @@ object Unigram {
       .groupBy(col("word"), col("w_n"))
       .agg(collect_list(struct(col("i"), col("j"), col("cost"))).as("es"))
       .withColumn("arr", expr(dpArr))
-      .filter(!exists(col("arr"), _.isNull))
+      .filter(element_at(col("arr"), length(col("word")) + 1).isNotNull)
       .withColumn("pieces", expr(btPieces))
       .select(col("word"), col("w_n"), col("pieces"))
 

@@ -216,15 +216,18 @@ object Curation {
       val counts = documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("c"))
-      // per-source totals via a window, not groupBy + join back: the
-      // join spelling re-runs the corpus explode for the probe side
-      // (the llm_lang_id multiple-consumer hazard, solved plan-side
-      // here since there are only two consumers)
-      val srcW = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      // MATERIALIZE the vocab-sized counts once for both consumers (the
+      // totals aggregate and the per-term scoring) — the join-back
+      // spelling re-ran the corpus explode for the probe side, and a
+      // window partitioned by the LOW-CARDINALITY source would funnel
+      // each source's whole vocabulary through one task at web scale.
+      // counts is |source × token|-sized (vocab, not corpus) — safe to
+      // pin; the totals frame is |sources| rows and broadcasts.
+      val cts = counts.localCheckpoint()
+      val tot = cts.groupBy("source")
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_distinct"))
       val p = col("c").cast("double") / col("tot")
-      counts
-        .withColumn("tot", sum(col("c")).over(srcW))
-        .withColumn("n_distinct", count(lit(1)).over(srcW))
+      cts.join(broadcast(tot), "source")
         .withColumn("term",
           round(p * log(p), 9).cast(DecimalType(18, 9)))
         .groupBy("source")
@@ -711,7 +714,8 @@ object Curation {
         |j AS (SELECT COALESCE(n.source, o.source) AS grp,
         |    CASE WHEN o.doc_id IS NULL THEN 'added'
         |         WHEN n.doc_id IS NULL THEN 'removed'
-        |         WHEN md5(o.text) != md5(n.text) THEN 'changed'
+        |         WHEN md5(o.text) IS DISTINCT FROM md5(n.text)
+        |           THEN 'changed'
         |         ELSE 'unchanged' END AS st
         |  FROM o FULL OUTER JOIN n USING (doc_id))
         |SELECT grp AS "group",

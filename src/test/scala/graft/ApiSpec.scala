@@ -1311,4 +1311,30 @@ class ApiSpec extends AnyFunSuite {
       .count()
     assert(all == 100L, s"over-budget sample must return the corpus: $all")
   }
+
+  test("snapshotDiff NULL-text rows classify by presence, not hash " +
+      "nullness; Unigram.segment covers a word whose intermediate " +
+      "positions are uncoverable") {
+    import graft.api.{Corpus, Unigram}
+    val old = Seq((1L, Option("a text"), "web"), (2L, None, "web"),
+      (3L, None, "web"))
+      .toDF("k", "body", "src")
+    val nw = Seq((1L, Option("a text"), "web"), (2L, Option("now set"), "web"),
+      (3L, None, "web"))
+      .toDF("k", "body", "src")
+    val got = Corpus.snapshotDiff(old, nw, col("k"), col("body"), col("src"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 1 unchanged, 2 changed (NULL -> value), 3 unchanged (NULL -> NULL)
+    assert(got.toSeq == Seq((0L, 0L, 1L, 2L)), s"got ${got.toSeq}")
+    // a model holding ONLY the piece "ab": position 1 is uncoverable but
+    // the word is — segment must return it, not NULL
+    val model = Seq(("ab", 100L)).toDF("piece", "cost")
+    val seg = Unigram.segment(Seq("ab").toDF("w"), col("w"), model,
+        maxPieceLen = 2)
+      .collect()
+    assert(seg.length == 1 && !seg(0).isNullAt(1) &&
+      seg(0).getSeq[String](1) == Seq("ab"),
+      s"word coverable by a multi-char piece must segment: ${seg.toSeq}")
+  }
 }
