@@ -275,6 +275,38 @@ object Curation {
         .orderBy("source")
     }),
 
+    // length bucketing for padding-efficient batching — the companion of
+    // llm_pack_sequences: batch docs of similar token length together
+    // and padding waste (bucket-max minus actual, summed) collapses.
+    // Quartile BOUNDARIES come from one exact-percentile aggregate
+    // applied as a broadcast (no global ntile sort — the
+    // llm_perplexity_bucket rule); the report prices each bucket's
+    // padding in exact integers.
+    "llm_length_buckets" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val qs = docs.agg(
+        percentile(col("n_tokens"), lit(0.25)).as("q1"),
+        percentile(col("n_tokens"), lit(0.5)).as("q2"),
+        percentile(col("n_tokens"), lit(0.75)).as("q3"))
+      docs.crossJoin(broadcast(qs))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") <= col("q1"), 1)
+            .when(col("n_tokens") <= col("q2"), 2)
+            .when(col("n_tokens") <= col("q3"), 3)
+            .otherwise(4).as("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("len_bucket"), col("n_docs"), col("min_tokens"),
+          col("max_tokens"), col("sum_tokens"),
+          (col("max_tokens") * col("n_docs") - col("sum_tokens"))
+            .as("pad_waste_tokens"))
+        .orderBy("len_bucket")
+    }),
+
     // the domain-weights APPLY (graft.api.Corpus.temperatureSample):
     // the √n-weighted sample MATERIALIZED — each source contributes its
     // rounded share of the budget, rows chosen by the deterministic
@@ -568,6 +600,25 @@ object Curation {
          |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * $SampleBudget,
          |    2) AS expected_docs
          |FROM s, t ORDER BY source""".stripMargin,
+    "llm_length_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(n_tokens, 0.25) AS q1,
+        |    quantile_cont(n_tokens, 0.5) AS q2,
+        |    quantile_cont(n_tokens, 0.75) AS q3 FROM d),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= q1 THEN 1
+        |         WHEN n_tokens <= q2 THEN 2
+        |         WHEN n_tokens <= q3 THEN 3
+        |         ELSE 4 END AS len_bucket
+        |  FROM d, q)
+        |SELECT len_bucket, COUNT(*) AS n_docs,
+        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+        |    AS pad_waste_tokens
+        |FROM b GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
     "llm_sample_temperature" ->
       s"""WITH s AS (SELECT source, COUNT(*) AS n,
          |    CAST(ROUND(sqrt(COUNT(*)), 6) AS DECIMAL(18,6)) AS sq
