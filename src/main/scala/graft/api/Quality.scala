@@ -1,0 +1,191 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned quality classifier — the fastText/CCNet-style linear model
+  * every production curation stack trains next to its heuristic gates
+  * (Wenzek et al. 2020 "CCNet", Joulin et al. 2017 "fastText"; both
+  * public): hashed bag-of-token features → logistic regression → filter
+  * the corpus by fitted score. The heuristic gates (llm_quality_score,
+  * Gopher rules) are recall-oriented; this is the precision layer a
+  * labeled seed set buys.
+  *
+  * Model representation: a (bucket, w_micro) FRAME — weights live with
+  * the data plane (16^nibbles rows, broadcast-joined at scoring time),
+  * never on the driver; train epochs are pure DataFrame transforms, so
+  * the whole fit is a declarative plan chain exactly like [[Bpe.train]]
+  * and [[Unigram.train]].
+  *
+  * Determinism (what makes one epoch DuckDB-oracle-checkable, the house
+  * micro-unit discipline):
+  *  - weights are integer MICRO-units (w_micro = round(w × 10⁶));
+  *  - the margin z_micro = Σ n·w_micro is an exact integer sum —
+  *    addition-order-free, so shuffle nondeterminism cannot move it;
+  *  - p_micro = round(σ(z)·10⁶) rounds the one transcendental to the
+  *    same 6 dp both engines agree on (the [[Unigram]] −ln·10⁶
+  *    precedent), and the FIRST epoch from zero weights needs no exp at
+  *    all: σ(0)·10⁶ = 500000 exactly;
+  *  - the gradient g_micro = Σ n·(p_micro − y·10⁶) is again an exact
+  *    integer sum;
+  *  - the update rounds lr·(g/n_docs) computed double with lr a power
+  *    of two (0.5 default): g_micro < 2⁵³ is double-exact, /n_docs is
+  *    one correctly-rounded IEEE op, ×0.5 is exponent arithmetic
+  *    (exact) — both engines see bit-identical doubles and round them
+  *    HALF-away-from-zero identically.
+  *
+  * Scale shape: one epoch = two shuffles over the SPARSE feature frame
+  * (doc-keyed margin agg, bucket-keyed gradient agg), both map-side
+  * combinable; the model frame is 16^nibbles rows (broadcast-sized by
+  * construction — the hashing trick fixes the feature space up front,
+  * no vocabulary merge, no driver collect anywhere). At 100 TB the
+  * corpus-sized feature frame is featurized once ([[Corpus.hashFeatures]])
+  * and checkpointed; each epoch reuses it.
+  */
+object Quality {
+
+  /** Integer scale of weights/probabilities (micro-units, 6 dp). */
+  val Micro = 1000000L
+
+  /** round(σ(z_micro/10⁶)·10⁶): the logistic link at 6 dp. Exact (no
+    * exp evaluated) when z_micro = 0 — the all-zero-weights first epoch. */
+  private def sigmoidMicro(zMicro: Column): Column =
+    round(lit(Micro.toDouble) /
+      (lit(1.0) + exp(-zMicro.cast("double") / lit(Micro.toDouble))))
+      .cast("long")
+
+  /** Per-doc margin in micro-units under a (bucket, w_micro) model:
+    * z_micro = Σ_buckets n·w_micro, exact integer. Docs whose buckets
+    * all miss the model (or labeled docs with no features) score 0.
+    * Output: (doc_id, z_micro). */
+  def margins(feats: DataFrame, weights: DataFrame): DataFrame =
+    feats.join(weights.select(col("bucket"),
+        col("w_micro").as("__w")), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("n") * coalesce(col("__w"), lit(0L))).as("z_micro"))
+
+  /** ONE full-batch gradient-descent epoch of logistic regression over
+    * sparse hashed features — the oracle-checked step the iterative
+    * [[train]] loop repeats (the [[Bpe]]-merge / [[Unigram]]-EM
+    * step+loop pattern).
+    *
+    *  - `feats`: (doc_id, bucket, n) sparse counts ([[Corpus.hashFeatures]])
+    *  - `labels`: (doc_id, y) with y ∈ {0, 1}
+    *  - `weights`: (bucket, w_micro) incoming model; an EMPTY frame is
+    *    the zero model (missing buckets read as weight 0)
+    *  - `lrMicro`: learning rate × 10⁶; keep it a power-of-two multiple
+    *    of 10⁶ micro-units (500000 = 0.5 default) so the update
+    *    multiply stays IEEE-exact (scaladoc above)
+    *
+    * Output: (bucket, w_micro) — the union of incoming buckets and
+    * buckets that received gradient this epoch.
+    *
+    * Scale shape: margin agg (doc-keyed) + gradient agg (bucket-keyed),
+    * both map-side combinable; the n_docs denominator is a 1-row
+    * broadcast; the weight/gradient merge is a model-sized full-outer
+    * join. Nothing touches the driver. */
+  def trainStep(feats: DataFrame, labels: DataFrame, weights: DataFrame,
+      lrMicro: Long = 500000L): DataFrame = {
+    require(lrMicro > 0, s"lrMicro=$lrMicro must be positive")
+    val nDocs = labels.agg(count(lit(1)).as("__nd"))
+    // err_micro = p_micro − y·10⁶; labeled docs missing from feats
+    // (empty text) still contribute via the left join's zero margin
+    val err = labels.select(col("doc_id"), col("y"))
+      .join(margins(feats, weights), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (sigmoidMicro(coalesce(col("z_micro"), lit(0L)))
+          - col("y").cast("long") * Micro).as("__err"))
+    val grad = feats.join(err, "doc_id")
+      .groupBy("bucket").agg(sum(col("n") * col("__err")).as("__g"))
+    // w' = w − round(lr · (g/n)/10⁶ · 10⁶) = w − round(lr · g/n); the
+    // double chain is (g.toDouble / n) * lr with lr = lrMicro/10⁶
+    weights.select(col("bucket"), col("w_micro"))
+      .join(grad, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(nDocs))
+      .select(col("bucket"),
+        (coalesce(col("w_micro"), lit(0L)) -
+          round((coalesce(col("__g"), lit(0L)).cast("double")
+            / col("__nd").cast("double"))
+            * (lrMicro.toDouble / Micro.toDouble)).cast("long"))
+          .as("w_micro"))
+  }
+
+  /** Train `epochs` full-batch epochs from the zero model. The feature
+    * frame is materialized ONCE (corpus-sized — the expensive side) and
+    * every epoch reuses it; per-epoch model frames are 16^nibbles rows,
+    * checkpointed only to truncate plan growth, released with the house
+    * generation discipline. Pass `checkpointDir` (HDFS/object store) for
+    * fault-tolerant truncation on a real cluster — by default the
+    * corpus-sized feature materialization is `localCheckpoint`
+    * (executor-local, unreplicated: one lost executor kills the fit;
+    * same hazard note as [[TextQuality.langIdConfusion]]).
+    *
+    * Pinned step-for-step against a pure-Scala reference in ApiSpec;
+    * the single-epoch `llm_quality_train_step` key is its oracle-checked
+    * step. */
+  def train(feats: DataFrame, labels: DataFrame, epochs: Int,
+      lrMicro: Long = 500000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(epochs >= 1, s"epochs=$epochs must be >= 1")
+    val ck = TextDedup.ckptFn(feats.sparkSession, checkpointDir)
+    val f = ck(feats)
+    val fGen = TextDedup.checkpointRdd(f)
+    val l = ck(labels)
+    val lGen = TextDedup.checkpointRdd(l)
+    var model = trainStep(f, l, emptyWeights(feats), lrMicro)
+    var e = 1
+    var prevGen: Option[org.apache.spark.rdd.RDD[_]] = None
+    while (e < epochs) {
+      model = ck(model)
+      prevGen.foreach(_.unpersist(blocking = false))
+      prevGen = TextDedup.checkpointRdd(model)
+      model = trainStep(f, l, model, lrMicro)
+      e += 1
+    }
+    // materialize the final model BEFORE releasing the inputs it still
+    // references lazily (the returned frame must survive the unpersists)
+    model = ck(model)
+    prevGen.foreach(_.unpersist(blocking = false))
+    fGen.foreach(_.unpersist(blocking = false))
+    lGen.foreach(_.unpersist(blocking = false))
+    model
+  }
+
+  /** The zero model: an empty (bucket, w_micro) frame — [[trainStep]]'s
+    * left join reads every missing bucket as weight 0. */
+  def emptyWeights(like: DataFrame): DataFrame = {
+    val s = like.sparkSession
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("bucket", StringType),
+        StructField("w_micro", LongType))))
+  }
+
+  /** Score + classify the corpus under a fitted model, EXP-FREE: σ is
+    * monotone, so thresholding the probability at σ(t) ≡ thresholding
+    * the integer margin at t — the decision needs no transcendental and
+    * is bit-identical everywhere. Output: (doc_id, score_micro, keep).
+    * `thresholdMicro` is the margin threshold × 10⁶ (0 ≡ p > 0.5).
+    *
+    * Scale shape: one doc-keyed agg over the sparse feature frame; the
+    * model join is model-sized (broadcast-eligible by construction). */
+  def classify(feats: DataFrame, weights: DataFrame,
+      thresholdMicro: Long = 0L): DataFrame =
+    margins(feats, broadcast(weights))
+      .select(col("doc_id"), col("z_micro").as("score_micro"),
+        (col("z_micro") > thresholdMicro).as("keep"))
+
+  /** Binary cross-entropy of a model on labeled docs, in micro-nats —
+    * the train-loop progress metric (tests assert it decreases).
+    * Clamped at 1 micro-probability so log never sees 0. */
+  def lossMicroNats(feats: DataFrame, labels: DataFrame,
+      weights: DataFrame): DataFrame =
+    labels.join(margins(feats, weights), Seq("doc_id"), "left")
+      .select(col("y"),
+        sigmoidMicro(coalesce(col("z_micro"), lit(0L))).as("__p"))
+      .select(
+        when(col("y") === 1, greatest(col("__p"), lit(1L)))
+          .otherwise(greatest(lit(Micro) - col("__p"), lit(1L))).as("__q"))
+      .agg(round(avg(-log(col("__q").cast("double") / Micro.toDouble))
+        * Micro.toDouble).cast("long").as("loss_micro"))
+}

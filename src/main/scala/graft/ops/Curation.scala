@@ -420,6 +420,48 @@ object Curation {
       graft.api.Corpus
         .snapshotDiff(old, nw, col("doc_id"), col("text"), col("source"))
         .orderBy("group")
+    }),
+
+    // LEARNED quality classifier (graft.api.Quality) — the fastText/
+    // CCNet-style linear model next to the heuristic gates: hashed
+    // bag-of-token features → full-batch logistic gradient descent in
+    // integer micro-units. This key is TWO chained epochs as ONE
+    // declarative plan: epoch 1 from the zero model is transcendental-
+    // free (σ(0)·10⁶ = 500000 exactly), epoch 2 exercises the 6-dp-
+    // rounded sigmoid path — so the oracle covers both the exact and
+    // the rounded link. Labels are the deterministic seed rule
+    // y = doc contains the token 'join'. The iterative Quality.train
+    // loop is this epoch repeated, pinned against a pure-Scala
+    // reference in ApiSpec.
+    "llm_quality_train_step" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val w1 = graft.api.Quality.trainStep(feats, labels,
+        graft.api.Quality.emptyWeights(docs))
+      graft.api.Quality.trainStep(feats, labels, w1)
+        .orderBy("bucket")
+    }),
+
+    // the APPLY side: score + filter the corpus under the fitted model,
+    // EXP-FREE — σ is monotone, so the keep decision thresholds the
+    // exact integer margin (bit-identical everywhere, no transcendental
+    // at serving time). Model = the same two-epoch fit via the
+    // Quality.train loop; scoring is one doc-keyed agg with a
+    // broadcast model join.
+    "llm_quality_classify" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      graft.api.Quality.classify(feats, model)
+        .join(labels, "doc_id")
+        .select("doc_id", "score_micro", "keep", "y")
+        .orderBy("doc_id")
     })
   )
 
@@ -778,6 +820,53 @@ object Curation {
         |    AS n_changed,
         |  CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_unchanged
-        |FROM j GROUP BY grp ORDER BY grp""".stripMargin
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
+    "llm_quality_train_step" ->
+      s"""WITH $qualityCte
+         |SELECT bucket, w_micro FROM w2 ORDER BY bucket""".stripMargin,
+    "llm_quality_classify" ->
+      s"""WITH $qualityCte,
+         |sc AS (SELECT f.doc_id,
+         |    CAST(SUM(f.n * w2.w_micro) AS BIGINT) AS score_micro
+         |  FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id)
+         |SELECT sc.doc_id, sc.score_micro, sc.score_micro > 0 AS keep, l.y
+         |FROM sc JOIN labels l USING (doc_id)
+         |ORDER BY sc.doc_id""".stripMargin
   )
+
+  /** DuckDB twin of the two-epoch Quality fit (graft.api.Quality): CTEs
+    * `feats` (hashed token counts) → `labels` (the 'join'-token seed
+    * rule) → `g1`/`w1` (epoch 1 from the zero model — σ(0)·10⁶ =
+    * 500000, no exp) → `z2`/`e2`/`g2`/`w2` (epoch 2 through the
+    * 6-dp-rounded sigmoid). lr = 0.5 (power of two ⇒ the update
+    * multiply is IEEE-exact; see Quality.scala scaladoc). Shared by the
+    * train-step and classify oracles. (A `def`, not a `val`: `oracles`
+    * above references it during object init.) */
+  private def qualityCte: String =
+    """feats AS (SELECT doc_id, substr(md5(token), 1, 1) AS bucket,
+      |    COUNT(*) AS n
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' ')) AS token
+      |        FROM documents) GROUP BY 1, 2),
+      |labels AS (SELECT doc_id,
+      |    CASE WHEN list_contains(string_split_regex(text, ' '), 'join')
+      |         THEN 1 ELSE 0 END AS y FROM documents),
+      |nd AS (SELECT COUNT(*) AS n FROM labels),
+      |g1 AS (SELECT f.bucket,
+      |    CAST(SUM(f.n * (500000 - l.y * 1000000)) AS BIGINT) AS g
+      |  FROM feats f JOIN labels l USING (doc_id) GROUP BY f.bucket),
+      |w1 AS (SELECT bucket,
+      |    0 - CAST(ROUND((CAST(g AS DOUBLE) / nd.n) * 0.5) AS BIGINT) AS w
+      |  FROM g1, nd),
+      |z2 AS (SELECT f.doc_id, CAST(SUM(f.n * w1.w) AS BIGINT) AS z
+      |  FROM feats f JOIN w1 USING (bucket) GROUP BY f.doc_id),
+      |e2 AS (SELECT l.doc_id,
+      |    CAST(ROUND(1000000.0 / (1.0 + exp(-(CAST(COALESCE(z2.z, 0)
+      |      AS DOUBLE) / 1000000.0)))) AS BIGINT) - l.y * 1000000 AS err
+      |  FROM labels l LEFT JOIN z2 USING (doc_id)),
+      |g2 AS (SELECT f.bucket, CAST(SUM(f.n * e2.err) AS BIGINT) AS g
+      |  FROM feats f JOIN e2 USING (doc_id) GROUP BY f.bucket),
+      |w2 AS (SELECT w1.bucket,
+      |    CAST(w1.w - CAST(ROUND((CAST(g2.g AS DOUBLE) / nd.n) * 0.5)
+      |      AS BIGINT) AS BIGINT) AS w_micro
+      |  FROM w1 JOIN g2 USING (bucket), nd)""".stripMargin
 }

@@ -1337,4 +1337,86 @@ class ApiSpec extends AnyFunSuite {
       seg(0).getSeq[String](1) == Seq("ab"),
       s"word coverable by a multi-char piece must segment: ${seg.toSeq}")
   }
+
+  test("Quality.train matches a pure-Scala logistic-SGD reference epoch " +
+      "for epoch; loss decreases; classify thresholds the exact margin") {
+    import graft.api.{Corpus, Quality}
+    // positives carry the marker token 'shiny'; negatives don't
+    val docs = Seq(
+      (1L, "shiny well written prose with many careful words"),
+      (2L, "shiny another fine document with real sentences"),
+      (3L, "shiny good clean text body here today"),
+      (4L, "spam spam spam buy now click here"),
+      (5L, "garbage tokens zzz qqq xxx yyy www"),
+      (6L, "shiny decent paragraph containing actual meaning"),
+      (7L, "lorem noise noise noise noise noise filler"),
+      (8L, "shiny thoughtful analysis of a concrete topic")
+    ).toDF("id", "body")
+    val feats = Corpus.hashFeatures(docs, col("id"), col("body"))
+    val labels = docs.select(col("id").as("doc_id"),
+      array_contains(split(col("body"), " "), "shiny").cast("int").as("y"))
+    // pure-Scala twin of trainStep's integer-micro arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): String =
+      md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 1)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val featsRef: Map[(Long, String), Long] = rows
+      .flatMap { case (i, t) => t.split(" ").map(tok => (i, bucket(tok))) }
+      .groupBy(identity).map { case (k, a) => k -> a.length.toLong }
+    val yRef: Map[Long, Long] =
+      rows.map { case (i, t) =>
+        i -> (if (t.split(" ").contains("shiny")) 1L else 0L) }.toMap
+    val nDocs = rows.length
+    def roundHalfUp(x: Double): Long =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    def pMicro(z: Long): Long =
+      roundHalfUp(1e6 / (1.0 + math.exp(-z.toDouble / 1e6)))
+    def epochRef(w: Map[String, Long]): Map[String, Long] = {
+      val z = featsRef.groupBy(_._1._1).map { case (i, fs) =>
+        i -> fs.map { case ((_, b), n) => n * w.getOrElse(b, 0L) }.sum }
+      val err = yRef.map { case (i, y) =>
+        i -> (pMicro(z.getOrElse(i, 0L)) - y * 1000000L) }
+      val g = featsRef.toSeq.map { case ((i, b), n) => b -> n * err(i) }
+        .groupBy(_._1).map { case (b, a) => b -> a.map(_._2).sum }
+      (w.keySet ++ g.keySet).map { b =>
+        b -> (w.getOrElse(b, 0L) -
+          roundHalfUp((g.getOrElse(b, 0L).toDouble / nDocs) * 0.5))
+      }.toMap
+    }
+    var refW = Map.empty[String, Long]
+    for (e <- 1 to 3) {
+      refW = epochRef(refW)
+      val got = Quality.train(feats, labels, epochs = e)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == refW,
+        s"epoch $e diverges:\n  diff=${got.collect {
+          case (k, v) if refW.get(k).exists(_ != v) => (k, v, refW(k)) }}" +
+          s"\n  extra=${got.keySet -- refW.keySet}" +
+          s"\n  missing=${refW.keySet -- got.keySet}")
+    }
+    // loss strictly improves over the zero model on this separable corpus
+    def loss(w: org.apache.spark.sql.DataFrame): Long =
+      Quality.lossMicroNats(feats, labels, w).collect()(0).getLong(0)
+    val l0 = loss(Quality.emptyWeights(docs))
+    val l3 = loss(Quality.train(feats, labels, epochs = 3))
+    assert(l0 == 693147L, s"zero-model loss must be ln2 micro-nats: $l0")
+    assert(l3 < l0, s"loss did not decrease: $l0 -> $l3")
+    // classify: score equals the reference margin, keep == margin > 0
+    val model3 = Quality.train(feats, labels, epochs = 3)
+    val cls = Quality.classify(feats, model3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    rows.foreach { case (i, _) =>
+      val zRef = featsRef.collect {
+        case ((d, b), n) if d == i => n * refW.getOrElse(b, 0L) }.sum
+      assert(cls(i) == (zRef, zRef > 0L),
+        s"doc $i: got ${cls(i)}, want ($zRef, ${zRef > 0L})")
+    }
+    // the separable marker is learned: every positive keeps, and at
+    // least one negative is rejected (bucket collisions permitting, the
+    // toy corpus is built so the marker bucket dominates)
+    val acc = rows.count { case (i, _) => cls(i)._2 == (yRef(i) == 1L) }
+    assert(acc >= 6, s"classifier learned nothing: $acc/8 correct")
+  }
 }
