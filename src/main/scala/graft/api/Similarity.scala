@@ -155,14 +155,22 @@ object Similarity {
     * straight into [[assignClusters]] / the SemDeDup and IVF paths.
     * Training averages in float, so like [[pqTrainCodebook]] this is the
     * production fit step, not an oracle-checked op. Empty clusters keep
-    * their previous centroid. */
+    * their previous centroid.
+    *
+    * `checkpointDir`: the corpus projection is pinned for every Lloyd
+    * round; by default via `localCheckpoint` (executor-local,
+    * unreplicated — one lost executor kills the fit). Pass a reliable
+    * directory (HDFS/object store) for fault-tolerant `.checkpoint()`
+    * — the [[TextDedup.clusters]]/langIdConfusion discipline. */
   def kMeansFit(corpus: DataFrame, id: Column, vec: Column,
-      k: Int, iters: Int = 5): DataFrame = {
-    val c = corpus.select(id.as("vec_id"), vec.as("__v")).localCheckpoint()
-    var cents = c.orderBy("vec_id").limit(k)
+      k: Int, iters: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ck = TextDedup.ckptFn(corpus.sparkSession, checkpointDir)
+    val c = ck(corpus.select(id.as("vec_id"), vec.as("__v")))
+    var cents = ck(c.orderBy("vec_id").limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
-      .select(col("cid"), col("__v").as("ce")).localCheckpoint()
+      .select(col("cid"), col("__v").as("ce")))
     // TextDedup.clusters' generation discipline: each round's checkpoint
     // supersedes the previous one — release it, or a long-lived session
     // accumulates one persisted RDD per round per fit call
@@ -184,10 +192,9 @@ object Similarity {
           when(col("norm") === 0.0, col("mean"))
             .otherwise(transform(col("mean"), x => x / col("norm")))
             .as("newc"))
-      cents = cents.join(means, Seq("cid"), "left")
+      cents = ck(cents.join(means, Seq("cid"), "left")
         .select(col("cid"),
-          coalesce(col("newc").cast("array<float>"), col("ce")).as("ce"))
-        .localCheckpoint()
+          coalesce(col("newc").cast("array<float>"), col("ce")).as("ce")))
       prevGen.foreach(_.unpersist(blocking = false))
       prevGen = TextDedup.checkpointRdd(cents)
     }
@@ -298,20 +305,26 @@ object Similarity {
     * centroid. Training averages in float — inherently not
     * engine-reproducible, so trained codebooks are for production use
     * and the recall test; the oracle-checked keys use the seed
-    * codebook. */
+    * codebook.
+    *
+    * `checkpointDir`: the subvector frame is corpus-sized (m rows per
+    * vector) and pinned for every Lloyd round; by default via
+    * `localCheckpoint` — pass a reliable directory (HDFS/object store)
+    * for fault-tolerant `.checkpoint()`, the [[kMeansFit]] rule. */
   def pqTrainCodebook(corpus: DataFrame, id: Column, vec: Column,
-      m: Int, subDim: Int, k: Int = 16, iters: Int = 3): DataFrame = {
-    val sub = corpus.select(id.as("vec_id"), vec.as("__v"))
+      m: Int, subDim: Int, k: Int = 16, iters: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ck = TextDedup.ckptFn(corpus.sparkSession, checkpointDir)
+    val sub = ck(corpus.select(id.as("vec_id"), vec.as("__v"))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col("__v"))
       .select(col("vec_id"), col("j"),
-        slice(col("__v"), col("j") * subDim + 1, lit(subDim)).as("sv"))
-      .localCheckpoint()
+        slice(col("__v"), col("j") * subDim + 1, lit(subDim)).as("sv")))
     val d2 = aggregate(zip_with(col("sv"), col("cvec"),
         (a, b) => (a.cast("double") - b.cast("double"))
           * (a.cast("double") - b.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
-    var cb = pqSeedCodebook(corpus, id, vec, m, subDim, k).localCheckpoint()
+    var cb = ck(pqSeedCodebook(corpus, id, vec, m, subDim, k))
     // same generation-release discipline as kMeansFit / TextDedup.clusters
     var prevGen = TextDedup.checkpointRdd(cb)
     (1 to iters).foreach { _ =>
@@ -331,10 +344,9 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mx")))),
           s => s.getField("mx").cast("float")).as("newc"))
-      cb = cb.join(means, Seq("j", "code"), "left")
+      cb = ck(cb.join(means, Seq("j", "code"), "left")
         .select(col("j"), col("code"),
-          coalesce(col("newc"), col("cvec")).as("cvec"))
-        .localCheckpoint()
+          coalesce(col("newc"), col("cvec")).as("cvec")))
       prevGen.foreach(_.unpersist(blocking = false))
       prevGen = TextDedup.checkpointRdd(cb)
     }

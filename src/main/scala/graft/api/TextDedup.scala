@@ -519,11 +519,19 @@ object TextDedup {
     * shingle inventory on (bucket, shingle): pair-space is bounded by
     * per-shingle document frequency, and w-token shingles (not tokens)
     * keep that df small — the selectivity knob. Output: (bucket,
-    * doc_small, doc_big, containment 4 dp). */
+    * doc_small, doc_big, containment 4 dp).
+    *
+    * `checkpointDir`: the shingle frame is corpus-sized and pinned for
+    * four consumers; by default it truncates via `localCheckpoint`
+    * (executor-local, unreplicated — one lost executor mid-query kills
+    * the job). Pass a reliable directory (HDFS/object store) to switch
+    * to fault-tolerant `.checkpoint()` — the [[clusters]] /
+    * [[TextQuality.langIdConfusion]] discipline. */
   def containmentWithinBucket(df: DataFrame, id: Column, bucket: Column,
       text: Column, minContainment: Double = 0.9,
       shingleWidth: Int = 3,
-      prefilterSlack: Double = 0.0001): DataFrame = {
+      prefilterSlack: Double = 0.0001,
+      checkpointDir: Option[String] = None): DataFrame = {
     // the slack keeps the rounded-threshold edge inside the recall
     // guarantee (a true containment of 0.89995 rounds up to the 0.9
     // gate — the prefix bound must be computed at r, not c; same rule
@@ -536,17 +544,17 @@ object TextDedup {
     // inventory explode, both verify joins) — without the pin each one
     // re-runs the corpus tokenization + shingle sort (the
     // langIdConfusion multiple-consumer hazard). The pinned frame is
-    // corpus-sized; on a real cluster prefer a reliable checkpoint of
-    // the same frame (the clusters()/langIdConfusion discipline).
-    val base = df.select(id.as("__id"), bucket.as("__bucket"),
+    // corpus-sized; `checkpointDir` upgrades the pin to a reliable
+    // checkpoint (scaladoc above).
+    val ck = ckptFn(df.sparkSession, checkpointDir)
+    val base = ck(df.select(id.as("__id"), bucket.as("__bucket"),
         split(text, " ").as("tk"))
       .filter(size(col("tk")) >= shingleWidth)
       .select(col("__id"), col("__bucket"), array_sort(array_distinct(
         transform(sequence(lit(1), size(col("tk")) - (shingleWidth - 1)),
           i => concat_ws(" ", slice(col("tk"), i, lit(shingleWidth))))))
         .as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      .localCheckpoint()
+      .withColumn("nsh", size(col("sh"))))
     // prefix rows carry keys only (the exchange-volume rule); the
     // verify joins the bounded candidate set back to `base`
     val pref = base.select(col("__id"), col("__bucket"), col("nsh"),

@@ -1277,6 +1277,40 @@ class ApiSpec extends AnyFunSuite {
       s"${jac.mkString(",")}")
   }
 
+  test("containmentWithinBucket / kMeansFit / pqTrainCodebook with a " +
+      "reliable checkpointDir match the localCheckpoint default") {
+    val ckDir = SparkFixture.tempDir("graft_ck3_").getAbsolutePath
+    // containment: the embedded-pair fixture from the recall test
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "web", big),
+      (2L, "web", (21 to 35).map(i => s"w$i").mkString(" ")),
+      (3L, "web", (100 to 130).map(i => s"u$i").mkString(" "))
+    ).toDF("id", "grp", "body")
+    def contain(dir: Option[String]) = TextDedup
+      .containmentWithinBucket(docs, col("id"), col("grp"), col("body"),
+        minContainment = 0.9, checkpointDir = dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(contain(Some(ckDir)) == contain(None),
+      "containment reliable-checkpoint result diverges from default")
+    // k-means + PQ: a small deterministic vector cloud
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L)
+      .map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    def kmeans(dir: Option[String]) = Similarity
+      .kMeansFit(vecs, col("id"), col("v"), k = 3, iters = 2,
+        checkpointDir = dir)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(kmeans(Some(ckDir)) == kmeans(None),
+      "kMeansFit reliable-checkpoint centroids diverge from default")
+    def pq(dir: Option[String]) = Similarity
+      .pqTrainCodebook(vecs, col("id"), col("v"), m = 2, subDim = 4,
+        k = 4, iters = 2, checkpointDir = dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    assert(pq(Some(ckDir)) == pq(None),
+      "pqTrainCodebook reliable-checkpoint codebook diverges from default")
+  }
+
   test("dupSubstringStats boundary properties: all-unique corpus has " +
       "zero dup windows; a verbatim repeat is fully spanned") {
     val unique = (1 to 3).map(i => (i.toLong,
