@@ -1087,6 +1087,56 @@ object TextDedup {
       .write.mode("overwrite").parquet(s"$path/hashes")
   }
 
+  /** ACCEPT a screened delta shard into a [[writeSubstringIndex]] index:
+    * append the shard's distinct window hashes to the hashes table —
+    * the nightly loop GROWS its index instead of re-windowing the whole
+    * accumulated corpus each refresh (the [[appendToSignatureIndex]]
+    * pattern). Set-correct by construction: the probe is a semi-join on
+    * the hash, so rows duplicated between the index and the shard change
+    * nothing — distinct-of-union ≡ union-of-distincts (grown ≡ rebuilt,
+    * pinned in ApiSpec). Duplicates and per-append small files DO
+    * accumulate bytes; [[compactSubstringIndex]] on its own cadence.
+    * `windowTokens` is checked against the recorded params — a mismatch
+    * would append hashes no probe can ever match. */
+  def appendToSubstringIndex(df: DataFrame, id: Column, text: Column,
+      path: String, windowTokens: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val w0 = spark.read.parquet(s"$path/params").head()
+      .getAs[Int]("window_tokens")
+    require(w0 == windowTokens,
+      s"substring index at $path was written with windowTokens=$w0 " +
+        s"but caller passed $windowTokens — appended hashes could never " +
+        "match a probe")
+    rollingWindows(df.select(id.as("doc_id"), split(text, " ").as("__tk")),
+        windowTokens)
+      .select("h").distinct()
+      .write.mode("append").parquet(s"$path/hashes")
+  }
+
+  /** Compact a substring index in place: global re-distinct of the
+    * hashes table + one rewrite — collapses cross-append duplicate rows
+    * and the per-append small files (a bytes/file-count concern, never
+    * a correctness one; the probe semi-join is duplicate-blind). Runs
+    * through the Hadoop FS API (rename-swap via a sibling temp dir), so
+    * it works on HDFS/object-store paths, not just local disk. Do not
+    * run concurrently with a probe or append on the same index. */
+  def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val hashes = s"$path/hashes"
+    val tmp = s"$path/hashes__compacting"
+    // materialize the distinct BEFORE touching the live table: parquet
+    // reads are lazy, so an in-place overwrite would read-while-deleting
+    spark.read.parquet(hashes).distinct()
+      .write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(hashes)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(hPath, true))
+      throw new java.io.IOException(s"compaction failed to remove $hashes")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
+      throw new java.io.IOException(
+        s"compaction failed to swap $tmp into place — index is at $tmp")
+  }
+
   /** Incremental substring dedup of a delta shard against a
     * [[writeSubstringIndex]] corpus index: a delta token is cut when a
     * covering window's text exists ANYWHERE in the indexed corpus

@@ -1253,6 +1253,62 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("windowTokens"))
   }
 
+  test("appendToSubstringIndex: grown-index screen equals rewritten-index " +
+      "screen; compaction preserves results and collapses duplicates") {
+    val r = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val day0 = Seq(
+      (1L, s"fa1 fa2 fa3 fa4 $r fa5 fa6"),
+      (2L, "ca1 ca2 ca3 ca4 ca5 ca6 ca7 ca8 ca9")
+    ).toDF("id", "body")
+    val day1 = Seq( // accepted shard: overlaps day0's repeat + fresh text
+      (5L, s"ba1 $r ba2 ba3 ba4 ba5 ba6"),
+      (6L, "na1 na2 na3 na4 na5 na6 na7 na8")
+    ).toDF("id", "body")
+    val day2 = Seq( // today's probe shard
+      (10L, s"gb1 $r gb2 gb3 gb4 gb5 gb6"),       // known since day0
+      (11L, "na1 na2 na3 na4 na5 na6 na7 na8 xx"), // prefix known since day1
+      (12L, "za1 za2 za3 za4 za5 za6 za7 za8")     // fresh
+    ).toDF("id", "body")
+    val root = SparkFixture.tempDir("graft_substr_append_")
+    val grown = new java.io.File(root, "grown").getAbsolutePath
+    val rebuilt = new java.io.File(root, "rebuilt").getAbsolutePath
+    TextDedup.writeSubstringIndex(day0, col("id"), col("body"), grown)
+    TextDedup.appendToSubstringIndex(day1, col("id"), col("body"), grown)
+    TextDedup.writeSubstringIndex(day0.unionByName(day1), col("id"),
+      col("body"), rebuilt)
+    def screen(idx: String) = TextDedup
+      .dedupSubstringsAgainstIndex(day2, col("id"), col("body"), idx)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val grownRes = screen(grown)
+    assert(grownRes == screen(rebuilt),
+      "grown-index screen diverges from rewritten-index screen")
+    // the append did real work: doc 11's day1-known prefix is cut
+    val kept = TextDedup
+      .dedupSubstringsAgainstIndex(day2, col("id"), col("body"), grown)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(2)).toMap
+    assert(kept(10L) == 6L && kept(11L) == 1L && kept(12L) == 8L,
+      s"unexpected kept counts after append: $kept")
+    // append on mismatched params fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.appendToSubstringIndex(day1, col("id"), col("body"),
+        grown, windowTokens = 6)
+    }
+    assert(e.getMessage.contains("windowTokens"))
+    // compaction: identical screen, duplicate hash rows collapsed
+    val spark0 = day0.sparkSession
+    val before = spark0.read.parquet(s"$grown/hashes").count()
+    val distinctBefore =
+      spark0.read.parquet(s"$grown/hashes").distinct().count()
+    // day0 and day1 share R's windows -> the appended table has dups
+    assert(before > distinctBefore,
+      s"fixture should hold duplicate hashes pre-compaction: $before")
+    TextDedup.compactSubstringIndex(spark0, grown)
+    assert(spark0.read.parquet(s"$grown/hashes").count() == distinctBefore,
+      "compaction must collapse to the distinct hash set")
+    assert(screen(grown) == grownRes,
+      "screen diverges after compaction")
+  }
+
   test("TextDedup.containmentWithinBucket finds a short doc embedded in " +
       "a long one — the asymmetric case jaccard misses") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")
