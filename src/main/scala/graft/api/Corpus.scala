@@ -63,9 +63,22 @@ object Corpus {
     * layout change. √n terms round 6 dp into DECIMAL before the
     * normalizing sum (order-free denominator, SURVEY §7.2.2).
     *
+    * Quota arithmetic is largest-remainder (Hamilton): each group takes
+    * ⌊share⌋, and the budget − Σ⌊share⌋ leftover seats go to the
+    * largest fractional remainders (group-name tie-break), so
+    * Σ n_take == min(budget, corpus size) EXACTLY — per-group HALF_UP
+    * rounding would drift by up to ~|groups|/2 seats. The one residual
+    * under-fill: a group whose √n-inflated quota exceeds its own row
+    * count takes all its rows and the unmet seats are NOT re-offered
+    * (saturation can only under-fill, never over-fill; re-offering
+    * would need an unbounded reallocation loop for a correction smaller
+    * than the α-mixing distortion itself).
+    *
     * Scale shape: a |groups|-row aggregate broadcast back, one window
     * partitioned BY GROUP (per-group sort, no global sort — the
-    * shuffleShard discipline). Output: the input rows of the sample. */
+    * shuffleShard discipline; the remainder rank is a window over the
+    * |groups|-row quota frame, bounded by construction). Output: the
+    * input rows of the sample. */
   def temperatureSample(df: DataFrame, id: Column, group: Column,
       budget: Int, salt: String = "sample"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -73,10 +86,22 @@ object Corpus {
       .withColumn("__sq",
         round(sqrt(col("__n")), 6).cast(DecimalType(18, 6)))
     val tot = perG.agg(sum(col("__sq")).as("__tot"))
-    val take = perG.crossJoin(broadcast(tot))
+    val based = perG.crossJoin(broadcast(tot))
+      .select(col("__g"), col("__n"),
+        (col("__sq").cast("double") / col("__tot").cast("double")
+          * budget).as("__share"))
+      .withColumn("__base", floor(col("__share")))
+    val leftT = based.agg((lit(budget.toLong) - sum(col("__base")))
+      .as("__left"))
+    // Σ⌊share⌋ ≤ Σshare ≈ budget ⇒ 0 ≤ __left ≤ |groups|
+    val wR = Window.orderBy((col("__share") - col("__base")).desc,
+      col("__g"))
+    val take = based.crossJoin(broadcast(leftT))
+      .withColumn("__rk", row_number().over(wR))
       .select(col("__g"),
-        round(col("__sq").cast("double") / col("__tot").cast("double")
-          * budget).cast("int").as("__take"))
+        least(col("__base") +
+            when(col("__rk") <= col("__left"), 1L).otherwise(0L),
+          col("__n")).cast("int").as("__take"))
     val w = Window.partitionBy(group)
       .orderBy(md5(concat(lit(s"$salt:"), id.cast("string"))), id)
     df.withColumn("__rn", row_number().over(w))

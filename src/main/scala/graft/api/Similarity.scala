@@ -642,10 +642,18 @@ object Similarity {
     val base = corpus.select(dims.map(i =>
       floor(element_at(vec, i + 1).cast("double") * lit(1000000.0))
         .as(s"u_$i")): _*)
+    // moments accumulate in DecimalType(38,0), not LongType: per-row
+    // products reach ~1e12 for unit-scale micro-unit embeddings, so a
+    // LongType sum would wrap SILENTLY (non-ANSI) past ~1e6 rows while
+    // the SQL oracle sums BIGINT products into a 128-bit accumulator —
+    // the decimal accumulator matches the oracle's widening exactly
+    // (exact to 10^38, i.e. ~1e26 rows at unit scale)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val momentCols = Seq(count(lit(1)).cast("double").as("n")) ++
-      dims.map(i => sum(col(s"u_$i")).cast("double").as(s"s_$i")) ++
+      dims.map(i => sum(col(s"u_$i").cast(dec)).cast("double").as(s"s_$i")) ++
       prs.map { case (i, j) =>
-        sum(col(s"u_$i") * col(s"u_$j")).cast("double").as(s"p_${i}_$j") }
+        sum(col(s"u_$i").cast(dec) * col(s"u_$j").cast(dec))
+          .cast("double").as(s"p_${i}_$j") }
     val row = base.agg(momentCols.head, momentCols.tail: _*).head()
     val n = row.getDouble(0)
     require(n > 1, s"pcaFitExactPower needs at least 2 rows, got $n")

@@ -955,7 +955,12 @@ object TextDedup {
     // occurrence counts via a window over the hash, not groupBy + join
     // back: the join spelling re-derives the corpus tokenization for
     // the probe side (two full passes); the window shuffles the same
-    // (doc, pos, h) rows by h ONCE and flags in place
+    // (doc, pos, h) rows by h ONCE and flags in place. TRADE-OFF: the
+    // window gives up map-side partial agg and AQE skew-join splitting,
+    // so one ubiquitously repeated window (license boilerplate at web
+    // scale) funnels all its occurrences through a single task — on a
+    // corpus with known heavy-hitter boilerplate prefer groupBy +
+    // join-back over a checkpointed window frame (SCALE.md r8 entry)
     val hW = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val flagged = rollingWindows(
         df.select(id.as("doc_id"), split(text, " ").as("__tk")), w)
@@ -1018,6 +1023,17 @@ object TextDedup {
   private def laterOccurrences(wins: DataFrame): DataFrame = {
     val hW = org.apache.spark.sql.expressions.Window.partitionBy("h")
     wins
+      // the packed key needs doc_id >= 0 and < 10⁶ window positions per
+      // doc; a violating corpus would silently elect WRONG canonical
+      // spans, so the precondition is enforced per row, not just
+      // documented (assert_true is codegen'd — two integer compares in
+      // the exchange that already moves every window; a filter, so
+      // column pruning cannot drop it). Mirrors the loud windowTokens-
+      // mismatch check in dedupSubstringsAgainstIndex.
+      .filter(assert_true(col("doc_id") >= 0L && col("pos") < 1000000L,
+        lit("substring dedup packed-key precondition violated: needs " +
+          "doc_id >= 0 and < 1e6 tokens per doc — split oversized docs " +
+          "or remap ids")).isNull)
       .withColumn("__n_occ", count(lit(1)).over(hW))
       .withColumn("__cn",
         min(col("doc_id") * 1000000L + col("pos")).over(hW))

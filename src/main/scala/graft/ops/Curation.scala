@@ -661,15 +661,28 @@ object Curation {
         |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
         |    AS pad_waste_tokens
         |FROM b GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
+    // largest-remainder quotas: ⌊share⌋ each + leftover seats to the
+    // largest fractional remainders (source tie-break) — Σ n_take ==
+    // min(budget, corpus) exactly; shares computed through the same
+    // IEEE double chain as Spark (DECIMAL sq/tot → double divide →
+    // × budget), so floor/remainder ordering are bit-identical
     "llm_sample_temperature" ->
       s"""WITH s AS (SELECT source, COUNT(*) AS n,
          |    CAST(ROUND(sqrt(COUNT(*)), 6) AS DECIMAL(18,6)) AS sq
          |  FROM documents GROUP BY source),
          |t AS (SELECT SUM(sq) AS tot FROM s),
-         |k AS (SELECT source,
-         |    CAST(ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)
-         |      * $SampleBudget) AS INT) AS n_take
+         |b AS (SELECT source, n,
+         |    CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * $SampleBudget
+         |      AS share,
+         |    CAST(FLOOR(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)
+         |      * $SampleBudget) AS BIGINT) AS base
          |  FROM s, t),
+         |l AS (SELECT $SampleBudget - SUM(base) AS leftover FROM b),
+         |k AS (SELECT source,
+         |    CAST(LEAST(base + CASE WHEN ROW_NUMBER() OVER
+         |        (ORDER BY share - base DESC, source) <= leftover
+         |      THEN 1 ELSE 0 END, n) AS INT) AS n_take
+         |  FROM b, l),
          |r AS (SELECT doc_id, source,
          |    ROW_NUMBER() OVER (PARTITION BY source
          |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id)

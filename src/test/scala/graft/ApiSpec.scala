@@ -1253,6 +1253,22 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("windowTokens"))
   }
 
+  test("dedupSubstrings enforces the packed-key precondition at runtime: " +
+      "a negative doc id fails loudly instead of electing wrong spans") {
+    val bad = Seq(
+      (-1L, (1 to 12).map(i => s"b$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"c$i").mkString(" "))
+    ).toDF("id", "body")
+    val e = intercept[Exception] {
+      TextDedup.dedupSubstrings(bad, col("id"), col("body")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("packed-key precondition")),
+      s"expected the packed-key guard to fire, got: ${messages(e)}")
+  }
+
   test("appendToSubstringIndex: grown-index screen equals rewritten-index " +
       "screen; compaction preserves results and collapses duplicates") {
     val r = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
@@ -1400,6 +1416,19 @@ class ApiSpec extends AnyFunSuite {
     val all = Corpus.temperatureSample(df, col("k"), col("g"), budget = 1000)
       .count()
     assert(all == 100L, s"over-budget sample must return the corpus: $all")
+    // largest-remainder exactness: three equal groups at share 7/3 ≈
+    // 2.33 — per-group HALF_UP would deliver 6 of the 7 budgeted seats;
+    // Hamilton fills the budget exactly, leftover seat to the
+    // alphabetically-first of the tied remainders
+    val eq = (1 to 27).map(i => (i.toLong, Seq("ga", "gb", "gc")(i % 3)))
+      .toDF("k", "g")
+    val ham = Corpus.temperatureSample(eq, col("k"), col("g"), budget = 7)
+      .collect().map(r => r.getString(1)).groupBy(identity)
+      .map { case (g, xs) => g -> xs.length }
+    assert(ham.values.sum == 7,
+      s"largest remainder must meet the budget exactly: $ham")
+    assert(ham == Map("ga" -> 3, "gb" -> 2, "gc" -> 2),
+      s"leftover seat must go to the tie-break winner: $ham")
   }
 
   test("snapshotDiff NULL-text rows classify by presence, not hash " +
