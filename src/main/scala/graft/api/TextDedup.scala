@@ -942,12 +942,14 @@ object TextDedup {
     * and positions, never text. Overlap costs w× the hash rows of
     * [[dupChunkFrac]] — that is the recall price, and why both exist:
     * chunk hashing for a cheap screen, rolling windows when alignment
-    * robustness matters (it usually does before training). In-engine
-    * pipelines can halve the bytes again with an 8-byte xxhash64 in
-    * place of md5; md5 is what makes the stats engine-portable and
-    * DuckDB-oracle-checkable. */
+    * robustness matters (it usually does before training). `xxHash =
+    * true` switches the window key to the 8-byte xxhash64 long — 4×
+    * fewer hash bytes in the shuffle than the 32-byte md5 hex, the
+    * in-engine production spelling (survivor-equality vs the md5 path
+    * pinned in ApiSpec); the md5 default is what keeps the stats
+    * engine-portable and DuckDB-oracle-checkable. */
   def dupSubstringStats(df: DataFrame, id: Column, text: Column,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8, xxHash: Boolean = false): DataFrame = {
     require(windowTokens >= 2,
       s"windowTokens=$windowTokens must be >= 2 (1 would degrade to " +
         "token frequency)")
@@ -963,7 +965,7 @@ object TextDedup {
     // join-back over a checkpointed window frame (SCALE.md r8 entry)
     val hW = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val flagged = rollingWindows(
-        df.select(id.as("doc_id"), split(text, " ").as("__tk")), w)
+        df.select(id.as("doc_id"), split(text, " ").as("__tk")), w, xxHash)
       .withColumn("dup", count(lit(1)).over(hW) > 1)
       .select(col("doc_id"), col("pos"), col("dup"))
     val perDoc = flagged.groupBy("doc_id")
@@ -1007,12 +1009,13 @@ object TextDedup {
     * never corpus×corpus — and the rebuild is one per-doc aggregate
     * (sort inside the row, no global sort). */
   def dedupSubstrings(df: DataFrame, id: Column, text: Column,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8, xxHash: Boolean = false): DataFrame = {
     require(windowTokens >= 2,
       s"windowTokens=$windowTokens must be >= 2")
     val w = windowTokens
     val toks = df.select(id.as("doc_id"), split(text, " ").as("__tk"))
-    removeCoveredSpans(toks, laterOccurrences(rollingWindows(toks, w)), w)
+    removeCoveredSpans(toks,
+      laterOccurrences(rollingWindows(toks, w, xxHash)), w)
   }
 
   /** Windows whose text occurs at an earlier packed (doc·10⁶ + pos) key
@@ -1044,14 +1047,22 @@ object TextDedup {
 
   /** (doc_id, pos, h) rolling w-token window hashes over a
     * (doc_id, __tk) token frame — the lattice both substring engines
-    * share. */
-  private def rollingWindows(toks: DataFrame, w: Int): DataFrame =
+    * share. `xx` switches the window key from the 32-byte md5 hex
+    * (engine-portable, oracle-checkable) to the 8-byte xxhash64 long
+    * (4× fewer shuffle bytes — the in-engine production spelling; all
+    * downstream plumbing is hash-type-agnostic: grouping, semi-joins
+    * and packed-key election never look inside `h`). */
+  private def rollingWindows(toks: DataFrame, w: Int,
+      xx: Boolean = false): DataFrame =
     toks
       .filter(size(col("__tk")) >= w)
       .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("__tk")) - (w - 1)),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(col("__tk"), i, lit(w)))).as("h"))))
+          i => {
+            val winText = concat_ws(" ", slice(col("__tk"), i, lit(w)))
+            struct(i.as("pos"),
+              (if (xx) xxhash64(winText) else md5(winText)).as("h"))
+          }))
         .as("__w"))
       .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("h"))
 

@@ -372,6 +372,21 @@ object Curation {
         .withColumn("dup_window_frac", round(col("dup_window_frac"), 6))
         .orderBy("doc_id")),
 
+    // the IN-ENGINE spelling of llm_dedup_substring: xxhash64 window
+    // keys — 8-byte longs in the occurrence shuffle instead of 32-byte
+    // md5 hex (4× fewer hash bytes; the production pipeline's choice
+    // when no cross-engine index is needed). xxhash64 has no DuckDB
+    // twin, so this key is sanctioned no-oracle (rows-only driver
+    // check) — correctness rides on the md5 twin passing the full hash
+    // gate over the IDENTICAL plan shape, plus the ApiSpec pin that
+    // both spellings flag the same windows and keep the same survivors.
+    "llm_dedup_substring_xx" -> ((s, d) =>
+      graft.api.TextDedup
+        .dupSubstringStats(documents(s, d), col("doc_id"), col("text"),
+          xxHash = true)
+        .withColumn("dup_window_frac", round(col("dup_window_frac"), 6))
+        .orderBy("doc_id")),
+
     // the APPLY step: the corpus materialized with duplicated ≥8-token
     // spans cut (keep the globally-first occurrence) — what a training
     // run actually reads after substring dedup. Removal is an equi-join
@@ -717,6 +732,9 @@ object Curation {
         |    / COUNT(*), 6) AS dup_chunk_frac
         |FROM ch JOIN freq USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // llm_dedup_substring_xx: omitted (xxhash64 is engine-specific);
+    // pinned by the ApiSpec survivor-equality test against the md5
+    // twin, whose oracle below hash-checks the identical plan shape
     // w = 8 rolling windows: positions 1..n-7 (range upper bound n-6 is
     // exclusive); DuckDB zips the two parallel unnests positionally
     "llm_dedup_substring" ->

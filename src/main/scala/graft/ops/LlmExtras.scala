@@ -672,6 +672,36 @@ object LlmExtras {
           k = 5, coarseK = 20, inDim = RpInDim, outDim = 16, seed = RpSeed)
         .select("qid", "rk", "vec_id", "sim_r")
         .orderBy("qid", "rk")
+    }),
+
+    // the PACKED multimodal layout as a declared key: fixture-derived
+    // payloads land in packToParquet's flat (path, mime, meta, bytes)
+    // parquet layout, are read back through readPacked's struct view,
+    // and a METADATA-ONLY aggregate runs over it — the timed query
+    // includes the packing write (honest, the substring_delta rule).
+    // The MULTIMODAL.md claim this key exists to keep honest — that
+    // metadata queries over the packed layout never read payload column
+    // chunks, even through the struct view (nested-schema pruning) —
+    // is plan-asserted on THIS key's frame in MultimodalSpec.
+    "llm_multimodal_packed" -> ((s, d) => {
+      val dest = new java.io.File("target/graft-packed/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      documents(s, d).select(
+          concat(lit("doc_"), col("doc_id"), lit(".bin")).as("path"),
+          when(col("doc_id") % 3 === 0, "image/png")
+            .when(col("doc_id") % 3 === 1, "audio/wav")
+            .otherwise("text/plain").as("mime"),
+          map(lit("n_chars"), col("n_chars").cast("string")).as("meta"),
+          unhex(md5(col("text"))).as("bytes"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(dest)
+      graft.sources.Multimodal.readPacked(s, dest)
+        .groupBy(col("media.mime").as("mime"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(element_at(col("media.meta"), "n_chars").cast("long"))
+            .as("total_chars"),
+          min(col("path")).as("first_path"))
+        .orderBy("mime")
     })
   )
 
@@ -917,6 +947,17 @@ object LlmExtras {
         |  COUNT(DISTINCT unhex(md5(text))) AS n_distinct_payloads,
         |  COUNT(DISTINCT upper(substr(hex(unhex(md5(text))), 1, 2)))
         |    AS n_first_bytes
+        |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    // the packed-layout key re-derives the same metadata straight from
+    // documents: the pack/readPacked round trip is the Spark side's
+    // subject; the oracle checks the metadata math
+    "llm_multimodal_packed" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'text/plain' END AS mime,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN('doc_' || CAST(doc_id AS VARCHAR) || '.bin') AS first_path
         |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
     "llm_sim_topk_rerank" -> {
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 16, RpInDim)

@@ -1253,6 +1253,32 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("windowTokens"))
   }
 
+  test("substring xxhash64 spelling: stats and survivors identical to the " +
+      "md5 path (hash choice is plumbing, not semantics)") {
+    val r = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val docs = Seq(
+      (1L, s"fa1 fa2 fa3 $r fa4 fa5"),
+      (2L, s"ga1 $r ga2 ga3 ga4 ga5"),    // cross-doc repeat of R
+      (3L, "ca1 ca2 ca3 ca4 ca5 ca6 ca7 ca8 ca9"),
+      (4L, "ca1 ca2 ca3 ca4 ca5 ca6 ca7 ca8 ca9"), // full duplicate
+      (5L, "ua1 ua2 ua3 ua4 ua5 ua6 ua7 ua8")      // unique
+    ).toDF("id", "body")
+    val statsMd5 = TextDedup.dupSubstringStats(docs, col("id"), col("body"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val statsXx = TextDedup.dupSubstringStats(docs, col("id"), col("body"),
+        xxHash = true)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(statsXx == statsMd5,
+      s"xx stats diverge from md5:\n$statsXx\nvs\n$statsMd5")
+    val applyMd5 = TextDedup.dedupSubstrings(docs, col("id"), col("body"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val applyXx = TextDedup.dedupSubstrings(docs, col("id"), col("body"),
+        xxHash = true)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(applyXx == applyMd5,
+      s"xx survivors diverge from md5:\n$applyXx\nvs\n$applyMd5")
+  }
+
   test("dedupSubstrings enforces the packed-key precondition at runtime: " +
       "a negative doc id fails loudly instead of electing wrong spans") {
     val bad = Seq(

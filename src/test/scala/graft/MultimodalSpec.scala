@@ -284,4 +284,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(scan.contains("mime") && !scan.contains("bytes"),
       s"payload column not pruned from the packed scan:\n$scan")
   }
+
+  test("llm_multimodal_packed: the metadata-only aggregate prunes the " +
+      "payload column even through readPacked's struct view") {
+    // the declared key packs fixture-derived payloads then aggregates
+    // metadata through the (mime, bytes, meta) struct — nested-schema
+    // pruning must keep the bytes chunks out of the packed scan
+    val frame = SparkEntry
+      .queries("llm_multimodal_packed")(spark, SparkFixture.sf0001)
+    val leaves = frame.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    val packedScans = leaves.filter(_.contains("graft-packed"))
+    assert(packedScans.nonEmpty,
+      s"no packed-table scan in the plan leaves:\n${leaves.mkString("\n")}")
+    assert(packedScans.forall(s => !s.contains("bytes")),
+      s"payload column read by a metadata-only query through the struct " +
+        s"view:\n${packedScans.mkString("\n")}")
+    // and the key itself returns the three fixture mimes
+    val rows = frame.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("audio/wav", "image/png", "text/plain"), rows.mkString(","))
+  }
 }
