@@ -1,0 +1,115 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring — the CCNet/KenLM-shaped
+  * quality signal (Wenzek et al. 2020 score documents by the perplexity
+  * of a KenLM 5-gram model; Heafield 2011, both public): a document
+  * whose token SEQUENCES are improbable under a reference corpus is
+  * boilerplate, spam, or the wrong language, even when its bag-of-token
+  * stats look fine. This is the order-2 upgrade of the unigram scorer
+  * behind `llm_perplexity_bucket`: bigram costs see word ORDER, so
+  * shuffled or templated text scores worse than fluent text with the
+  * same vocabulary.
+  *
+  * Model = ONE self-contained backoff table frame, three row shapes:
+  *  - (w1, w2, cost)  — observed-bigram cost;
+  *  - (w1, NULL, cost) — add-1 unseen-successor cost for a known
+  *    history w1 (the probability mass smoothing reserves);
+  *  - (NULL, NULL, cost) — out-of-vocabulary history cost.
+  * Costs are integer MICRO-log-probs (round(−ln p × 10⁶), the
+  * [[Unigram]] discipline): per-doc totals are exact integer sums,
+  * addition-order-free, so scoring is engine-reproducible and the
+  * declared key is DuckDB-hash-checked.
+  *
+  * Scale shape: training is one bigram explode → one (w1, w2) groupBy
+  * (map-side combinable; the ONLY corpus-sized shuffle) — history
+  * counts c(w1) = Σ_w2 c(w1, w2) and the vocabulary size both derive
+  * from the model-sized count frame, never a second corpus pass.
+  * Scoring joins the corpus's bigrams to the model on (w1, w2) as a
+  * plain shuffle equi-join — the model is |observed bigrams| and grows
+  * with the corpus (Heaps' law), so no broadcast hint (the
+  * langIdConfusion rule); the two backoff joins are w1-keyed and
+  * vocab-sized.
+  */
+object NgramLm {
+
+  private def costMicro(p: Column): Column =
+    round(-log(p) * 1e6).cast("long")
+
+  /** (doc_id, w1, w2) bigram pairs of each doc; docs under 2 tokens
+    * contribute nothing. */
+  private def bigrams(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = split(text, " ")
+    df.select(id.as("doc_id"), tk.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__tk")) - 1),
+          i => struct(element_at(col("__tk"), i).as("w1"),
+            element_at(col("__tk"), i + 1).as("w2")))).as("__b"))
+      .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+  }
+
+  /** Train an add-1-smoothed bigram LM from a corpus. Output: the
+    * backoff table (w1, w2, cost) described above, with
+    * cost = round(−ln((c(w1,w2) + 1) / (c(w1) + V)) × 10⁶),
+    * unseen-successor rows at c(w1,w2) = 0 and the OOV row at
+    * c(w1) = 0. V counts the distinct tokens observed in any bigram
+    * position (tokens appearing only in sub-2-token docs are outside
+    * the model — they can never be scored either). */
+  def train(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val cb = bigrams(df, id, text)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val cu = cb.groupBy("w1").agg(sum(col("c_bi")).as("c_w1"))
+    val v = cb.select(col("w1").as("w")).unionByName(
+        cb.select(col("w2").as("w")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val seen = cb.join(cu, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        costMicro((col("c_bi") + 1).cast("double")
+          / (col("c_w1") + col("v")).cast("double")).as("cost"))
+    val unseen = cu.crossJoin(broadcast(v))
+      .select(col("w1"), lit(null).cast("string").as("w2"),
+        costMicro(lit(1.0)
+          / (col("c_w1") + col("v")).cast("double")).as("cost"))
+    val oov = v.select(lit(null).cast("string").as("w1"),
+      lit(null).cast("string").as("w2"),
+      costMicro(lit(1.0) / col("v").cast("double")).as("cost"))
+    seen.unionByName(unseen).unionByName(oov)
+  }
+
+  /** Score each doc under a [[train]]-shaped model: total and
+    * per-bigram average micro-cost (the pseudo-perplexity a curation
+    * gate thresholds — higher = less corpus-like). Every bigram
+    * resolves through the backoff chain: exact (w1, w2) → unseen
+    * successor of w1 → OOV. Output: (doc_id, n_bigrams,
+    * total_cost_micro, avg_cost_micro DOUBLE raw — one IEEE division
+    * over exact integers). Docs with < 2 tokens score NULL avg with
+    * n_bigrams = 0. */
+  def scoreDocs(df: DataFrame, id: Column, text: Column,
+      model: DataFrame): DataFrame = {
+    val bi = bigrams(df, id, text)
+    val seen = model.filter(col("w1").isNotNull && col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("cost").as("__c_seen"))
+    val unseen = model.filter(col("w1").isNotNull && col("w2").isNull)
+      .select(col("w1"), col("cost").as("__c_unseen"))
+    val oov = model.filter(col("w1").isNull)
+      .select(col("cost").as("__c_oov"))
+    val scored = bi
+      .join(seen, Seq("w1", "w2"), "left")
+      .join(unseen, Seq("w1"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__c_seen"), col("__c_unseen"), col("__c_oov")))
+          .as("total_cost_micro"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_cost_micro"), lit(0L)).as("total_cost_micro"),
+        (col("total_cost_micro").cast("double")
+          / col("n_bigrams").cast("double")).as("avg_cost_micro"))
+  }
+}

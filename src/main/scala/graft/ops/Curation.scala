@@ -417,6 +417,31 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // the GROW step of incremental substring dedup, oracle-checked:
+    // day-0 corpus indexed once (writeSubstringIndex), day-1 shard
+    // ACCEPTED via appendToSubstringIndex (distinct window hashes
+    // appended — no corpus re-window), then today's delta screens
+    // against the grown index. The oracle is the rebuilt-index
+    // definition over day0 ∪ day1 — grown ≡ rebuilt is exactly the
+    // append step's contract (distinct-of-union ≡ union-of-distincts),
+    // so the DuckDB hash gate checks the append path end to end.
+    "llm_dedup_substring_grow" -> ((s, d) => {
+      val docs = documents(s, d)
+      val day0 = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 3)
+      val day1 = docs.filter(col("doc_id") % 10 === 3)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val idx = new java.io.File("target/graft-substr-grow/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.TextDedup.writeSubstringIndex(day0, col("doc_id"),
+        col("text"), idx)
+      graft.api.TextDedup.appendToSubstringIndex(day1, col("doc_id"),
+        col("text"), idx)
+      graft.api.TextDedup
+        .dedupSubstringsAgainstIndex(delta, col("doc_id"), col("text"), idx)
+        .orderBy("doc_id")
+    }),
+
     // snapshot diff (graft.api.Corpus.snapshotDiff) — the nightly
     // "what changed between crawls" audit: per source, docs added /
     // removed / changed / unchanged between two corpus snapshots
@@ -435,6 +460,22 @@ object Curation {
       graft.api.Corpus
         .snapshotDiff(old, nw, col("doc_id"), col("text"), col("source"))
         .orderBy("group")
+    }),
+
+    // bigram LM pseudo-perplexity (graft.api.NgramLm) — the CCNet/KenLM-
+    // shaped quality signal and the ORDER-2 upgrade of
+    // llm_perplexity_bucket's unigram scorer: an add-1-smoothed bigram
+    // model self-trained on the corpus (one bigram groupBy — the only
+    // corpus-sized shuffle), every doc scored by total/average
+    // micro-log-prob of its bigram sequence through the backoff chain.
+    // Integer micro-costs ⇒ exact order-free sums; avg is one raw IEEE
+    // division. Word ORDER matters here: shuffled text scores worse
+    // than fluent text with identical token counts (pinned in ApiSpec).
+    "llm_ngram_lm" -> ((s, d) => {
+      val docs = documents(s, d)
+      val model = graft.api.NgramLm.train(docs, col("doc_id"), col("text"))
+      graft.api.NgramLm.scoreDocs(docs, col("doc_id"), col("text"), model)
+        .orderBy("doc_id")
     }),
 
     // LEARNED quality classifier (graft.api.Quality) — the fastText/
@@ -477,6 +518,43 @@ object Curation {
         .join(labels, "doc_id")
         .select("doc_id", "score_micro", "keep", "y")
         .orderBy("doc_id")
+    }),
+
+    // the EVAL side — what a curation run reports before trusting a
+    // filter: confusion counts + precision/recall/F1 of the fitted
+    // classifier against the seed labels. Exp-free (the classify
+    // margin rule), counts are exact integer sums, and the three
+    // ratios are RAW doubles from single IEEE divisions over exact
+    // integers (identical bit patterns in both engines — the
+    // round(x,6)-boundary hazard the verify notes document is avoided
+    // by not rounding at all). F1 via the single-division identity
+    // 2·tp/(2·tp + fp + fn).
+    "llm_quality_eval" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      graft.api.Quality.classify(feats, model)
+        .join(labels, "doc_id")
+        .agg(
+          sum(when(col("keep") && col("y") === 1, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("keep") && col("y") === 0, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("keep") && col("y") === 1, 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("keep") && col("y") === 0, 1L).otherwise(0L))
+            .as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast("double") / (col("tp") + col("fp"))
+            .cast("double")).as("precision"),
+          (col("tp").cast("double") / (col("tp") + col("fn"))
+            .cast("double")).as("recall"),
+          ((col("tp") * 2).cast("double") /
+            (col("tp") * 2 + col("fp") + col("fn")).cast("double"))
+            .as("f1"))
     })
   )
 
@@ -828,6 +906,44 @@ object Curation {
         |FROM tk b LEFT JOIN agg a USING (doc_id)
         |WHERE b.doc_id % 10 = 0
         |ORDER BY b.doc_id""".stripMargin,
+    // identical to the _delta oracle: the grown index (day0 indexed,
+    // day1 appended) must equal the rebuilt index over day0 ∪ day1 =
+    // all docs with doc_id % 10 != 0 — that equality IS the append
+    // contract under the DuckDB hash gate
+    "llm_dedup_substring_grow" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(1, len(tk) - 6)) AS pos,
+        |    unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS h
+        |  FROM tk WHERE len(tk) >= 8),
+        |cw AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 != 0),
+        |dw AS (SELECT doc_id, pos, h FROM w WHERE doc_id % 10 = 0),
+        |ic AS (SELECT doc_id, pos FROM dw
+        |  WHERE h IN (SELECT h FROM cw)),
+        |cn AS (SELECT h, COUNT(*) AS n_occ,
+        |    MIN(doc_id * 1000000 + pos) AS cnk
+        |  FROM dw GROUP BY h),
+        |ish AS (SELECT doc_id, pos FROM dw JOIN cn USING (h)
+        |  WHERE n_occ > 1 AND doc_id * 1000000 + pos != cnk),
+        |flg AS (SELECT doc_id, pos FROM ic
+        |  UNION SELECT doc_id, pos FROM ish),
+        |tok AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS t,
+        |    unnest(tk) AS token FROM tk WHERE doc_id % 10 = 0),
+        |kept AS (SELECT tok.doc_id, t, token FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM flg
+        |    WHERE flg.doc_id = tok.doc_id
+        |      AND tok.t BETWEEN flg.pos AND flg.pos + 7)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(token, ' ' ORDER BY t) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM tk b LEFT JOIN agg a USING (doc_id)
+        |WHERE b.doc_id % 10 = 0
+        |ORDER BY b.doc_id""".stripMargin,
     "llm_corpus_diff" ->
       """WITH o AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 7 THEN substr(text, 1, 40)
@@ -852,6 +968,35 @@ object Curation {
         |  CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_unchanged
         |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
+    // self-trained corpus ⇒ every scored bigram is observed, so the
+    // oracle needs only the seen-cost branch of the backoff chain; two
+    // parallel unnests zip positionally (the house DuckDB idiom)
+    "llm_ngram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |bi AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |    unnest(tk[2:len(tk)]) AS w2
+        |  FROM tk WHERE len(tk) >= 2),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_w1 FROM cb
+        |  GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM (SELECT DISTINCT w FROM (
+        |    SELECT w1 AS w FROM cb UNION ALL SELECT w2 AS w FROM cb))),
+        |cost AS (SELECT w1, w2,
+        |    CAST(ROUND(-ln(CAST(c_bi + 1 AS DOUBLE)
+        |      / CAST(c_w1 + v AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+        |  FROM cb JOIN cu USING (w1), v),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(cost) AS BIGINT) AS total_cost_micro
+        |  FROM bi JOIN cost USING (w1, w2) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(sc.total_cost_micro, 0) AS BIGINT)
+        |    AS total_cost_micro,
+        |  CAST(sc.total_cost_micro AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)
+        |    AS avg_cost_micro
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "llm_quality_train_step" ->
       s"""WITH $qualityCte
          |SELECT bucket, w_micro FROM w2 ORDER BY bucket""".stripMargin,
@@ -862,7 +1007,27 @@ object Curation {
          |  FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id)
          |SELECT sc.doc_id, sc.score_micro, sc.score_micro > 0 AS keep, l.y
          |FROM sc JOIN labels l USING (doc_id)
-         |ORDER BY sc.doc_id""".stripMargin
+         |ORDER BY sc.doc_id""".stripMargin,
+    "llm_quality_eval" ->
+      s"""WITH $qualityCte,
+         |sc AS (SELECT f.doc_id,
+         |    CAST(SUM(f.n * w2.w_micro) AS BIGINT) AS score_micro
+         |  FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id),
+         |cm AS (SELECT
+         |    CAST(SUM(CASE WHEN score_micro > 0 AND y = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN score_micro > 0 AND y = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT score_micro > 0 AND y = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT score_micro > 0 AND y = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sc JOIN labels l USING (doc_id))
+         |SELECT tp, fp, fn, tn,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+         |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1
+         |FROM cm""".stripMargin
   )
 
   /** DuckDB twin of the two-epoch Quality fit (graft.api.Quality): CTEs

@@ -284,6 +284,30 @@ object Streaming {
           text, indexPath))
     }
 
+  /** Streaming twin of the LEARNED quality filter — scoring a fitted
+    * model is stateless, so the serving path streams for free: each
+    * micro-batch featurizes ([[graft.api.Corpus.hashFeatures]]) and
+    * classifies against the static fitted model exp-free (the integer-
+    * margin rule), a stream-static join with zero state store. The
+    * model frame is 16^nibbles rows (broadcast-sized by the hashing
+    * trick — this is why serving needs no vocabulary state either);
+    * model refresh happens on its own retrain cadence, the standard
+    * freshness trade of every stream-static join. `emit` receives
+    * (doc_id, score_micro, keep) per batch; batch ≡ streaming
+    * equality is pinned in StreamingSpec. */
+  def twinQualityClassify(docs: DataFrame,
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, model: DataFrame,
+      thresholdMicro: Long = 0L)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.Quality.classify(
+          graft.api.Corpus.hashFeatures(batch, id, text), model,
+          thresholdMicro))
+    }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

@@ -1483,6 +1483,66 @@ class ApiSpec extends AnyFunSuite {
       s"word coverable by a multi-char piece must segment: ${seg.toSeq}")
   }
 
+  test("NgramLm: model and scores match a pure-Scala reference; backoff " +
+      "resolves unseen successors and OOV; word order moves the score") {
+    import graft.api.NgramLm
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the mat"),
+      (3L, "the dog sat on the rug")
+    ).toDF("id", "body")
+    // pure-Scala twin of train(): add-1 bigram costs in micro-log units
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val biAll = rows.flatMap { case (i, t) =>
+      val tk = t.split(" "); tk.zip(tk.tail).map(p => (i, p._1, p._2)) }
+    val cb = biAll.groupBy(b => (b._2, b._3)).map { case (k, a) =>
+      k -> a.length.toLong }
+    val cu = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = (cb.keySet.map(_._1) ++ cb.keySet.map(_._2)).size.toLong
+    def cost(cbi: Long, cw1: Long): Long =
+      math.round(-math.log((cbi + 1).toDouble / (cw1 + v).toDouble) * 1e6)
+    val model = NgramLm.train(corpus, col("id"), col("body"))
+    val gotSeen = model.filter(col("w1").isNotNull && col("w2").isNotNull)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val refSeen = cb.map { case ((w1, w2), c) => (w1, w2) -> cost(c, cu(w1)) }
+    assert(gotSeen == refSeen,
+      s"seen-bigram costs diverge: ${gotSeen.toSeq.diff(refSeen.toSeq)}")
+    val gotUnseen = model.filter(col("w1").isNotNull && col("w2").isNull)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotUnseen == cu.map { case (w1, c) => w1 -> cost(0L, c) },
+      "unseen-successor costs diverge")
+    val gotOov = model.filter(col("w1").isNull).collect()
+    assert(gotOov.length == 1 && gotOov(0).getLong(2) == cost(0L, 0L),
+      "OOV cost diverges")
+    // self-scoring equals the reference exact integer totals
+    val sc = NgramLm.scoreDocs(corpus, col("id"), col("body"), model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { case (i, t) =>
+      val tk = t.split(" ")
+      val tot = tk.zip(tk.tail).map(p => cost(cb((p._1, p._2)), cu(p._1))).sum
+      assert(sc(i) == ((tk.length - 1).toLong, tot),
+        s"doc $i: got ${sc(i)}, want (${tk.length - 1}, $tot)")
+    }
+    // backoff: "sat xyz" = unseen successor of known history "sat";
+    // "zz qq" = OOV history
+    val probe = Seq((10L, "sat xyz"), (11L, "zz qq")).toDF("id", "body")
+    val pb = NgramLm.scoreDocs(probe, col("id"), col("body"), model)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pb(10L) == cost(0L, cu("sat")),
+      s"unseen-successor backoff: got ${pb(10L)}")
+    assert(pb(11L) == cost(0L, 0L), s"OOV backoff: got ${pb(11L)}")
+    // order sensitivity: same multiset of tokens, scrambled order —
+    // the bigram model must score the fluent doc strictly better
+    val pair = Seq((20L, "the cat sat on the mat"),
+      (21L, "mat the on sat cat the")).toDF("id", "body")
+    val av = NgramLm.scoreDocs(pair, col("id"), col("body"), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(av(20L) < av(21L),
+      s"fluent doc must out-score its shuffle: $av")
+  }
+
   test("Quality.train matches a pure-Scala logistic-SGD reference epoch " +
       "for epoch; loss decreases; classify thresholds the exact margin") {
     import graft.api.{Corpus, Quality}

@@ -70,4 +70,40 @@ class PropertiesSpec extends AnyFunSuite {
       assert(bySizes == direct)
     }
   }
+
+  test("Hamilton quotas (temperatureSample's arithmetic): exact fill " +
+      "absent saturation, never over min(budget, corpus), caps respected") {
+    // pure-Scala mirror of the √n-share → floor → largest-remainder →
+    // per-group cap chain, on random group configurations
+    (1 to 500).foreach { _ =>
+      val sizes = List.fill(1 + rnd.nextInt(8))(1L + rnd.nextInt(5000))
+      val n = sizes.sum
+      val budget = 1 + rnd.nextInt(8000)
+      val sq = sizes.map(s =>
+        BigDecimal(java.math.BigDecimal.valueOf(math.sqrt(s.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val tot = sq.sum
+      val share = sq.map(q => q.toDouble / tot.toDouble * budget)
+      val base = share.map(math.floor(_).toLong)
+      val leftover = budget - base.sum
+      assert(leftover >= 0 && leftover <= sizes.length,
+        s"leftover $leftover out of [0, ${sizes.length}]")
+      val order = share.zip(base).map { case (s, b) => s - b }
+        .zipWithIndex.sortBy { case (rem, i) => (-rem, i) }
+        .map(_._2).zipWithIndex.toMap
+      val take = sizes.indices.map { i =>
+        math.min(base(i) + (if (order(i) < leftover) 1L else 0L), sizes(i))
+      }
+      take.zip(sizes).foreach { case (t, s) =>
+        assert(t >= 0 && t <= s, s"take $t out of [0, $s]") }
+      val saturated = sizes.indices.exists(i =>
+        base(i) + (if (order(i) < leftover) 1L else 0L) > sizes(i))
+      assert(take.sum <= math.min(budget.toLong, n),
+        s"over-fill: ${take.sum} > min($budget, $n)")
+      if (!saturated)
+        assert(take.sum == math.min(budget.toLong, n),
+          s"under-fill without saturation: ${take.sum} != " +
+            s"min($budget, $n) (sizes=$sizes)")
+    }
+  }
 }

@@ -393,4 +393,43 @@ class StreamingSpec extends AnyFunSuite {
         s"intra-batch repeat not cut by the self-rule: $got")
     } finally q.stop()
   }
+
+  test("streaming quality classify: multi-batch scores equal the batch " +
+      "path under the same fitted model (stream-static, zero state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.api.{Corpus, Quality}
+    val corpus = Seq(
+      (1L, "shiny well written prose with many careful words"),
+      (2L, "spam spam spam buy now click here"),
+      (3L, "shiny decent paragraph containing actual meaning"),
+      (4L, "garbage tokens zzz qqq xxx yyy www")
+    ).toDF("doc_id", "text")
+    val feats = Corpus.hashFeatures(corpus, col("doc_id"), col("text"))
+    val labels = corpus.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "shiny").cast("int").as("y"))
+    val model = Quality.train(feats, labels, epochs = 2)
+    val batchScores = Quality.classify(feats, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val in = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    val q = Streaming.twinQualityClassify(
+        in.toDF.toDF("doc_id", "text"), col("doc_id"), col("text"), model) {
+      batch => emitted.synchronized {
+        batch.collect().foreach(row =>
+          emitted(row.getLong(0)) = (row.getLong(1), row.getBoolean(2)))
+      }
+    }.start()
+    try {
+      in.addData((1L, "shiny well written prose with many careful words"),
+        (2L, "spam spam spam buy now click here"))
+      q.processAllAvailable()
+      in.addData((3L, "shiny decent paragraph containing actual meaning"),
+        (4L, "garbage tokens zzz qqq xxx yyy www"))
+      q.processAllAvailable()
+      val got = emitted.synchronized(emitted.toMap)
+      assert(got == batchScores,
+        s"streaming scores diverge from batch:\n$got\nvs\n$batchScores")
+    } finally q.stop()
+  }
 }
