@@ -175,6 +175,54 @@ object Quality {
       .select(col("doc_id"), col("z_micro").as("score_micro"),
         (col("z_micro") > thresholdMicro).as("keep"))
 
+  /** Binned precision/recall curve of a fitted model — the threshold-
+    * pricing table a curation run consults before picking the filter's
+    * operating point. Scores bucket into integer bins of `binMicro`
+    * margin units clamped to [minBin, maxBin]; per-bin label counts
+    * come from ONE groupBy (map-side combinable over the corpus-sized
+    * score frame), and the cumulative tp/fp walk runs highest-bin-down
+    * over the ≤ (maxBin − minBin + 1)-row bin frame — a bounded window,
+    * never a global sort over scores (the full ROC-style every-point
+    * curve would need one; binning is the scale-correct spelling, and
+    * the bin width is the resolution knob). Row at bin b = metrics of
+    * the filter "keep iff margin ≥ b·binMicro". Ratios are RAW doubles
+    * from single IEEE divisions over exact integer counts. Output:
+    * (threshold_micro, tp, fp, fn, precision, recall, f1), highest
+    * threshold first; only observed bins appear. */
+  def prCurve(feats: DataFrame, labels: DataFrame, weights: DataFrame,
+      binMicro: Long = Micro, minBin: Int = -5, maxBin: Int = 5): DataFrame = {
+    require(binMicro > 0, s"binMicro=$binMicro must be positive")
+    require(minBin < maxBin, s"need minBin < maxBin, got [$minBin, $maxBin]")
+    import org.apache.spark.sql.expressions.Window
+    val sc = labels.join(margins(feats, broadcast(weights)),
+        Seq("doc_id"), "left")
+      .select(col("y"),
+        greatest(lit(minBin.toLong), least(lit(maxBin.toLong),
+          floor(coalesce(col("z_micro"), lit(0L)).cast("double")
+            / binMicro.toDouble))).as("bin"))
+    val perBin = sc.groupBy("bin")
+      .agg(sum(col("y").cast("long")).as("__pos"),
+        sum(lit(1L) - col("y").cast("long")).as("__neg"))
+    val tot = perBin.agg(sum(col("__pos")).as("__tp_all"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("tp", sum(col("__pos")).over(w))
+      .withColumn("fp", sum(col("__neg")).over(w))
+      .crossJoin(broadcast(tot))
+      .select((col("bin") * binMicro).cast("long").as("threshold_micro"),
+        col("tp"), col("fp"),
+        (col("__tp_all") - col("tp")).as("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / col("__tp_all").cast("double"))
+          .as("recall"),
+        ((col("tp") * 2).cast("double") /
+          (col("tp") * 2 + col("fp") + col("__tp_all") - col("tp"))
+            .cast("double")).as("f1"))
+      .orderBy(col("threshold_micro").desc)
+  }
+
   /** Binary cross-entropy of a model on labeled docs, in micro-nats —
     * the train-loop progress metric (tests assert it decreases).
     * Clamped at 1 micro-probability so log never sees 0. */

@@ -555,6 +555,25 @@ object Curation {
           ((col("tp") * 2).cast("double") /
             (col("tp") * 2 + col("fp") + col("fn")).cast("double"))
             .as("f1"))
+    }),
+
+    // threshold pricing for the learned filter: binned precision/recall
+    // curve (graft.api.Quality.prCurve) — per-bin label counts in ONE
+    // map-side-combinable groupBy, cumulative tp/fp over the ≤11-row
+    // bin frame (bounded window, never a global score sort — the
+    // scale-correct PR-curve spelling; bin width is the resolution
+    // knob). Row at threshold t = metrics of "keep iff margin ≥ t".
+    "llm_quality_pr_curve" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      // bins tuned to the fitted margin scale (fixture scores land in
+      // ~4–51 margin units): 5-unit bins over [0, 10] ≈ a 10-row curve
+      graft.api.Quality.prCurve(feats, labels, model,
+        binMicro = 5000000L, minBin = 0, maxBin = 10)
     })
   )
 
@@ -1027,7 +1046,35 @@ object Curation {
          |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
          |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
          |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1
-         |FROM cm""".stripMargin
+         |FROM cm""".stripMargin,
+    "llm_quality_pr_curve" ->
+      s"""WITH $qualityCte,
+         |sc AS (SELECT f.doc_id,
+         |    CAST(SUM(f.n * w2.w_micro) AS BIGINT) AS score_micro
+         |  FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id),
+         |bn AS (SELECT CAST(GREATEST(0, LEAST(10,
+         |      FLOOR(CAST(sc.score_micro AS DOUBLE) / 5000000.0)))
+         |      AS BIGINT) AS bin, l.y
+         |  FROM sc JOIN labels l USING (doc_id)),
+         |pb AS (SELECT bin, CAST(SUM(y) AS BIGINT) AS pos,
+         |    CAST(SUM(1 - y) AS BIGINT) AS neg
+         |  FROM bn GROUP BY bin),
+         |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp_all FROM pb),
+         |c AS (SELECT bin,
+         |    CAST(SUM(pos) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(neg) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS fp
+         |  FROM pb)
+         |SELECT CAST(bin * 5000000 AS BIGINT) AS threshold_micro, tp, fp,
+         |  CAST(t.tp_all - tp AS BIGINT) AS fn,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+         |  CAST(tp AS DOUBLE) / CAST(t.tp_all AS DOUBLE) AS recall,
+         |  CAST(tp * 2 AS DOUBLE)
+         |    / CAST(tp * 2 + fp + t.tp_all - tp AS DOUBLE) AS f1
+         |FROM c, t ORDER BY threshold_micro DESC""".stripMargin
   )
 
   /** DuckDB twin of the two-epoch Quality fit (graft.api.Quality): CTEs

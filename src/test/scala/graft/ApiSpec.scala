@@ -1623,5 +1623,35 @@ class ApiSpec extends AnyFunSuite {
     // toy corpus is built so the marker bucket dominates)
     val acc = rows.count { case (i, _) => cls(i)._2 == (yRef(i) == 1L) }
     assert(acc >= 6, s"classifier learned nothing: $acc/8 correct")
+    // PR curve: zero model puts every doc in bin 0 — one row, recall 1,
+    // precision = base rate
+    val nPos = yRef.values.count(_ == 1L)
+    val pr0 = Quality.prCurve(feats, labels, Quality.emptyWeights(docs))
+      .collect()
+    assert(pr0.length == 1 && pr0(0).getLong(0) == 0L,
+      s"zero model must yield one bin-0 row: ${pr0.toSeq}")
+    assert(pr0(0).getLong(1) == nPos.toLong &&
+      pr0(0).getDouble(5) == 1.0 &&
+      pr0(0).getDouble(4) == nPos.toDouble / rows.length,
+      s"zero-model PR row wrong: ${pr0(0)}")
+    // fitted model: thresholds strictly descending, recall non-decreasing
+    // top-down, ratios in [0,1], fn consistent, bottom row recall 1
+    val pr = Quality.prCurve(feats, labels, model3).collect()
+    val th = pr.map(_.getLong(0)).toSeq
+    assert(th == th.sortBy(-_) && th.distinct == th,
+      s"thresholds not strictly descending: $th")
+    var lastRecall = 0.0
+    pr.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (p, rec, f1) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(tp + fn == nPos.toLong, s"tp+fn != positives: $r")
+      assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1 && f1 >= 0 && f1 <= 1,
+        s"ratio out of range: $r")
+      assert(rec >= lastRecall, s"recall decreased walking down: $r")
+      lastRecall = rec
+      assert(fp >= 0 && tp >= 0)
+    }
+    assert(pr.last.getDouble(5) == 1.0,
+      s"bottom threshold must capture all positives: ${pr.last}")
   }
 }
