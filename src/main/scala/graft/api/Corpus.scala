@@ -43,13 +43,34 @@ object Corpus {
     * engine-portable, unlike murmur3. Output: (doc_id, bucket, n)
     * sparse counts.
     *
+    * `wordNgrams = 2` adds adjacent word BIGRAMS (space-joined) to the
+    * feature stream, hashed into the same bucket space — fastText's
+    * `wordNgrams` knob (Joulin et al. 2017): bag-of-buckets features
+    * become order-sensitive without any vocabulary, which is what lets
+    * the linear quality model separate fluent text from shuffled
+    * boilerplate with identical token counts. A doc with t tokens
+    * emits 2t − 1 features instead of t.
+    *
     * Scale shape: explode → map-side partial agg → ONE shuffle on
-    * (doc, bucket). */
+    * (doc, bucket); the bigram variant scales the exploded rows ~2×,
+    * nothing else changes. */
   def hashFeatures(df: DataFrame, id: Column, text: Column,
-      bucketNibbles: Int = 1): DataFrame = {
+      bucketNibbles: Int = 1, wordNgrams: Int = 1): DataFrame = {
     require(bucketNibbles >= 1 && bucketNibbles <= 8,
       s"bucketNibbles=$bucketNibbles out of range [1,8]")
-    df.select(id.as("doc_id"), explode(split(text, " ")).as("__token"))
+    require(wordNgrams == 1 || wordNgrams == 2,
+      s"wordNgrams=$wordNgrams not in {1, 2}")
+    val tk = split(text, " ")
+    // single-token guard: sequence(1, 0) DESCENDS in Spark (step picks
+    // the direction), so the bigram lattice must be gated, not relied
+    // on to come back empty
+    val features =
+      if (wordNgrams == 1) tk
+      else concat(tk, when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+        .otherwise(array()))
+    df.select(id.as("doc_id"), explode(features).as("__token"))
       .withColumn("bucket", substring(md5(col("__token")), 1, bucketNibbles))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
   }

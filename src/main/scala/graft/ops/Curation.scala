@@ -501,6 +501,23 @@ object Curation {
         .orderBy("bucket")
     }),
 
+    // fastText wordNgrams=2 variant of the train step: tokens ∪
+    // adjacent bigrams hashed into the SAME bucket space — the knob
+    // that makes the linear model order-sensitive with zero vocabulary
+    // state (a doc with t tokens emits 2t−1 features; nothing else in
+    // the epoch changes). Same two-epoch chain, oracle-checked.
+    "llm_quality_bigram_step" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"), wordNgrams = 2)
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val w1 = graft.api.Quality.trainStep(feats, labels,
+        graft.api.Quality.emptyWeights(docs))
+      graft.api.Quality.trainStep(feats, labels, w1)
+        .orderBy("bucket")
+    }),
+
     // the APPLY side: score + filter the corpus under the fitted model,
     // EXP-FREE — σ is monotone, so the keep decision thresholds the
     // exact integer margin (bit-identical everywhere, no transcendental
@@ -1019,6 +1036,9 @@ object Curation {
     "llm_quality_train_step" ->
       s"""WITH $qualityCte
          |SELECT bucket, w_micro FROM w2 ORDER BY bucket""".stripMargin,
+    "llm_quality_bigram_step" ->
+      s"""WITH $qualityBigramCte
+         |SELECT bucket, w_micro FROM w2 ORDER BY bucket""".stripMargin,
     "llm_quality_classify" ->
       s"""WITH $qualityCte,
          |sc AS (SELECT f.doc_id,
@@ -1085,11 +1105,28 @@ object Curation {
     * multiply is IEEE-exact; see Quality.scala scaladoc). Shared by the
     * train-step and classify oracles. (A `def`, not a `val`: `oracles`
     * above references it during object init.) */
-  private def qualityCte: String =
+  private def qualityCte: String = qualityCteWith(
     """feats AS (SELECT doc_id, substr(md5(token), 1, 1) AS bucket,
       |    COUNT(*) AS n
       |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' ')) AS token
-      |        FROM documents) GROUP BY 1, 2),
+      |        FROM documents) GROUP BY 1, 2)""".stripMargin)
+
+  /** The same two-epoch chain over fastText wordNgrams=2 features:
+    * tokens ∪ adjacent space-joined bigrams, hashed into the same
+    * bucket space (DuckDB range(1, len) is end-exclusive ⇒ bigram
+    * starts 1..len−1; empty for single-token docs). */
+  private def qualityBigramCte: String = qualityCteWith(
+    """feats AS (SELECT doc_id, substr(md5(token), 1, 1) AS bucket,
+      |    COUNT(*) AS n
+      |  FROM (SELECT doc_id, unnest(list_concat(tk,
+      |      list_transform(range(1, len(tk)),
+      |        i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])))
+      |      AS token
+      |    FROM (SELECT doc_id, string_split_regex(text, ' ') AS tk
+      |          FROM documents)) GROUP BY 1, 2)""".stripMargin)
+
+  private def qualityCteWith(featsCte: String): String =
+    featsCte + """,
       |labels AS (SELECT doc_id,
       |    CASE WHEN list_contains(string_split_regex(text, ' '), 'join')
       |         THEN 1 ELSE 0 END AS y FROM documents),

@@ -540,6 +540,62 @@ class ApiSpec extends AnyFunSuite {
       r.getAs[String]("bucket") == xBuckets.head)
     assert(d1.exists(_.getAs[Long]("n") >= 2),
       "both copies of x must land in x's bucket")
+    // wordNgrams=2: a t-token doc emits 2t−1 features (tokens +
+    // adjacent bigrams); a single-token doc emits exactly 1 (the
+    // sequence(1,0)-descends guard); bigram text hashes as ONE feature
+    val bg = graft.api.Corpus.hashFeatures(df, col("k"), col("body"),
+        wordNgrams = 2)
+      .collect()
+    val perDoc = bg.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n")).sum }
+    assert(perDoc == Map(1L -> 5L, 2L -> 1L),
+      s"wordNgrams=2 feature counts wrong: $perDoc")
+    // order sensitivity: "x y" and "y x" produce different bucket
+    // multisets with overwhelming probability (distinct md5 inputs)
+    val ab = graft.api.Corpus.hashFeatures(
+        Seq((1L, "x y")).toDF("k", "body"), col("k"), col("body"),
+        wordNgrams = 2)
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n"))
+      .toMap
+    val ba = graft.api.Corpus.hashFeatures(
+        Seq((1L, "y x")).toDF("k", "body"), col("k"), col("body"),
+        wordNgrams = 2)
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n"))
+      .toMap
+    assert(ab != ba, "bigram features must be order-sensitive")
+  }
+
+  test("wordNgrams=2 separates an order-only label unigram features " +
+      "provably cannot (same token multisets, different sequences)") {
+    import graft.api.{Corpus, Quality}
+    // fluent docs repeat the canonical phrase; shuffled docs carry the
+    // SAME token multiset re-ordered — unigram feature vectors are
+    // identical per pair, so no linear model over them can separate
+    val fluent = Seq("a b c d e f", "a b c d e f g h", "a b c d")
+    val shuffled = Seq("f e d c b a", "h g f e d c b a", "d c b a")
+    val docs = (fluent.zipWithIndex.map { case (t, i) => (i.toLong, t, 1) }
+      ++ shuffled.zipWithIndex.map { case (t, i) =>
+        ((i + 10).toLong, t, 0) })
+      .toDF("doc_id", "text", "y")
+    val labels = docs.select(col("doc_id"), col("y"))
+    def fitAcc(ngrams: Int): Long = {
+      val feats = Corpus.hashFeatures(docs, col("doc_id"), col("text"),
+        wordNgrams = ngrams)
+      val m = Quality.train(feats, labels, epochs = 8)
+      Quality.classify(feats, m).join(labels, "doc_id")
+        .filter((col("keep") && col("y") === 1) ||
+          (!col("keep") && col("y") === 0))
+        .count()
+    }
+    // unigram: each fluent/shuffled pair has IDENTICAL features ⇒ the
+    // model scores the pair identically ⇒ at most one side of every
+    // pair classifies correctly (≤ 3 of 6... plus margin-zero ties)
+    val uni = fitAcc(1)
+    assert(uni <= 3L,
+      s"unigram features cannot separate order-only labels, got $uni/6")
+    // bigram features differ per pair ⇒ the model separates fully
+    val bi = fitAcc(2)
+    assert(bi == 6L, s"bigram features must separate order: $bi/6")
   }
 
   test("TextDedup.nearMinhashMd5Between works on arbitrary frames and " +
