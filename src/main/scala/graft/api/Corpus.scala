@@ -165,4 +165,63 @@ object Corpus {
         sum(when(col("__st") === "unchanged", 1L).otherwise(0L))
           .as("n_unchanged"))
   }
+
+  /** Mixture / epoch plan — the token-budget companion of
+    * [[temperatureSample]] and the data-recipe table a training run is
+    * configured from (the LLaMA-style "epochs per source" sheet): given
+    * per-group token totals n_g, α = 0.5 temperature weights
+    * w_g ∝ √n_g (small domains upsampled), and a TOKEN budget, the plan
+    * says how many tokens each group contributes and therefore how many
+    * passes (epochs, the repeat factor) over that group the run makes.
+    *
+    * Quota arithmetic is the exact largest-remainder (Hamilton) kit
+    * from [[temperatureSample]]: ⌊share⌋ each + leftover tokens to the
+    * largest fractional remainders (group tie-break), so
+    * Σ quota_tokens == budget EXACTLY. A group whose quota implies more
+    * than `maxEpochs` passes is CAPPED at ⌊maxEpochs·n_g⌋ tokens
+    * (over-repeating a tiny domain memorizes it); the freed tokens are
+    * reported in the `capped` flag + quota/plan delta, NOT silently
+    * re-offered — re-offering needs an unbounded water-filling loop
+    * (production iterates this plan; each iteration is this operator).
+    *
+    * Determinism: √n rounds 6 dp into DECIMAL before the normalizing
+    * sum (order-free denominator); shares go through the same IEEE
+    * double chain as the SQL oracle (DECIMAL→double divide → ×budget);
+    * epochs is one raw double divide rounded 4 dp. Scale shape: one
+    * corpus-sized partial+final aggregate to |groups| rows; everything
+    * after is windows/joins over the broadcast |groups|-row frame —
+    * bounded by construction. Output: (group, n_tokens, weight,
+    * quota_tokens, capped, plan_tokens, epochs). */
+  def mixturePlan(df: DataFrame, tokens: Column, group: Column,
+      budget: Long, maxEpochs: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(budget > 0, s"budget=$budget must be positive")
+    require(maxEpochs > 0, s"maxEpochs=$maxEpochs must be positive")
+    val perG = df.groupBy(group.as("group"))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      .withColumn("__sq",
+        round(sqrt(col("n_tokens")), 6).cast(DecimalType(18, 6)))
+    val tot = perG.agg(sum(col("__sq")).as("__tot"))
+    val based = perG.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(col("__sq").cast("double") / col("__tot").cast("double"), 6))
+      .withColumn("__share",
+        col("__sq").cast("double") / col("__tot").cast("double") * budget)
+      .withColumn("__base", floor(col("__share")))
+    val leftT = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    val wR = Window.orderBy((col("__share") - col("__base")).desc,
+      col("group"))
+    based.crossJoin(broadcast(leftT))
+      .withColumn("__rk", row_number().over(wR))
+      .withColumn("quota_tokens",
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .withColumn("__cap", floor(col("n_tokens") * maxEpochs))
+      .withColumn("capped", col("quota_tokens") > col("__cap"))
+      .withColumn("plan_tokens",
+        least(col("quota_tokens"), col("__cap")))
+      .select(col("group"), col("n_tokens"), col("weight"),
+        col("quota_tokens"), col("capped"), col("plan_tokens"),
+        round(col("plan_tokens").cast("double") /
+          col("n_tokens").cast("double"), 4).as("epochs"))
+  }
 }

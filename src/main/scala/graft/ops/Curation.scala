@@ -34,6 +34,12 @@ object Curation {
     * the multilingual-training mixing rule). */
   private val SampleBudget = 1000
 
+  /** Token budget + repeat cap for llm_mixture_plan: 40 000 tokens over
+    * ~27 000 corpus tokens forces repeats; 1.5 max epochs caps the four
+    * small languages while `en` stays under — both branches exercised. */
+  private val TokenBudget = 40000L
+  private val MaxEpochs = 1.5
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // benchmark decontamination: training docs sharing ≥1 token 3-gram
     // with the held-out eval split, with per-doc match counts
@@ -318,6 +324,51 @@ object Curation {
           col("source"), budget = SampleBudget)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // mixture/epoch plan (graft.api.Corpus.mixturePlan) — the TOKEN-
+    // budget data-recipe sheet next to the doc-count sampler above: per
+    // language, √n-temperature token quotas (exact Hamilton — Σ quota ==
+    // budget), the repeat factor (epochs) those quotas imply, and the
+    // max-epochs cap that stops a small domain being memorized by
+    // over-repetition (de/es/fr/zh cap at 1.5 epochs here; en does
+    // not — the fixture's lang skew exercises both branches). One
+    // corpus-sized aggregate; all the quota arithmetic happens on the
+    // broadcast |langs|-row frame.
+    "llm_mixture_plan" -> ((s, d) =>
+      graft.api.Corpus.mixturePlan(
+          documents(s, d).select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_toks")),
+          col("n_toks"), col("lang"), budget = TokenBudget,
+          maxEpochs = MaxEpochs)
+        .orderBy("group")),
+
+    // tokenizer-vocabulary planning: corpus coverage by MIN-FREQUENCY
+    // threshold. For each distinct token frequency f (a candidate
+    // `min_frequency` cutoff — the knob every tokenizer trainer
+    // exposes), the vocabulary size and token coverage of keeping all
+    // types with freq ≥ f, plus the OOV fraction that cutoff leaves.
+    // Scale shape: corpus → |vocab| (one explode + partial+final agg),
+    // vocab → |distinct freqs| (second agg) — and distinct frequency
+    // VALUES are O(√N_tokens) by a counting bound (k distinct values
+    // need ≥ k(k+1)/2 tokens), so the running-total window runs over a
+    // provably tiny frame, never the vocabulary itself.
+    "llm_vocab_coverage" -> ((s, d) => {
+      val classes = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_types"),
+          sum(col("freq")).as("class_tokens"))
+      val tot = classes.agg(sum(col("class_tokens")).as("__total"))
+      val w = Window.orderBy(col("freq").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      classes.crossJoin(broadcast(tot))
+        .select(col("freq").as("min_freq"), col("n_types"),
+          sum(col("n_types")).over(w).as("vocab_size"),
+          sum(col("class_tokens")).over(w).as("covered_tokens"),
+          round(lit(1.0) - sum(col("class_tokens")).over(w).cast("double")
+            / col("__total").cast("double"), 6).as("oov_frac"))
+        .orderBy(col("min_freq").desc)
+    }),
 
     // deterministic global shuffle + shard assignment — the step between
     // curation and tokenization: every training run must read the SAME
@@ -819,6 +870,56 @@ object Curation {
          |  FROM documents)
          |SELECT doc_id, source FROM r JOIN k USING (source)
          |WHERE rn <= n_take ORDER BY doc_id""".stripMargin,
+    // token-budget Hamilton quotas through the identical DECIMAL sq/tot
+    // → double → ×budget chain as the sampler above; cap compare and
+    // LEAST happen on exact BIGINTs
+    "llm_mixture_plan" ->
+      s"""WITH s AS (SELECT lang,
+         |    CAST(SUM(len(string_split_regex(text, ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_tokens,
+         |    CAST(ROUND(sqrt(n_tokens), 6) AS DECIMAL(18,6)) AS sq
+         |  FROM s),
+         |t AS (SELECT SUM(sq) AS tot FROM w),
+         |b AS (SELECT lang, n_tokens,
+         |    ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+         |    CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * $TokenBudget
+         |      AS share,
+         |    CAST(FLOOR(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)
+         |      * $TokenBudget) AS BIGINT) AS base
+         |  FROM w, t),
+         |l AS (SELECT $TokenBudget - SUM(base) AS leftover FROM b),
+         |q AS (SELECT lang, n_tokens, weight,
+         |    base + CASE WHEN ROW_NUMBER() OVER
+         |        (ORDER BY share - base DESC, lang) <= leftover
+         |      THEN 1 ELSE 0 END AS quota_tokens,
+         |    CAST(FLOOR(n_tokens * $MaxEpochs) AS BIGINT) AS cap
+         |  FROM b, l)
+         |SELECT lang AS "group", n_tokens, weight,
+         |  CAST(quota_tokens AS BIGINT) AS quota_tokens,
+         |  quota_tokens > cap AS capped,
+         |  CAST(LEAST(quota_tokens, cap) AS BIGINT) AS plan_tokens,
+         |  ROUND(CAST(LEAST(quota_tokens, cap) AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE), 4) AS epochs
+         |FROM q ORDER BY "group"""".stripMargin,
+    "llm_vocab_coverage" ->
+      """WITH f AS (SELECT token, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token),
+        |c AS (SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(freq) AS BIGINT) AS class_tokens
+        |  FROM f GROUP BY freq),
+        |t AS (SELECT CAST(SUM(class_tokens) AS BIGINT) AS total FROM c)
+        |SELECT freq AS min_freq, n_types,
+        |  CAST(SUM(n_types) OVER (ORDER BY freq DESC) AS BIGINT)
+        |    AS vocab_size,
+        |  CAST(SUM(class_tokens) OVER (ORDER BY freq DESC) AS BIGINT)
+        |    AS covered_tokens,
+        |  ROUND(1.0 - CAST(SUM(class_tokens) OVER (ORDER BY freq DESC)
+        |      AS DOUBLE) / CAST(total AS DOUBLE), 6) AS oov_frac
+        |FROM c, t ORDER BY min_freq DESC""".stripMargin,
     "llm_shuffle_shard" ->
       """WITH h AS (SELECT doc_id, source,
         |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)

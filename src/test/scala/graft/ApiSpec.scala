@@ -1513,6 +1513,53 @@ class ApiSpec extends AnyFunSuite {
       s"leftover seat must go to the tie-break winner: $ham")
   }
 
+  test("Corpus.mixturePlan: budget met exactly pre-cap, cap binds only " +
+      "past maxEpochs, epochs is plan/n") {
+    import graft.api.Corpus
+    // two groups, token totals 900 and 100: sq = 30 / 10, shares of
+    // budget 2000 = 1500 / 500 exactly (no leftover seats)
+    val df = Seq(("big", 900L), ("small", 100L)).toDF("g", "toks")
+    val plan = Corpus.mixturePlan(df, col("toks"), col("g"),
+        budget = 2000L, maxEpochs = 4.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getDouble(6))).sortBy(_._1).toSeq
+    assert(plan.map(_._3).sum == 2000L,
+      s"Σ quota_tokens must equal the budget exactly: $plan")
+    // small's quota 500 implies 5 epochs > cap 4.0 → capped at 400;
+    // big's 1500 is 1.6667 epochs → uncapped
+    assert(plan == Seq(("big", 900L, 1500L, false, 1500L, 1.6667),
+      ("small", 100L, 500L, true, 400L, 4.0)), s"got $plan")
+    // Hamilton exactness where per-group rounding would drift: three
+    // equal groups split 100 as 34/33/33 (leftover seat to the
+    // alphabetically-first tied remainder), never 33/33/33 or 34/34/34
+    val eq = Seq(("ga", 400L), ("gb", 400L), ("gc", 400L)).toDF("g", "toks")
+    val ham = Corpus.mixturePlan(eq, col("toks"), col("g"), budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(ham.map(_._2).sum == 100L, s"budget not met exactly: $ham")
+    assert(ham == Seq(("ga", 34L), ("gb", 33L), ("gc", 33L)), s"got $ham")
+  }
+
+  test("llm_vocab_coverage: monotone coverage, exact totals at the " +
+      "freq>=1 cutoff, OOV complements coverage") {
+    val rows = SparkEntry.queries("llm_vocab_coverage")(spark,
+      SparkFixture.sf0001).collect()
+    // ordered min_freq DESC ⇒ vocab_size / covered_tokens non-decreasing
+    val vocab = rows.map(_.getLong(2)); val cov = rows.map(_.getLong(3))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    // the loosest cutoff (the corpus's smallest type frequency — the
+    // last row in DESC order) keeps everything
+    val last = rows.last
+    val docs = spark.read.parquet(s"${SparkFixture.sf0001}/documents.parquet")
+    val totalToks = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    val totalTypes = docs.select(explode(split(col("text"), " ")).as("t"))
+      .select("t").distinct().count()
+    assert(last.getLong(2) == totalTypes && last.getLong(3) == totalToks,
+      s"freq>=1 must cover the whole corpus: $last")
+    assert(last.getDouble(4) == 0.0, "OOV at freq>=1 must be zero")
+  }
+
   test("snapshotDiff NULL-text rows classify by presence, not hash " +
       "nullness; Unigram.segment covers a word whose intermediate " +
       "positions are uncoverable") {
