@@ -1223,4 +1223,48 @@ object TextDedup {
         (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
           .as("dup_chunk_frac"))
   }
+
+  /** LSH parameter planner — the analytic S-curve table that answers
+    * "how do I split my k minhashes into bands" BEFORE paying for a
+    * corpus pass (Leskovec/Rajaraman/Ullman, MMDS ch.3): for every
+    * (bands b, rows r) factorization of `k`, the probability
+    * 1 − (1 − s^r)^b that a pair with jaccard s collides in ≥1 band,
+    * tabulated over `sGrid`. Small r catches low-similarity pairs
+    * (recall, more false candidates to verify); large r sharpens the
+    * threshold (precision, misses borderline pairs) — the table prices
+    * that trade exactly, and the repo's own 4×4 default is one row.
+    *
+    * Engine-reproducible by construction: powers are FIXED-POINT decimal
+    * chains — left-to-right multiplies rounded HALF-UP to 9 dp at every
+    * step (the integer-micro-unit discipline in decimal clothing), so a
+    * SQL oracle re-deriving the chain by recursive CTE lands on
+    * bit-identical doubles; no `pow`, whose libm rounding the engines
+    * need not share. Exponents are plan-time constants, so each chain
+    * unrolls into a constant expression Catalyst folds at optimization —
+    * the "query" is 100% driver-free arithmetic on a |divisors(k)|-row
+    * literal frame (a planner op: zero data, zero shuffle, zero scale
+    * hazard). Output: (b, r, p<s*100>… one column per grid point). */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, k: Int,
+      sGrid: Seq[BigDecimal]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k=$k must be >= 1")
+    require(sGrid.nonEmpty && sGrid.forall(s => s > 0 && s < 1),
+      s"sGrid must be strictly inside (0, 1): $sGrid")
+    val dec = DecimalType(12, 9)
+    val one = lit(java.math.BigDecimal.ONE).cast(dec)
+    // x^n as the rounded chain x·x·…·x (left-to-right, 9 dp each step)
+    def powFixed(base: Column, n: Int): Column =
+      (2 to n).foldLeft(base)((acc, _) => round(acc * base, 9).cast(dec))
+    val frames = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      val pCols = sGrid.map { s =>
+        val sLit = lit(s.underlying).cast(dec)
+        val pb = powFixed((one - powFixed(sLit, r)).cast(dec), b)
+        (one - pb).cast("double")
+          .as("p" + (s * 100).toBigInt.toString)
+      }
+      spark.range(1).select(lit(b).as("b") +: lit(r).as("r") +: pCols: _*)
+    }
+    frames.reduce(_ unionByName _).orderBy("b")
+  }
 }

@@ -112,6 +112,17 @@ object LlmOps {
       graft.api.TextDedup.exact(documents(s, d), col("text"), col("doc_id"))
         .orderBy("h")),
 
+    // LSH parameter planner (graft.api.TextDedup.lshPlan): the analytic
+    // band/row S-curve table for this module's own k=16 signature budget
+    // — collision probability 1−(1−s^r)^b per (b,r) factorization at
+    // five jaccard grid points, as fixed-point 9-dp decimal chains so
+    // the recursive-CTE oracle is bit-identical. Zero data touched: the
+    // one planner op that runs BEFORE the corpus pass it prices.
+    "llm_lsh_plan" -> ((s, _) =>
+      graft.api.TextDedup.lshPlan(s, MinhashK,
+        Seq(BigDecimal("0.3"), BigDecimal("0.4"), BigDecimal("0.5"),
+          BigDecimal("0.6"), BigDecimal("0.7")))),
+
     // dedup after normalization: lower + collapse whitespace + trim
     "llm_dedup_norm" -> ((s, d) =>
       graft.api.TextDedup
@@ -351,6 +362,38 @@ object LlmOps {
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // the fixed-point power chains re-derived by recursive CTE: pr walks
+    // s^r one rounded multiply at a time, qb walks (1-s^r)^b — identical
+    // HALF-UP 9-dp decimal arithmetic to Spark's unrolled chain
+    "llm_lsh_plan" ->
+      """WITH RECURSIVE grid AS (
+        |  SELECT b, r, CAST(sv AS DECIMAL(12,9)) AS sv
+        |  FROM (VALUES (1,16),(2,8),(4,4),(8,2),(16,1)) t(b, r),
+        |       (VALUES (0.3),(0.4),(0.5),(0.6),(0.7)) s(sv)),
+        |pr(b, r, sv, i, acc) AS (
+        |  SELECT b, r, sv, 1, sv FROM grid
+        |  UNION ALL
+        |  SELECT b, r, sv, i + 1, CAST(ROUND(acc * sv, 9) AS DECIMAL(12,9))
+        |  FROM pr WHERE i < r),
+        |qb(b, r, sv, q, i, acc) AS (
+        |  SELECT b, r, sv, CAST(1 - acc AS DECIMAL(12,9)), 1,
+        |    CAST(1 - acc AS DECIMAL(12,9))
+        |  FROM pr WHERE i = r
+        |  UNION ALL
+        |  SELECT b, r, sv, q, i + 1, CAST(ROUND(acc * q, 9) AS DECIMAL(12,9))
+        |  FROM qb WHERE i < b)
+        |SELECT b, r,
+        |  MAX(CASE WHEN sv = CAST(0.3 AS DECIMAL(12,9))
+        |    THEN CAST(1 - acc AS DOUBLE) END) AS p30,
+        |  MAX(CASE WHEN sv = CAST(0.4 AS DECIMAL(12,9))
+        |    THEN CAST(1 - acc AS DOUBLE) END) AS p40,
+        |  MAX(CASE WHEN sv = CAST(0.5 AS DECIMAL(12,9))
+        |    THEN CAST(1 - acc AS DOUBLE) END) AS p50,
+        |  MAX(CASE WHEN sv = CAST(0.6 AS DECIMAL(12,9))
+        |    THEN CAST(1 - acc AS DOUBLE) END) AS p60,
+        |  MAX(CASE WHEN sv = CAST(0.7 AS DECIMAL(12,9))
+        |    THEN CAST(1 - acc AS DOUBLE) END) AS p70
+        |FROM qb WHERE i = b GROUP BY b, r ORDER BY b""".stripMargin,
     // full DuckDB twin of the md5 MinHash-LSH pipeline: 3-gram shingles →
     // 16 md5 minhashes → 4 bands of 4 → band-bucket self-join → exact
     // jaccard on distinct shingle sets

@@ -1513,6 +1513,31 @@ class ApiSpec extends AnyFunSuite {
       s"leftover seat must go to the tie-break winner: $ham")
   }
 
+  test("TextDedup.lshPlan: S-curve structure and the fixed-point value " +
+      "of the repo's 4x4 default at the 0.5 threshold") {
+    val rows = graft.api.TextDedup.lshPlan(spark, 16,
+        Seq(BigDecimal("0.3"), BigDecimal("0.5"), BigDecimal("0.7")))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    assert(rows.map(x => (x._1, x._2)).toSeq ==
+      Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)),
+      "every (b, r) factorization of k, ordered by b")
+    // collision probability rises with jaccard within a row...
+    rows.foreach { case (b, r, ps) =>
+      assert(ps.zip(ps.tail).forall { case (a, c) => a < c },
+        s"non-monotone in s at ($b, $r): $ps") }
+    // ...and with band count down a column (more bands = more chances)
+    (0 to 2).foreach { i =>
+      val colI = rows.map(_._3(i))
+      assert(colI.zip(colI.tail).forall { case (a, c) => a < c },
+        s"non-monotone in b at grid point $i") }
+    // the 4-band 4-row default at s = 0.5, hand-walked through the
+    // 9-dp chain: 0.5^4 = 0.0625; 0.9375^4 rounds stepwise to
+    // 0.772476196; P = 0.227523804 exactly
+    val p44 = rows.find(x => x._1 == 4 && x._2 == 4).get._3(1)
+    assert(p44 == 0.227523804, s"fixed-point chain drifted: $p44")
+  }
+
   test("Corpus.mixturePlan: budget met exactly pre-cap, cap binds only " +
       "past maxEpochs, epochs is plan/n") {
     import graft.api.Corpus
