@@ -947,9 +947,16 @@ object TextDedup {
     * fewer hash bytes in the shuffle than the 32-byte md5 hex, the
     * in-engine production spelling (survivor-equality vs the md5 path
     * pinned in ApiSpec); the md5 default is what keeps the stats
-    * engine-portable and DuckDB-oracle-checkable. */
+    * engine-portable and DuckDB-oracle-checkable. `skewSafe = true`
+    * swaps the occurrence window for a checkpointed groupBy +
+    * join-back — map-side partial counts + AQE-splittable equi-join —
+    * for corpora with heavy-hitter boilerplate windows (same output,
+    * pinned); pass `checkpointDir` to make the materialization survive
+    * executor loss on a real cluster. */
   def dupSubstringStats(df: DataFrame, id: Column, text: Column,
-      windowTokens: Int = 8, xxHash: Boolean = false): DataFrame = {
+      windowTokens: Int = 8, xxHash: Boolean = false,
+      skewSafe: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(windowTokens >= 2,
       s"windowTokens=$windowTokens must be >= 2 (1 would degrade to " +
         "token frequency)")
@@ -958,16 +965,30 @@ object TextDedup {
     // back: the join spelling re-derives the corpus tokenization for
     // the probe side (two full passes); the window shuffles the same
     // (doc, pos, h) rows by h ONCE and flags in place. TRADE-OFF: the
-    // window gives up map-side partial agg and AQE skew-join splitting,
-    // so one ubiquitously repeated window (license boilerplate at web
-    // scale) funnels all its occurrences through a single task — on a
-    // corpus with known heavy-hitter boilerplate prefer groupBy +
-    // join-back over a checkpointed window frame (SCALE.md r8 entry)
-    val hW = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val flagged = rollingWindows(
-        df.select(id.as("doc_id"), split(text, " ").as("__tk")), w, xxHash)
-      .withColumn("dup", count(lit(1)).over(hW) > 1)
-      .select(col("doc_id"), col("pos"), col("dup"))
+    // window gives up map-side partial agg and AQE skewed-partition
+    // splitting, so one ubiquitously repeated window (license
+    // boilerplate at web scale) funnels all its occurrences through a
+    // single task. `skewSafe = true` is the heavy-hitter spelling: the
+    // window frame materializes ONCE (checkpoint — reliable when
+    // `checkpointDir` is set, the langIdConfusion discipline), the
+    // occurrence counts come from a map-side-combinable groupBy over it
+    // (a boilerplate hash arrives at its reducer as ≤ #map-tasks
+    // partial counts, not raw occurrences), and the flag join back is
+    // an AQE-splittable equi-join. Same rows out, pinned in ApiSpec;
+    // SCALE.md r8 entry prices the crossover.
+    val wins = rollingWindows(
+      df.select(id.as("doc_id"), split(text, " ").as("__tk")), w, xxHash)
+    val flagged =
+      if (skewSafe) {
+        val w0 = ckptFn(df.sparkSession, checkpointDir)(wins)
+        val freq = w0.groupBy("h").agg(count(lit(1)).as("__n_occ"))
+        w0.join(freq, Seq("h"))
+          .select(col("doc_id"), col("pos"), (col("__n_occ") > 1).as("dup"))
+      } else {
+        val hW = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        wins.withColumn("dup", count(lit(1)).over(hW) > 1)
+          .select(col("doc_id"), col("pos"), col("dup"))
+      }
     val perDoc = flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
@@ -1222,6 +1243,54 @@ object TextDedup {
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
           .as("dup_chunk_frac"))
+  }
+
+  /** Cross-group boilerplate provenance matrix — WHERE duplication
+    * lives, the audit that turns [[dupSubstringStats]]'s per-doc scores
+    * into a per-source-pair map (which crawls share templates/licenses/
+    * mirrored content with which): for every pair of `group` values
+    * (a < b), the number of distinct w-token window TEXTS present in
+    * both, their per-group inventory sizes, and the jaccard overlap of
+    * the two window sets. Pairs sharing nothing are absent (the matrix
+    * is sparse by construction).
+    *
+    * Scale shape: windows collapse to DISTINCT (group, hash) first —
+    * the per-group inventory, Heaps-bounded ≪ corpus windows — so the
+    * hash equi-join explodes each window hash to at most
+    * |groups-containing-it|² pairs, never an occurrence product; the
+    * matrix aggregate is ≤|groups|² rows and the totals join a
+    * |groups|-row broadcast. Shuffles carry 32-byte hashes, never text.
+    * KNOWN SKEW: a window present in EVERY group emits |groups|²/2 rows
+    * from one hash — bounded, AQE-splittable (equi-join), and exactly
+    * the boilerplate the matrix exists to surface. Overlap is a RAW
+    * double (one IEEE division of exact counts — no rounding boundary).
+    * Output: (source_a, source_b, n_a, n_b, n_shared, jaccard). */
+  def sourceOverlapMatrix(df: DataFrame, id: Column, text: Column,
+      group: Column, windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2,
+      s"windowTokens=$windowTokens must be >= 2")
+    val w = windowTokens
+    val gh = df.select(group.as("g"), split(text, " ").as("__tk"))
+      .filter(size(col("__tk")) >= w)
+      .select(col("g"), explode(transform(
+          sequence(lit(1), size(col("__tk")) - (w - 1)),
+          i => md5(concat_ws(" ", slice(col("__tk"), i, lit(w))))))
+        .as("h"))
+      .distinct()
+    val totals = gh.groupBy("g").agg(count(lit(1)).as("n"))
+    gh.as("a").join(gh.as("b"),
+        col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("g"), col("n").as("n_a"))),
+        col("source_a") === col("g")).drop("g")
+      .join(broadcast(totals.select(col("g"), col("n").as("n_b"))),
+        col("source_b") === col("g")).drop("g")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
   }
 
   /** LSH parameter planner — the analytic S-curve table that answers

@@ -423,6 +423,20 @@ object Curation {
         .withColumn("dup_window_frac", round(col("dup_window_frac"), 6))
         .orderBy("doc_id")),
 
+    // cross-source boilerplate provenance matrix
+    // (graft.api.TextDedup.sourceOverlapMatrix): WHERE the duplication
+    // lives — per source pair, distinct shared 8-token window texts +
+    // jaccard of the two window inventories; the audit that routes a
+    // dedup finding back to the crawls that produced it. Inventories
+    // are DISTINCT (source, hash) before the hash equi-join, so the
+    // pair space is per-window source-bounded, never an occurrence
+    // product.
+    "llm_dup_source_matrix" -> ((s, d) =>
+      graft.api.TextDedup
+        .sourceOverlapMatrix(documents(s, d), col("doc_id"), col("text"),
+          col("source"))
+        .orderBy("source_a", "source_b")),
+
     // the IN-ENGINE spelling of llm_dedup_substring: xxhash64 window
     // keys — 8-byte longs in the occurrence shuffle instead of 32-byte
     // md5 hex (4× fewer hash bytes; the production pipeline's choice
@@ -952,6 +966,28 @@ object Curation {
     // twin, whose oracle below hash-checks the identical plan shape
     // w = 8 rolling windows: positions 1..n-7 (range upper bound n-6 is
     // exclusive); DuckDB zips the two parallel unnests positionally
+    // raw-double jaccard: one IEEE division of exact BIGINT counts —
+    // identical bits in both engines, no ROUND boundary exposure
+    "llm_dup_source_matrix" ->
+      """WITH tk AS (SELECT source, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |gh AS (SELECT DISTINCT source,
+        |    md5(array_to_string(tk[i:i+7], ' ')) AS h
+        |  FROM (SELECT source, tk, unnest(range(1, len(tk) - 6)) AS i
+        |        FROM tk WHERE len(tk) >= 8)),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM gh
+        |  GROUP BY source),
+        |m AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM gh a JOIN gh b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT m.source_a, m.source_b, ta.n AS n_a, tb.n AS n_b,
+        |  m.n_shared,
+        |  CAST(m.n_shared AS DOUBLE) / (ta.n + tb.n - m.n_shared)
+        |    AS jaccard
+        |FROM m JOIN tot ta ON m.source_a = ta.source
+        |       JOIN tot tb ON m.source_b = tb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "llm_dedup_substring" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
         |  FROM documents),

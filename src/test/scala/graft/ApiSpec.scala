@@ -1309,6 +1309,31 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("windowTokens"))
   }
 
+  test("dupSubstringStats skewSafe spelling: identical rows to the " +
+      "window path, and sourceOverlapMatrix finds the planted cross-" +
+      "source boilerplate pair only") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"fa1 fa2 $boiler fa3", "web"),
+      (2L, s"ga1 $boiler ga2 ga3", "books"),   // shares boiler with web
+      (3L, "ca1 ca2 ca3 ca4 ca5 ca6 ca7 ca8 ca9", "code"), // unique
+      (4L, s"da1 da2 $boiler", "web")          // in-source repeat
+    ).toDF("id", "body", "src")
+    val win = TextDedup.dupSubstringStats(docs, col("id"), col("body"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val safe = TextDedup.dupSubstringStats(docs, col("id"), col("body"),
+        skewSafe = true)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(safe == win,
+      s"skewSafe spelling diverges from the window path:\n$safe\nvs\n$win")
+    val m = TextDedup.sourceOverlapMatrix(docs, col("id"), col("body"),
+        col("src")).collect()
+      .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(4)))
+    // only (books, web) share a window text; code shares nothing, and
+    // the in-source web repeat must not fabricate a pair
+    assert(m.toSeq == Seq(("books", "web", 1L)), s"got ${m.toSeq}")
+  }
+
   test("substring xxhash64 spelling: stats and survivors identical to the " +
       "md5 path (hash choice is plumbing, not semantics)") {
     val r = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
