@@ -26,7 +26,8 @@ object SparkEntry {
       (ops.Streaming.entries, ops.Streaming.oracles),
       (ops.LlmExtras.entries, ops.LlmExtras.oracles),
       (ops.Curation.entries, ops.Curation.oracles),
-      (ops.Composites.entries, ops.Composites.oracles)
+      (ops.Composites.entries, ops.Composites.oracles),
+      (ops.Selection.entries, ops.Selection.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

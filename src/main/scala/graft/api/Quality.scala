@@ -223,6 +223,49 @@ object Quality {
       .orderBy(col("threshold_micro").desc)
   }
 
+  /** Reliability diagram of a fitted model — the calibration table a
+    * curation run reads before trusting the classifier's probabilities
+    * as sampling weights (not just as a threshold): predicted
+    * probabilities bucket into `bins` equal-width bins, and each bin
+    * reports how many docs landed there, the sum of predicted
+    * micro-probabilities, and how many were actually positive. A
+    * calibrated model has sum_p_micro ≈ n_pos·10⁶ per bin; the
+    * per-bin sums are EXACT integers, so the frame is hash-stable and
+    * the mean-vs-rate comparison is a single IEEE division away.
+    * Output: (bin, n, sum_p_micro, n_pos) for observed bins;
+    * bin = ⌊p·bins⌋ clamped to bins−1 (p = 1 joins the top bin).
+    *
+    * Scale shape: one doc-keyed margin agg + one ≤`bins`-row groupBy —
+    * map-side combinable end to end. */
+  def reliability(feats: DataFrame, labels: DataFrame,
+      weights: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be at least 2")
+    labels.join(margins(feats, broadcast(weights)), Seq("doc_id"), "left")
+      .select(col("y"),
+        sigmoidMicro(coalesce(col("z_micro"), lit(0L))).as("__p"))
+      .groupBy(least(lit(bins.toLong - 1L),
+        floor(col("__p") * bins / Micro)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("sum_p_micro"),
+        sum(col("y").cast("long")).as("n_pos"))
+      .orderBy("bin")
+  }
+
+  /** Expected calibration error over the [[reliability]] bins:
+    * ECE = Σ_b (n_b/N)·|mean_p_b − rate_b|. The numerator telescopes
+    * to the EXACT integer Σ_b |sum_p_micro_b − n_pos_b·10⁶| (each
+    * bin's n_b cancels), so the only float is ONE final division of
+    * exact integers — bit-identical in both engines. Output: 1 row
+    * (ece_numer_micro, n_docs, ece). */
+  def eceMicro(feats: DataFrame, labels: DataFrame, weights: DataFrame,
+      bins: Int = 10): DataFrame =
+    reliability(feats, labels, weights, bins)
+      .agg(sum(abs(col("sum_p_micro") - col("n_pos") * Micro))
+          .as("ece_numer_micro"),
+        sum(col("n")).as("n_docs"))
+      .select(col("ece_numer_micro"), col("n_docs"),
+        (col("ece_numer_micro").cast("double") /
+          (col("n_docs") * Micro).cast("double")).as("ece"))
+
   /** Binary cross-entropy of a model on labeled docs, in micro-nats —
     * the train-loop progress metric (tests assert it decreases).
     * Clamped at 1 micro-probability so log never sees 0. */

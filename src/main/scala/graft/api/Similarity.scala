@@ -93,6 +93,43 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Corpus-to-corpus k-nearest-neighbor GRAPH: every vector's top-k
+    * most-similar neighbors among its own sign-bucket inverted list
+    * (plus `nprobe − 1` one-bit-flip neighbor lists — the [[topKIvf]]
+    * recall lever applied symmetrically). The kNN graph is the backbone
+    * of graph-based semantic dedup and diversity selection; this is
+    * [[topKIvf]] with the query side = the whole corpus, so neither
+    * side broadcasts. Output: (src_id, rk, dst_id, sim_r) with
+    * deterministic (sim desc, dst_id) ranking; a vector whose probe
+    * lists hold no other member yields no rows (an isolated node).
+    *
+    * Scale shape: a shuffle-hash equi-join on the bucket key — pair
+    * space is Σ |list|·|probe lists|, never |corpus|²; `bits` bounds
+    * list size (2^bits lists), AQE splits skewed lists. Each dst lives
+    * in exactly one bucket and probe buckets are distinct, so no pair
+    * dedup is needed. */
+  def knnGraph(corpus: DataFrame, id: Column, vec: Column, k: Int,
+      bits: Int = 8, nprobe: Int = 1): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe must be in [1, bits + 1 = ${bits + 1}], got $nprobe")
+    val src = corpus.select(id.as("src_id"), vec.as("__sv"),
+      signBucket(vec, bits).as("__sb"))
+    val probes = Seq(col("__sb")) ++
+      (0 until (nprobe - 1)).map(i => col("__sb").bitwiseXOR(lit(1 << i)))
+    val q = src.withColumn("__probe", explode(array(probes: _*)))
+    val dst = corpus.select(id.as("dst_id"), vec.as("__dv"),
+      signBucket(vec, bits).as("__db"))
+    val scored = q.join(dst, col("__db") === col("__probe") &&
+        col("dst_id") =!= col("src_id"))
+      .select(col("src_id"), col("dst_id"),
+        round(dot(col("__sv"), col("__dv")), 6).as("sim_r"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("sim_r").desc, col("dst_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("src_id", "rk", "dst_id", "sim_r")
+  }
+
   /** All pairs with similarity ≥ τ WITHIN an equi-key partition — the key
     * is what bounds the pair space at scale. Output: (key, vec_a, vec_b,
     * sim_r). */

@@ -620,6 +620,24 @@ object TextDedup {
     * setting ours would be a global mutation redirecting the caller's
     * unrelated `.checkpoint()` use.
     */
+  /** Canonical-member election under a QUALITY policy: given cluster
+    * membership (doc_id, cluster_id, …) and a per-doc `score`, mark the
+    * highest-scoring member of each cluster as the survivor (doc_id
+    * tie-break) — the production keep rule: near-dup groups keep their
+    * BEST document, not their first-seen one (keep-first is what the
+    * `llm_dedup_apply` family does; this is the quality-aware upgrade,
+    * typically fed by the learned [[Quality]] margin).
+    *
+    * Scale shape: ONE window partitioned by cluster_id — per-cluster
+    * sort only, bounded by cluster size (the connected-components output
+    * already bounds components via its own fixpoint), never a global
+    * sort. */
+  def keepBestByScore(members: DataFrame, score: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(score.desc, col("doc_id"))
+    members.withColumn("keep", row_number().over(w) === 1)
+  }
+
   def clusters(pairs: DataFrame, a: Column, b: Column,
       maxIters: Int = 25,
       localFinishEdges: Long = DefaultLocalFinishEdges,

@@ -169,6 +169,28 @@ object TextQuality {
       regexp_replace(payload, pattern, replacement).as("scrubbed"),
       regexp_count(payload, lit(pattern)).as("n_redacted"))
 
+  /** Multi-pattern PII audit — the report a curation run produces BEFORE
+    * deciding what to scrub: for each named pattern class, how many
+    * records contain at least one match and how many matches there are
+    * in total. ONE corpus pass: every pattern's count is computed in the
+    * same projection (an in-row struct array exploded), then a
+    * |patterns|-row aggregate. Map-side combinable end to end; swap in
+    * any (name, regex) list — the audit plan never changes. Output:
+    * (pii_type, n_docs, n_matches). */
+  def piiAudit(df: DataFrame, payload: Column,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one (name, regex) pattern")
+    df.select(explode(array(patterns.map { case (name, re) =>
+        struct(lit(name).as("pii_type"),
+          regexp_count(payload, lit(re)).cast("long").as("__n"))
+      }: _*)).as("__x"))
+      .select(col("__x.pii_type"), col("__x.__n"))
+      .groupBy("pii_type")
+      .agg(sum(when(col("__n") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("__n")).as("n_matches"))
+      .orderBy("pii_type")
+  }
+
   /** Fitted naive-Bayes language identification, scored back over its own
     * training frame and reported as a (label, pred_label, n) confusion
     * matrix — the corpus-audit view (off-diagonal mass = mislabeled or

@@ -1242,7 +1242,7 @@ object Curation {
     * multiply is IEEE-exact; see Quality.scala scaladoc). Shared by the
     * train-step and classify oracles. (A `def`, not a `val`: `oracles`
     * above references it during object init.) */
-  private def qualityCte: String = qualityCteWith(
+  private[ops] def qualityCte: String = qualityCteWith(
     """feats AS (SELECT doc_id, substr(md5(token), 1, 1) AS bucket,
       |    COUNT(*) AS n
       |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' ')) AS token

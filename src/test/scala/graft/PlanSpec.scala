@@ -503,4 +503,39 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"containment probe degenerated to an unbounded pair scan:\n$p")
   }
+
+  test("llm_dsir_weights: the llr model joins the feature frame as a " +
+      "broadcast; the only nested-loop joins are the 1-row totals") {
+    val p = plan("llm_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"16-row model must broadcast into the feature pass:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+    // partial agg on the (doc, bucket) feature groupBy
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final feature aggregation:\n$p")
+  }
+
+  test("llm_dsir_select: the selection is top-k, not a global sort") {
+    val p = plan("llm_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition-heads top-k:\n$p")
+  }
+
+  test("llm_knn_graph: bucket self-join is equi-keyed — no cartesian, " +
+      "no per-pair nested loop") {
+    val p = plan("llm_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN graph degenerated to an all-pairs scan:\n$p")
+  }
+
+  test("llm_heavy_hitters_cms: the d×w sketch broadcasts into the probe; " +
+      "cell aggregation is map-side partial") {
+    val p = plan("llm_heavy_hitters_cms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"64-cell sketch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final cell aggregation:\n$p")
+  }
 }

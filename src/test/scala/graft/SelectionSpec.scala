@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{Corpus, Quality, Selection, Similarity}
+
+/** Pins for the data-selection / sketching / calibration layer
+  * (graft.api.Selection, Similarity.knnGraph, Quality.reliability). */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def docs = graft.util.Tables.documents(spark, SparkFixture.sf0001)
+  private def emb = graft.util.Tables.embeddings(spark, SparkFixture.sf0001)
+
+  // ---------------------------------------------------------------- DSIR
+
+  test("dsirWeights ranks planted target-like docs above anti-target docs") {
+    // target vocabulary {aa bb cc}, raw pool: two docs OF the target
+    // distribution + two of a disjoint one — the planted target-like
+    // docs must take the top-2 weights
+    val target = Seq((100L, "aa bb cc aa bb"), (101L, "bb cc aa aa"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "aa bb cc bb aa"), (2L, "cc aa bb cc"),
+      (3L, "xx yy zz xx yy"), (4L, "zz zz yy xx"))
+      .toDF("doc_id", "text")
+    val w = Selection.dsirWeights(raw, target, col("doc_id"), col("text"))
+      .orderBy(col("w_micro").desc)
+      .select("doc_id").as[Long].collect()
+    assert(w.take(2).toSet == Set(1L, 2L),
+      s"target-like docs should outrank, got order ${w.mkString(",")}")
+  }
+
+  test("dsirWeights is an exact integer sum: n_tokens scales the weight") {
+    // duplicating a doc's text doubles every feature count, so the
+    // weight of "aa aa" is exactly twice the weight of "aa" (bigram of
+    // the doubled doc adds its own term — use single-token docs)
+    val target = Seq((9L, "aa")).toDF("doc_id", "text")
+    val raw = Seq((1L, "aa"), (2L, "aa aa aa")).toDF("doc_id", "text")
+    val w = Selection.dsirWeights(raw, target, col("doc_id"), col("text"),
+        wordNgrams = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(2L) == 3 * w(1L),
+      s"3× the tokens must give exactly 3× the weight, got $w")
+  }
+
+  test("dsirSelect returns k rows ranked by weight with id tie-break") {
+    val sel = Selection.dsirSelect(
+      docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+      col("doc_id"), col("text"), k = 10)
+    val rows = sel.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val ws = rows.map(_.getLong(2)).toSeq
+    assert(ws == ws.sorted(Ordering[Long].reverse), "must be weight-desc")
+  }
+
+  // ----------------------------------------------------- count-min sketch
+
+  test("cms estimate dominates the exact count for every token") {
+    val hh = Selection.heavyHittersCms(docs, col("text"), depth = 4,
+      width = 16, k = 1000)
+    val bad = hh.filter(col("est_count") < col("exact_count")).count()
+    assert(bad == 0, "count-min must never underestimate")
+  }
+
+  test("cms estimate is exact when width is collision-free") {
+    // 3 distinct tokens into width 4096: collision probability ~0 per
+    // row and the min over 4 rows needs only ONE clean row — est == exact
+    val tiny = Seq((1L, "aa bb aa"), (2L, "cc aa")).toDF("doc_id", "text")
+    val hh = Selection.heavyHittersCms(tiny, col("text"), depth = 4,
+      width = 4096, k = 10).collect()
+    assert(hh.forall(r => r.getLong(2) == r.getLong(3)),
+      s"wide sketch must be exact, got ${hh.mkString(";")}")
+    assert(hh.map(r => r.getString(1) -> r.getLong(3)).toMap ==
+      Map("aa" -> 3L, "bb" -> 1L, "cc" -> 1L))
+  }
+
+  test("cmsBuild state is bounded by depth×width") {
+    val cms = Selection.cmsBuild(docs, col("text"), depth = 4, width = 16)
+    assert(cms.count() <= 4 * 16)
+    // every row's total mass equals the corpus token count
+    val tokens = docs.select(explode(split(col("text"), " "))).count()
+    val perRow = cms.groupBy("r").agg(sum("c").as("m"))
+      .select("m").as[Long].collect()
+    assert(perRow.length == 4 && perRow.forall(_ == tokens))
+  }
+
+  // ------------------------------------------------------------ kNN graph
+
+  test("knnGraph matches per-node brute force over the probed buckets") {
+    val e = emb.limit(60).cache()
+    val g = Similarity.knnGraph(e, col("vec_id"), col("embedding"),
+      k = 2, nprobe = 2)
+    // reference: brute-force pairs restricted to bucket(dst) ∈
+    // {bucket(src), bucket(src) xor 1}
+    val ref = {
+      val b = e.select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), 8).as("bk"))
+      val a = b.select(col("vec_id").as("sa"), col("embedding").as("va"),
+        col("bk").as("ba"))
+      val c = b.select(col("vec_id").as("sb"), col("embedding").as("vb"),
+        col("bk").as("bb"))
+      a.join(c, (col("bb") === col("ba") ||
+          col("bb") === col("ba").bitwiseXOR(lit(1))) &&
+          col("sa") =!= col("sb"))
+        .select(col("sa"), col("sb"),
+          round(Similarity.dot(col("va"), col("vb")), 6).as("sim"))
+    }
+    val got = g.select("src_id", "dst_id", "sim_r")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = ref.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).iterator.flatMap { case (_, xs) =>
+        xs.sortBy(t => (-t._3, t._2)).take(2)
+      }.toSet
+    assert(got == want)
+    e.unpersist()
+  }
+
+  test("knnGraph emits at most k rows per node, self excluded") {
+    val g = Similarity.knnGraph(emb, col("vec_id"), col("embedding"), k = 3)
+      .cache()
+    assert(g.filter(col("src_id") === col("dst_id")).count() == 0)
+    val overK = g.groupBy("src_id").count().filter(col("count") > 3).count()
+    assert(overK == 0)
+    val badRk = g.filter(col("rk") < 1 || col("rk") > 3).count()
+    assert(badRk == 0)
+    g.unpersist()
+  }
+
+  // ---------------------------------------------------------- calibration
+
+  test("reliability bins partition the labeled set; ece in [0,1]") {
+    val feats = Corpus.hashFeatures(docs, col("doc_id"), col("text"))
+    val labels = docs.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+    val m = Quality.trainStep(feats, labels, Quality.emptyWeights(docs),
+      lrMicro = 31250L)
+    val rel = Quality.reliability(feats, labels, m).collect()
+    assert(rel.map(_.getLong(1)).sum == labels.count())
+    assert(rel.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    // per-bin mean predicted probability must itself lie inside the bin
+    // (up to the decile clamp on the top bin)
+    rel.foreach { r =>
+      val mean = r.getLong(2).toDouble / r.getLong(1) / 1e6
+      assert(mean >= r.getLong(0) / 10.0 - 1e-9 &&
+        mean <= (r.getLong(0) + 1) / 10.0 + 0.1 + 1e-9)
+    }
+    val ece = Quality.eceMicro(feats, labels, m).collect()(0)
+    assert(ece.getDouble(2) >= 0.0 && ece.getDouble(2) <= 1.0)
+  }
+
+  test("a perfectly calibrated model has near-zero ece on its own bins") {
+    // degenerate but exact: the zero model predicts p = 0.5 for all;
+    // labels split exactly half-half → sum_p = n_pos·10⁶ → ece = 0
+    val d = (0L until 100L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val feats = Corpus.hashFeatures(d, col("doc_id"), col("text"))
+    val labels = d.select(col("doc_id"), (col("doc_id") % 2).cast("int")
+      .as("y"))
+    val ece = Quality.eceMicro(feats, labels, Quality.emptyWeights(d))
+      .collect()(0)
+    assert(ece.getLong(0) == 0L && ece.getDouble(2) == 0.0)
+  }
+
+  test("cmsMerge of disjoint shards equals the whole-corpus sketch") {
+    val whole = Selection.cmsBuild(docs, col("text"))
+    val merged = Selection.cmsMerge(
+      Selection.cmsBuild(docs.filter(col("doc_id") % 2 === 0), col("text")),
+      Selection.cmsBuild(docs.filter(col("doc_id") % 2 === 1), col("text")))
+    val diff = whole.as[(Int, Long, Long)].collect().toSet
+      .diff(merged.as[(Int, Long, Long)].collect().toSet)
+    assert(diff.isEmpty, s"merged sketch diverges on: $diff")
+  }
+
+  test("gumbel top-k is deterministic and resamples vs the plain ranking") {
+    val raw = docs.filter(col("lang") =!= "en")
+    val tgt = docs.filter(col("lang") === "en")
+    val s1 = Selection.dsirGumbelTopK(raw, tgt, col("doc_id"), col("text"),
+      k = 20).select("doc_id").as[Long].collect().toSeq
+    val s2 = Selection.dsirGumbelTopK(raw, tgt, col("doc_id"), col("text"),
+      k = 20).select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2, "same salt must draw the same docs in the same order")
+    val salted = Selection.dsirGumbelTopK(raw, tgt, col("doc_id"),
+      col("text"), k = 20, salt = "epoch2")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(salted != s1, "a re-salt must be a fresh draw")
+  }
+
+  test("keepBestByScore keeps exactly one member per cluster, the " +
+      "highest-scoring one") {
+    val members = Seq(
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // tie → doc 2
+      (4L, 4L, 5L)                                 // singleton
+    ).toDF("doc_id", "cluster_id", "score")
+    val kept = graft.api.TextDedup
+      .keepBestByScore(members, col("score"))
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("piiAudit counts every pattern class independently in one pass") {
+    val rows = Seq(
+      (1L, "mail a@b.co and c.d@e.org plus 12345"),
+      (2L, "no pii here"),
+      (3L, "ip 10.0.0.1")).toDF("id", "payload")
+    val audit = graft.api.TextQuality.piiAudit(rows, col("payload"), Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+      "digit_id" -> "[0-9]{4,}"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(audit("email") == ((1L, 2L)))
+    assert(audit("ipv4") == ((1L, 1L)))
+    assert(audit("digit_id") == ((1L, 1L)))
+  }
+
+  test("platt epoch moves the margin-feature weight in the right direction") {
+    // margins from the 1-epoch fit correlate positively with y, so the
+    // calibration slope (bucket S) must come out positive, and the
+    // fitted 2-row model scores must keep at least the raw model's
+    // ranking on a clean subset
+    val feats = Corpus.hashFeatures(docs, col("doc_id"), col("text"))
+    val labels = docs.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+    val w1 = Quality.trainStep(feats, labels, Quality.emptyWeights(docs))
+    val su = Quality.margins(feats, w1).select(col("doc_id"),
+      round(col("z_micro").cast("double") / 1000000.0).cast("long").as("n"))
+    val pseudo = labels
+      .select(col("doc_id"), lit("B").as("bucket"), lit(1L).as("n"))
+      .unionByName(su.select(col("doc_id"), lit("S").as("bucket"),
+        col("n")))
+    val platt = Quality.trainStep(pseudo, labels, Quality.emptyWeights(docs))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(platt.keySet == Set("B", "S"))
+    assert(platt("S") > 0L, s"slope must be positive, got $platt")
+  }
+}
