@@ -34,6 +34,27 @@ object Corpus {
       .drop("__h")
   }
 
+  /** Integrity manifest of a sharded corpus — what a reproducible
+    * export ships next to its files so any copy can be verified without
+    * re-reading the source: per shard, the row count, an ORDER-FREE
+    * content checksum (the exact integer sum of a 32-bit salted md5 of
+    * each id — addition-order-free, so shuffle nondeterminism and file
+    * ordering cannot move it; exact up to 2³¹ rows per shard, past
+    * which the sum could exceed what the BIGINT-vs-128-bit oracle
+    * comparison tolerates), and the id range. Recompute on the copy and
+    * compare — a dropped, duplicated, or swapped row moves the sum.
+    * Input: a [[shuffleShard]]-shaped frame (any frame with a `shard`
+    * column). Output: (shard, n_rows, checksum, min_id, max_id).
+    *
+    * Scale shape: ONE map-side-combinable groupBy on the shard key —
+    * no window, no sort, no text. */
+  def shardManifest(sharded: DataFrame, id: Column): DataFrame =
+    sharded.groupBy("shard").agg(
+      count(lit(1)).as("n_rows"),
+      sum(conv(substring(md5(concat(lit("man|"), id.cast("string"))),
+        1, 8), 16, 10).cast("long")).as("checksum"),
+      min(id).as("min_id"), max(id).as("max_id"))
+
   /** Hashing-trick featurizer (sparse output): token → bucket by a hash
     * of the TOKEN — no fitted vocabulary, which is the point of the
     * trick: the feature space is fixed up front, so sharded/streaming
@@ -73,6 +94,45 @@ object Corpus {
     df.select(id.as("doc_id"), explode(features).as("__token"))
       .withColumn("bucket", substring(md5(col("__token")), 1, bucketNibbles))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Vocabulary-pruning APPLY step — the transform behind the
+    * `min_frequency` knob every tokenizer trainer exposes (the
+    * llm_vocab_coverage key PRICES the cutoff; this materializes it):
+    * every token whose corpus count is below `permille`/1000 of the
+    * total token mass is replaced by `unk`, and the doc is re-assembled
+    * in original order. The threshold is RELATIVE (count·1000 <
+    * permille·total, an exact integer comparison — no float near the
+    * boundary), so the same call is meaningful at any corpus scale.
+    * Output: (doc_id, pruned_text, n_unk).
+    *
+    * Scale shape: one token-frequency aggregate (vocab-sized,
+    * Heaps-law — its join back to the token stream is a plain shuffle
+    * equi-join, deliberately NOT broadcast-hinted; AQE may still
+    * broadcast when it genuinely fits), re-assembly via per-doc
+    * sort_array(collect_list(struct(pos, tok))) — bounded by doc
+    * length, never a global sort. */
+  def vocabPruneApply(df: DataFrame, id: Column, text: Column,
+      permille: Long = 10, unk: String = "<unk>"): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille=$permille out of range [0, 1000]")
+    val tk = df.select(id.as("doc_id"),
+      posexplode(split(text, " ")).as(Seq("pos", "tok")))
+    val freq = tk.groupBy("tok").agg(count(lit(1)).as("__n"))
+    val tot = tk.agg(count(lit(1)).as("__t"))
+    val rare = freq.crossJoin(broadcast(tot))
+      .filter(col("__n") * 1000 < col("__t") * permille)
+      .select(col("tok"), lit(true).as("__rare"))
+    tk.join(rare, Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("__rare"), lit(unk)).otherwise(col("tok")).as("__t2"),
+        coalesce(col("__rare"), lit(false)).as("__r"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__t2")))),
+          s => s.getField("__t2"))).as("pruned_text"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_unk"))
   }
 
   /** Materialized temperature sampling (α = 0.5) — the APPLY step of

@@ -223,6 +223,99 @@ object Quality {
       .orderBy(col("threshold_micro").desc)
   }
 
+  /** Binned ROC-AUC of a fitted model — the ranking-quality summary
+    * next to [[prCurve]]'s threshold pricing. Margins bucket exactly as
+    * in prCurve; the cumulative (fp, tp) walk from the highest bin down
+    * visits the binned ROC points in increasing-fpr order, and the
+    * trapezoidal area telescopes to the EXACT integer
+    * Σ Δfp·(tp_prev + tp_cur) — every term integer, the only float ONE
+    * final division by 2·P·N (bit-identical cross-engine). Equivalent
+    * to the Mann–Whitney statistic with ties-split-in-half when each
+    * bin holds one distinct score. A full every-point ROC would need a
+    * global score sort; binning is the scale-correct spelling
+    * (prCurve's argument), bin width the resolution knob.
+    * Output: 1 row (auc_numer, n_pos, n_neg, auc). */
+  def aucBinned(feats: DataFrame, labels: DataFrame, weights: DataFrame,
+      binMicro: Long = Micro, minBin: Int = -5, maxBin: Int = 5): DataFrame = {
+    require(binMicro > 0, s"binMicro=$binMicro must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sc = labels.join(margins(feats, broadcast(weights)),
+        Seq("doc_id"), "left")
+      .select(col("y"),
+        greatest(lit(minBin.toLong), least(lit(maxBin.toLong),
+          floor(coalesce(col("z_micro"), lit(0L)).cast("double")
+            / binMicro.toDouble))).as("bin"))
+    val perBin = sc.groupBy("bin")
+      .agg(sum(col("y").cast("long")).as("__pos"),
+        sum(lit(1L) - col("y").cast("long")).as("__neg"))
+    // bounded ≤(maxBin−minBin+1)-row windows — never a corpus sort
+    val cw = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lw = Window.orderBy(col("bin").desc)
+    val pts = perBin
+      .withColumn("tp", sum(col("__pos")).over(cw))
+      .withColumn("fp", sum(col("__neg")).over(cw))
+      .withColumn("__tpp", coalesce(lag(col("tp"), 1).over(lw), lit(0L)))
+      .withColumn("__fpp", coalesce(lag(col("fp"), 1).over(lw), lit(0L)))
+    val tot = sc.agg(sum(col("y").cast("long")).as("n_pos"),
+      sum(lit(1L) - col("y").cast("long")).as("n_neg"))
+    pts.agg(sum((col("fp") - col("__fpp")) * (col("tp") + col("__tpp")))
+        .as("auc_numer"))
+      .crossJoin(broadcast(tot))
+      .select(col("auc_numer"), col("n_pos"), col("n_neg"),
+        (col("auc_numer").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
+  }
+
+  /** Per-group operating points — the production refinement of ONE
+    * global threshold: each group (domain, source, language) gets the
+    * most permissive margin threshold whose binned precision still
+    * meets the target, i.e. maximum recall subject to
+    * precision ≥ pNumer/pDenom. The precision gate is the EXACT integer
+    * cross-multiplication tp·pDenom ≥ (tp+fp)·pNumer — no float
+    * comparison anywhere near a boundary. Groups with no qualifying
+    * point are absent from the output (no threshold meets the bar).
+    * Output: (group, threshold_micro, tp, fp, precision) — precision a
+    * raw double from one IEEE division of exact counts.
+    *
+    * Scale shape: one (group, bin) groupBy (map-side combinable), then
+    * per-group cumulative walks over ≤bins rows each — windows
+    * partition BY GROUP, never global. */
+  def operatingPointsByGroup(feats: DataFrame, labels: DataFrame,
+      weights: DataFrame, groups: DataFrame, pNumer: Long = 9,
+      pDenom: Long = 10, binMicro: Long = Micro, minBin: Int = -5,
+      maxBin: Int = 5): DataFrame = {
+    require(binMicro > 0, s"binMicro=$binMicro must be positive")
+    require(pNumer >= 0 && pDenom > 0 && pNumer <= pDenom,
+      s"precision target $pNumer/$pDenom must be a fraction in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val sc = labels.join(margins(feats, broadcast(weights)),
+        Seq("doc_id"), "left")
+      .join(groups, "doc_id")
+      .select(col("group"), col("y"),
+        greatest(lit(minBin.toLong), least(lit(maxBin.toLong),
+          floor(coalesce(col("z_micro"), lit(0L)).cast("double")
+            / binMicro.toDouble))).as("bin"))
+    val perBin = sc.groupBy("group", "bin")
+      .agg(sum(col("y").cast("long")).as("__pos"),
+        sum(lit(1L) - col("y").cast("long")).as("__neg"))
+    val cw = Window.partitionBy("group").orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBin
+      .withColumn("tp", sum(col("__pos")).over(cw))
+      .withColumn("fp", sum(col("__neg")).over(cw))
+      .filter(col("tp") * pDenom >= (col("tp") + col("fp")) * pNumer &&
+        col("tp") > 0)
+    val pick = Window.partitionBy("group").orderBy(col("bin").asc)
+    pts.withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(col("group"),
+        (col("bin") * binMicro).cast("long").as("threshold_micro"),
+        col("tp"), col("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"))
+  }
+
   /** Reliability diagram of a fitted model — the calibration table a
     * curation run reads before trusting the classifier's probabilities
     * as sampling weights (not just as a threshold): predicted

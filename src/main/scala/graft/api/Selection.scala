@@ -36,22 +36,34 @@ object Selection {
     * is known without a vocabulary pass).
     *
     * Inputs are sparse (doc_id, bucket, n) frames from
-    * [[Corpus.hashFeatures]]. Output: (bucket, llr_micro) — one row per
-    * bucket seen on EITHER side (absent side reads as count 0), at most
-    * `buckets` rows: broadcast-sized by construction, like the
-    * [[Quality]] weight frame.
+    * [[Corpus.hashFeatures]]. Output: (bucket, llr_micro) — DENSE over
+    * the whole 16^nibbles bucket universe (the hashed feature space is
+    * fixed up front, so the model can be total: a serving-time shard —
+    * see [[weightsAgainstModel]] — can never hash to a bucket the model
+    * is missing, and both-sides-zero buckets carry their correct
+    * smoothed ratio instead of being silently skipped). Still
+    * broadcast-sized by construction, like the [[Quality]] frame.
     *
     * Scale shape: two bucket-keyed aggregates (map-side combinable) +
-    * two 1-row totals broadcast back; the model join is a
-    * |buckets|-row full-outer — nothing touches the driver. */
+    * two 1-row totals broadcast back; the densifying join is over the
+    * |buckets|-row literal universe — nothing touches the driver. */
   def dsirModel(rawFeats: DataFrame, tgtFeats: DataFrame,
       buckets: Long): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets must be positive")
+    val nibbles = java.lang.Long.numberOfTrailingZeros(buckets) / 4
+    require(buckets == (1L << (4 * nibbles)),
+      s"buckets=$buckets must be a power of 16 (the md5-prefix space)")
+    val spark = rawFeats.sparkSession
+    // the md5-prefix spelling: lowercase hex, zero-padded to nibbles
+    val universe = spark.range(buckets)
+      .select(lpad(lower(hex(col("id"))), nibbles, "0").as("bucket"))
     val tc = tgtFeats.groupBy("bucket").agg(sum("n").as("__tn"))
     val rc = rawFeats.groupBy("bucket").agg(sum("n").as("__rn"))
     val tt = tgtFeats.agg(sum("n").as("__ttot"))
     val rt = rawFeats.agg(sum("n").as("__rtot"))
-    tc.join(rc, Seq("bucket"), "full_outer")
+    universe
+      .join(tc, Seq("bucket"), "left")
+      .join(rc, Seq("bucket"), "left")
       .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
       .select(col("bucket"),
         (lpMicro(coalesce(col("__tn"), lit(0L)),
@@ -72,22 +84,38 @@ object Selection {
     *
     * Scale shape: the target side collapses to a |buckets|-row model
     * broadcast into ONE corpus-sized feature pass (explode → map-side
-    * partial agg → one (doc, bucket) shuffle → doc-keyed agg). At
-    * 100 TB the raw feature frame is the [[Quality]] featurization
-    * reused — featurize once, weight and classify off the same frame. */
+    * partial agg → one (doc, bucket) shuffle → doc-keyed agg). The raw
+    * feature frame has THREE consumers (the model's bucket counts, its
+    * 1-row total, and the weight join), so it is MATERIALIZED once —
+    * `localCheckpoint` by default (executor-local, unreplicated); pass
+    * `checkpointDir` (HDFS/object store) for a reliable checkpoint on a
+    * real cluster, the house `TextDedup.ckptFn` discipline. At 100 TB
+    * the same frame is the [[Quality]] featurization reused —
+    * featurize once, weight and classify off it. */
   def dsirWeights(raw: DataFrame, target: DataFrame, id: Column,
       text: Column, bucketNibbles: Int = 1,
-      wordNgrams: Int = 2): DataFrame = {
-    val rawFeats = Corpus.hashFeatures(raw, id, text, bucketNibbles,
-      wordNgrams)
-    val tgtFeats = Corpus.hashFeatures(target, id, text, bucketNibbles,
-      wordNgrams)
+      wordNgrams: Int = 2, checkpointDir: Option[String] = None)
+      : DataFrame = {
+    val ck = TextDedup.ckptFn(raw.sparkSession, checkpointDir)
+    val rawFeats = ck(Corpus.hashFeatures(raw, id, text, bucketNibbles,
+      wordNgrams))
+    // target-sample-sized (small by the method's design) but still two
+    // consumers — pin it too rather than featurize twice
+    val tgtFeats = ck(Corpus.hashFeatures(target, id, text, bucketNibbles,
+      wordNgrams))
     val buckets = (0 until bucketNibbles).foldLeft(1L)((a, _) => a * 16L)
-    rawFeats
-      .join(broadcast(dsirModel(rawFeats, tgtFeats, buckets)), "bucket")
+    weightsAgainstModel(rawFeats, dsirModel(rawFeats, tgtFeats, buckets))
+  }
+
+  /** Weight a featurized shard against a FITTED (bucket, llr_micro)
+    * model — the serving-side half of [[dsirWeights]], split out so a
+    * persisted or streaming model consumer never re-derives the target
+    * distribution: one broadcast model join + one doc-keyed exact
+    * integer agg, stateless (the [[Quality.classify]] shape). */
+  def weightsAgainstModel(feats: DataFrame, model: DataFrame): DataFrame =
+    feats.join(broadcast(model), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("n") * col("llr_micro")).as("w_micro"))
-  }
 
   /** The SELECT step: top-`k` raw docs by DSIR weight (deterministic
     * doc_id tie-break) — plain importance *ranking*; a sampled-without-
@@ -98,11 +126,13 @@ object Selection {
     * heads + one k-row merge), never a full sort. */
   def dsirSelect(raw: DataFrame, target: DataFrame, id: Column,
       text: Column, k: Int, bucketNibbles: Int = 1,
-      wordNgrams: Int = 2): DataFrame = {
+      wordNgrams: Int = 2, checkpointDir: Option[String] = None)
+      : DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("w_micro").desc, col("doc_id"))
-    dsirWeights(raw, target, id, text, bucketNibbles, wordNgrams)
+    dsirWeights(raw, target, id, text, bucketNibbles, wordNgrams,
+      checkpointDir)
       .orderBy(col("w_micro").desc, col("doc_id")).limit(k)
       // row_number over the ≤k-row survivor frame — bounded, not a
       // corpus-wide single-partition window
@@ -125,7 +155,8 @@ object Selection {
     * driver-side randomness. */
   def dsirGumbelTopK(raw: DataFrame, target: DataFrame, id: Column,
       text: Column, k: Int, salt: String = "dsir",
-      bucketNibbles: Int = 1, wordNgrams: Int = 2): DataFrame = {
+      bucketNibbles: Int = 1, wordNgrams: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     // (h+1)/(2^60+1): h is the 60-bit md5 prefix, so u ∈ (0,1) strictly
     // — both ln calls see arguments inside their domains. The +1 happens
@@ -138,7 +169,8 @@ object Selection {
     val g = round(-log(-log(u)) * lit(Micro.toDouble)).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy((col("w_micro") + col("g_micro")).desc, col("doc_id"))
-    dsirWeights(raw, target, id, text, bucketNibbles, wordNgrams)
+    dsirWeights(raw, target, id, text, bucketNibbles, wordNgrams,
+        checkpointDir)
       .withColumn("g_micro", g)
       .orderBy((col("w_micro") + col("g_micro")).desc, col("doc_id"))
       .limit(k)
@@ -217,6 +249,73 @@ object Selection {
       .join(broadcast(cms), Seq("r", "bucket"), "left")
       .groupBy("token")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  /** Persist a count-min sketch: `path/cells` holds (r, bucket, c) rows
+    * and `path/params` records (depth, width) — appends and probes
+    * verify the geometry against the recorded values (a mismatch
+    * changes every bucket key, so it fails loudly instead of silently
+    * estimating garbage; the substring-index params precedent).
+    * Append-mode growth writes DELTA cells as additional rows; the
+    * sketch's additivity means [[readCms]] just sums per cell, so the
+    * nightly accept step never reads yesterday's corpus. */
+  def writeCms(df: DataFrame, text: Column, path: String,
+      depth: Int = 4, width: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((depth, width)).toDF("depth", "width")
+      .write.mode("overwrite").parquet(s"$path/params")
+    cmsBuild(df, text, depth, width)
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  private def requireCmsParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, depth: Int, width: Int): Unit = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val (d0, w0) = (p.getAs[Int]("depth"), p.getAs[Int]("width"))
+    require(d0 == depth && w0 == width,
+      s"cms at $path was written with depth=$d0, width=$w0 but caller " +
+        s"passed depth=$depth, width=$width — every cell key differs")
+  }
+
+  /** The nightly accept step: build the delta shard's sketch and append
+    * its cells — yesterday's corpus is never re-read. Cells accumulate
+    * as rows across appends; [[readCms]] collapses them. */
+  def appendToCms(df: DataFrame, text: Column, path: String,
+      depth: Int = 4, width: Int = 64): Unit = {
+    requireCmsParams(df.sparkSession, path, depth, width)
+    cmsBuild(df, text, depth, width)
+      .write.mode("append").parquet(s"$path/cells")
+  }
+
+  /** Read a persisted sketch, collapsing cross-append generations by
+    * cell-wise sum (count-min additivity). Output: (r, bucket, c). */
+  def readCms(spark: org.apache.spark.sql.SparkSession,
+      path: String, depth: Int = 4, width: Int = 64): DataFrame = {
+    requireCmsParams(spark, path, depth, width)
+    spark.read.parquet(s"$path/cells")
+      .groupBy("r", "bucket").agg(sum("c").as("c"))
+  }
+
+  /** Compact a grown sketch in place: collapse appended generations to
+    * one row per cell + one rewrite (≤ depth·width rows — a file-count
+    * concern, never correctness; estimates are generation-blind).
+    * Rename-swap via the Hadoop FS API (the compactSubstringIndex
+    * idiom), so it works on HDFS/object-store paths. Do not run
+    * concurrently with an append or probe on the same sketch. */
+  def compactCms(spark: org.apache.spark.sql.SparkSession,
+      path: String, depth: Int = 4, width: Int = 64): Unit = {
+    val cells = s"$path/cells"
+    val tmp = s"$path/cells__compacting"
+    readCms(spark, path, depth, width)
+      .write.mode("overwrite").parquet(tmp)
+    val cPath = new org.apache.hadoop.fs.Path(cells)
+    val fs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(cPath, true))
+      throw new java.io.IOException(s"compaction failed to remove $cells")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), cPath))
+      throw new java.io.IOException(
+        s"compaction failed to swap $tmp into place — sketch is at $tmp")
+  }
 
   /** Heavy hitters with the sketch next to ground truth: top-`k`
     * corpus tokens by count-min estimate, with the exact count beside

@@ -130,6 +130,49 @@ object Similarity {
       .select("src_id", "rk", "dst_id", "sim_r")
   }
 
+  /** Per-bucket MEDOIDS — one representative vector per sign-bucket,
+    * the member maximizing total similarity to its bucket peers
+    * (deterministic vec-id tie-break; singleton buckets elect their
+    * only member with sum 0). The prototype-selection primitive for
+    * diversity sampling and cluster summarization: the medoid set is a
+    * 2^bits-bounded digest of the corpus's semantic regions.
+    *
+    * Per-pair sims round to 6 dp THEN sum as DECIMAL (order-free —
+    * SURVEY §7.2.2), exported as one exact decimal→double conversion,
+    * so the election and the score are cross-engine stable.
+    *
+    * Scale shape: the pair space is the same inverted-list-bounded
+    * bucket self-join as [[knnGraph]] (Σ|list|², `bits` bounds list
+    * size, AQE splits skew); the election window partitions BY BUCKET.
+    * Output: (bucket, medoid_id, sum_sim). */
+  def medoidsBySignBucket(corpus: DataFrame, id: Column, vec: Column,
+      bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = corpus.select(id.as("__vid"), vec.as("__v"),
+      signBucket(vec, bits).as("bucket"))
+    val a = e.select(col("bucket"), col("__vid").as("__va"),
+      col("__v").as("__xa"))
+    val b = e.select(col("bucket").as("__bb"), col("__vid").as("__vb"),
+      col("__v").as("__xb"))
+    val sums = a.join(b, col("bucket") === col("__bb") &&
+        col("__va") =!= col("__vb"))
+      .select(col("bucket"), col("__va"),
+        round(dot(col("__xa"), col("__xb")), 6).cast(DecimalType(20, 6))
+          .as("__s"))
+      .groupBy("bucket", "__va").agg(sum(col("__s")).as("__sum"))
+    val scored = e.select(col("bucket"), col("__vid"))
+      .join(sums.withColumnRenamed("bucket", "__bk"),
+        col("bucket") === col("__bk") && col("__vid") === col("__va"),
+        "left")
+      .select(col("bucket"), col("__vid"),
+        coalesce(col("__sum").cast("double"), lit(0.0)).as("sum_sim"))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("sum_sim").desc, col("__vid"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("bucket"), col("__vid").as("medoid_id"), col("sum_sim"))
+  }
+
   /** All pairs with similarity ≥ τ WITHIN an equi-key partition — the key
     * is what bounds the pair space at scale. Output: (key, vec_a, vec_b,
     * sim_r). */

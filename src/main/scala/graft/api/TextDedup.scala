@@ -255,6 +255,43 @@ object TextDedup {
     } finally checkpointRdd(sh).foreach(_.unpersist(blocking = false))
   }
 
+  /** DELETE docs from a persisted signature index — the
+    * right-to-be-forgotten step every production index needs: both
+    * tables (shingles, sigs) are rewritten WITHOUT the given ids via an
+    * anti-join + rename-swap (the compaction idiom — materialize the
+    * survivor table to a sibling temp dir BEFORE touching the live one,
+    * then swap through the Hadoop FS API, so it works on
+    * HDFS/object-store paths). Params are untouched. After removal, a
+    * screen behaves exactly as if the index had been rebuilt without
+    * those docs (certified by the llm_dedup_forget oracle). Do not run
+    * concurrently with an append or screen on the same index.
+    *
+    * `ids` must carry a `doc_id` column. Cost: one scan+rewrite of each
+    * table (the index is ~1% of corpus bytes — a cheap pass); the
+    * removal set shuffles as bare ids. */
+  def removeFromSignatureIndex(spark: SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    // no broadcast hint: a typical forget list is tiny (AQE will
+    // broadcast it), but a bulk purge can be corpus-scale — the
+    // anti-join must stay valid either way. Both tables key docs as
+    // `__id` (the md5Shingles/md5BandSigs contract).
+    val rm = ids.select(col("doc_id").as("__id")).distinct()
+    Seq("shingles", "sigs").foreach { table =>
+      val live = s"$path/$table"
+      val tmp = s"$path/${table}__removing"
+      spark.read.parquet(live)
+        .join(rm, Seq("__id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+      val lPath = new org.apache.hadoop.fs.Path(live)
+      val fs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.delete(lPath, true))
+        throw new java.io.IOException(s"removal failed to delete $live")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), lPath))
+        throw new java.io.IOException(
+          s"removal failed to swap $tmp into place — table is at $tmp")
+    }
+  }
+
   /** Screen a delta shard against a PERSISTED signature index written
     * by [[writeSignatureIndex]]: candidate pairs from the (band, sig)
     * equi-join of the delta's signatures against the index — LSH-

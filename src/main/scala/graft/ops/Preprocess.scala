@@ -40,6 +40,41 @@ object Preprocess {
       when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))))
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-column profiling (the dd.describe audit a pipeline runs on
+    // ingestion): total rows, nulls, exact distinct count, min/max —
+    // ONE scan: all per-column aggregates run in a single agg (count-
+    // distincts share Spark's expand), then the wide row unpivots via
+    // an in-row struct explode. min/max stringify so heterogeneous
+    // column types share one frame; profiled columns restricted to
+    // int/string (double/timestamp reprs are not cross-engine-stable —
+    // the verify-notes rule). Fixtures are NULL-free, so two probe rows
+    // (negative keys, mirrored in the oracle) exercise the null path.
+    "prep_profile" -> ((s, d) => {
+      import s.implicits._
+      val probes = Seq(
+        (-1L, Option.empty[Long], Option.empty[String]),
+        (-2L, Option.empty[Long], Option("X")))
+        .toDF("l_orderkey", "l_partkey", "l_returnflag")
+      val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
+      val base = lineitem(s, d).select(cols.map(col): _*)
+        .unionByName(probes)
+      val exprs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx")))
+      base.agg(exprs.head, exprs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"${c}__nn")).as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__mn").as("min_s"),
+          col(s"${c}__mx").as("max_s"))): _*)).as("__x"))
+        .select("__x.*")
+        .orderBy("col_name")
+    }),
+
     "prep_fillna_mean" -> ((s, d) => {
       val c = customer(s, d)
       new Pipeline(Seq(nullNegBal, FillNaMean("c_acctbal"))).fit(c)
@@ -290,6 +325,27 @@ object Preprocess {
       |  FROM customer)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "prep_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
+      val unions = cols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM base""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_partkey, l_returnflag FROM lineitem
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (CAST(-1 AS BIGINT), CAST(NULL AS BIGINT),
+         |     CAST(NULL AS VARCHAR)),
+         |    (CAST(-2 AS BIGINT), CAST(NULL AS BIGINT), 'X'))
+         |    v(l_orderkey, l_partkey, l_returnflag))
+         |$unions
+         |ORDER BY col_name""".stripMargin
+    },
     "prep_fillna_mean" ->
       s"""$fillnaCte,
          |s AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

@@ -55,6 +55,22 @@ object Selection {
     "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
     "digit_id" -> "[0-9]{4,}")
 
+  /** Shared DuckDB twin of the k=3/nprobe=2 kNN graph (CTEs e → s → g;
+    * g = ranked top-3 edges per src) — consumed by the dedup and
+    * mutual-clustering oracles. */
+  private def knnCte: String =
+    s"""e AS (SELECT vec_id, embedding,
+       |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+       |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |  ROUND(${dotSql("a.embedding", "b.embedding")}, 6) AS sim_r
+       |  FROM e a CROSS JOIN (VALUES (0), (1)) m(m)
+       |  JOIN e b ON b.bucket = xor(a.bucket, m.m)
+       |    AND b.vec_id != a.vec_id),
+       |g AS (SELECT src_id, dst_id, sim_r FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+       |    ORDER BY sim_r DESC, dst_id) AS rk FROM s) t
+       |  WHERE rk <= 3)""".stripMargin
+
   /** Shared DuckDB CTEs for the DSIR keys: bigram-featurized raw/target
     * slices (lang <> 'en' vs lang = 'en'), per-bucket counts, the 1-row
     * totals, the add-one-smoothed log-likelihood-ratio model (each ln
@@ -135,6 +151,48 @@ object Selection {
         col("embedding"), k = 3, nprobe = 2)
         .orderBy("src_id", "rk")),
 
+    // graph-based near-dup over the kNN graph: drop a vector when any
+    // of its top-k neighbors has sim ≥ τ AND a smaller id (keep-first
+    // within each near-dup neighborhood) — the bounded-degree dedup
+    // rule: unlike the threshold-join spelling the pair work per node
+    // is capped at k·nprobe regardless of how dense a semantic region
+    // is. Semantics are k-bounded BY DESIGN (a qualifying neighbor
+    // outside the top-k is invisible); the oracle re-derives the same
+    // graph, so the gate checks the rule, not an all-pairs ideal.
+    "llm_dedup_knn" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val g = graft.api.Similarity.knnGraph(e, col("vec_id"),
+        col("embedding"), k = 3, nprobe = 2)
+      val dropped = g.filter(col("sim_r") >= 0.2 &&
+          col("dst_id") < col("src_id"))
+        .select(col("src_id").as("vec_id")).distinct()
+        .withColumn("__drop", lit(true))
+      e.select(col("vec_id"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (!coalesce(col("__drop"), lit(false))).as("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // mutual-kNN clustering: connected components over RECIPROCATED
+    // kNN edges (a↔b both rank each other top-k) — the standard
+    // robustness upgrade over one-directional graphs (hubs that
+    // everyone points at but that point elsewhere stop gluing regions
+    // together). Edges from one bounded graph self-join; components
+    // via the house fixpoint engine. Only nodes with ≥1 mutual edge
+    // appear (the llm_dedup_clusters contract).
+    "llm_cluster_mutual_knn" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val g = graft.api.Similarity.knnGraph(e, col("vec_id"),
+        col("embedding"), k = 3, nprobe = 2)
+      val fwd = g.select(col("src_id").as("__a"), col("dst_id").as("__b"))
+      val rev = g.select(col("dst_id").as("__a"), col("src_id").as("__b"))
+      val mutual = fwd.intersect(rev).filter(col("__a") < col("__b"))
+      graft.api.TextDedup.clusters(mutual, col("__a"), col("__b"))
+        .select(col("node").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     // count-min heavy hitters (Cormode & Muthukrishnan 2005): top-20
     // tokens by sketch estimate with the exact count beside it —
     // est ≥ exact everywhere, and the deliberately narrow 16-bucket
@@ -209,6 +267,25 @@ object Selection {
         .orderBy("r", "bucket")
     }),
 
+    // the PERSISTED sketch lifecycle as one declared key: day-0 shard
+    // written (Selection.writeCms), day-1 shard ACCEPTED by cell append
+    // (appendToCms — day 0 never re-read), the collapsed sketch read
+    // back — and the ORACLE is the rebuilt-over-everything definition,
+    // so the driver gate certifies persisted-grown ≡ rebuilt (the
+    // llm_dedup_substring_grow pattern; timed query includes both
+    // writes, the honesty rule).
+    "llm_cms_index" -> ((s, d) => {
+      val docs = documents(s, d)
+      val path = graft.util.Staging.dir("cms_index", d)
+      graft.api.Selection.writeCms(docs.filter(col("doc_id") % 2 === 0),
+        col("text"), path, depth = CmsDepth, width = CmsWidth)
+      graft.api.Selection.appendToCms(docs.filter(col("doc_id") % 2 === 1),
+        col("text"), path, depth = CmsDepth, width = CmsWidth)
+      graft.api.Selection.readCms(s, path, depth = CmsDepth,
+        width = CmsWidth)
+        .orderBy("r", "bucket")
+    }),
+
     // quality-aware canonical selection: near-dup clusters keep their
     // HIGHEST-scoring member under the learned quality model, not their
     // first-seen one — the production keep rule, composing the jaccard
@@ -238,6 +315,28 @@ object Selection {
         .orderBy("doc_id")
     }),
 
+    // right-to-be-forgotten on the persisted signature index: build
+    // day-0 index, DELETE a removal cohort (doc_id % 3 == 1) via
+    // anti-join + rename-swap, then screen the delta — and the ORACLE
+    // is the rebuilt-without-them definition, so the driver gate
+    // certifies removed ≡ rebuilt (the grown ≡ rebuilt pattern, in
+    // reverse). Timed query includes the index write AND the removal
+    // rewrite — the honesty rule.
+    "llm_dedup_forget" -> ((s, d) => {
+      val docs = documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val idx = graft.util.Staging.dir("sig_index_forget", d)
+      graft.api.TextDedup.writeSignatureIndex(corpus, col("doc_id"),
+        col("text"), idx)
+      graft.api.TextDedup.removeFromSignatureIndex(s, idx,
+        corpus.filter(col("doc_id") % 3 === 1).select(col("doc_id")))
+      graft.api.TextDedup
+        .dedupShardAgainstIndex(delta, col("doc_id"), col("text"), idx)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // multi-pattern PII audit: per pattern class, records with ≥1 match
     // + total matches, in ONE corpus pass (in-row struct explode — the
     // plan is |patterns|-independent). The fixture payloads only carry
@@ -256,6 +355,71 @@ object Selection {
         .unionByName(probes)
       graft.api.TextQuality.piiAudit(base, col("props"), PiiPatterns)
     }),
+
+    // binned ROC-AUC of the learned filter: the ranking-quality summary
+    // next to the PR curve — the trapezoid telescopes to an exact
+    // integer numerator (Σ Δfp·(tp_prev+tp_cur)), one final division by
+    // 2·P·N. Bounded bin windows, never a global score sort.
+    "llm_quality_auc" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      // bins tuned to the fitted margin scale (the pr_curve geometry)
+      graft.api.Quality.aucBinned(feats, labels, model,
+        binMicro = 5000000L, minBin = 0, maxBin = 10)
+    }),
+
+    // per-source operating points: each source gets the most permissive
+    // threshold whose binned precision still meets 90% — the production
+    // refinement of one global cutoff (domain-specific thresholds). The
+    // precision gate is exact integer cross-multiplication; per-source
+    // cumulative walks over bounded bin frames.
+    "llm_quality_threshold_by_source" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      graft.api.Quality.operatingPointsByGroup(feats, labels, model,
+        docs.select(col("doc_id"), col("source").as("group")),
+        pNumer = 9, pDenom = 10, binMicro = 5000000L, minBin = 0,
+        maxBin = 10)
+        .withColumnRenamed("group", "source")
+        .orderBy("source")
+    }),
+
+    // vocabulary-pruning APPLY (the min_frequency knob materialized):
+    // tokens under 1% of corpus mass → <unk>, docs re-assembled in
+    // order; the threshold is relative (exact integer compare), so the
+    // key is meaningful at every fixture scale. The fixture's one rare
+    // token ('dup', ~0.1% of mass) is replaced corpus-wide.
+    "llm_vocab_prune_apply" -> ((s, d) =>
+      graft.api.Corpus.vocabPruneApply(documents(s, d), col("doc_id"),
+        col("text"), permille = 10)
+        .orderBy("doc_id")),
+
+    // per-bucket medoids: one representative embedding per sign-bucket
+    // (max total similarity to bucket peers, decimal order-free sums) —
+    // the prototype-selection digest for diversity sampling; pair space
+    // is the same inverted-list-bounded self-join as the kNN graph.
+    "llm_cluster_medoids" -> ((s, d) =>
+      graft.api.Similarity.medoidsBySignBucket(embeddings(s, d),
+        col("vec_id"), col("embedding"))
+        .orderBy("bucket")),
+
+    // shard manifest: the integrity sheet a reproducible export ships —
+    // per shard, row count + ORDER-FREE content checksum (exact integer
+    // sum of 32-bit salted id hashes) + id range; recompute on a copy
+    // and compare. One map-side-combinable groupBy, no sort, no text.
+    "llm_shard_manifest" -> ((s, d) =>
+      graft.api.Corpus.shardManifest(
+        graft.api.Corpus.shuffleShard(documents(s, d), col("doc_id")),
+        col("doc_id"))
+        .orderBy("shard")),
 
     // Platt scaling (Platt 1999) of the classifier margin, reusing the
     // house SGD step on a TWO-feature pseudo-frame (bias n=1, margin
@@ -347,6 +511,33 @@ object Selection {
          |  CAST(COUNT(*) AS BIGINT) AS c
          |FROM tok CROSS JOIN range($CmsDepth) t(r)
          |GROUP BY 1, 2 ORDER BY r, bucket""".stripMargin,
+    "llm_dedup_knn" ->
+      s"""WITH $knnCte,
+         |dropped AS (SELECT DISTINCT src_id AS vec_id FROM g
+         |  WHERE sim_r >= 0.2 AND dst_id < src_id)
+         |SELECT e.vec_id, (d.vec_id IS NULL) AS keep
+         |FROM e LEFT JOIN dropped d USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
+    "llm_cluster_mutual_knn" ->
+      s"""WITH RECURSIVE $knnCte,
+         |me AS (SELECT g1.src_id AS a, g1.dst_id AS b
+         |  FROM g g1 JOIN g g2 ON g2.src_id = g1.dst_id
+         |    AND g2.dst_id = g1.src_id
+         |  WHERE g1.src_id < g1.dst_id),
+         |ed AS (SELECT a AS x, b AS y FROM me
+         |       UNION ALL SELECT b, a FROM me),
+         |walk AS (SELECT x AS node, y AS label FROM ed
+         |         UNION
+         |         SELECT ed.x, w.label FROM ed JOIN walk w ON ed.y = w.node)
+         |SELECT node AS vec_id, LEAST(node, MIN(label)) AS cluster_id
+         |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin,
+    "llm_cms_index" ->
+      s"""WITH tok AS (SELECT unnest(string_split_regex(text, ' '))
+         |    AS token FROM documents)
+         |SELECT t.r, ${cmsBucketSql("t.r", "token")} AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS c
+         |FROM tok CROSS JOIN range($CmsDepth) t(r)
+         |GROUP BY 1, 2 ORDER BY r, bucket""".stripMargin,
     "llm_dedup_keep_best" ->
       s"""WITH RECURSIVE ${Curation.qualityCte},
          |t AS (SELECT doc_id, source,
@@ -377,6 +568,136 @@ object Selection {
          |  (ROW_NUMBER() OVER (PARTITION BY cluster_id
          |    ORDER BY score_micro DESC, doc_id) = 1) AS keep
          |FROM mm ORDER BY doc_id""".stripMargin,
+    "llm_quality_auc" ->
+      s"""WITH ${Curation.qualityCte},
+         |sc AS (SELECT l.doc_id, l.y,
+         |    CAST(GREATEST(0, LEAST(10,
+         |      FLOOR(CAST(COALESCE(z.z, 0) AS DOUBLE) / 5000000.0)))
+         |      AS BIGINT) AS bin
+         |  FROM labels l LEFT JOIN (SELECT f.doc_id,
+         |      CAST(SUM(f.n * w2.w_micro) AS BIGINT) AS z
+         |    FROM feats f JOIN w2 USING (bucket) GROUP BY 1) z
+         |    USING (doc_id)),
+         |pb AS (SELECT bin, CAST(SUM(y) AS BIGINT) AS pos,
+         |    CAST(SUM(1 - y) AS BIGINT) AS neg
+         |  FROM sc GROUP BY bin),
+         |cum AS (SELECT bin,
+         |    CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+         |    CAST(SUM(neg) OVER w AS BIGINT) AS fp
+         |  FROM pb
+         |  WINDOW w AS (ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |pts AS (SELECT bin, tp, fp,
+         |    CAST(COALESCE(LAG(tp) OVER (ORDER BY bin DESC), 0)
+         |      AS BIGINT) AS tpp,
+         |    CAST(COALESCE(LAG(fp) OVER (ORDER BY bin DESC), 0)
+         |      AS BIGINT) AS fpp
+         |  FROM cum),
+         |tot AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+         |    CAST(SUM(1 - y) AS BIGINT) AS n_neg FROM sc)
+         |SELECT CAST(SUM((fp - fpp) * (tp + tpp)) AS BIGINT)
+         |    AS auc_numer,
+         |  tot.n_pos, tot.n_neg,
+         |  CAST(SUM((fp - fpp) * (tp + tpp)) AS DOUBLE)
+         |    / CAST(tot.n_pos * tot.n_neg * 2 AS DOUBLE) AS auc
+         |FROM pts, tot GROUP BY tot.n_pos, tot.n_neg""".stripMargin,
+    "llm_quality_threshold_by_source" ->
+      s"""WITH ${Curation.qualityCte},
+         |sc AS (SELECT d.source, l.y,
+         |    CAST(GREATEST(0, LEAST(10,
+         |      FLOOR(CAST(COALESCE(z.z, 0) AS DOUBLE) / 5000000.0)))
+         |      AS BIGINT) AS bin
+         |  FROM labels l
+         |  JOIN documents d USING (doc_id)
+         |  LEFT JOIN (SELECT f.doc_id,
+         |      CAST(SUM(f.n * w2.w_micro) AS BIGINT) AS z
+         |    FROM feats f JOIN w2 USING (bucket) GROUP BY 1) z
+         |    USING (doc_id)),
+         |pb AS (SELECT source, bin, CAST(SUM(y) AS BIGINT) AS pos,
+         |    CAST(SUM(1 - y) AS BIGINT) AS neg
+         |  FROM sc GROUP BY 1, 2),
+         |pts AS (SELECT source, bin,
+         |    CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+         |    CAST(SUM(neg) OVER w AS BIGINT) AS fp
+         |  FROM pb
+         |  WINDOW w AS (PARTITION BY source ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ok AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY bin ASC) AS rk
+         |  FROM pts WHERE tp * 10 >= (tp + fp) * 9 AND tp > 0)
+         |SELECT source, CAST(bin * 5000000 AS BIGINT) AS threshold_micro,
+         |  tp, fp,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision
+         |FROM ok WHERE rk = 1 ORDER BY source""".stripMargin,
+    "llm_vocab_prune_apply" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tks
+        |  FROM documents),
+        |tkp AS (SELECT doc_id, unnest(range(1, len(tks) + 1)) AS pos,
+        |    unnest(tks) AS tok
+        |  FROM tk),
+        |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tkp GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM freq),
+        |rare AS (SELECT tok FROM freq, tot WHERE n * 1000 < t * 10),
+        |mk AS (SELECT t.doc_id, t.pos,
+        |    CASE WHEN r.tok IS NOT NULL THEN '<unk>' ELSE t.tok END AS t2,
+        |    CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END AS u
+        |  FROM tkp t LEFT JOIN rare r ON r.tok = t.tok)
+        |SELECT doc_id,
+        |  string_agg(t2, ' ' ORDER BY pos) AS pruned_text,
+        |  CAST(SUM(u) AS BIGINT) AS n_unk
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_cluster_medoids" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |s AS (SELECT a.bucket, a.vec_id AS va,
+         |    CAST(SUM(CAST(ROUND(${dotSql("a.embedding", "b.embedding")},
+         |      6) AS DECIMAL(20, 6))) AS DOUBLE) AS sum_sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket
+         |    AND a.vec_id != b.vec_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT e.bucket, e.vec_id,
+         |    COALESCE(s.sum_sim, 0.0) AS sum_sim
+         |  FROM e LEFT JOIN s ON s.bucket = e.bucket
+         |    AND s.va = e.vec_id)
+         |SELECT bucket, vec_id AS medoid_id, sum_sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+         |    ORDER BY sum_sim DESC, vec_id) AS rk FROM sc) t
+         |WHERE rk = 1 ORDER BY bucket""".stripMargin,
+    "llm_dedup_forget" ->
+      s"""WITH ${LlmOps.md5MinhashCte},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+         |    AND b.doc_id % 3 != 1),
+         |dup AS (SELECT DISTINCT doc_a FROM cand
+         |  JOIN d da ON da.doc_id = cand.doc_a
+         |  JOIN d db ON db.doc_id = cand.doc_b
+         |  WHERE ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) >= 0.8),
+         |icand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+         |intra AS (SELECT DISTINCT doc_b FROM icand
+         |  JOIN d da ON da.doc_id = icand.doc_a
+         |  JOIN d db ON db.doc_id = icand.doc_b
+         |  WHERE ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) >= 0.8)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id NOT IN (SELECT doc_a FROM dup)
+         |  AND doc_id NOT IN (SELECT doc_b FROM intra)
+         |ORDER BY doc_id""".stripMargin,
     "llm_pii_audit" -> {
       val unions = PiiPatterns.map { case (name, re) =>
         s"""SELECT '$name' AS pii_type,
@@ -442,6 +763,18 @@ object Selection {
          |  CAST(SUM(ABS(sum_p_micro - n_pos * 1000000)) AS DOUBLE)
          |    / CAST(SUM(n) * 1000000 AS DOUBLE) AS ece
          |FROM bb""".stripMargin,
+    "llm_shard_manifest" ->
+      """WITH sh AS (SELECT doc_id,
+        |    substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST('0x' || substr(md5('man|'
+        |    || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS checksum,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "llm_quality_platt" ->
       s"""WITH ${Curation.qualityCte},
          |zz AS (SELECT f.doc_id, CAST(SUM(f.n * w1.w) AS BIGINT) AS z

@@ -308,6 +308,53 @@ object Streaming {
           thresholdMicro))
     }
 
+  /** Streaming twin of the persisted count-min sketch's accept step —
+    * the [[twinDedupAgainstIndex]] shape applied to frequency tracking:
+    * each micro-batch builds its delta sketch and APPENDS the cells
+    * (graft.api.Selection.appendToCms — yesterday's stream is never
+    * re-read; count-min additivity makes the append the whole merge),
+    * then `emit` receives the collapsed up-to-now sketch. Zero state
+    * store: the persisted sketch IS the state, depth×width rows
+    * regardless of stream length — the bounded-memory streaming
+    * frequency tracker. Streamed-appends ≡ one-batch-build is pinned
+    * in StreamingSpec. */
+  def twinCmsGrow(docs: DataFrame, text: org.apache.spark.sql.Column,
+      sketchPath: String, depth: Int = 4, width: Int = 64)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.api.Selection.appendToCms(batch, text, sketchPath, depth,
+          width)
+        emit(graft.api.Selection.readCms(batch.sparkSession, sketchPath,
+          depth, width))
+    }
+
+  /** Streaming twin of DSIR importance weighting — like
+    * [[twinQualityClassify]], scoring against a FITTED model is
+    * stateless, so the serving path streams for free: each micro-batch
+    * featurizes and weights against the static (bucket, llr_micro)
+    * model (graft.api.Selection.weightsAgainstModel — one broadcast
+    * join + one exact integer agg, zero state store; the model is
+    * DENSE over the 16^nibbles universe, so no shard can hash outside
+    * it). Model refresh rides its own re-fit cadence. `emit` receives
+    * (doc_id, w_micro) per batch; batch ≡ streaming pinned in
+    * StreamingSpec. */
+  def twinDsirWeights(docs: DataFrame,
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, model: DataFrame,
+      bucketNibbles: Int = 1, wordNgrams: Int = 2)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.Selection.weightsAgainstModel(
+          graft.api.Corpus.hashFeatures(batch, id, text, bucketNibbles,
+            wordNgrams), model))
+    }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

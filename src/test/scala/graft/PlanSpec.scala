@@ -529,6 +529,21 @@ class PlanSpec extends AnyFunSuite {
       s"kNN graph degenerated to an all-pairs scan:\n$p")
   }
 
+  test("llm_cluster_medoids: bucket self-join is equi-keyed, no cartesian") {
+    val p = plan("llm_cluster_medoids")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"medoid election degenerated to an all-pairs scan:\n$p")
+  }
+
+  test("llm_vocab_prune_apply: token-stream join is equi-keyed; " +
+      "re-assembly aggregates partially map-side") {
+    val p = plan("llm_vocab_prune_apply")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
   test("llm_heavy_hitters_cms: the d×w sketch broadcasts into the probe; " +
       "cell aggregation is map-side partial") {
     val p = plan("llm_heavy_hitters_cms")

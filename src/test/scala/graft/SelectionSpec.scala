@@ -56,6 +56,58 @@ class SelectionSpec extends AnyFunSuite {
     assert(ws == ws.sorted(Ordering[Long].reverse), "must be weight-desc")
   }
 
+  test("dsirModel is dense over the bucket universe; streaming-shape " +
+      "weightsAgainstModel reproduces dsirWeights") {
+    val raw = docs.filter(col("lang") =!= "en")
+    val tgt = docs.filter(col("lang") === "en")
+    val model = Selection.dsirModel(
+      Corpus.hashFeatures(raw, col("doc_id"), col("text"), wordNgrams = 2),
+      Corpus.hashFeatures(tgt, col("doc_id"), col("text"), wordNgrams = 2),
+      buckets = 16).cache()
+    assert(model.count() == 16, "model must cover all 16 buckets")
+    assert(model.filter(col("llr_micro").isNull).count() == 0)
+    val direct = Selection.dsirWeights(raw, tgt, col("doc_id"),
+      col("text")).as[(Long, Long)].collect().toMap
+    val served = Selection.weightsAgainstModel(
+      Corpus.hashFeatures(raw, col("doc_id"), col("text"), wordNgrams = 2),
+      model).as[(Long, Long)].collect().toMap
+    assert(served == direct)
+    model.unpersist()
+  }
+
+  test("llm_dedup_knn keeps the smaller id of a planted duplicate pair") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // two identical vectors land in the same bucket with sim 1.0; the
+    // larger id must be dropped, the smaller kept
+    val v = Array.fill(64)(0.1f)
+    val w = Array.tabulate(64)(i => if (i % 2 == 0) 0.2f else -0.2f)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val e = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, v.toSeq), Row(2L, v.toSeq),
+        Row(3L, w.toSeq)), schema)
+    val g = Similarity.knnGraph(e, col("vec_id"), col("embedding"),
+      k = 3, nprobe = 2)
+    val dropped = g.filter(col("sim_r") >= 0.2 &&
+        col("dst_id") < col("src_id"))
+      .select("src_id").as[Long].collect().toSet
+    assert(dropped == Set(2L), s"only the later twin drops, got $dropped")
+  }
+
+  test("mutual-kNN edges are a subset of the directed graph and symmetric") {
+    val g = Similarity.knnGraph(emb, col("vec_id"), col("embedding"),
+      k = 3, nprobe = 2).cache()
+    val fwd = g.select(col("src_id").as("__a"), col("dst_id").as("__b"))
+    val mutual = fwd.intersect(
+      g.select(col("dst_id").as("__a"), col("src_id").as("__b")))
+    val m = mutual.as[(Long, Long)].collect().toSet
+    val dir = fwd.as[(Long, Long)].collect().toSet
+    assert(m.subsetOf(dir))
+    assert(m.forall { case (a, b) => m.contains((b, a)) }, "symmetric")
+    g.unpersist()
+  }
+
   // ----------------------------------------------------- count-min sketch
 
   test("cms estimate dominates the exact count for every token") {
@@ -85,6 +137,30 @@ class SelectionSpec extends AnyFunSuite {
     val perRow = cms.groupBy("r").agg(sum("c").as("m"))
       .select("m").as[Long].collect()
     assert(perRow.length == 4 && perRow.forall(_ == tokens))
+  }
+
+  test("persisted cms: write + append + read equals one whole-corpus " +
+      "build; compaction preserves cells; param mismatch fails loudly") {
+    val path = SparkFixture.tempDir("cms_idx").getAbsolutePath
+    Selection.writeCms(docs.filter(col("doc_id") % 2 === 0), col("text"),
+      path, depth = 4, width = 16)
+    Selection.appendToCms(docs.filter(col("doc_id") % 2 === 1),
+      col("text"), path, depth = 4, width = 16)
+    val whole = Selection.cmsBuild(docs, col("text"), depth = 4,
+      width = 16).as[(Int, Long, Long)].collect().toSet
+    val grown = Selection.readCms(spark, path, depth = 4, width = 16)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(grown == whole, "grown sketch must equal rebuilt")
+    Selection.compactCms(spark, path, depth = 4, width = 16)
+    val compacted = spark.read.parquet(s"$path/cells")
+    assert(compacted.as[(Int, Long, Long)].collect().toSet == whole)
+    // one row per cell after compaction
+    assert(compacted.groupBy("r", "bucket").count()
+      .filter(col("count") > 1).count() == 0)
+    val ex = intercept[IllegalArgumentException] {
+      Selection.appendToCms(docs, col("text"), path, depth = 4, width = 32)
+    }
+    assert(ex.getMessage.contains("width"))
   }
 
   // ------------------------------------------------------------ kNN graph
@@ -127,6 +203,54 @@ class SelectionSpec extends AnyFunSuite {
     val badRk = g.filter(col("rk") < 1 || col("rk") > 3).count()
     assert(badRk == 0)
     g.unpersist()
+  }
+
+  test("removeFromSignatureIndex: screen after removal equals screen " +
+      "of an index rebuilt without the removed docs") {
+    import graft.api.TextDedup
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val kept = corpus.filter(col("doc_id") % 3 =!= 1)
+    val removed = corpus.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"))
+    val pA = SparkFixture.tempDir("sig_rm_a").getAbsolutePath
+    val pB = SparkFixture.tempDir("sig_rm_b").getAbsolutePath
+    TextDedup.writeSignatureIndex(corpus, col("doc_id"), col("text"), pA)
+    TextDedup.removeFromSignatureIndex(spark, pA, removed)
+    TextDedup.writeSignatureIndex(kept, col("doc_id"), col("text"), pB)
+    val a = TextDedup.dedupShardAgainstIndex(delta, col("doc_id"),
+      col("text"), pA).select("doc_id").as[Long].collect().toSet
+    val b = TextDedup.dedupShardAgainstIndex(delta, col("doc_id"),
+      col("text"), pB).select("doc_id").as[Long].collect().toSet
+    assert(a == b, s"removed-index screen diverges from rebuilt: $a vs $b")
+    // the removal genuinely shrank the index
+    assert(spark.read.parquet(s"$pA/sigs")
+      .join(removed.withColumnRenamed("doc_id", "__id"), Seq("__id"))
+      .count() == 0)
+  }
+
+  test("shardManifest checksum detects a dropped and a duplicated row") {
+    val sharded = Corpus.shuffleShard(docs, col("doc_id")).cache()
+    val m0 = Corpus.shardManifest(sharded, col("doc_id"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m0.values.map(_._2).sum == docs.count())
+    val tampered = Corpus.shardManifest(
+      sharded.filter(col("doc_id") =!= 0), col("doc_id"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val shard0 = sharded.filter(col("doc_id") === 0)
+      .select("shard").as[String].head()
+    assert(m0(shard0)._3 != tampered(shard0)._3,
+      "dropping a row must move its shard's checksum")
+    val duped = Corpus.shardManifest(
+      sharded.unionByName(sharded.filter(col("doc_id") === 0)),
+      col("doc_id"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m0(shard0)._3 != duped(shard0)._3,
+      "duplicating a row must move its shard's checksum")
+    sharded.unpersist()
   }
 
   // ---------------------------------------------------------- calibration
@@ -213,6 +337,81 @@ class SelectionSpec extends AnyFunSuite {
     assert(audit("email") == ((1L, 2L)))
     assert(audit("ipv4") == ((1L, 1L)))
     assert(audit("digit_id") == ((1L, 1L)))
+  }
+
+  test("aucBinned is exact on a hand-walked separable set") {
+    // margins: pos docs all land in higher bins than negs → AUC = 1
+    val d = Seq((1L, "join"), (2L, "join"), (3L, "scan"), (4L, "scan"))
+      .toDF("doc_id", "text")
+    val feats = Corpus.hashFeatures(d, col("doc_id"), col("text"))
+    val labels = d.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+    val m = Quality.train(feats, labels, epochs = 2)
+    val r = Quality.aucBinned(feats, labels, m).collect()(0)
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 1.0,
+      s"separable labels must score AUC 1, got $r")
+  }
+
+  test("aucBinned of a label-blind model is exactly 1/2") {
+    // all docs share one margin bin → the single trapezoid gives
+    // N·P/(2·N·P): the chance-level diagonal
+    val d = (0L until 40L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val feats = Corpus.hashFeatures(d, col("doc_id"), col("text"))
+    val labels = d.select(col("doc_id"), (col("doc_id") % 2).cast("int")
+      .as("y"))
+    val r = Quality.aucBinned(feats, labels, Quality.emptyWeights(d))
+      .collect()(0)
+    assert(r.getDouble(3) == 0.5, s"one-bin ROC must be chance, got $r")
+  }
+
+  test("operatingPointsByGroup: picked threshold meets the target and " +
+      "the next-looser bin does not") {
+    val feats = Corpus.hashFeatures(docs, col("doc_id"), col("text"))
+    val labels = docs.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+    val model = Quality.train(feats, labels, epochs = 2)
+    val groups = docs.select(col("doc_id"), col("source").as("group"))
+    val pts = Quality.operatingPointsByGroup(feats, labels, model, groups,
+      pNumer = 9, pDenom = 10, binMicro = 5000000L, minBin = 0,
+      maxBin = 10).collect()
+    assert(pts.nonEmpty)
+    pts.foreach { r =>
+      val (tp, fp) = (r.getLong(2), r.getLong(3))
+      assert(tp * 10 >= (tp + fp) * 9,
+        s"picked point misses the precision bar: $r")
+    }
+  }
+
+  test("vocabPruneApply replaces exactly the sub-threshold tokens, " +
+      "in place") {
+    // 'zz' is 1 of 12 tokens (83 permille); threshold 100 permille
+    // prunes it, everything else survives with order intact
+    val d = Seq((1L, "aa bb zz aa"), (2L, "bb aa aa bb"),
+      (3L, "aa bb aa bb")).toDF("doc_id", "text")
+    val out = Corpus.vocabPruneApply(d, col("doc_id"), col("text"),
+        permille = 100, unk = "<unk>")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, "aa bb <unk> aa", 1L)))
+    assert(out(1) == ((2L, "bb aa aa bb", 0L)))
+    assert(out(2) == ((3L, "aa bb aa bb", 0L)))
+  }
+
+  test("medoidsBySignBucket elects one member per bucket; singleton " +
+      "buckets keep their member at sum 0") {
+    val m = Similarity.medoidsBySignBucket(emb, col("vec_id"),
+      col("embedding")).cache()
+    val e = emb.select(col("vec_id"),
+      Similarity.signBucket(col("embedding"), 8).as("bucket"))
+    val nBuckets = e.select("bucket").distinct().count()
+    assert(m.count() == nBuckets, "exactly one medoid per bucket")
+    // singleton buckets: medoid is the sole member, sum_sim exactly 0
+    val singles = e.groupBy("bucket").count().filter(col("count") === 1)
+      .select("bucket")
+    val sm = m.join(singles, "bucket")
+    assert(sm.filter(col("sum_sim") =!= 0.0).count() == 0)
+    m.unpersist()
   }
 
   test("platt epoch moves the margin-feature weight in the right direction") {

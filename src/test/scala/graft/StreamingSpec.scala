@@ -432,4 +432,73 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming scores diverge from batch:\n$got\nvs\n$batchScores")
     } finally q.stop()
   }
+
+  test("twinDsirWeights: streamed shard weights equal the batch serving " +
+      "path under the same static model") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.api.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Seq((1L, "aa bb cc"), (2L, "xx yy zz"), (3L, "aa aa bb"),
+      (4L, "zz xx yy yy")).toDF("doc_id", "text")
+    val tgt = Seq((9L, "aa bb aa cc")).toDF("doc_id", "text")
+    val model = graft.api.Selection.dsirModel(
+      Corpus.hashFeatures(raw, col("doc_id"), col("text"), wordNgrams = 2),
+      Corpus.hashFeatures(tgt, col("doc_id"), col("text"), wordNgrams = 2),
+      buckets = 16).cache()
+    val batchW = graft.api.Selection.weightsAgainstModel(
+      Corpus.hashFeatures(raw, col("doc_id"), col("text"), wordNgrams = 2),
+      model).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Map.empty[Long, Long]
+    val q = Streaming.twinDsirWeights(in.toDF.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), model) { batch =>
+      emitted.synchronized {
+        batch.collect().foreach(r => emitted(r.getLong(0)) = r.getLong(1))
+      }
+    }.start()
+    try {
+      in.addData((1L, "aa bb cc"), (2L, "xx yy zz"))
+      q.processAllAvailable()
+      in.addData((3L, "aa aa bb"), (4L, "zz xx yy yy"))
+      q.processAllAvailable()
+      val got = emitted.synchronized(emitted.toMap)
+      assert(got == batchW,
+        s"streaming weights diverge from batch:\n$got\nvs\n$batchW")
+    } finally { q.stop(); model.unpersist(); () }
+  }
+
+  test("twinCmsGrow: streamed cell appends converge to the one-batch " +
+      "sketch; state is the persisted d×w cells, not a store") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = SparkFixture.tempDir("cms_stream").getAbsolutePath
+    val all = Seq((1L, "aa bb aa cc"), (2L, "bb cc dd"),
+      (3L, "aa dd dd ee"), (4L, "ee aa bb"))
+    // seed the params + day-0 cells from an EMPTY frame so the stream's
+    // first append finds a valid sketch (the writeCms-then-stream shape)
+    graft.api.Selection.writeCms(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")
+        .filter(col("doc_id") > 0),
+      col("text"), path, depth = 4, width = 8)
+    val batchSketch = graft.api.Selection.cmsBuild(
+        all.toDF("doc_id", "text"), col("text"), depth = 4, width = 8)
+      .as[(Int, Long, Long)].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    @volatile var last: Set[(Int, Long, Long)] = Set.empty
+    val q = Streaming.twinCmsGrow(in.toDF.toDF("doc_id", "text"),
+        col("text"), path, depth = 4, width = 8) { sketch =>
+      last = sketch.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    }.start()
+    try {
+      in.addData(all.take(2): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(2): _*)
+      q.processAllAvailable()
+      assert(last == batchSketch,
+        s"streamed sketch diverges:\n$last\nvs\n$batchSketch")
+    } finally q.stop()
+  }
 }
