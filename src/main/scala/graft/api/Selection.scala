@@ -99,10 +99,11 @@ object Selection {
     val ck = TextDedup.ckptFn(raw.sparkSession, checkpointDir)
     val rawFeats = ck(Corpus.hashFeatures(raw, id, text, bucketNibbles,
       wordNgrams))
-    // target-sample-sized (small by the method's design) but still two
-    // consumers — pin it too rather than featurize twice
-    val tgtFeats = ck(Corpus.hashFeatures(target, id, text, bucketNibbles,
-      wordNgrams))
+    // the target side is a SAMPLE by the method's design (its two
+    // consumers are both tiny aggregates) — featurizing it twice is
+    // cheaper than a checkpoint job, so it stays lazy
+    val tgtFeats = Corpus.hashFeatures(target, id, text, bucketNibbles,
+      wordNgrams)
     val buckets = (0 until bucketNibbles).foldLeft(1L)((a, _) => a * 16L)
     weightsAgainstModel(rawFeats, dsirModel(rawFeats, tgtFeats, buckets))
   }

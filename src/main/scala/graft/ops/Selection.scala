@@ -337,6 +337,39 @@ object Selection {
         .orderBy("doc_id")
     }),
 
+    // CROSS-MODAL curation: semantic dup groups from the EMBEDDING
+    // table (threshold pairs within sign-buckets → components), the
+    // survivor decided by the TEXT-side learned quality margin
+    // (doc_id ≡ vec_id row alignment) — SemDeDup's grouping with the
+    // keep-best rule instead of keep-first: the production "which twin
+    // do we keep" answer uses the classifier, not arrival order.
+    "llm_semdedup_keep_best" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val pairs = graft.api.Similarity.thresholdJoin(
+        e.withColumn("bucket",
+          graft.api.Similarity.signBucket(col("embedding"), 8)),
+        col("vec_id"), col("embedding"), col("bucket"), minSim = 0.2)
+      val comps = graft.api.TextDedup
+        .clusters(pairs, col("vec_a"), col("vec_b"))
+        .withColumnRenamed("node", "doc_id")
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val sc = graft.api.Quality.classify(feats, model)
+        .select(col("doc_id"), col("score_micro"))
+      val members = docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"),
+          col("doc_id")))
+        .join(sc, "doc_id")
+      graft.api.TextDedup.keepBestByScore(members, col("score_micro"))
+        .select("doc_id", "cluster_id", "score_micro", "keep")
+        .orderBy("doc_id")
+    }),
+
     // multi-pattern PII audit: per pattern class, records with ≥1 match
     // + total matches, in ONE corpus pass (in-row struct explode — the
     // plan is |patterns|-independent). The fixture payloads only carry
@@ -698,6 +731,34 @@ object Selection {
          |  AND doc_id NOT IN (SELECT doc_a FROM dup)
          |  AND doc_id NOT IN (SELECT doc_b FROM intra)
          |ORDER BY doc_id""".stripMargin,
+    "llm_semdedup_keep_best" ->
+      s"""WITH RECURSIVE ${Curation.qualityCte},
+         |e AS (SELECT vec_id, embedding,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${dotSql("a.embedding", "b.embedding")}, 6)
+         |    >= 0.2),
+         |ed AS (SELECT va AS x, vb AS y FROM p
+         |       UNION ALL SELECT vb, va FROM p),
+         |walk AS (SELECT x AS node, y AS label FROM ed
+         |         UNION
+         |         SELECT ed.x, w.label FROM ed JOIN walk w ON ed.y = w.node),
+         |cl AS (SELECT node, LEAST(node, MIN(label)) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |sc AS (SELECT f.doc_id,
+         |    CAST(SUM(f.n * w2.w_micro) AS BIGINT) AS score_micro
+         |  FROM feats f JOIN w2 USING (bucket) GROUP BY 1),
+         |mm AS (SELECT d.doc_id,
+         |    COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         |    sc.score_micro
+         |  FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+         |  JOIN sc ON sc.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id, score_micro,
+         |  (ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |    ORDER BY score_micro DESC, doc_id) = 1) AS keep
+         |FROM mm ORDER BY doc_id""".stripMargin,
     "llm_pii_audit" -> {
       val unions = PiiPatterns.map { case (name, re) =>
         s"""SELECT '$name' AS pii_type,

@@ -106,4 +106,77 @@ class PropertiesSpec extends AnyFunSuite {
             s"min($budget, $n) (sizes=$sizes)")
     }
   }
+
+  test("binned-AUC trapezoid equals the Mann–Whitney rank statistic " +
+      "with ties split (the llm_quality_auc identity)") {
+    // when every distinct score is its own bin, the telescoped integer
+    // numerator Σ Δfp·(tp+tp_prev) must equal 2·U where
+    // U = Σ_pairs [s_pos > s_neg] + ½[s_pos == s_neg]
+    (1 to 100).foreach { _ =>
+      val n = 2 + rnd.nextInt(40)
+      val scores = List.fill(n)(rnd.nextInt(8).toLong)
+      val labels = List.fill(n)(rnd.nextInt(2))
+      val pos = scores.zip(labels).collect { case (s, 1) => s }
+      val neg = scores.zip(labels).collect { case (s, 0) => s }
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val twoU = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        // trapezoid walk from the highest score bin down
+        val byBin = scores.zip(labels).groupBy(_._1).toSeq
+          .sortBy(-_._1)
+          .map { case (_, xs) =>
+            (xs.count(_._2 == 1).toLong, xs.count(_._2 == 0).toLong) }
+        var (tp, fp, tpp, fpp, numer) = (0L, 0L, 0L, 0L, 0L)
+        byBin.foreach { case (p, q) =>
+          tp += p; fp += q
+          numer += (fp - fpp) * (tp + tpp)
+          tpp = tp; fpp = fp
+        }
+        assert(numer == twoU,
+          s"trapezoid $numer != 2U $twoU (scores=$scores labels=$labels)")
+      }
+    }
+  }
+
+  test("count-min never underestimates, under any geometry (simulated)") {
+    (1 to 50).foreach { _ =>
+      val depth = 1 + rnd.nextInt(4); val width = 1 + rnd.nextInt(8)
+      val tokens = List.fill(30 + rnd.nextInt(50))(
+        s"t${rnd.nextInt(12)}")
+      def bucket(r: Int, tok: String): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"cms$r|$tok".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15)
+        (java.lang.Long.parseLong(h, 16) % width).toInt
+      }
+      val cells = tokens.flatMap(t => (0 until depth).map(r =>
+        (r, bucket(r, t)))).groupBy(identity).map { case (k, v) =>
+        k -> v.size.toLong }
+      val exact = tokens.groupBy(identity).map { case (t, v) =>
+        t -> v.size.toLong }
+      exact.foreach { case (t, n) =>
+        val est = (0 until depth).map(r =>
+          cells.getOrElse((r, bucket(r, t)), 0L)).min
+        assert(est >= n, s"underestimate for $t: $est < $n")
+      }
+    }
+  }
+
+  test("the manifest checksum is permutation-invariant and moves on any " +
+      "single-row tamper") {
+    (1 to 100).foreach { _ =>
+      val ids = List.fill(5 + rnd.nextInt(40))(rnd.nextLong() % 100000)
+      def h(id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        java.lang.Long.parseLong(md.digest(s"man|$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+      }
+      val c1 = ids.map(h).sum
+      assert(rnd.shuffle(ids).map(h).sum == c1, "order must not matter")
+      assert(ids.tail.map(h).sum != c1 || h(ids.head) == 0,
+        "dropping a row must move the sum (unless its hash is 0)")
+      assert((ids.head :: ids).map(h).sum != c1 || h(ids.head) == 0,
+        "duplicating a row must move the sum (unless its hash is 0)")
+    }
+  }
 }
