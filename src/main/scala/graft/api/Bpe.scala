@@ -99,6 +99,27 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a trained merge list as a parquet model — the tokenizer
+    * trained on one cadence and served everywhere else (the index-file
+    * discipline applied to models): rank preserves merge ORDER, which
+    * is the entire semantics of a BPE encoder. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "a", "b")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted merge list back in training order. The model is
+    * vocabulary-bounded (one row per merge) — a driver-side read by
+    * design, like the centroid fetches. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+      .toSeq
+
   /** Segment arbitrary words with a learned merge list (the ENCODE side,
     * applied in merge order — exactly how a trained BPE tokenizer runs).
     * Output: the input frame with `tokens ARRAY<STRING>`. */

@@ -284,4 +284,47 @@ object Corpus {
         round(col("plan_tokens").cast("double") /
           col("n_tokens").cast("double"), 4).as("epochs"))
   }
+
+  /** The APPLY step of [[mixturePlan]] — the plan MATERIALIZED as the
+    * (doc_id, group, epoch) training stream: each group replays its
+    * whole membership ⌊plan/n⌋ times (the full epochs) and then a
+    * deterministic salted-hash-ordered PREFIX of docs whose preceding
+    * token cumsum is under the remainder (the partial epoch — the
+    * streaming-packing boundary convention: the doc that crosses the
+    * line is included, so every group overshoots by < 1 doc and never
+    * under-delivers a mid-doc fragment). Same replay set every run; a
+    * re-salt reshuffles which docs land in the partial epoch — the
+    * [[temperatureSample]] reproducibility rule applied to epochs.
+    * Output: (doc_id, group, epoch), epoch 1-based.
+    *
+    * Scale shape: the plan is a |groups|-row broadcast; full epochs
+    * are an in-row sequence explode (output-sized, no shuffle); the
+    * partial prefix is ONE window partitioned BY GROUP in hash order —
+    * per-group sort, never global (the shuffleShard discipline). */
+  def mixtureApply(df: DataFrame, id: Column, tokens: Column,
+      group: Column, budget: Long, maxEpochs: Double = 4.0,
+      salt: String = "mix"): DataFrame = {
+    val plan = mixturePlan(df, tokens, group, budget, maxEpochs)
+      .select(col("group"), col("n_tokens"), col("plan_tokens"))
+    val d = df.select(id.as("doc_id"), tokens.cast("long").as("__tk"),
+      group.as("group"))
+    val j = d.join(broadcast(plan), "group")
+      .withColumn("__full",
+        floor(col("plan_tokens") / col("n_tokens")).cast("long"))
+      .withColumn("__rem",
+        col("plan_tokens") - col("__full") * col("n_tokens"))
+    val fulls = j.filter(col("__full") > 0)
+      .select(col("doc_id"), col("group"),
+        explode(sequence(lit(1L), col("__full"))).as("epoch"))
+    val w = Window.partitionBy("group")
+      .orderBy(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = j
+      .withColumn("__cum", sum(col("__tk")).over(w))
+      .filter(col("__cum") - col("__tk") < col("__rem"))
+      .select(col("doc_id"), col("group"),
+        (col("__full") + 1L).as("epoch"))
+    fulls.unionByName(partial)
+  }
 }

@@ -352,6 +352,19 @@ object Curation {
     // VALUES are O(√N_tokens) by a counting bound (k distinct values
     // need ≥ k(k+1)/2 tokens), so the running-total window runs over a
     // provably tiny frame, never the vocabulary itself.
+    // the mixture plan MATERIALIZED (graft.api.Corpus.mixtureApply):
+    // the (doc_id, group, epoch) training stream the plan's quotas
+    // imply — full replays via an in-row sequence explode, the partial
+    // epoch as a salted-hash-ordered token-cumsum prefix per group
+    // (boundary doc included, the streaming-packing convention). Same
+    // budget/cap knobs as llm_mixture_plan, so plan and stream are one
+    // audited pair.
+    "llm_mixture_apply" -> ((s, d) =>
+      graft.api.Corpus.mixtureApply(documents(s, d), col("doc_id"),
+        size(split(col("text"), " ")), col("lang"),
+        budget = TokenBudget, maxEpochs = MaxEpochs)
+        .orderBy("group", "epoch", "doc_id")),
+
     "llm_vocab_coverage" -> ((s, d) => {
       val classes = documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
@@ -887,6 +900,53 @@ object Curation {
     // token-budget Hamilton quotas through the identical DECIMAL sq/tot
     // → double → ×budget chain as the sampler above; cap compare and
     // LEAST happen on exact BIGINTs
+    "llm_mixture_apply" ->
+      s"""WITH s AS (SELECT lang,
+         |    CAST(SUM(len(string_split_regex(text, ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_tokens,
+         |    CAST(ROUND(sqrt(n_tokens), 6) AS DECIMAL(18,6)) AS sq
+         |  FROM s),
+         |t AS (SELECT SUM(sq) AS tot FROM w),
+         |b AS (SELECT lang, n_tokens,
+         |    CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * $TokenBudget
+         |      AS share,
+         |    CAST(FLOOR(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)
+         |      * $TokenBudget) AS BIGINT) AS base
+         |  FROM w, t),
+         |l AS (SELECT $TokenBudget - SUM(base) AS leftover FROM b),
+         |q AS (SELECT lang, n_tokens,
+         |    base + CASE WHEN ROW_NUMBER() OVER
+         |        (ORDER BY share - base DESC, lang) <= leftover
+         |      THEN 1 ELSE 0 END AS quota_tokens,
+         |    CAST(FLOOR(n_tokens * $MaxEpochs) AS BIGINT) AS cap
+         |  FROM b, l),
+         |pl AS (SELECT lang, n_tokens,
+         |    CAST(LEAST(quota_tokens, cap) AS BIGINT) AS plan_tokens
+         |  FROM q),
+         |d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(text, ' ')) AS BIGINT) AS tk
+         |  FROM documents),
+         |j AS (SELECT d.doc_id, d.lang, d.tk, pl.plan_tokens,
+         |    pl.n_tokens,
+         |    CAST(FLOOR(CAST(pl.plan_tokens AS DOUBLE)
+         |      / CAST(pl.n_tokens AS DOUBLE)) AS BIGINT) AS f
+         |  FROM d JOIN pl USING (lang)),
+         |fulls AS (SELECT doc_id, lang,
+         |    unnest(range(1, f + 1)) AS epoch
+         |  FROM j WHERE f > 0),
+         |cums AS (SELECT doc_id, lang, tk, f,
+         |    plan_tokens - f * n_tokens AS rem,
+         |    SUM(tk) OVER (PARTITION BY lang
+         |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM j),
+         |partial AS (SELECT doc_id, lang, f + 1 AS epoch
+         |  FROM cums WHERE cum - tk < rem)
+         |SELECT doc_id, lang AS "group", CAST(epoch AS BIGINT) AS epoch
+         |FROM (SELECT * FROM fulls UNION ALL SELECT * FROM partial) u
+         |ORDER BY "group", epoch, doc_id""".stripMargin,
     "llm_mixture_plan" ->
       s"""WITH s AS (SELECT lang,
          |    CAST(SUM(len(string_split_regex(text, ' '))) AS BIGINT)

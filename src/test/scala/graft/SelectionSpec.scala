@@ -253,6 +253,53 @@ class SelectionSpec extends AnyFunSuite {
     sharded.unpersist()
   }
 
+  test("mixtureApply delivers each group's plan within one boundary doc") {
+    val tk = size(split(col("text"), " "))
+    val plan = Corpus.mixturePlan(docs, tk, col("lang"), budget = 40000L,
+      maxEpochs = 1.5)
+      .select(col("group"), col("plan_tokens")).as[(String, Long)]
+      .collect().toMap
+    val stream = Corpus.mixtureApply(docs, col("doc_id"), tk, col("lang"),
+      budget = 40000L, maxEpochs = 1.5)
+    val delivered = stream.join(
+        docs.select(col("doc_id"), tk.cast("long").as("__tk")), "doc_id")
+      .groupBy("group").agg(sum("__tk").as("got"))
+      .as[(String, Long)].collect().toMap
+    val maxDoc = docs.select(max(tk.cast("long"))).as[Long].head()
+    plan.foreach { case (g, p) =>
+      val got = delivered.getOrElse(g, 0L)
+      assert(got >= p, s"$g under-delivered: $got < $p")
+      assert(got < p + maxDoc,
+        s"$g overshot by a full doc+: $got >= $p + $maxDoc")
+    }
+    // deterministic; a re-salt moves the partial-epoch membership
+    val again = Corpus.mixtureApply(docs, col("doc_id"), tk, col("lang"),
+      budget = 40000L, maxEpochs = 1.5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == stream.as[(Long, String, Long)].collect().toSet)
+    val resalted = Corpus.mixtureApply(docs, col("doc_id"), tk,
+      col("lang"), budget = 40000L, maxEpochs = 1.5, salt = "epoch2")
+      .as[(Long, String, Long)].collect().toSet
+    assert(resalted != again, "a re-salt must redraw the partial epoch")
+  }
+
+  test("persisted BPE model round-trips with merge order intact") {
+    import graft.api.Bpe
+    val merges = Bpe.train(docs, col("text"), nMerges = 8)
+    val path = SparkFixture.tempDir("bpe_model").getAbsolutePath + "/m"
+    Bpe.writeModel(spark, merges, path)
+    assert(Bpe.readModel(spark, path) == merges,
+      "order-preserving round-trip")
+    // segmenting with the read-back model must equal the in-memory one
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val a = Bpe.segment(words, col("w"), merges)
+      .select("w", "tokens").as[(String, Seq[String])].collect().toMap
+    val b = Bpe.segment(words, col("w"), Bpe.readModel(spark, path))
+      .select("w", "tokens").as[(String, Seq[String])].collect().toMap
+    assert(a == b)
+  }
+
   // ---------------------------------------------------------- calibration
 
   test("reliability bins partition the labeled set; ece in [0,1]") {
