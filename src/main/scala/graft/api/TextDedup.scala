@@ -1300,6 +1300,169 @@ object TextDedup {
           .as("dup_chunk_frac"))
   }
 
+  // === Line-level (paragraph) dedup — the CCNet/Dolma spelling ==========
+  // Wenzek et al. 2019 (CCNet) dedupe web text at PARAGRAPH granularity:
+  // hash each normalized line, drop repeats corpus-wide. Dolma and
+  // FineWeb ship the same transform. It complements the token-window
+  // family above: lines follow AUTHOR-drawn boundaries (nav bars,
+  // footers, license blocks repeat as whole lines), so line dedup
+  // catches structured boilerplate at a fraction of the rolling-window
+  // cost (one hash per line vs one per token position), while
+  // dupSubstringStats catches repeats that ignore line boundaries.
+
+  /** Shared line lattice: (doc_id, ln_no, line, h) — one row per
+    * NON-BLANK line, ln_no the 1-based position in the original split
+    * (blank lines keep their slot so reconstruction order is stable),
+    * h = md5 of the CCNet-normalized spelling (lower + trim), so case/
+    * padding variants of a line dedupe together while reconstruction
+    * keeps the original bytes. `delim` is a Java regex (split) whose
+    * literal spelling is also the rebuild joiner — the default "\n"
+    * reads both ways. */
+  private def lineFrame(df: DataFrame, id: Column, text: Column,
+      delim: String): DataFrame =
+    df.select(id.as("doc_id"),
+        posexplode(split(text, delim)).as(Seq("__p", "line")))
+      .select(col("doc_id"), (col("__p") + 1L).as("ln_no"), col("line"))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("h", md5(lower(trim(col("line")))))
+
+  /** Per-doc line-duplication stats — the screen that decides whether a
+    * corpus needs [[dedupLines]] at all. A line is "dup" when its
+    * normalized text occurs at more than one (doc, line) corpus-wide
+    * (in-doc repeats count — templated self-repetition is the same
+    * signal, matching [[dupSubstringStats]]'s convention). Docs with no
+    * non-blank line are absent (no denominator). Output: (doc_id,
+    * n_lines, n_dup_lines, dup_line_frac RAW double).
+    *
+    * Scale shape: one split (map-side) → one groupBy on the 32-byte
+    * line hash with map-side partial counts → one AQE-splittable
+    * equi-join back → one per-doc aggregate. The groupBy + join-back
+    * spelling is chosen OVER the window-over-hash one deliberately:
+    * boilerplate lines are heavy hitters BY CONSTRUCTION (a footer
+    * repeated on every page of a mirrored site funnels all its
+    * occurrences through one window task), and re-deriving the line
+    * lattice for the probe side costs one extra split — cheap at one
+    * hash per LINE (unlike the per-token-position window lattice where
+    * the same trade-off goes the other way, see dupSubstringStats). */
+  def lineStats(df: DataFrame, id: Column, text: Column,
+      delim: String = "\n"): DataFrame = {
+    val ln = lineFrame(df, id, text, delim)
+    val occ = ln.groupBy("h").agg(count(lit(1)).as("__n_occ"))
+    ln.join(occ, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__n_occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"))
+  }
+
+  /** The APPLY step of [[lineStats]] — materialize the corpus with every
+    * REPEATED line removed, keeping the globally first occurrence
+    * (CCNet's paragraph dedup): first = minimum packed doc_id·10⁶ +
+    * ln_no, so `id` must be non-negative integral and docs must stay
+    * under 10⁶ lines (enforced per row like the substring family — a
+    * violating corpus would silently elect wrong canonicals). Output:
+    * (doc_id, n_lines, n_kept, text_dedup) for EVERY input doc — docs
+    * whose every line duplicates earlier text come back n_kept = 0 with
+    * an empty string.
+    *
+    * Scale shape: canonical election is a map-side-combinable groupBy
+    * on the line hash (min + count in one pass) joined back on an
+    * AQE-splittable equi-key — the skew-safe spelling, mandatory here
+    * because the lines being deduped are heavy hitters by definition;
+    * the rebuild is one per-doc aggregate sorting INSIDE the row. Line
+    * text travels only lattice→rebuild (output-sized), never through
+    * the election shuffle. Pass `checkpointDir` to materialize the
+    * lattice once reliably instead of re-splitting for the probe side
+    * (the langIdConfusion discipline; None re-derives — two cheap
+    * map-side splits, zero checkpoint risk). */
+  def dedupLines(df: DataFrame, id: Column, text: Column,
+      delim: String = "\n",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ln0 = lineFrame(df, id, text, delim)
+      .filter(assert_true(col("doc_id") >= 0L && col("ln_no") < 1000000L,
+        lit("line dedup packed-key precondition violated: needs doc_id " +
+          ">= 0 and < 1e6 lines per doc — split oversized docs or remap " +
+          "ids")).isNull)
+    val ln = checkpointDir match {
+      case Some(_) => ckptFn(df.sparkSession, checkpointDir)(ln0)
+      case None => ln0
+    }
+    val can = ln.groupBy("h")
+      .agg(min(col("doc_id") * 1000000L + col("ln_no")).as("__cn"))
+    val kept = ln.join(can, Seq("h"))
+      .filter(col("doc_id") * 1000000L + col("ln_no") === col("__cn"))
+      .select(col("doc_id"), col("ln_no"), col("line"))
+    rebuildFromLines(df, id, ln, kept, delim, "text_dedup")
+  }
+
+  /** Corpus-wide boilerplate report — the normalized lines that appear
+    * in at least `minDocs` DISTINCT documents, with their document and
+    * occurrence counts: the "most common lines" audit a curator reads
+    * before choosing [[stripBoilerplateLines]]'s threshold. Output:
+    * (line_norm, n_docs, n_occ), the normalized spelling (what the
+    * dedup key sees). Scale: distinct-doc counting groups (h, doc_id)
+    * first — both aggregates map-side combinable; output is the
+    * boilerplate inventory, ≪ corpus. */
+  def boilerplateLines(df: DataFrame, id: Column, text: Column,
+      delim: String = "\n", minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (1 would " +
+      "report every line in the corpus)")
+    lineFrame(df, id, text, delim)
+      .groupBy(lower(trim(col("line"))).as("line_norm"), col("doc_id"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("line_norm")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Remove EVERY occurrence of boilerplate lines (normalized lines
+    * present in ≥ `minDocs` distinct docs) — unlike [[dedupLines]] no
+    * occurrence survives: a footer on 10⁶ pages is noise on all 10⁶,
+    * first included. This is C4's "remove repeated lines" and Dolma's
+    * paragraph-frequency filter. Output: (doc_id, n_lines, n_kept,
+    * text_strip) for every input doc.
+    *
+    * Scale shape: the boilerplate set is a two-level map-side-
+    * combinable aggregate (Heaps-bounded inventory); removal is a
+    * left_anti equi-join of the lattice against it on the 32-byte hash
+    * (AQE broadcasts when it fits — usually: thresholds keep the set
+    * tiny relative to the corpus); rebuild as in [[dedupLines]]. */
+  def stripBoilerplateLines(df: DataFrame, id: Column, text: Column,
+      delim: String = "\n", minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val ln = lineFrame(df, id, text, delim)
+    val bp = ln.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("__n"))
+      .groupBy("h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("h")
+    val kept = ln.join(bp, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("ln_no"), col("line"))
+    rebuildFromLines(df, id, ln, kept, delim, "text_strip")
+  }
+
+  /** Shared rebuild: join surviving lines back in original order, one
+    * per-doc aggregate (sort inside the row, no global sort), left join
+    * from the full doc list so fully-removed and line-less docs appear
+    * with n_kept = 0 / empty text. */
+  private def rebuildFromLines(df: DataFrame, id: Column, ln: DataFrame,
+      kept: DataFrame, delim: String, outCol: String): DataFrame = {
+    val nLines = ln.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(delim, transform(
+          array_sort(collect_list(struct(col("ln_no"), col("line")))),
+          s => s("line"))).as(outCol))
+    df.select(id.as("doc_id"))
+      .join(nLines, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col(outCol), lit("")).as(outCol))
+  }
+
   /** Cross-group boilerplate provenance matrix — WHERE duplication
     * lives, the audit that turns [[dupSubstringStats]]'s per-doc scores
     * into a per-source-pair map (which crawls share templates/licenses/

@@ -40,6 +40,27 @@ object Curation {
   private val TokenBudget = 40000L
   private val MaxEpochs = 1.5
 
+  /** Tokens per fabricated line for the line-dedup keys. */
+  private val LineWidth = 10
+
+  /** The documents fixture reshaped into a newline-delimited corpus for
+    * the line-dedup family (the fixture text carries no '\n'): each
+    * doc's tokens fold into [[LineWidth]]-token lines, deterministically
+    * — duplicate token runs across docs become duplicate LINES, so the
+    * keys exercise real cross-doc paragraph dedup (sf0.01: 278 dup
+    * lines, 54 in ≥3 docs). Production use splits on the text's own
+    * newlines; the graft.api surface takes the delimiter. The fold is
+    * map-side in-row work (no shuffle). */
+  private def lined(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    documents(s, d).select(col("doc_id"),
+      concat_ws("\n", transform(
+        sequence(lit(0),
+          ((size(tk) + (LineWidth - 1)) / LineWidth).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * LineWidth + 1, lit(LineWidth)))))
+        .as("text"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // benchmark decontamination: training docs sharing ≥1 token 3-gram
     // with the held-out eval split, with per-doc match counts
@@ -473,6 +494,50 @@ object Curation {
     "llm_dedup_substring_apply" -> ((s, d) =>
       graft.api.TextDedup
         .dedupSubstrings(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // CCNet-style LINE (paragraph) dedup stats
+    // (graft.api.TextDedup.lineStats) over the fixture reshaped into
+    // 10-token lines: a line is dup when its lower+trim-normalized text
+    // occurs at more than one (doc, line) corpus-wide. Complements the
+    // token-window family: author-drawn line boundaries catch structured
+    // boilerplate (footers, license blocks) at one hash per LINE instead
+    // of one per token position.
+    "llm_dedup_lines" -> ((s, d) =>
+      graft.api.TextDedup
+        .lineStats(lined(s, d), col("doc_id"), col("text"))
+        .withColumn("dup_line_frac", round(col("dup_line_frac"), 6))
+        .orderBy("doc_id")),
+
+    // the APPLY step — CCNet paragraph dedup: every repeated line
+    // removed, globally-first occurrence kept (min packed doc·10⁶+line,
+    // guarded). Canonical election is a map-side-combinable groupBy on
+    // the line hash + AQE-splittable join-back — the skew-safe spelling
+    // is the DEFAULT here because deduped lines are heavy hitters by
+    // construction.
+    "llm_dedup_lines_apply" -> ((s, d) =>
+      graft.api.TextDedup
+        .dedupLines(lined(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // corpus-wide "most common lines" audit: normalized lines present
+    // in ≥3 DISTINCT docs with doc/occurrence counts — what a curator
+    // reads before picking the strip threshold. Two-level map-side
+    // aggregate; output is the Heaps-bounded boilerplate inventory.
+    "llm_boilerplate_lines" -> ((s, d) =>
+      graft.api.TextDedup
+        .boilerplateLines(lined(s, d), col("doc_id"), col("text"),
+          minDocs = 3)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("line_norm"))),
+
+    // boilerplate STRIP (C4's repeated-line removal): every occurrence
+    // of a ≥3-doc line cut, first included — unlike keep-first dedup a
+    // footer on a million pages is noise on all million. Removal is a
+    // left_anti hash equi-join against the inventory.
+    "llm_boilerplate_strip" -> ((s, d) =>
+      graft.api.TextDedup
+        .stripBoilerplateLines(lined(s, d), col("doc_id"), col("text"),
+          minDocs = 3)
         .orderBy("doc_id")),
 
     // INCREMENTAL substring dedup — the nightly form of
@@ -1104,6 +1169,86 @@ object Curation {
         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
         |  COALESCE(a.text_dedup, '') AS text_dedup
         |FROM tk b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_lines" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, list_transform(range(0, (len(tk) + 9) // 10),
+        |    i -> array_to_string(tk[i*10+1 : i*10+10], ' ')) AS ls
+        |  FROM tk),
+        |ln AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS ln_no FROM l0),
+        |lh AS (SELECT doc_id, CAST(ln_no AS BIGINT) AS ln_no, line,
+        |    md5(lower(trim(line))) AS h FROM ln WHERE trim(line) <> ''),
+        |occ AS (SELECT h, COUNT(*) AS n_occ FROM lh GROUP BY h)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_lines,
+        |  ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_line_frac
+        |FROM lh JOIN occ USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_dedup_lines_apply" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, list_transform(range(0, (len(tk) + 9) // 10),
+        |    i -> array_to_string(tk[i*10+1 : i*10+10], ' ')) AS ls
+        |  FROM tk),
+        |ln AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS ln_no FROM l0),
+        |lh AS (SELECT doc_id, CAST(ln_no AS BIGINT) AS ln_no, line,
+        |    md5(lower(trim(line))) AS h FROM ln WHERE trim(line) <> ''),
+        |can AS (SELECT h, MIN(doc_id * 1000000 + ln_no) AS cn
+        |  FROM lh GROUP BY h),
+        |kept AS (SELECT lh.doc_id, ln_no, line FROM lh JOIN can USING (h)
+        |  WHERE doc_id * 1000000 + ln_no = cn),
+        |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM lh GROUP BY doc_id),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY ln_no) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(nl.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(agg.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN nl USING (doc_id)
+        |  LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_boilerplate_lines" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, list_transform(range(0, (len(tk) + 9) // 10),
+        |    i -> array_to_string(tk[i*10+1 : i*10+10], ' ')) AS ls
+        |  FROM tk),
+        |ln AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS ln_no FROM l0),
+        |lh AS (SELECT doc_id, line FROM ln WHERE trim(line) <> '')
+        |SELECT lower(trim(line)) AS line_norm,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM lh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+        |ORDER BY n_docs DESC, n_occ DESC, line_norm""".stripMargin,
+    "llm_boilerplate_strip" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, list_transform(range(0, (len(tk) + 9) // 10),
+        |    i -> array_to_string(tk[i*10+1 : i*10+10], ' ')) AS ls
+        |  FROM tk),
+        |ln AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS ln_no FROM l0),
+        |lh AS (SELECT doc_id, CAST(ln_no AS BIGINT) AS ln_no, line,
+        |    md5(lower(trim(line))) AS h FROM ln WHERE trim(line) <> ''),
+        |bp AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+        |    FROM lh GROUP BY h) WHERE nd >= 3),
+        |kept AS (SELECT doc_id, ln_no, line FROM lh
+        |  WHERE h NOT IN (SELECT h FROM bp)),
+        |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM lh GROUP BY doc_id),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY ln_no) AS text_strip
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(nl.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(agg.text_strip, '') AS text_strip
+        |FROM documents d LEFT JOIN nl USING (doc_id)
+        |  LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "llm_dedup_substring_delta" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk

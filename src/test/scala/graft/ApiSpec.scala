@@ -1061,6 +1061,75 @@ class ApiSpec extends AnyFunSuite {
     assert(roll(2L) == ((9L, 3L, 3L, 10L)), s"doc 2: ${roll(2L)}")
   }
 
+  test("TextDedup line family: stats, keep-first dedup with original " +
+      "spelling, boilerplate report + strip, blank-line handling") {
+    // normalized "shared footer" occurs 4× across 3 distinct docs (case
+    // and padding variants must fold together); doc 13 has blank lines
+    // that drop entirely; doc 14 is ALL blank (must still appear in the
+    // apply outputs with n_lines = 0)
+    val docs = Seq(
+      (10L, "Shared Footer\nunique alpha one\nshared footer"),
+      (11L, "unique beta two\n  SHARED FOOTER \nunique beta three"),
+      (12L, "shared footer\nunique gamma four"),
+      (13L, "unique delta five\n\n   \nunique delta six"),
+      (14L, "   ")
+    ).toDF("id", "body")
+
+    val st = TextDedup.lineStats(docs, col("id"), col("body"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(st == Map(10L -> ((3L, 2L)), 11L -> ((3L, 1L)),
+      12L -> ((2L, 1L)), 13L -> ((2L, 0L))),
+      s"lineStats: $st (doc 14 must be absent — no non-blank lines)")
+
+    val dd = TextDedup.dedupLines(docs, col("id"), col("body"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // keep-first by packed (doc, line): the canonical occurrence is doc
+    // 10 line 1 and must survive with its ORIGINAL spelling ("Shared
+    // Footer"), every later occurrence (10/3, 11/2, 12/1) cut
+    assert(dd(10L) == ((3L, 2L, "Shared Footer\nunique alpha one")),
+      s"doc 10: ${dd(10L)}")
+    assert(dd(11L) == ((3L, 2L, "unique beta two\nunique beta three")),
+      s"doc 11: ${dd(11L)}")
+    assert(dd(12L) == ((2L, 1L, "unique gamma four")), s"doc 12: ${dd(12L)}")
+    assert(dd(13L) == ((2L, 2L, "unique delta five\nunique delta six")),
+      s"doc 13 blank lines must drop: ${dd(13L)}")
+    assert(dd(14L) == ((0L, 0L, "")), s"all-blank doc: ${dd(14L)}")
+
+    val bp = TextDedup.boilerplateLines(docs, col("id"), col("body"),
+        minDocs = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bp.toSeq == Seq(("shared footer", 3L, 4L)),
+      s"boilerplate report: ${bp.toSeq}")
+
+    val sp = TextDedup.stripBoilerplateLines(docs, col("id"), col("body"),
+        minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // unlike keep-first dedup, the FIRST occurrence is cut too
+    assert(sp(10L) == ((1L, "unique alpha one")), s"doc 10: ${sp(10L)}")
+    assert(sp(11L) == ((2L, "unique beta two\nunique beta three")),
+      s"doc 11: ${sp(11L)}")
+    assert(sp(12L) == ((1L, "unique gamma four")), s"doc 12: ${sp(12L)}")
+    assert(sp(13L) == ((2L, "unique delta five\nunique delta six")),
+      s"doc 13: ${sp(13L)}")
+  }
+
+  test("TextDedup.dedupLines enforces the packed-key precondition " +
+      "loudly instead of electing wrong canonicals") {
+    val bad = Seq((-1L, "some line\nanother line"),
+      (2L, "some line")).toDF("id", "body")
+    val ex = intercept[Exception] {
+      TextDedup.dedupLines(bad, col("id"), col("body")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("packed-key precondition")),
+      s"expected the loud guard, got: $ex")
+  }
+
   test("TextDedup.dupSubstringStats: unrelated docs report zero dup " +
       "windows; in-doc template repetition is counted") {
     val df = Seq(
