@@ -327,4 +327,82 @@ object Corpus {
         (col("__full") + 1L).as("epoch"))
     fulls.unionByName(partial)
   }
+
+  /** Distinct unigram counts of a corpus: (token, c). One explode + one
+    * map-side-combinable groupBy; the output is the Heaps-bounded
+    * vocabulary, ≪ corpus. */
+  private def tokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** Unigram-distribution drift between two corpus snapshots — the
+    * "did this refresh change what the model will read" monitor that
+    * complements [[snapshotDiff]]: the diff counts added/removed/changed
+    * DOCUMENTS, this measures how far the token DISTRIBUTION moved
+    * (a crawl can replace half its docs with near-identical text — huge
+    * doc diff, zero drift — or keep every id and silently shift topic
+    * mix). Per token: counts on each side and the token's contribution
+    * to the Jensen–Shannon divergence JS(P‖Q) = ½KL(P‖M) + ½KL(Q‖M),
+    * M = (P+Q)/2 (Lin 1991, public) — JS is symmetric and finite even
+    * for tokens present on only one side (where KL alone degenerates),
+    * which is exactly the vocabulary-churn case a drift monitor exists
+    * for.
+    *
+    * Determinism: probabilities are one IEEE double divide of exact
+    * integer counts; each token's contribution rounds to an integer
+    * NANO unit (round(x·10⁹), the micro-log discipline at drift
+    * magnitudes — per-token contributions are tiny), so the corpus
+    * total Σ js_nano in [[driftSummary]] is an exact integer sum,
+    * addition-order-free across engines. Tokens absent from a side
+    * contribute only the other side's ½·p·ln 2 term (0·ln 0 = 0).
+    *
+    * Scale shape: two corpus-sized explode+count aggregates (map-side
+    * combinable) down to vocab-sized frames; totals come from the
+    * count frames (1-row broadcasts), never a second corpus pass; the
+    * one join is a vocab-sized full-outer on token. Output: (token,
+    * c_old, c_new, js_nano), unordered. */
+  def tokenDrift(oldDf: DataFrame, newDf: DataFrame,
+      text: Column): DataFrame = {
+    val co = tokenCounts(oldDf, text)
+    val cn = tokenCounts(newDf, text)
+    val to = co.agg(sum(col("c")).as("__t"))
+    val tn = cn.agg(sum(col("c")).as("__t"))
+    val o = co.crossJoin(broadcast(to)).select(col("token"),
+      col("c").as("c_old"),
+      (col("c").cast("double") / col("__t").cast("double")).as("__p"))
+    val n = cn.crossJoin(broadcast(tn)).select(col("token"),
+      col("c").as("c_new"),
+      (col("c").cast("double") / col("__t").cast("double")).as("__q"))
+    val m = (col("__p") + col("__q")) / lit(2.0)
+    o.join(n, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"),
+        coalesce(col("__p"), lit(0.0)).as("__p"),
+        coalesce(col("__q"), lit(0.0)).as("__q"))
+      .select(col("token"), col("c_old"), col("c_new"),
+        round((lit(0.5) * when(col("__p") > 0.0,
+            col("__p") * log(col("__p") / m)).otherwise(lit(0.0))
+          + lit(0.5) * when(col("__q") > 0.0,
+            col("__q") * log(col("__q") / m)).otherwise(lit(0.0)))
+          * lit(1e9)).cast("long").as("js_nano"))
+  }
+
+  /** One-row roll-up of [[tokenDrift]] — the number a dashboard alerts
+    * on: total JS divergence (exact integer sum of the per-token nano
+    * contributions; 0 = identical distributions, ln 2 ≈ 6.93×10⁸ nano
+    * = disjoint), token totals, vocabulary sizes and churn. Output:
+    * (n_tokens_old, n_tokens_new, vocab_old, vocab_new, vocab_added,
+    * vocab_removed, js_total_nano). */
+  def driftSummary(oldDf: DataFrame, newDf: DataFrame,
+      text: Column): DataFrame =
+    tokenDrift(oldDf, newDf, text).agg(
+      sum(col("c_old")).as("n_tokens_old"),
+      sum(col("c_new")).as("n_tokens_new"),
+      sum(when(col("c_old") > 0, 1L).otherwise(0L)).as("vocab_old"),
+      sum(when(col("c_new") > 0, 1L).otherwise(0L)).as("vocab_new"),
+      sum(when(col("c_old") === 0, 1L).otherwise(0L)).as("vocab_added"),
+      sum(when(col("c_new") === 0, 1L).otherwise(0L)).as("vocab_removed"),
+      sum(col("js_nano")).as("js_total_nano"))
 }

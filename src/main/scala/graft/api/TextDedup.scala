@@ -1554,4 +1554,244 @@ object TextDedup {
     }
     frames.reduce(_ unionByName _).orderBy("b")
   }
+
+  // === Fragment stitching — reassembly candidates =======================
+  // Crawled corpora carry SPLIT documents: pagination ("page 2 of 7"),
+  // chunked uploads, continuation posts. The tell is a w-token overlap
+  // where one fragment's TAIL equals another's HEAD (page footers repeat
+  // the page header of the next page; chunkers overlap on purpose).
+  // dupSubstringStats sees these as generic repeats; this operator
+  // recovers the DIRECTED prev→next structure a reassembly job needs.
+
+  /** Tail→head overlap candidates: pairs (prev_id, next_id) where
+    * prev's LAST `w` tokens equal next's FIRST `w` tokens (exact,
+    * order-sensitive — this is alignment, not similarity). Docs under
+    * `w` tokens can't anchor an overlap and are skipped. `unambiguous`
+    * marks pairs safe to auto-merge: prev has exactly one successor
+    * candidate AND next exactly one predecessor — a repeated chapter
+    * header can make one tail match many heads, and merging those
+    * needs human review, not a join. Chains longer than two fragments
+    * are the transitive closure of unambiguous pairs; group them with
+    * [[clusters]] over these edges (each unambiguous component is a
+    * simple path by construction).
+    *
+    * Scale shape: each doc contributes exactly TWO (id, 32-byte hash)
+    * rows — head and tail of the token array, computed in-row; the
+    * candidate join is a hash equi-join (never text), and the two
+    * degree counts are map-side-combinable aggregates over the
+    * candidate frame (≪ corpus), joined back by id. Output: (prev_id,
+    * next_id, unambiguous). */
+  def stitchCandidates(df: DataFrame, id: Column, text: Column,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, s"w=$w: a 1-token overlap is noise, use w >= 2")
+    val t = df.select(id.as("__id"), split(text, " ").as("__tk"))
+      .filter(size(col("__tk")) >= w)
+    val heads = t.select(col("__id").as("next_id"),
+      md5(concat_ws(" ", slice(col("__tk"), 1, w))).as("__h"))
+    val tails = t.select(col("__id").as("prev_id"),
+      md5(concat_ws(" ", slice(col("__tk"), -w, w))).as("__h"))
+    val cand = tails.join(heads, "__h")
+      .filter(col("prev_id") =!= col("next_id"))
+      .select(col("prev_id"), col("next_id"))
+    val outd = cand.groupBy("prev_id").agg(count(lit(1)).as("__out"))
+    val ind = cand.groupBy("next_id").agg(count(lit(1)).as("__in"))
+    cand.join(outd, "prev_id").join(ind, "next_id")
+      .select(col("prev_id"), col("next_id"),
+        (col("__out") === 1L && col("__in") === 1L).as("unambiguous"))
+  }
+
+  /** The APPLY step of [[stitchCandidates]] for UNAMBIGUOUS pairs of
+    * length-2 chains: materialize merged documents with the w-token
+    * overlap de-duplicated (prev's text + next's text minus its first
+    * `w` tokens), for pairs where neither side participates in a longer
+    * chain (prev is not itself some doc's next, and next not some doc's
+    * prev — longer chains need the iterative [[clusters]] pass and are
+    * deliberately left to it; merging a 3-chain pairwise would emit the
+    * middle fragment twice). Output: (prev_id, next_id, text_merged)
+    * for each merged pair — callers drop the two fragment rows and add
+    * the merged one.
+    *
+    * Scale shape: candidate edges are hash-joined ids; the two
+    * chain-interior screens are self-anti-joins on id; text rides only
+    * the final output-sized join back to the corpus (twice, id-keyed
+    * equi-joins). */
+  def stitchApply(df: DataFrame, id: Column, text: Column,
+      w: Int = 8): DataFrame = {
+    val edges = stitchCandidates(df, id, text, w)
+      .filter(col("unambiguous"))
+    // pair-only chains: prev must not be a next, next must not be a prev
+    val pairOnly = edges
+      .join(edges.select(col("next_id").as("prev_id")), Seq("prev_id"),
+        "left_anti")
+      .join(edges.select(col("prev_id").as("next_id")), Seq("next_id"),
+        "left_anti")
+    val body = df.select(id.as("__id"), text.as("__tx"))
+    pairOnly
+      .join(body.select(col("__id").as("prev_id"), col("__tx").as("__ta")),
+        "prev_id")
+      .join(body.select(col("__id").as("next_id"), col("__tx").as("__tb")),
+        "next_id")
+      .select(col("prev_id"), col("next_id"),
+        // array concat then ONE join: a next-side fragment that is
+        // nothing but the overlap contributes an empty array, not an
+        // empty string (which concat_ws would render as a dangling
+        // separator)
+        concat_ws(" ", concat(split(col("__ta"), " "),
+          slice(split(col("__tb"), " "), lit(w + 1),
+            greatest(size(split(col("__tb"), " ")) - w, lit(0)))))
+          .as("text_merged"))
+  }
+
+  /** Full chain assembly — the general form of [[stitchApply]]:
+    * reassemble fragment chains of ANY length (A→B→C→…) into one
+    * document per chain, the w-token overlap cut at every joint.
+    * Unambiguous [[stitchCandidates]] edges have in/out degree ≤ 1 by
+    * construction, so they form vertex-disjoint simple paths (or, with
+    * adversarial input, cycles — detected and failed loudly below);
+    * each fragment's position in its chain is computed by POINTER
+    * DOUBLING (Wyllie's parallel list ranking, JACM 1979 — public):
+    * every node tracks (ancestor, distance); each round it jumps to
+    * its ancestor's ancestor and adds the distances, so a chain of
+    * length L resolves in ⌈log₂ L⌉ rounds of shuffle equi-joins — a
+    * 1M-fragment chain is 20 rounds, where naive edge-following would
+    * be 10⁶. The same generation-release checkpoint discipline as
+    * [[clusters]] truncates lineage per round (pass `checkpointDir`
+    * for a reliable location on a real cluster).
+    *
+    * Output: (chain_id, n_frags, text_merged) — chain_id = the head
+    * fragment's id, one row per ≥2-fragment chain; singletons are not
+    * chains and don't appear. Fragment text rides only the final
+    * output-sized merge join; the doubling state is (id, id, long)
+    * rows.
+    *
+    * A cycle (every node an interior node — possible only when the
+    * corpus contains mutually-wrapping repeats) can never finish
+    * ranking; after `maxIters` rounds (default 48 ≈ chains of 2⁴⁸) any
+    * unresolved node fails the job with its id rather than silently
+    * dropping or mis-merging. */
+  def stitchChains(df: DataFrame, id: Column, text: Column,
+      w: Int = 8, maxIters: Int = 48,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ck = ckptFn(df.sparkSession, checkpointDir)
+    val edges = ck(stitchCandidates(df, id, text, w)
+      .filter(col("unambiguous")).select(col("prev_id"), col("next_id")))
+    // heads: chain starts — a prev that is nobody's next
+    val heads = edges.select(col("prev_id").as("node"))
+      .join(edges.select(col("next_id").as("node")), Seq("node"),
+        "left_anti")
+      .select(col("node"), col("node").as("anc"), lit(0L).as("d"),
+        lit(true).as("done"))
+    // every next starts pointing one hop back at its predecessor
+    val tails = edges.select(col("next_id").as("node"),
+      col("prev_id").as("anc"), lit(1L).as("d"), lit(false).as("done"))
+    var state = ck(heads.unionByName(tails))
+    var prevGen = checkpointRdd(state)
+    var pending = state.filter(!col("done")).count()
+    var iter = 0
+    while (pending > 0 && iter < maxIters) {
+      // uniform doubling step: jump to the ancestor's ancestor; landing
+      // on a DONE ancestor inherits its head id and final distance
+      val p = state.select(col("node").as("__pn"), col("anc").as("__pa"),
+        col("d").as("__pd"), col("done").as("__pdone"))
+      val stepped = state.filter(!col("done"))
+        .join(p, col("anc") === col("__pn"))
+        .select(col("node"), col("__pa").as("anc"),
+          (col("d") + col("__pd")).as("d"), col("__pdone").as("done"))
+      state = ck(state.filter(col("done")).unionByName(stepped))
+      pending = state.filter(!col("done")).count()
+      prevGen.foreach(_.unpersist(blocking = false))
+      prevGen = checkpointRdd(state)
+      iter += 1
+    }
+    if (pending > 0) {
+      val cyc = state.filter(!col("done")).select(col("node"))
+        .limit(5).collect().map(_.getLong(0)).mkString(", ")
+      throw new IllegalStateException(
+        s"stitchChains: $pending fragment(s) never reached a chain head " +
+          s"after $maxIters doubling rounds — cyclic overlap structure " +
+          s"(sample ids: $cyc); fix the corpus or drop these fragments")
+    }
+    // interior/tail fragments drop their first w (overlap) tokens; the
+    // merge is an in-row sort + flatten, never a global sort
+    val body = df.select(id.as("node"), split(text, " ").as("__tk"))
+    state.join(body, "node")
+      .select(col("anc").as("chain_id"), col("d").as("__pos"),
+        when(col("d") === 0L, col("__tk"))
+          .otherwise(slice(col("__tk"), lit(w + 1),
+            greatest(size(col("__tk")) - w, lit(0)))).as("__cut"))
+      .groupBy("chain_id")
+      .agg(count(lit(1)).as("n_frags"),
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__cut")))),
+          s => s("__cut")))).as("text_merged"))
+  }
+
+  /** IDF-weighted jaccard re-score of a candidate pair frame — the
+    * boilerplate-blind verifier. Unweighted jaccard treats every shared
+    * token equally, so two unrelated pages sharing a fat license
+    * header score as near-dups while two short rewrites of the same
+    * rare content score low. Weighting each DISTINCT token by
+    * idf = ln(N/df) (Spärck Jones 1972, public; the cosine/BM25
+    * convention) makes ubiquitous tokens worth ~0 and rare tokens
+    * dominate: wjac(A,B) = Σ_{t∈A∩B} idf(t) / Σ_{t∈A∪B} idf(t) — the
+    * weighted-set jaccard with min/max over {0, idf}.
+    *
+    * This is a RE-SCORER, not a screen: `pairs` (doc_a, doc_b) comes
+    * from any bounded candidate engine ([[jaccardWithinBucket]], the
+    * minhash band screen, [[containmentWithinBucket]]) — the production
+    * pattern of cheap-screen-then-informative-verify, so the pair space
+    * is whatever the screen bounded it to, never all-pairs here.
+    *
+    * Determinism: idf is the integer MICRO unit round(ln((N+1)/df)·10⁶)
+    * (the [[graft.api.NgramLm]] discipline; the +1 is the sklearn-style
+    * smoothing, public) — strictly positive, so a non-empty doc always
+    * has total weight > 0 and the score never degenerates to 0/0 (a
+    * NaN whose ordering DIFFERS between engines: Spark drops it at the
+    * threshold, DuckDB sorts it above every number). Per-pair
+    * intersection / union weights are exact integer sums —
+    * addition-order-free — and the score is ONE IEEE divide rounded
+    * 4 dp. Tokens appearing in every doc get idf ≈ 0: present in the
+    * sums, near-worthless, as intended.
+    *
+    * Scale shape: df counts are one map-side-combinable aggregate over
+    * the exploded distinct-token frame (vocab-sized result); per-doc
+    * total weights one more. The intersection join explodes only docs
+    * REFERENCED by pairs (semi-join pushdown via the pair frame), keyed
+    * (doc, token-hash) — the pair exchange carries 8-byte hashes and
+    * long weights, never text. Output: (doc_a, doc_b, wjac) for pairs
+    * at/above `minWJaccard`. */
+  def weightedJaccardOnPairs(df: DataFrame, id: Column, text: Column,
+      pairs: DataFrame, minWJaccard: Double = 0.8): DataFrame = {
+    val tok = df.select(id.as("__id"),
+        explode(array_distinct(split(text, " "))).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col("__id"), xxhash64(col("__w")).as("__th"))
+    val nDocs = df.select(id.as("__id")).agg(count(lit(1)).as("__n"))
+    val wts = tok.groupBy("__th").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("__th"),
+        round(log((col("__n") + 1L).cast("double")
+          / col("__df").cast("double")) * 1e6).cast("long").as("__idf"))
+    val tw = tok.join(wts, "__th")
+      .groupBy("__id").agg(sum(col("__idf")).as("__tw"))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    // intersection weight: explode the a-side of each pair, probe the
+    // b-side's (doc, hash) set — both joins equi-keyed
+    val ta = tok.select(col("__id").as("doc_a"), col("__th"))
+    val tb = tok.select(col("__id").as("doc_b"), col("__th"))
+    val iw = p.join(ta, "doc_a").join(tb, Seq("doc_b", "__th"))
+      .join(wts, "__th")
+      .groupBy("doc_a", "doc_b").agg(sum(col("__idf")).as("__iw"))
+    p.join(iw, Seq("doc_a", "doc_b"), "left")
+      .join(tw.select(col("__id").as("doc_a"), col("__tw").as("__twa")),
+        "doc_a")
+      .join(tw.select(col("__id").as("doc_b"), col("__tw").as("__twb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("__iw"), lit(0L)).cast("double")
+          / (col("__twa") + col("__twb")
+            - coalesce(col("__iw"), lit(0L))).cast("double"), 4)
+          .as("wjac"))
+      .filter(col("wjac") >= minWJaccard)
+  }
 }

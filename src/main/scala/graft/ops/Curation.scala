@@ -734,8 +734,171 @@ object Curation {
       // ~4–51 margin units): 5-unit bins over [0, 10] ≈ a 10-row curve
       graft.api.Quality.prCurve(feats, labels, model,
         binMicro = 5000000L, minBin = 0, maxBin = 10)
+    }),
+
+    // unigram-distribution drift between snapshots
+    // (graft.api.Corpus.tokenDrift): old = the corpus, new = the corpus
+    // with src0 dropped — the "we removed a crawl, what did the model's
+    // diet lose" monitor. Per-token Jensen–Shannon contributions in
+    // integer nano units; top 100 by contribution. Two map-side
+    // explode+counts down to the Heaps-bounded vocabulary, one
+    // vocab-sized full-outer join — never a corpus-sized shuffle.
+    "llm_corpus_drift" -> ((s, d) =>
+      graft.api.Corpus.tokenDrift(
+          documents(s, d),
+          documents(s, d).filter(col("source") =!= "src0"),
+          col("text"))
+        .orderBy(col("js_nano").desc, col("token"))
+        .limit(100)),
+
+    // one-row roll-up of the same drift: total JS (exact integer sum of
+    // the nano contributions — addition-order-free), token totals,
+    // vocabulary churn. The dashboard-alert number.
+    "llm_corpus_drift_total" -> ((s, d) =>
+      graft.api.Corpus.driftSummary(
+        documents(s, d),
+        documents(s, d).filter(col("source") =!= "src0"),
+        col("text"))),
+
+    // fragment-stitch candidates (graft.api.TextDedup.stitchCandidates):
+    // the corpus is deterministically split into overlapping fragment
+    // pairs (first ⌊n/2⌋+8 tokens / last n−⌊n/2⌋ tokens of each ≥16-token
+    // doc — an 8-token pagination overlap), and the operator must
+    // recover the prev→next edges from tail/head hashes alone, flagging
+    // pairs ambiguous when duplicated fixture text makes one tail match
+    // many heads. Two 32-byte hash rows per doc; hash equi-join.
+    "llm_doc_stitch" -> ((s, d) =>
+      graft.api.TextDedup
+        .stitchCandidates(fragmented(s, d), col("frag_id"), col("text"))
+        .orderBy("prev_id", "next_id")),
+
+    // the APPLY step: unambiguous pair-only chains merged with the
+    // 8-token overlap cut once — longer chains are left to the
+    // clusters() pass by design (pairwise merge would duplicate chain
+    // interiors). Text rides only the two output-sized id-keyed joins.
+    "llm_doc_stitch_apply" -> ((s, d) =>
+      graft.api.TextDedup
+        .stitchApply(fragmented(s, d), col("frag_id"), col("text"))
+        .orderBy("prev_id", "next_id")),
+
+    // full chain assembly (graft.api.TextDedup.stitchChains): the
+    // corpus split into THREE overlapping fragments per ≥24-token doc;
+    // fragment positions resolve by pointer doubling (Wyllie list
+    // ranking — ⌈log₂ L⌉ shuffle rounds for chains of length L), heads
+    // recovered, overlaps cut at every joint. Ambiguous edges (from
+    // duplicated fixture text) deterministically break their chains —
+    // the oracle walks the same unambiguous edge set recursively.
+    "llm_doc_stitch_chains" -> ((s, d) =>
+      graft.api.TextDedup
+        .stitchChains(fragmented3(s, d), col("frag_id"), col("text"))
+        .orderBy("chain_id")),
+
+    // IDF-weighted jaccard re-score
+    // (graft.api.TextDedup.weightedJaccardOnPairs) of the size-band
+    // screen's ≥0.5 candidates: shared RARE tokens dominate, shared
+    // boilerplate counts ~0 — the screen-then-informative-verify
+    // production pattern. Integer micro-IDF sums (order-free), one
+    // divide rounded 4 dp.
+    "llm_dedup_jaccard_idf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = graft.api.TextDedup
+        .jaccardWithinBucket(docs, col("doc_id"), col("source"),
+          col("text"), minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.api.TextDedup
+        .weightedJaccardOnPairs(docs, col("doc_id"), col("text"), cand,
+          minWJaccard = 0.0)
+        .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** The documents fixture split into overlapping fragments for the
+    * stitch keys: each ≥16-token doc becomes fragments (2·id, tokens
+    * 1..⌊n/2⌋+8) and (2·id+1, tokens ⌊n/2⌋+1..n) — an exact 8-token
+    * tail/head overlap at an id-derived split point. In-row slices, no
+    * shuffle. */
+  private def fragmented(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val n = size(tk)
+    val h = floor(n.cast("double") / 2.0).cast("int")
+    documents(s, d).filter(n >= 16)
+      .select(explode(array(
+        struct((col("doc_id") * 2).as("frag_id"),
+          concat_ws(" ", slice(tk, lit(1), h + 8)).as("text")),
+        struct((col("doc_id") * 2 + 1).as("frag_id"),
+          concat_ws(" ", slice(tk, h + 1, n - h)).as("text"))))
+        .as("__f"))
+      .select(col("__f.frag_id").as("frag_id"), col("__f.text").as("text"))
+  }
+
+  /** Three-way fragmentation for the chain key: each ≥24-token doc
+    * becomes fragments (3·id, 1..⌊n/3⌋+8), (3·id+1, ⌊n/3⌋+1..⌊2n/3⌋+8),
+    * (3·id+2, ⌊2n/3⌋+1..n) — exact 8-token overlaps at both joints, so
+    * the unambiguous-edge graph is a corpus of 3-chains. */
+  private def fragmented3(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val n = size(tk)
+    val t1 = floor(n.cast("double") / 3.0).cast("int")
+    val t2 = floor(n.cast("double") * 2.0 / 3.0).cast("int")
+    documents(s, d).filter(n >= 24)
+      .select(explode(array(
+        struct((col("doc_id") * 3).as("frag_id"),
+          concat_ws(" ", slice(tk, lit(1), t1 + 8)).as("text")),
+        struct((col("doc_id") * 3 + 1).as("frag_id"),
+          concat_ws(" ", slice(tk, t1 + 1, t2 + 8 - t1)).as("text")),
+        struct((col("doc_id") * 3 + 2).as("frag_id"),
+          concat_ws(" ", slice(tk, t2 + 1, n - t2)).as("text"))))
+        .as("__f"))
+      .select(col("__f.frag_id").as("frag_id"), col("__f.text").as("text"))
+  }
+
+  /** Shared drift CTE: per-token counts + IEEE probabilities of the two
+    * snapshots (old = corpus, new = corpus minus src0), full-outer
+    * joined on token — ends at `j(token, c_old, c_new, p, q)`. */
+  private val DriftJoinSql: String =
+    """WITH tko AS (SELECT unnest(string_split_regex(text, ' ')) AS token
+      |  FROM documents),
+      |co AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tko
+      |  WHERE token <> '' GROUP BY token),
+      |tkn AS (SELECT unnest(string_split_regex(text, ' ')) AS token
+      |  FROM documents WHERE source <> 'src0'),
+      |cn AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tkn
+      |  WHERE token <> '' GROUP BY token),
+      |o AS (SELECT token, c AS c_old, CAST(c AS DOUBLE)
+      |    / (SELECT CAST(SUM(c) AS DOUBLE) FROM co) AS p FROM co),
+      |n AS (SELECT token, c AS c_new, CAST(c AS DOUBLE)
+      |    / (SELECT CAST(SUM(c) AS DOUBLE) FROM cn) AS q FROM cn),
+      |j AS (SELECT COALESCE(o.token, n.token) AS token,
+      |    COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new,
+      |    COALESCE(p, 0.0) AS p, COALESCE(q, 0.0) AS q
+      |  FROM o FULL OUTER JOIN n ON o.token = n.token)""".stripMargin
+
+  /** Shared stitch CTE: the fragmented corpus (2·id / 2·id+1 with the
+    * 8-token overlap at ⌊n/2⌋) re-derived in SQL, then head/tail md5
+    * frames, candidate edges and the two degree counts — ends at
+    * `cand(prev_id, next_id)`, `outd(prev_id, o)`, `ind(next_id, i)`,
+    * with `fr(fid, text)` available for the apply step. */
+  private val StitchCandSql: String =
+    """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+      |  FROM documents
+      |  WHERE len(string_split_regex(text, ' ')) >= 16),
+      |fr AS (
+      |  SELECT doc_id * 2 AS fid,
+      |    array_to_string(tk[1 : len(tk) // 2 + 8], ' ') AS text FROM tk
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1,
+      |    array_to_string(tk[len(tk) // 2 + 1 : len(tk)], ' ') FROM tk),
+      |t2 AS (SELECT fid, string_split_regex(text, ' ') AS tk2 FROM fr
+      |  WHERE len(string_split_regex(text, ' ')) >= 8),
+      |heads AS (SELECT fid AS next_id,
+      |    md5(array_to_string(tk2[1:8], ' ')) AS h FROM t2),
+      |tails AS (SELECT fid AS prev_id,
+      |    md5(array_to_string(tk2[len(tk2) - 7 : len(tk2)], ' ')) AS h
+      |  FROM t2),
+      |cand AS (SELECT prev_id, next_id FROM tails JOIN heads USING (h)
+      |  WHERE prev_id <> next_id),
+      |outd AS (SELECT prev_id, COUNT(*) AS o FROM cand GROUP BY prev_id),
+      |ind AS (SELECT next_id, COUNT(*) AS i FROM cand GROUP BY next_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "llm_decontaminate" ->
@@ -1436,8 +1599,140 @@ object Curation {
          |  CAST(tp AS DOUBLE) / CAST(t.tp_all AS DOUBLE) AS recall,
          |  CAST(tp * 2 AS DOUBLE)
          |    / CAST(tp * 2 + fp + t.tp_all - tp AS DOUBLE) AS f1
-         |FROM c, t ORDER BY threshold_micro DESC""".stripMargin
+         |FROM c, t ORDER BY threshold_micro DESC""".stripMargin,
+
+    "llm_corpus_drift" -> (DriftJoinSql +
+      """
+        |SELECT token, c_old, c_new,
+        |  CAST(ROUND((0.5 * CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+        |      ELSE 0.0 END
+        |    + 0.5 * CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+        |      ELSE 0.0 END) * 1e9) AS BIGINT) AS js_nano
+        |FROM j ORDER BY js_nano DESC, token LIMIT 100""".stripMargin),
+
+    "llm_corpus_drift_total" -> (DriftJoinSql +
+      """
+        |SELECT CAST(SUM(c_old) AS BIGINT) AS n_tokens_old,
+        |  CAST(SUM(c_new) AS BIGINT) AS n_tokens_new,
+        |  CAST(SUM(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_old,
+        |  CAST(SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_new,
+        |  CAST(SUM(CASE WHEN c_old = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_added,
+        |  CAST(SUM(CASE WHEN c_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_removed,
+        |  CAST(SUM(CAST(ROUND((0.5 * CASE WHEN p > 0
+        |      THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+        |    + 0.5 * CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+        |      ELSE 0.0 END) * 1e9) AS BIGINT)) AS BIGINT) AS js_total_nano
+        |FROM j""".stripMargin),
+
+    "llm_doc_stitch" -> (StitchCandSql +
+      """
+        |SELECT prev_id, next_id, (o = 1 AND i = 1) AS unambiguous
+        |FROM cand JOIN outd USING (prev_id) JOIN ind USING (next_id)
+        |ORDER BY prev_id, next_id""".stripMargin),
+
+    "llm_doc_stitch_apply" -> (StitchCandSql +
+      """,
+        |un AS (SELECT c.prev_id, c.next_id
+        |  FROM cand c JOIN outd USING (prev_id) JOIN ind USING (next_id)
+        |  WHERE o = 1 AND i = 1),
+        |po AS (SELECT prev_id, next_id FROM un
+        |  WHERE prev_id NOT IN (SELECT next_id FROM un)
+        |    AND next_id NOT IN (SELECT prev_id FROM un))
+        |SELECT po.prev_id, po.next_id,
+        |  array_to_string(list_concat(string_split_regex(fa.text, ' '),
+        |    string_split_regex(fb.text, ' ')[9 :
+        |      len(string_split_regex(fb.text, ' '))]), ' ') AS text_merged
+        |FROM po JOIN fr fa ON fa.fid = po.prev_id
+        |  JOIN fr fb ON fb.fid = po.next_id
+        |ORDER BY prev_id, next_id""".stripMargin),
+
+    // the chain walk re-derived as a recursive CTE over the same
+    // unambiguous edge set; NULLIF drops overlap-only interior pieces
+    // (Spark's flatten of an empty token array contributes nothing)
+    "llm_doc_stitch_chains" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id,
+        |    string_split_regex(text, ' ') AS tk
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, ' ')) >= 24),
+        |fr AS (
+        |  SELECT doc_id * 3 AS fid,
+        |    array_to_string(tk[1 : len(tk) // 3 + 8], ' ') AS text FROM tk
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1,
+        |    array_to_string(tk[len(tk) // 3 + 1 : (2 * len(tk)) // 3 + 8],
+        |      ' ') FROM tk
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 2,
+        |    array_to_string(tk[(2 * len(tk)) // 3 + 1 : len(tk)], ' ')
+        |  FROM tk),
+        |t2 AS (SELECT fid, string_split_regex(text, ' ') AS tk2 FROM fr
+        |  WHERE len(string_split_regex(text, ' ')) >= 8),
+        |heads AS (SELECT fid AS next_id,
+        |    md5(array_to_string(tk2[1:8], ' ')) AS h FROM t2),
+        |tails AS (SELECT fid AS prev_id,
+        |    md5(array_to_string(tk2[len(tk2) - 7 : len(tk2)], ' ')) AS h
+        |  FROM t2),
+        |cand AS (SELECT prev_id, next_id FROM tails JOIN heads USING (h)
+        |  WHERE prev_id <> next_id),
+        |outd AS (SELECT prev_id, COUNT(*) AS o FROM cand GROUP BY prev_id),
+        |ind AS (SELECT next_id, COUNT(*) AS i FROM cand GROUP BY next_id),
+        |un AS (SELECT c.prev_id, c.next_id
+        |  FROM cand c JOIN outd USING (prev_id) JOIN ind USING (next_id)
+        |  WHERE o = 1 AND i = 1),
+        |hd AS (SELECT prev_id FROM un
+        |  WHERE prev_id NOT IN (SELECT next_id FROM un)),
+        |walk AS (
+        |  SELECT prev_id AS chain_id, prev_id AS frag, 0 AS pos FROM hd
+        |  UNION ALL
+        |  SELECT w.chain_id, u.next_id, w.pos + 1
+        |  FROM walk w JOIN un u ON u.prev_id = w.frag)
+        |SELECT chain_id, CAST(COUNT(*) AS BIGINT) AS n_frags,
+        |  string_agg(NULLIF(CASE WHEN pos = 0 THEN f.text
+        |    ELSE array_to_string(string_split_regex(f.text, ' ')[9 :
+        |      len(string_split_regex(f.text, ' '))], ' ') END, ''), ' '
+        |    ORDER BY pos) AS text_merged
+        |FROM walk JOIN fr f ON f.fid = walk.frag
+        |GROUP BY chain_id ORDER BY chain_id""".stripMargin,
+
+    // screen = the direct all-pairs ≥0.5 unweighted definition (the
+    // JaccardPairsOracle convention); rescore re-derives the smoothed
+    // micro-IDF table and the exact integer weight sums
+    "llm_dedup_jaccard_idf" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_distinct(string_split_regex(text, ' ')) AS tk
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+        |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
+        |      - len(list_intersect(a.tk, b.tk))), 4) >= 0.5),
+        |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        |tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |idf AS (SELECT w, CAST(ROUND(ln(CAST(nd.n + 1 AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS idf
+        |  FROM tok2, nd GROUP BY w, nd.n),
+        |tw AS (SELECT doc_id, CAST(SUM(idf) AS BIGINT) AS tw
+        |  FROM tok2 JOIN idf USING (w) GROUP BY doc_id),
+        |iw AS (SELECT doc_a, doc_b, CAST(SUM(idf) AS BIGINT) AS iw
+        |  FROM (SELECT p.doc_a, p.doc_b, ta.w
+        |    FROM p JOIN tok2 ta ON ta.doc_id = p.doc_a
+        |      JOIN tok2 tb ON tb.doc_id = p.doc_b AND tb.w = ta.w) x
+        |  JOIN idf USING (w) GROUP BY doc_a, doc_b)
+        |SELECT p.doc_a, p.doc_b,
+        |  ROUND(CAST(COALESCE(iw.iw, 0) AS DOUBLE)
+        |    / CAST(ta.tw + tb.tw - COALESCE(iw.iw, 0) AS DOUBLE), 4) AS wjac
+        |FROM p LEFT JOIN iw USING (doc_a, doc_b)
+        |  JOIN tw ta ON ta.doc_id = p.doc_a
+        |  JOIN tw tb ON tb.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
+
+
 
   /** DuckDB twin of the two-epoch Quality fit (graft.api.Quality): CTEs
     * `feats` (hashed token counts) → `labels` (the 'join'-token seed

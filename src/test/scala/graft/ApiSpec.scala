@@ -1876,4 +1876,118 @@ class ApiSpec extends AnyFunSuite {
     assert(pr.last.getDouble(5) == 1.0,
       s"bottom threshold must capture all positives: ${pr.last}")
   }
+
+  test("Corpus.tokenDrift + driftSummary: zero drift on identical " +
+      "snapshots; churn and JS move when a source vanishes") {
+    import graft.api.Corpus
+    val a = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("id", "body")
+    val same = Corpus.driftSummary(a, a, col("body")).collect()(0)
+    assert(same.getLong(6) == 0L, s"identical snapshots must have JS 0: $same")
+    assert(same.getLong(4) == 0L && same.getLong(5) == 0L)
+
+    val b = Seq((1L, "alpha beta gamma"), (3L, "alpha beta epsilon"))
+      .toDF("id", "body")
+    val d = Corpus.tokenDrift(a, b, col("body")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // shared tokens at equal frequency contribute 0; the swapped rare
+    // tokens contribute the one-sided ½·p·ln2 term
+    assert(d("alpha") == ((2L, 2L, 0L)) && d("beta") == ((2L, 2L, 0L)))
+    // same IEEE op order as the operator's expression tree
+    val oneSided =
+      math.round((0.5 * ((1.0 / 6.0) * math.log(2.0)) + 0.0) * 1e9)
+    assert(d("delta") == ((1L, 0L, oneSided)), s"delta: ${d("delta")}")
+    assert(d("epsilon") == ((0L, 1L, oneSided)), s"epsilon: ${d("epsilon")}")
+    val sum = Corpus.driftSummary(a, b, col("body")).collect()(0)
+    assert(sum.getLong(4) == 1L && sum.getLong(5) == 1L,
+      s"one token added, one removed: $sum")
+    assert(sum.getLong(6) == d.values.map(_._3).sum,
+      "total must be the exact integer sum of per-token contributions")
+  }
+
+  test("TextDedup.stitchCandidates finds tail/head overlaps, flags " +
+      "ambiguity; stitchApply merges pair-only chains once") {
+    // 10→11 unambiguous pair; 20 tail matches BOTH 21 and 22 heads
+    // (ambiguous, must not merge); 30→31→32 is a 3-chain (unambiguous
+    // edges, but interior — apply must skip it)
+    val frags = Seq(
+      (10L, "a b c d e f"), (11L, "d e f g h i"),
+      (20L, "p q r s t u"), (21L, "s t u v w x"), (22L, "s t u y z w"),
+      (30L, "m n o k l j"), (31L, "k l j w1 w2 w3"),
+      (32L, "w1 w2 w3 zz yy xx")
+    ).toDF("fid", "tx")
+    val cand = TextDedup
+      .stitchCandidates(frags, col("fid"), col("tx"), w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2))
+      .toMap  // columns: (prev_id, next_id, unambiguous)
+    assert(cand.keySet == Set((10L, 11L), (20L, 21L), (20L, 22L),
+      (30L, 31L), (31L, 32L)), s"edges: ${cand.keySet}")
+    assert(cand((10L, 11L)) && cand((30L, 31L)) && cand((31L, 32L)))
+    assert(!cand((20L, 21L)) && !cand((20L, 22L)),
+      "one tail matching two heads must be ambiguous on both edges")
+
+    val merged = TextDedup
+      .stitchApply(frags, col("fid"), col("tx"), w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(merged.keySet == Set((10L, 11L)),
+      s"only the pair-only chain merges (3-chains wait for clusters): " +
+        s"${merged.keySet}")
+    assert(merged((10L, 11L)) == "a b c d e f g h i",
+      s"overlap cut once: ${merged((10L, 11L))}")
+  }
+
+  test("TextDedup.stitchChains ranks arbitrary-length chains by " +
+      "pointer doubling and merges with every overlap cut") {
+    // one 4-chain (40..43), one 2-chain (50,51), one singleton (60)
+    val frags = Seq(
+      (40L, "a1 a2 a3 b1 b2 b3"), (41L, "b1 b2 b3 c1 c2 c3"),
+      (42L, "c1 c2 c3 d1 d2 d3"), (43L, "d1 d2 d3 e1 e2 e3"),
+      (50L, "x1 x2 x3 y1 y2 y3"), (51L, "y1 y2 y3 z1 z2 z3"),
+      (60L, "q1 q2 q3 q4 q5 q6")
+    ).toDF("fid", "tx")
+    val out = TextDedup.stitchChains(frags, col("fid"), col("tx"), w = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.keySet == Set(40L, 50L), s"chains: ${out.keySet}")
+    assert(out(40L) == ((4L,
+      "a1 a2 a3 b1 b2 b3 c1 c2 c3 d1 d2 d3 e1 e2 e3")), s"4-chain: ${out(40L)}")
+    assert(out(50L) == ((2L, "x1 x2 x3 y1 y2 y3 z1 z2 z3")))
+  }
+
+  test("TextDedup.stitchChains fails loudly on cyclic overlap " +
+      "structure instead of looping or mis-merging") {
+    val cyc = Seq(
+      (70L, "m1 m2 m3 n1 n2 n3"), (71L, "n1 n2 n3 m1 m2 m3")
+    ).toDF("fid", "tx")
+    val ex = intercept[IllegalStateException] {
+      TextDedup.stitchChains(cyc, col("fid"), col("tx"), w = 3,
+        maxIters = 6).collect()
+    }
+    assert(ex.getMessage.contains("cyclic overlap"), ex.getMessage)
+  }
+
+  test("TextDedup.weightedJaccardOnPairs: shared boilerplate scores " +
+      "near zero, shared rare content dominates") {
+    // docs 1/2 share ONLY the ubiquitous header (in all 4 docs);
+    // docs 3/4 share the rare token pair
+    val docs = Seq(
+      (1L, "the of and alpha"), (2L, "the of and beta"),
+      (3L, "the of and gammarare deltarare"),
+      (4L, "the of and gammarare deltarare")
+    ).toDF("id", "body")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.weightedJaccardOnPairs(docs, col("id"),
+        col("body"), pairs, minWJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // idf(the/of/and) = ln(5/4) ≈ 0.223 micro-units each; idf(alpha) =
+    // idf(beta) = ln(5); pair(1,2): 3·0.223 / (3·0.223 + 2·ln5) ≈ 0.172
+    assert(out((3L, 4L)) == 1.0, s"identical docs: ${out((3L, 4L))}")
+    assert(out((1L, 2L)) < 0.2,
+      s"boilerplate-only overlap must score low: ${out((1L, 2L))}")
+    // the UNWEIGHTED jaccard of (1,2) is 3/5 = 0.6 — the weighting is
+    // what pushes it down
+  }
 }
