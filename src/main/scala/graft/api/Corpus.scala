@@ -328,6 +328,56 @@ object Corpus {
     fulls.unionByName(partial)
   }
 
+  /** Quality-annealed curriculum schedule (Bengio et al. 2009
+    * curriculum learning, public; the data-side spelling used by
+    * staged pre-training runs): epoch e of E trains on the documents
+    * whose quality `score` sits above the corpus's (1 − e/E) quantile,
+    * so the run starts on the cleanest quarter and anneals to the full
+    * corpus by the last epoch. Output: (epoch, cutoff, n_docs,
+    * n_tokens) — the schedule sheet, one row per epoch, cutoff the
+    * exact interpolated quantile the epoch filters by.
+    *
+    * Scale shape: the E cutoffs come from ONE exact-percentile
+    * aggregate over the score column ([[graft.ops.Curation]]'s
+    * length-buckets discipline — no global sort; Spark's percentile is
+    * a single-pass partial aggregate); membership is a broadcast of
+    * the E-row cutoff frame against the corpus and one
+    * map-side-combinable count/sum per epoch. Integer scores make the
+    * quantile arithmetic engine-stable. */
+  def curriculumPlan(df: DataFrame, score: Column, tokens: Column,
+      epochs: Int): DataFrame =
+    curriculumMembers(df.select(score.as("__s"),
+        tokens.cast("long").as("__tk"), lit(0L).as("__id")), epochs)
+      .groupBy("epoch", "cutoff")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"))
+      .select(col("epoch"), col("cutoff"), col("n_docs"), col("n_tokens"))
+
+  /** The APPLY step of [[curriculumPlan]]: the (doc_id, epoch)
+    * training-stream membership — a doc above the epoch-e cutoff
+    * appears with that epoch number; the cleanest docs appear in every
+    * epoch (their repeat count IS the annealing). Same plan shape as
+    * the plan sheet; output is Σ_e n_docs(e) rows. */
+  def curriculumApply(df: DataFrame, id: Column, score: Column,
+      epochs: Int): DataFrame =
+    curriculumMembers(df.select(score.as("__s"), lit(0L).as("__tk"),
+        id.as("__id")), epochs)
+      .select(col("__id").as("doc_id"), col("epoch"))
+
+  /** Shared membership frame: (epoch, cutoff, __s, __tk, __id) rows for
+    * every (doc, epoch) pair passing the epoch's quantile cutoff. */
+  private def curriculumMembers(d: DataFrame, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs=$epochs must be positive")
+    val qCols = (1 to epochs).map(e =>
+      percentile(col("__s"), lit(1.0 - e.toDouble / epochs)).as(s"__q$e"))
+    val qs = d.agg(qCols.head, qCols.tail: _*)
+    val cuts = qs.select(explode(array((1 to epochs).map(e =>
+        struct(lit(e).as("epoch"), col(s"__q$e").as("cutoff"))): _*))
+        .as("__c"))
+      .select(col("__c.epoch").as("epoch"), col("__c.cutoff").as("cutoff"))
+    d.crossJoin(broadcast(cuts))
+      .filter(col("__s").cast("double") >= col("cutoff"))
+  }
+
   /** Distinct unigram counts of a corpus: (token, c). One explode + one
     * map-side-combinable groupBy; the output is the Heaps-bounded
     * vocabulary, ≪ corpus. */

@@ -937,4 +937,58 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Per-group embedding OUTLIERS — the corrupt-row audit an embedding
+    * pipeline runs before dedup/ANN trusts the vectors: for each
+    * `group` (a label, a cluster assignment, a source), the `k` members
+    * farthest from the group's mean embedding by squared L2 distance.
+    * A truncated file, a wrong-model re-embed, or a zeroed vector lands
+    * at the top of this list; feeding it to SemDeDup/IVF instead would
+    * silently distort centroids and candidate lists.
+    *
+    * Determinism (the exact-power-PCA discipline, ADVICE r7 applied):
+    * coordinates snap to integer MICRO units; the centroid is kept as
+    * the exact RATIONAL (Σx_micro, n) — never a rounded division — and
+    * each member's distance uses (x_micro·n − Σx_micro)², accumulated
+    * in DecimalType(38,0) (per-term bound ~(10⁷·n)²·d: overflow-safe
+    * past 10⁹-row groups at d=64, vs silent Long wrap at ~10⁶), so the
+    * ranking compares exact integers scaled by the group-constant n² —
+    * cross-engine identical. The exported distance is one double
+    * divide by n²·10¹², rounded 6 dp.
+    *
+    * Scale shape: one posexplode to (group, dim) partial sums
+    * (map-side combinable, |groups|·d rows), one broadcast-sized join
+    * back, one per-group top-k window — never a global sort, never a
+    * pair join. Output: (group, rk, vec_id, dist2_r). */
+  def outliersByGroup(corpus: DataFrame, id: Column, vec: Column,
+      group: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k=$k must be positive")
+    val micro = corpus.select(id.as("__vid"), group.as("group"),
+      transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
+        .as("__m"))
+    val dims = micro.select(col("__vid"), col("group"),
+      posexplode(col("__m")).as(Seq("__dim", "__x")))
+    val cent = dims.groupBy("group", "__dim")
+      .agg(sum(col("__x")).as("__num"), count(lit(1)).as("__n"))
+    val d2 = dims
+      .join(cent.withColumnRenamed("group", "__g")
+          .withColumnRenamed("__dim", "__cd"),
+        col("group") === col("__g") && col("__dim") === col("__cd"))
+      .select(col("group"), col("__vid"),
+        (col("__x").cast(DecimalType(38, 0)) * col("__n") - col("__num"))
+          .cast(DecimalType(38, 0)).as("__diff"),
+        col("__n"))
+      .groupBy("group", "__vid", "__n")
+      .agg(sum(col("__diff") * col("__diff")).as("__s2"))
+      .select(col("group"), col("__vid"),
+        round((col("__s2").cast("double")
+          / (col("__n") * col("__n")).cast("double")) / 1e12, 6)
+          .as("dist2_r"))
+    val w = Window.partitionBy("group")
+      .orderBy(col("dist2_r").desc, col("__vid"))
+    d2.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("group"), col("rk"), col("__vid").as("vec_id"),
+        col("dist2_r"))
+  }
 }

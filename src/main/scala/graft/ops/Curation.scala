@@ -781,6 +781,35 @@ object Curation {
         .stitchApply(fragmented(s, d), col("frag_id"), col("text"))
         .orderBy("prev_id", "next_id")),
 
+    // quality-annealed curriculum schedule (graft.api.Corpus
+    // .curriculumPlan): 4 epochs over the integer micro type-token-
+    // ratio score — epoch 1 trains on the cleanest quartile, epoch 4 on
+    // everything. Cutoffs from ONE exact-percentile aggregate; counts
+    // from a broadcast of the 4-row cutoff frame. The schedule sheet a
+    // staged pre-training run is configured from.
+    "llm_curriculum_plan" -> ((s, d) =>
+      graft.api.Corpus.curriculumPlan(scoredDocs(s, d),
+          col("score_micro"), col("n_tokens"), epochs = 4)
+        .orderBy("epoch")),
+
+    // the APPLY: (doc_id, epoch) training-stream membership — clean
+    // docs recur across epochs; their repeat count IS the annealing.
+    "llm_curriculum_apply" -> ((s, d) =>
+      graft.api.Corpus.curriculumApply(scoredDocs(s, d),
+          col("doc_id"), col("score_micro"), epochs = 4)
+        .orderBy("doc_id", "epoch")),
+
+    // per-label embedding outliers (graft.api.Similarity
+    // .outliersByGroup): top-5 farthest members from each label's mean
+    // vector — the corrupt-row audit run before centroids/ANN trust the
+    // embeddings. Exact rational centroid in integer micro units,
+    // DECIMAL(38,0) squared-distance accumulation (no silent Long
+    // wrap), one |labels|·d-row aggregate — never a pair join.
+    "llm_embed_outliers" -> ((s, d) =>
+      graft.api.Similarity.outliersByGroup(embeddings(s, d),
+          col("vec_id"), col("embedding"), col("label"), k = 5)
+        .orderBy("group", "rk")),
+
     // full chain assembly (graft.api.TextDedup.stitchChains): the
     // corpus split into THREE overlapping fragments per ≥24-token doc;
     // fragment positions resolve by pointer doubling (Wyllie list
@@ -829,6 +858,17 @@ object Curation {
           concat_ws(" ", slice(tk, h + 1, n - h)).as("text"))))
         .as("__f"))
       .select(col("__f.frag_id").as("frag_id"), col("__f.text").as("text"))
+  }
+
+  /** Docs with an integer MICRO quality score (type-token ratio — the
+    * cheap in-row quality heuristic) and token counts, for the
+    * curriculum keys. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    documents(s, d).select(col("doc_id"),
+      round((size(array_distinct(tk)).cast("double")
+        / size(tk).cast("double")) * 1e6).cast("long").as("score_micro"),
+      size(tk).cast("long").as("n_tokens"))
   }
 
   /** Three-way fragmentation for the chain key: each ≥24-token doc
@@ -899,6 +939,22 @@ object Curation {
       |  WHERE prev_id <> next_id),
       |outd AS (SELECT prev_id, COUNT(*) AS o FROM cand GROUP BY prev_id),
       |ind AS (SELECT next_id, COUNT(*) AS i FROM cand GROUP BY next_id)""".stripMargin
+
+  /** Shared curriculum CTE: integer micro TTR scores + the 4 annealing
+    * cutoffs (1 − e/4 quantiles) — ends at `d(doc_id, s, ntk)` and
+    * `cuts(epoch, cutoff)`. */
+  private val CurriculumBaseSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(ROUND(CAST(len(list_distinct(tk)) AS DOUBLE)
+      |      / CAST(len(tk) AS DOUBLE) * 1e6) AS BIGINT) AS s,
+      |    CAST(len(tk) AS BIGINT) AS ntk
+      |  FROM (SELECT doc_id, string_split_regex(text, ' ') AS tk
+      |    FROM documents)),
+      |cuts AS (
+      |  SELECT 1 AS epoch, quantile_cont(s, 0.75) AS cutoff FROM d
+      |  UNION ALL SELECT 2, quantile_cont(s, 0.5) FROM d
+      |  UNION ALL SELECT 3, quantile_cont(s, 0.25) FROM d
+      |  UNION ALL SELECT 4, quantile_cont(s, 0.0) FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "llm_decontaminate" ->
@@ -1649,6 +1705,42 @@ object Curation {
         |FROM po JOIN fr fa ON fa.fid = po.prev_id
         |  JOIN fr fb ON fb.fid = po.next_id
         |ORDER BY prev_id, next_id""".stripMargin),
+
+    "llm_curriculum_plan" -> (CurriculumBaseSql +
+      """
+        |SELECT epoch, cutoff, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ntk) AS BIGINT) AS n_tokens
+        |FROM d, cuts WHERE CAST(s AS DOUBLE) >= cutoff
+        |GROUP BY epoch, cutoff ORDER BY epoch""".stripMargin),
+
+    "llm_curriculum_apply" -> (CurriculumBaseSql +
+      """
+        |SELECT doc_id, epoch
+        |FROM d, cuts WHERE CAST(s AS DOUBLE) >= cutoff
+        |ORDER BY doc_id, epoch""".stripMargin),
+
+    // centroid as the exact rational (Σ micro, n); distances compare
+    // exact integers scaled by the group-constant n² — HUGEINT on this
+    // side, DECIMAL(38,0) on Spark's
+    "llm_embed_outliers" ->
+      """WITH dims AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim, SUM(x) AS num, COUNT(*) AS n
+        |  FROM dims GROUP BY label, dim),
+        |d2 AS (SELECT dims.label, vec_id,
+        |    ROUND((CAST(SUM((x * n - num) * (x * n - num)) AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE)) / 1e12, 6) AS dist2_r
+        |  FROM dims JOIN cent USING (label, dim)
+        |  GROUP BY dims.label, vec_id, n),
+        |rk AS (SELECT label AS "group", vec_id, dist2_r,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY dist2_r DESC, vec_id) AS rk
+        |  FROM d2)
+        |SELECT "group", rk, vec_id, dist2_r FROM rk WHERE rk <= 5
+        |ORDER BY "group", rk""".stripMargin,
 
     // the chain walk re-derived as a recursive CTE over the same
     // unambiguous edge set; NULLIF drops overlap-only interior pieces

@@ -1938,6 +1938,46 @@ class ApiSpec extends AnyFunSuite {
       s"overlap cut once: ${merged((10L, 11L))}")
   }
 
+  test("Corpus.curriculumPlan/Apply anneal from the cleanest quantile " +
+      "to the full corpus; clean docs recur across epochs") {
+    import graft.api.Corpus
+    // scores 10,20,30,40 — quartile cutoffs with E=2: epoch1 median 25,
+    // epoch2 min 10
+    val docs = Seq((1L, 10L, 100L), (2L, 20L, 100L), (3L, 30L, 100L),
+      (4L, 40L, 100L)).toDF("id", "s", "tk")
+    val plan = Corpus.curriculumPlan(docs, col("s"), col("tk"), epochs = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(plan(1) == ((25.0, 2L, 200L)), s"epoch 1: ${plan(1)}")
+    assert(plan(2) == ((10.0, 4L, 400L)), s"epoch 2 is everything: ${plan(2)}")
+    val app = Corpus.curriculumApply(docs, col("id"), col("s"), epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(app == Set((3L, 1), (4L, 1), (1L, 2), (2L, 2), (3L, 2), (4L, 2)),
+      s"membership: $app")
+  }
+
+  test("Similarity.outliersByGroup ranks the corrupt vector first and " +
+      "stays exact around the rational centroid") {
+    import graft.api.Similarity
+    // group 7: three near-identical vectors + one zeroed (corrupt);
+    // group 8: two identical vectors — both at distance 0, id tie-break
+    val vecs = Seq(
+      (1L, 7, Array(1.0f, 0.0f)), (2L, 7, Array(0.9f, 0.1f)),
+      (3L, 7, Array(1.1f, -0.1f)), (4L, 7, Array(0.0f, 0.0f)),
+      (5L, 8, Array(0.5f, 0.5f)), (6L, 8, Array(0.5f, 0.5f))
+    ).toDF("vid", "lab", "emb")
+    val out = Similarity.outliersByGroup(vecs, col("vid"), col("emb"),
+        col("lab"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((7, 1))._1 == 4L,
+      s"the zeroed vector must rank first: ${out((7, 1))}")
+    // centroid of group 7 = (0.75, 0); dist²(zero) = 0.5625 exactly
+    assert(out((7, 1))._2 == 0.5625, s"exact dist²: ${out((7, 1))}")
+    assert(out((8, 1)) == ((5L, 0.0)) && out((8, 2)) == ((6L, 0.0)),
+      s"identical members tie at 0 with id break: $out")
+  }
+
   test("TextDedup.stitchChains ranks arbitrary-length chains by " +
       "pointer doubling and merges with every overlap cut") {
     // one 4-chain (40..43), one 2-chain (50,51), one singleton (60)
