@@ -413,9 +413,14 @@ object Corpus {
     * one join is a vocab-sized full-outer on token. Output: (token,
     * c_old, c_new, js_nano), unordered. */
   def tokenDrift(oldDf: DataFrame, newDf: DataFrame,
-      text: Column): DataFrame = {
-    val co = tokenCounts(oldDf, text)
-    val cn = tokenCounts(newDf, text)
+      text: Column): DataFrame =
+    driftFromCounts(tokenCounts(oldDf, text), tokenCounts(newDf, text))
+
+  /** [[tokenDrift]] over pre-aggregated (token, c) count frames — the
+    * shared core that lets the nightly path compare against a
+    * PERSISTED reference vocabulary without re-reading the reference
+    * corpus ([[driftAgainstCounts]]). */
+  private def driftFromCounts(co: DataFrame, cn: DataFrame): DataFrame = {
     val to = co.agg(sum(col("c")).as("__t"))
     val tn = cn.agg(sum(col("c")).as("__t"))
     val o = co.crossJoin(broadcast(to)).select(col("token"),
@@ -424,7 +429,6 @@ object Corpus {
     val n = cn.crossJoin(broadcast(tn)).select(col("token"),
       col("c").as("c_new"),
       (col("c").cast("double") / col("__t").cast("double")).as("__q"))
-    val m = (col("__p") + col("__q")) / lit(2.0)
     o.join(n, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("c_old"), lit(0L)).as("c_old"),
@@ -432,11 +436,16 @@ object Corpus {
         coalesce(col("__p"), lit(0.0)).as("__p"),
         coalesce(col("__q"), lit(0.0)).as("__q"))
       .select(col("token"), col("c_old"), col("c_new"),
-        round((lit(0.5) * when(col("__p") > 0.0,
-            col("__p") * log(col("__p") / m)).otherwise(lit(0.0))
-          + lit(0.5) * when(col("__q") > 0.0,
-            col("__q") * log(col("__q") / m)).otherwise(lit(0.0)))
-          * lit(1e9)).cast("long").as("js_nano"))
+        jsNano(col("__p"), col("__q")).as("js_nano"))
+  }
+
+  /** One token's Jensen–Shannon contribution in integer nanos (0·ln 0
+    * handled; exact order-free sums downstream). */
+  private def jsNano(p: Column, q: Column): Column = {
+    val m = (p + q) / lit(2.0)
+    round((lit(0.5) * when(p > 0.0, p * log(p / m)).otherwise(lit(0.0))
+      + lit(0.5) * when(q > 0.0, q * log(q / m)).otherwise(lit(0.0)))
+      * lit(1e9)).cast("long")
   }
 
   /** One-row roll-up of [[tokenDrift]] — the number a dashboard alerts
@@ -447,7 +456,10 @@ object Corpus {
     * vocab_removed, js_total_nano). */
   def driftSummary(oldDf: DataFrame, newDf: DataFrame,
       text: Column): DataFrame =
-    tokenDrift(oldDf, newDf, text).agg(
+    summarizeDrift(tokenDrift(oldDf, newDf, text))
+
+  private def summarizeDrift(drift: DataFrame): DataFrame =
+    drift.agg(
       sum(col("c_old")).as("n_tokens_old"),
       sum(col("c_new")).as("n_tokens_new"),
       sum(when(col("c_old") > 0, 1L).otherwise(0L)).as("vocab_old"),
@@ -455,4 +467,109 @@ object Corpus {
       sum(when(col("c_old") === 0, 1L).otherwise(0L)).as("vocab_added"),
       sum(when(col("c_new") === 0, 1L).otherwise(0L)).as("vocab_removed"),
       sum(col("js_nano")).as("js_total_nano"))
+
+  /** Per-GROUP drift drill-down — which source/language/shard drove the
+    * corpus-level number: [[driftSummary]] computed independently
+    * within each `group`, each group's distributions normalized over
+    * its OWN token mass (so a big source can't mask a small source's
+    * collapse). A group absent from one side keeps only its present
+    * side's ½·p·ln 2 terms — total ½·ln 2, the ceiling of the one-sided
+    * KL half — the vanished-crawl case the drill-down exists to
+    * surface (a group present on both sides with fully disjoint
+    * vocabulary scores the full ln 2). Output: one [[driftSummary]]
+    * row per group.
+    *
+    * Scale shape: per-group counts are one map-side-combinable
+    * aggregate each; group totals are |groups|-row broadcasts; the one
+    * vocab-sized join is a (group, token) full-outer. Pairs with the
+    * doc-level [[snapshotDiff]] over the same snapshots: diff counts
+    * documents, this weighs distributions. */
+  def driftByGroup(oldDf: DataFrame, newDf: DataFrame, text: Column,
+      group: Column): DataFrame = {
+    def cnts(df: DataFrame): DataFrame =
+      df.select(group.as("group"), explode(split(text, " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("group", "token").agg(count(lit(1)).as("c"))
+    val co = cnts(oldDf)
+    val cn = cnts(newDf)
+    val to = co.groupBy("group").agg(sum(col("c")).as("__t"))
+    val tn = cn.groupBy("group").agg(sum(col("c")).as("__t"))
+    val o = co.join(broadcast(to), "group")
+      .select(col("group"), col("token"), col("c").as("c_old"),
+        (col("c").cast("double") / col("__t").cast("double")).as("__p"))
+    val n = cn.join(broadcast(tn), "group")
+      .select(col("group"), col("token"), col("c").as("c_new"),
+        (col("c").cast("double") / col("__t").cast("double")).as("__q"))
+    o.join(n, Seq("group", "token"), "full_outer")
+      .select(col("group"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"),
+        coalesce(col("__p"), lit(0.0)).as("__p"),
+        coalesce(col("__q"), lit(0.0)).as("__q"))
+      .groupBy("group")
+      .agg(sum(col("c_old")).as("n_tokens_old"),
+        sum(col("c_new")).as("n_tokens_new"),
+        sum(when(col("c_old") > 0, 1L).otherwise(0L)).as("vocab_old"),
+        sum(when(col("c_new") > 0, 1L).otherwise(0L)).as("vocab_new"),
+        sum(when(col("c_old") === 0, 1L).otherwise(0L)).as("vocab_added"),
+        sum(when(col("c_new") === 0, 1L).otherwise(0L))
+          .as("vocab_removed"),
+        sum(jsNano(col("__p"), col("__q"))).as("js_total_nano"))
+  }
+
+  // === Persisted reference vocabulary — the nightly drift monitor ====
+  // The drift monitor's production shape: the reference corpus's token
+  // counts persist once; every new slice compares against the stored
+  // (token, c) frame — the reference corpus is never re-read. Counts
+  // are ADDITIVE, so the accept step appends the delta's counts as
+  // extra rows and reads collapse generations by sum (the count-min
+  // cells discipline applied to the vocabulary): append IS the merge.
+
+  /** Persist a corpus's token counts as the drift reference at `path`. */
+  def writeTokenCounts(df: DataFrame, text: Column, path: String): Unit =
+    tokenCounts(df, text).write.mode("overwrite").parquet(path)
+
+  /** The nightly accept step: count ONLY the delta shard and append its
+    * (token, c) rows — additivity makes this the whole merge. */
+  def appendToTokenCounts(df: DataFrame, text: Column,
+      path: String): Unit =
+    tokenCounts(df, text).write.mode("append").parquet(path)
+
+  /** Read the reference vocabulary, collapsing append generations by
+    * per-token sum. Output: (token, c). */
+  def readTokenCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).groupBy("token").agg(sum("c").as("c"))
+
+  /** Compact appended generations to one row per token + one rewrite
+    * (vocab-sized — a file-count concern, never correctness; reads are
+    * generation-blind). Rename-swap via the Hadoop FS API (the
+    * compactCms idiom). Not concurrent-safe with appends/reads. */
+  def compactTokenCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val tmp = s"${path}__compacting"
+    readTokenCounts(spark, path).write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"compaction failed to remove $path")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
+      throw new java.io.IOException(
+        s"compaction failed to swap $tmp into place — counts are at $tmp")
+  }
+
+  /** Per-token drift of a new slice against the PERSISTED reference
+    * vocabulary — [[tokenDrift]] with the old side read from `path`
+    * (reference corpus never re-read; the slice is the only corpus
+    * pass). Same output contract as [[tokenDrift]]. */
+  def driftAgainstCounts(newDf: DataFrame, text: Column,
+      path: String): DataFrame =
+    driftFromCounts(readTokenCounts(newDf.sparkSession, path),
+      tokenCounts(newDf, text))
+
+  /** One-row [[driftSummary]] of a new slice vs the persisted
+    * reference — the number the nightly monitor alerts on. */
+  def driftSummaryAgainstCounts(newDf: DataFrame, text: Column,
+      path: String): DataFrame =
+    summarizeDrift(driftAgainstCounts(newDf, text, path))
 }

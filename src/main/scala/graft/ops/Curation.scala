@@ -760,6 +760,60 @@ object Curation {
         documents(s, d).filter(col("source") =!= "src0"),
         col("text"))),
 
+    // per-SOURCE drift drill-down (graft.api.Corpus.driftByGroup) over
+    // the SAME snapshot pair as llm_corpus_diff — the doc-level diff
+    // says what changed, this says which source's token DISTRIBUTION
+    // moved (each source normalized over its own mass, so a big crawl
+    // can't mask a small one's collapse). Group totals broadcast; one
+    // (group, token) full-outer join.
+    "llm_corpus_drift_by_source" -> ((s, d) => {
+      val docs = documents(s, d)
+      val old = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(when(col("doc_id") % 10 === 7,
+            substring(col("text"), 1, 40))
+          .otherwise(col("text")).as("text"), col("source"))
+      val nw = docs.filter(col("doc_id") % 10 =!= 6)
+        .select(col("text"), col("source"))
+      graft.api.Corpus.driftByGroup(old, nw, col("text"), col("source"))
+        .orderBy("group")
+    }),
+
+    // the PERSISTED-reference drift — the nightly monitor shape: the
+    // reference corpus's token counts stored once
+    // (graft.api.Corpus.writeTokenCounts, timed here — honest cost),
+    // today's slice drifts against the stored (token, c) frame; the
+    // reference corpus is never re-read. The oracle re-derives both
+    // sides from scratch, so the gate certifies stored ≡ corpus.
+    "llm_corpus_drift_delta" -> ((s, d) => {
+      val docs = documents(s, d)
+      val idx = new java.io.File("target/graft-vocab-counts/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Corpus.writeTokenCounts(
+        docs.filter(col("source") =!= "src0"), col("text"), idx)
+      graft.api.Corpus.driftAgainstCounts(
+          docs.filter(col("source") === "src0"), col("text"), idx)
+        .orderBy(col("js_nano").desc, col("token"))
+        .limit(100)
+    }),
+
+    // the reference vocabulary's ACCEPT step: day-0 counts written,
+    // day-1 APPENDED (additivity makes the append the whole merge —
+    // day 0 never re-read), generations COMPACTED by rename-swap, read
+    // back collapsed. The oracle is the one-pass rebuilt definition,
+    // so the DuckDB gate certifies grown+compacted ≡ rebuilt — the
+    // cms_grow/substring_grow pattern applied to the drift reference.
+    "llm_corpus_drift_grow" -> ((s, d) => {
+      val docs = documents(s, d)
+      val idx = new java.io.File("target/graft-vocab-grow/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Corpus.writeTokenCounts(
+        docs.filter(col("doc_id") % 2 === 0), col("text"), idx)
+      graft.api.Corpus.appendToTokenCounts(
+        docs.filter(col("doc_id") % 2 === 1), col("text"), idx)
+      graft.api.Corpus.compactTokenCounts(s, idx)
+      graft.api.Corpus.readTokenCounts(s, idx).orderBy("token")
+    }),
+
     // fragment-stitch candidates (graft.api.TextDedup.stitchCandidates):
     // the corpus is deterministically split into overlapping fragment
     // pairs (first ⌊n/2⌋+8 tokens / last n−⌊n/2⌋ tokens of each ≥16-token
@@ -892,26 +946,41 @@ object Curation {
       .select(col("__f.frag_id").as("frag_id"), col("__f.text").as("text"))
   }
 
-  /** Shared drift CTE: per-token counts + IEEE probabilities of the two
-    * snapshots (old = corpus, new = corpus minus src0), full-outer
+  /** Shared drift CTE builder: per-token counts + IEEE probabilities of
+    * the two snapshots (document predicates parametrized), full-outer
     * joined on token — ends at `j(token, c_old, c_new, p, q)`. */
+  private def driftJoinSql(oldPred: String, newPred: String): String =
+    s"""WITH tko AS (SELECT unnest(string_split_regex(text, ' ')) AS token
+       |  FROM documents WHERE $oldPred),
+       |co AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tko
+       |  WHERE token <> '' GROUP BY token),
+       |tkn AS (SELECT unnest(string_split_regex(text, ' ')) AS token
+       |  FROM documents WHERE $newPred),
+       |cn AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tkn
+       |  WHERE token <> '' GROUP BY token),
+       |o AS (SELECT token, c AS c_old, CAST(c AS DOUBLE)
+       |    / (SELECT CAST(SUM(c) AS DOUBLE) FROM co) AS p FROM co),
+       |n AS (SELECT token, c AS c_new, CAST(c AS DOUBLE)
+       |    / (SELECT CAST(SUM(c) AS DOUBLE) FROM cn) AS q FROM cn),
+       |j AS (SELECT COALESCE(o.token, n.token) AS token,
+       |    COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new,
+       |    COALESCE(p, 0.0) AS p, COALESCE(q, 0.0) AS q
+       |  FROM o FULL OUTER JOIN n ON o.token = n.token)""".stripMargin
+
+  /** The r8 batch-drift pair: old = corpus, new = corpus minus src0. */
   private val DriftJoinSql: String =
-    """WITH tko AS (SELECT unnest(string_split_regex(text, ' ')) AS token
-      |  FROM documents),
-      |co AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tko
-      |  WHERE token <> '' GROUP BY token),
-      |tkn AS (SELECT unnest(string_split_regex(text, ' ')) AS token
-      |  FROM documents WHERE source <> 'src0'),
-      |cn AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tkn
-      |  WHERE token <> '' GROUP BY token),
-      |o AS (SELECT token, c AS c_old, CAST(c AS DOUBLE)
-      |    / (SELECT CAST(SUM(c) AS DOUBLE) FROM co) AS p FROM co),
-      |n AS (SELECT token, c AS c_new, CAST(c AS DOUBLE)
-      |    / (SELECT CAST(SUM(c) AS DOUBLE) FROM cn) AS q FROM cn),
-      |j AS (SELECT COALESCE(o.token, n.token) AS token,
-      |    COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new,
-      |    COALESCE(p, 0.0) AS p, COALESCE(q, 0.0) AS q
-      |  FROM o FULL OUTER JOIN n ON o.token = n.token)""".stripMargin
+    driftJoinSql("TRUE", "source <> 'src0'")
+
+  /** The per-token drift SELECT shared by the batch and persisted-
+    * reference spellings. */
+  private val DriftTopSql: String =
+    """
+      |SELECT token, c_old, c_new,
+      |  CAST(ROUND((0.5 * CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+      |      ELSE 0.0 END
+      |    + 0.5 * CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+      |      ELSE 0.0 END) * 1e9) AS BIGINT) AS js_nano
+      |FROM j ORDER BY js_nano DESC, token LIMIT 100""".stripMargin
 
   /** Shared stitch CTE: the fragmented corpus (2·id / 2·id+1 with the
     * 8-token overlap at ⌊n/2⌋) re-derived in SQL, then head/tail md5
@@ -1657,14 +1726,21 @@ object Curation {
          |    / CAST(tp * 2 + fp + t.tp_all - tp AS DOUBLE) AS f1
          |FROM c, t ORDER BY threshold_micro DESC""".stripMargin,
 
-    "llm_corpus_drift" -> (DriftJoinSql +
-      """
-        |SELECT token, c_old, c_new,
-        |  CAST(ROUND((0.5 * CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
-        |      ELSE 0.0 END
-        |    + 0.5 * CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
-        |      ELSE 0.0 END) * 1e9) AS BIGINT) AS js_nano
-        |FROM j ORDER BY js_nano DESC, token LIMIT 100""".stripMargin),
+    "llm_corpus_drift" -> (DriftJoinSql + DriftTopSql),
+
+    // the persisted-reference spelling must land on the same numbers as
+    // a from-scratch drift of the two slices — the oracle IS the
+    // rebuilt definition, so the gate certifies stored-counts ≡ corpus
+    "llm_corpus_drift_delta" ->
+      (driftJoinSql("source <> 'src0'", "source = 'src0'") + DriftTopSql),
+
+    // rebuilt-over-everything definition: the gate certifies
+    // write+append+compact+read ≡ one-pass counts
+    "llm_corpus_drift_grow" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM (SELECT unnest(string_split_regex(text, ' ')) AS token
+        |  FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
 
     "llm_corpus_drift_total" -> (DriftJoinSql +
       """
@@ -1741,6 +1817,49 @@ object Curation {
         |  FROM d2)
         |SELECT "group", rk, vec_id, dist2_r FROM rk WHERE rk <= 5
         |ORDER BY "group", rk""".stripMargin,
+
+    "llm_corpus_drift_by_source" ->
+      """WITH o0 AS (SELECT source, CASE WHEN doc_id % 10 = 7
+        |    THEN substring(text, 1, 40) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |n0 AS (SELECT source, text FROM documents WHERE doc_id % 10 <> 6),
+        |co AS (SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source AS grp,
+        |      unnest(string_split_regex(text, ' ')) AS token FROM o0)
+        |  WHERE token <> '' GROUP BY grp, token),
+        |cn AS (SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source AS grp,
+        |      unnest(string_split_regex(text, ' ')) AS token FROM n0)
+        |  WHERE token <> '' GROUP BY grp, token),
+        |tt AS (SELECT grp, SUM(c) AS t FROM co GROUP BY grp),
+        |tu AS (SELECT grp, SUM(c) AS t FROM cn GROUP BY grp),
+        |o AS (SELECT grp, token, c AS c_old,
+        |    CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        |  FROM co JOIN tt USING (grp)),
+        |n AS (SELECT grp, token, c AS c_new,
+        |    CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS q
+        |  FROM cn JOIN tu USING (grp)),
+        |j AS (SELECT COALESCE(o.grp, n.grp) AS grp,
+        |    COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new,
+        |    COALESCE(p, 0.0) AS p, COALESCE(q, 0.0) AS q
+        |  FROM o FULL OUTER JOIN n
+        |    ON o.grp = n.grp AND o.token = n.token)
+        |SELECT grp AS "group",
+        |  CAST(SUM(c_old) AS BIGINT) AS n_tokens_old,
+        |  CAST(SUM(c_new) AS BIGINT) AS n_tokens_new,
+        |  CAST(SUM(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_old,
+        |  CAST(SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_new,
+        |  CAST(SUM(CASE WHEN c_old = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_added,
+        |  CAST(SUM(CASE WHEN c_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_removed,
+        |  CAST(SUM(CAST(ROUND((0.5 * CASE WHEN p > 0
+        |      THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+        |    + 0.5 * CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+        |      ELSE 0.0 END) * 1e9) AS BIGINT)) AS BIGINT) AS js_total_nano
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
 
     // the chain walk re-derived as a recursive CTE over the same
     // unambiguous edge set; NULLIF drops overlap-only interior pieces

@@ -355,6 +355,29 @@ object Streaming {
             wordNgrams), model))
     }
 
+  /** Streaming twin of the nightly DRIFT monitor — the
+    * [[twinQualityClassify]] shape applied to distribution monitoring:
+    * each micro-batch's token distribution compares against the
+    * PERSISTED reference vocabulary
+    * (graft.api.Corpus.driftSummaryAgainstCounts — the reference
+    * corpus is never re-read; the slice is the only corpus pass), and
+    * `emit` receives the one-row JS/churn summary per batch — the
+    * "this crawl slice skewed" alert, live. Zero state store: the
+    * persisted counts are the state; reference refresh
+    * (appendToTokenCounts) rides its own cadence, the standard
+    * freshness trade of every stream-static comparison. Batch ≡
+    * streaming pinned in StreamingSpec. */
+  def twinDriftMonitor(docs: DataFrame,
+      text: org.apache.spark.sql.Column, countsPath: String)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.Corpus.driftSummaryAgainstCounts(batch, text,
+          countsPath))
+    }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

@@ -1906,6 +1906,52 @@ class ApiSpec extends AnyFunSuite {
       "total must be the exact integer sum of per-token contributions")
   }
 
+  test("Corpus.driftByGroup normalizes within each group; a vanished " +
+      "group scores the one-sided half-ln2 ceiling") {
+    import graft.api.Corpus
+    val a = Seq(("s1", "x y"), ("s2", "u v")).toDF("src", "body")
+    val b = Seq(("s1", "x y")).toDF("src", "body") // s2 vanished
+    val out = Corpus.driftByGroup(a, b, col("body"), col("src"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(7)))).toMap
+    assert(out("s1") == ((2L, 2L, 0L)), s"unchanged group: ${out("s1")}")
+    // vanished group: per token round((0.5·(p·ln 2) + 0)·1e9), p = 1/2
+    val perTok = math.round((0.5 * (0.5 * math.log(2.0)) + 0.0) * 1e9)
+    assert(out("s2") == ((2L, 0L, 2L * perTok)),
+      s"vanished group must hit the half-ln2 ceiling: ${out("s2")}")
+  }
+
+  test("Corpus token-counts lifecycle: write+append+compact+read " +
+      "equals the one-pass rebuild; compaction is idempotent; drift " +
+      "against stored counts equals the from-scratch drift") {
+    import graft.api.Corpus
+    val day0 = Seq((1L, "alpha beta gamma")).toDF("id", "body")
+    val day1 = Seq((2L, "alpha beta delta")).toDF("id", "body")
+    val both = day0.unionByName(day1)
+    val path = SparkFixture.tempDir("vocab_counts").getAbsolutePath
+    Corpus.writeTokenCounts(day0, col("body"), path)
+    Corpus.appendToTokenCounts(day1, col("body"), path)
+    def counts() = Corpus.readTokenCounts(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuilt = Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L,
+      "delta" -> 1L)
+    assert(counts() == rebuilt, s"grown: ${counts()}")
+    Corpus.compactTokenCounts(spark, path)
+    assert(counts() == rebuilt, s"compacted: ${counts()}")
+    Corpus.compactTokenCounts(spark, path)
+    assert(counts() == rebuilt, "compaction must be idempotent")
+    val slice = Seq((9L, "alpha beta epsilon")).toDF("id", "body")
+    val stored = Corpus.driftAgainstCounts(slice, col("body"), path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val scratch = Corpus.tokenDrift(both, slice, col("body"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(stored == scratch,
+      s"stored-reference drift diverges:\n$stored\nvs\n$scratch")
+  }
+
   test("TextDedup.stitchCandidates finds tail/head overlaps, flags " +
       "ambiguity; stitchApply merges pair-only chains once") {
     // 10→11 unambiguous pair; 20 tail matches BOTH 21 and 22 heads

@@ -501,4 +501,32 @@ class StreamingSpec extends AnyFunSuite {
         s"streamed sketch diverges:\n$last\nvs\n$batchSketch")
     } finally q.stop()
   }
+
+  test("twinDriftMonitor: per-batch drift summary vs the persisted " +
+      "reference equals the batch spelling; reference never re-read") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = SparkFixture.tempDir("drift_stream").getAbsolutePath
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    graft.api.Corpus.writeTokenCounts(ref, col("text"), path)
+    val slice = Seq((10L, "alpha beta epsilon"))
+    val batchRow = graft.api.Corpus.driftSummaryAgainstCounts(
+      slice.toDF("doc_id", "text"), col("text"), path).collect()(0)
+    val in = MemoryStream[(Long, String)]
+    @volatile var last: Option[org.apache.spark.sql.Row] = None
+    val q = Streaming.twinDriftMonitor(in.toDF.toDF("doc_id", "text"),
+        col("text"), path) { s => last = Some(s.collect()(0)) }
+      .start()
+    try {
+      in.addData(slice: _*)
+      q.processAllAvailable()
+      assert(last.map(_.toString).contains(batchRow.toString),
+        s"streamed drift diverges: $last vs $batchRow")
+      // the alert fires: epsilon is new vocabulary
+      assert(last.get.getLong(4) == 1L && last.get.getLong(6) > 0L,
+        s"expected vocab_added=1 and positive JS: ${last.get}")
+    } finally q.stop()
+  }
 }
