@@ -1380,21 +1380,35 @@ object TextDedup {
   def dedupLines(df: DataFrame, id: Column, text: Column,
       delim: String = "\n",
       checkpointDir: Option[String] = None): DataFrame = {
+    val ln = guardedLineFrame(df, id, text, delim, checkpointDir)
+    val kept = keepFirstLines(ln)
+    rebuildFromLines(df, id, ln, kept, delim, "text_dedup")
+  }
+
+  /** [[lineFrame]] with the packed-key precondition enforced per row and
+    * the optional reliable checkpoint applied. */
+  private def guardedLineFrame(df: DataFrame, id: Column, text: Column,
+      delim: String, checkpointDir: Option[String]): DataFrame = {
     val ln0 = lineFrame(df, id, text, delim)
       .filter(assert_true(col("doc_id") >= 0L && col("ln_no") < 1000000L,
         lit("line dedup packed-key precondition violated: needs doc_id " +
           ">= 0 and < 1e6 lines per doc — split oversized docs or remap " +
           "ids")).isNull)
-    val ln = checkpointDir match {
+    checkpointDir match {
       case Some(_) => ckptFn(df.sparkSession, checkpointDir)(ln0)
       case None => ln0
     }
+  }
+
+  /** Keep-first election over a (doc_id, ln_no, line, h) lattice: the
+    * globally first (min packed doc·10⁶+line) occurrence of each hash
+    * survives. */
+  private def keepFirstLines(ln: DataFrame): DataFrame = {
     val can = ln.groupBy("h")
       .agg(min(col("doc_id") * 1000000L + col("ln_no")).as("__cn"))
-    val kept = ln.join(can, Seq("h"))
+    ln.join(can, Seq("h"))
       .filter(col("doc_id") * 1000000L + col("ln_no") === col("__cn"))
       .select(col("doc_id"), col("ln_no"), col("line"))
-    rebuildFromLines(df, id, ln, kept, delim, "text_dedup")
   }
 
   /** Corpus-wide boilerplate report — the normalized lines that appear
@@ -1461,6 +1475,95 @@ object TextDedup {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col(outCol), lit("")).as(outCol))
+  }
+
+  // --- Persisted line-hash index — the nightly paragraph dedup -------
+  // The line family's incremental form (the signature-index /
+  // substring-index pattern at LINE granularity): the accumulated
+  // corpus's distinct normalized-line hashes persist once; each day's
+  // delta shard dedups against the stored 32-byte hashes — corpus text
+  // never re-read, and the index is the Heaps-bounded distinct-line
+  // inventory, a small fraction of corpus bytes.
+
+  /** Persist a corpus's distinct normalized-line hashes at `path`.
+    * `path/params` records the split delimiter — a mismatched probe
+    * would hash different lines and silently miss everything, so
+    * probes/appends verify it (the substring-index params guard). */
+  def writeLineIndex(df: DataFrame, id: Column, text: Column,
+      path: String, delim: String = "\n"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(delim)).toDF("delim")
+      .write.mode("overwrite").parquet(s"$path/params")
+    lineFrame(df, id, text, delim).select("h").distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+  }
+
+  private def requireLineIndexParams(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      delim: String): Unit = {
+    val d0 = spark.read.parquet(s"$path/params").head()
+      .getAs[String]("delim")
+    require(d0 == delim,
+      s"line index at $path was written with delim=${d0
+        .replace("\n", "\\n")} but caller passed ${delim
+        .replace("\n", "\\n")} — probes would hash different lines")
+  }
+
+  /** ACCEPT a screened delta into the index: append its distinct line
+    * hashes — set-correct by construction (the probe is an anti-join
+    * on the hash, so distinct-of-union ≡ union-of-distincts; grown ≡
+    * rebuilt pinned in ApiSpec). Bytes and small files accumulate;
+    * [[compactLineIndex]] on its own cadence. */
+  def appendToLineIndex(df: DataFrame, id: Column, text: Column,
+      path: String, delim: String = "\n"): Unit = {
+    requireLineIndexParams(df.sparkSession, path, delim)
+    lineFrame(df, id, text, delim).select("h").distinct()
+      .write.mode("append").parquet(s"$path/hashes")
+  }
+
+  /** Collapse appended generations to distinct hashes + one rewrite,
+    * rename-swapped via the Hadoop FS API (the compactCms idiom). Not
+    * concurrent-safe with appends/probes. */
+  def compactLineIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val hashes = s"$path/hashes"
+    val tmp = s"$path/hashes__compacting"
+    spark.read.parquet(hashes).distinct()
+      .write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(hashes)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(hPath, true))
+      throw new java.io.IOException(s"compaction failed to remove $hashes")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
+      throw new java.io.IOException(
+        s"compaction failed to swap $tmp into place — index is at $tmp")
+  }
+
+  /** The nightly screen: [[dedupLines]] for a DELTA shard against the
+    * persisted index — every line whose hash is already indexed is cut
+    * (the index always wins: its occurrence predates the shard), and
+    * lines new to the index dedup keep-first WITHIN the shard (intra-
+    * shard repeats never meet the index — the
+    * dedupSubstringsAgainstIndex convention; cross-shard dups arriving
+    * in different deltas are the append cadence's job). Same output
+    * contract as [[dedupLines]]; survivors' hashes are what
+    * [[appendToLineIndex]] accepts after the screen.
+    *
+    * Scale shape: the index probe is a left_anti equi-join on the
+    * 32-byte hash (shard lattice vs the Heaps-bounded index — AQE
+    * broadcasts the smaller side); election and rebuild are the batch
+    * spelling over the SHARD only. */
+  def dedupLinesAgainstIndex(df: DataFrame, id: Column, text: Column,
+      path: String, delim: String = "\n",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    requireLineIndexParams(spark, path, delim)
+    val idx = spark.read.parquet(s"$path/hashes")
+    val ln = guardedLineFrame(df, id, text, delim, checkpointDir)
+    val fresh = ln.join(idx, Seq("h"), "left_anti")
+    rebuildFromLines(df, id, ln, keepFirstLines(fresh), delim,
+      "text_dedup")
   }
 
   /** Cross-group boilerplate provenance matrix — WHERE duplication

@@ -520,6 +520,34 @@ object Curation {
         .dedupLines(lined(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // INCREMENTAL line dedup — the nightly CCNet paragraph-dedup shape
+    // (graft.api.TextDedup.writeLineIndex/dedupLinesAgainstIndex): the
+    // accumulated corpus's distinct line hashes persist once (timed
+    // here — honest cost); the day's delta shard cuts every line the
+    // index has seen plus intra-shard repeats keep-first. Corpus text
+    // never re-read; the probe is a 32-byte-hash anti-join. Then the
+    // index GROWS by appending the day-1 slice and COMPACTS, and the
+    // screen runs against the grown index — the oracle is the
+    // rebuilt-over-day0∪day1 definition, so the DuckDB gate certifies
+    // grown+compacted ≡ rebuilt end to end.
+    "llm_dedup_lines_delta" -> ((s, d) => {
+      val docs = lined(s, d)
+      val day0 = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 3)
+      val day1 = docs.filter(col("doc_id") % 10 === 3)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val idx = new java.io.File("target/graft-line-index/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.TextDedup.writeLineIndex(day0, col("doc_id"),
+        col("text"), idx)
+      graft.api.TextDedup.appendToLineIndex(day1, col("doc_id"),
+        col("text"), idx)
+      graft.api.TextDedup.compactLineIndex(s, idx)
+      graft.api.TextDedup
+        .dedupLinesAgainstIndex(delta, col("doc_id"), col("text"), idx)
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide "most common lines" audit: normalized lines present
     // in ≥3 DISTINCT docs with doc/occurrence counts — what a curator
     // reads before picking the strip threshold. Two-level map-side
@@ -1817,6 +1845,38 @@ object Curation {
         |  FROM d2)
         |SELECT "group", rk, vec_id, dist2_r FROM rk WHERE rk <= 5
         |ORDER BY "group", rk""".stripMargin,
+
+    // rebuilt-over-day0∪day1 definition — the gate certifies the
+    // write+append+compact+screen lifecycle end to end
+    "llm_dedup_lines_delta" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, list_transform(range(0, (len(tk) + 9) // 10),
+        |    i -> array_to_string(tk[i*10+1 : i*10+10], ' ')) AS ls
+        |  FROM tk),
+        |ln AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS ln_no FROM l0),
+        |lh AS (SELECT doc_id, CAST(ln_no AS BIGINT) AS ln_no, line,
+        |    md5(lower(trim(line))) AS h FROM ln WHERE trim(line) <> ''),
+        |idx AS (SELECT DISTINCT h FROM lh WHERE doc_id % 10 <> 0),
+        |dl AS (SELECT * FROM lh WHERE doc_id % 10 = 0),
+        |fresh AS (SELECT * FROM dl
+        |  WHERE h NOT IN (SELECT h FROM idx)),
+        |can AS (SELECT h, MIN(doc_id * 1000000 + ln_no) AS cn
+        |  FROM fresh GROUP BY h),
+        |kept AS (SELECT fresh.doc_id, ln_no, line
+        |  FROM fresh JOIN can USING (h)
+        |  WHERE doc_id * 1000000 + ln_no = cn),
+        |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM dl GROUP BY doc_id),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY ln_no) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(nl.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(agg.text_dedup, '') AS text_dedup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |  LEFT JOIN nl USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "llm_corpus_drift_by_source" ->
       """WITH o0 AS (SELECT source, CASE WHEN doc_id % 10 = 7

@@ -355,6 +355,27 @@ object Streaming {
             wordNgrams), model))
     }
 
+  /** Streaming twin of the incremental LINE (paragraph) dedup — the
+    * [[twinSubstringDedupAgainstIndex]] shape at line granularity: each
+    * micro-batch runs the batch `dedupLinesAgainstIndex` verbatim
+    * against the persisted line-hash index (zero state store; the
+    * Heaps-bounded index is the only state, refreshed by
+    * appendToLineIndex on its own cadence). Lines repeated WITHIN one
+    * micro-batch dedup keep-first by the intra-shard rule; repeats
+    * split across batches are the append cadence's job — the family's
+    * standard divergence contract. */
+  def twinLineDedupAgainstIndex(docs: DataFrame,
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, indexPath: String,
+      delim: String = "\n")(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.TextDedup.dedupLinesAgainstIndex(batch, id, text,
+          indexPath, delim))
+    }
+
   /** Streaming twin of the nightly DRIFT monitor — the
     * [[twinQualityClassify]] shape applied to distribution monitoring:
     * each micro-batch's token distribution compares against the

@@ -1116,6 +1116,45 @@ class ApiSpec extends AnyFunSuite {
       s"doc 13: ${sp(13L)}")
   }
 
+  test("TextDedup line-index lifecycle: index wins over the shard, " +
+      "intra-shard repeats keep first, grown+compacted equals rebuilt, " +
+      "delim mismatch fails loudly") {
+    val day0 = Seq((1L, "seen before\nalso seen")).toDF("id", "body")
+    val day1 = Seq((2L, "late arrival")).toDF("id", "body")
+    val delta = Seq(
+      (10L, "seen before\nbrand new\nbrand new"),
+      (11L, "late arrival\nbrand new\nown line")
+    ).toDF("id", "body")
+    val path = SparkFixture.tempDir("line_idx").getAbsolutePath
+    TextDedup.writeLineIndex(day0, col("id"), col("body"), path)
+    TextDedup.appendToLineIndex(day1, col("id"), col("body"), path)
+    TextDedup.compactLineIndex(spark, path)
+    val out = TextDedup
+      .dedupLinesAgainstIndex(delta, col("id"), col("body"), path)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // "seen before" (day0) and "late arrival" (appended day1) are cut;
+    // "brand new" keeps its first occurrence (doc 10 line 2) only
+    assert(out(10L) == ((3L, 1L, "brand new")), s"doc 10: ${out(10L)}")
+    assert(out(11L) == ((3L, 1L, "own line")), s"doc 11: ${out(11L)}")
+    // grown+compacted index ≡ rebuilt-over-both index: same screen
+    val rebuilt = SparkFixture.tempDir("line_idx_rb").getAbsolutePath
+    TextDedup.writeLineIndex(day0.unionByName(day1), col("id"),
+      col("body"), rebuilt)
+    val out2 = TextDedup
+      .dedupLinesAgainstIndex(delta, col("id"), col("body"), rebuilt)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out == out2, s"grown index diverges from rebuilt:\n$out\n$out2")
+    val ex = intercept[IllegalArgumentException] {
+      TextDedup.dedupLinesAgainstIndex(delta, col("id"), col("body"),
+        path, delim = "\t")
+    }
+    assert(ex.getMessage.contains("delim"), ex.getMessage)
+  }
+
   test("TextDedup.dedupLines enforces the packed-key precondition " +
       "loudly instead of electing wrong canonicals") {
     val bad = Seq((-1L, "some line\nanother line"),

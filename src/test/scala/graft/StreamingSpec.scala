@@ -502,6 +502,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twinLineDedupAgainstIndex: streamed line screen equals the " +
+      "batch spelling per micro-batch; index is the only state") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = SparkFixture.tempDir("line_idx_stream").getAbsolutePath
+    graft.api.TextDedup.writeLineIndex(
+      Seq((1L, "indexed line")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val slice = Seq((10L, "indexed line\nfresh line"))
+    val batchOut = graft.api.TextDedup.dedupLinesAgainstIndex(
+        slice.toDF("doc_id", "text"), col("doc_id"), col("text"), path)
+      .collect().map(_.toString).toSet
+    val in = MemoryStream[(Long, String)]
+    @volatile var last: Set[String] = Set.empty
+    val q = Streaming.twinLineDedupAgainstIndex(
+        in.toDF.toDF("doc_id", "text"), col("doc_id"), col("text"), path) {
+      out => last = out.collect().map(_.toString).toSet
+    }.start()
+    try {
+      in.addData(slice: _*)
+      q.processAllAvailable()
+      assert(last == batchOut,
+        s"streamed line screen diverges:\n$last\nvs\n$batchOut")
+    } finally q.stop()
+  }
+
   test("twinDriftMonitor: per-batch drift summary vs the persisted " +
       "reference equals the batch spelling; reference never re-read") {
     val spark = SparkFixture.spark
