@@ -175,6 +175,33 @@ object Quality {
       .select(col("doc_id"), col("z_micro").as("score_micro"),
         (col("z_micro") > thresholdMicro).as("keep"))
 
+  /** Uncertainty sampling — the active-learning loop's labeling-budget
+    * spender (Lewis & Gale 1994, public): the `k` documents whose
+    * margin sits closest to the decision boundary are the ones a human
+    * label improves the model most on; docs the model is already sure
+    * about teach it nothing. Selection ranks by |margin| ascending
+    * (doc_id tie-break), EXP-FREE — σ is monotone so distance-to-½ in
+    * probability space IS distance-to-0 in margin space, bit-identical
+    * everywhere. Output: (rk, doc_id, score_micro), rk 1 = most
+    * uncertain.
+    *
+    * Scale shape: one doc-keyed margin aggregate + a global top-k by
+    * TakeOrderedAndProject (each partition keeps k, the driver merges
+    * p·k — the dsirSelect rule, never a global sort); the final rank
+    * window runs over the ≤k-row frame, bounded by construction. */
+  def uncertaintySample(feats: DataFrame, weights: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val top = margins(feats, broadcast(weights))
+      .select(col("doc_id"), col("z_micro").as("score_micro"))
+      .orderBy(abs(col("score_micro")), col("doc_id"))
+      .limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("score_micro")), col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("score_micro"))
+  }
+
   /** Binned precision/recall curve of a fitted model — the threshold-
     * pricing table a curation run consults before picking the filter's
     * operating point. Scores bucket into integer bins of `binMicro`

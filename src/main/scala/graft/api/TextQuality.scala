@@ -265,4 +265,97 @@ object TextQuality {
       .groupBy(col("__label").as("label"), col("m_label").as("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-LINE language identification with a per-document mix profile —
+    * CCNet runs LID at paragraph granularity (Wenzek et al. 2020)
+    * because real crawl docs are code-mixed: an English page quoting a
+    * German paragraph is one doc, two languages, and a doc-level vote
+    * ([[langIdConfusion]]) papers over exactly that. The same
+    * Laplace-smoothed naive-Bayes model fits on DOC-level labels; each
+    * non-blank line (split on `delim`) votes independently; the profile
+    * reports how mixed each doc is. Output: (doc_id, n_lines, n_langs,
+    * major_lang, major_frac) — major_frac the majority language's share
+    * of lines (count-desc, label-asc tie-break), RAW double from one
+    * IEEE division of exact counts.
+    *
+    * Determinism and plan shape follow [[langIdConfusion]]: 9-dp-rounded
+    * DECIMAL log-prob sums (order-free), the (label, token) model table
+    * materialized once (`checkpointDir` for a reliable location on real
+    * clusters — the same corpus-sized-frame hazard), the scoring join a
+    * plain shuffle equi-join on token (Heaps'-law model, no broadcast
+    * hint). Lines whose every token is outside the model vocabulary
+    * cast no vote but still count in n_lines (major_frac < 1 flags
+    * them); with the model fit on the same corpus this is vacuous. */
+  def langSegments(df: DataFrame, id: Column, label: Column,
+      text: Column, delim: String = "\n",
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ck = TextDedup.ckptFn(df.sparkSession, checkpointDir)
+    // ONE tokenization pass feeds both the model fit and the per-line
+    // probe: the (doc, line, token) lattice (delim-split, then
+    // space-split — a token never spans a line boundary)
+    val lines = df.select(id.as("__id"),
+        posexplode(split(text, delim)).as(Seq("__p", "__line")))
+      .select(col("__id"), (col("__p") + 1L).as("__ln"), col("__line"))
+      .filter(trim(col("__line")) =!= "")
+    val lnTok = ck(lines
+      .select(col("__id"), col("__ln"),
+        explode(split(col("__line"), " ")).as("token"))
+      .groupBy(col("__id"), col("__ln"), col("token"))
+      .agg(count(lit(1)).as("n_tok")))
+    // --- model fit: identical arithmetic to langIdConfusion -----------
+    val labels = df.select(id.as("__lid"), label.as("__label"))
+    val langTok = ck(lnTok
+      .join(labels, col("__id") === col("__lid"))
+      .groupBy(col("__label"), col("token"))
+      .agg(sum(col("n_tok")).as("c_lt")))
+    val vocabN = langTok.filter(col("c_lt") > 0)
+      .select("token").distinct().agg(count(lit(1)).as("v"))
+    val langTot = langTok.groupBy(col("__label"))
+      .agg(sum(col("c_lt")).as("c_l"))
+    val grid = langTok.filter(col("c_lt") > 0).select("token").distinct()
+      .crossJoin(langTot.select(col("__label").as("m_label"), col("c_l")))
+      .alias("g")
+    val lt = langTok.alias("lt")
+    val probs = grid
+      .join(lt,
+        col("g.token") === col("lt.token") &&
+          col("g.m_label") === col("lt.__label"), "left")
+      .select(col("g.token").as("token"), col("g.m_label").as("m_label"),
+        coalesce(col("lt.c_lt"), lit(0L)).as("c_lt"), col("g.c_l").as("c_l"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("token"), col("m_label"),
+        round(log((col("c_lt") + 1).cast("double") /
+          (col("c_l") + col("v"))), 9)
+          .cast(DecimalType(18, 9)).as("logp"))
+    // --- per-line votes ----------------------------------------------
+    val lnScores = lnTok.join(probs, "token")
+      .groupBy(col("__id"), col("__ln"), col("m_label"))
+      .agg(sum(col("logp") * col("n_tok")).as("score"))
+    val wLn = Window.partitionBy("__id", "__ln")
+      .orderBy(col("score").desc, col("m_label").asc)
+    val votes = lnScores.withColumn("rk", row_number().over(wLn))
+      .filter(col("rk") === 1)
+      .select(col("__id"), col("m_label"))
+    // --- per-doc mix profile -----------------------------------------
+    val perLang = votes.groupBy(col("__id"), col("m_label"))
+      .agg(count(lit(1)).as("__n"))
+    val wMaj = Window.partitionBy("__id")
+      .orderBy(col("__n").desc, col("m_label").asc)
+    val major = perLang.withColumn("__mrk", row_number().over(wMaj))
+      .filter(col("__mrk") === 1)
+      .select(col("__id"), col("m_label").as("major_lang"),
+        col("__n").as("__maj"))
+    val langsPerDoc = perLang.groupBy("__id")
+      .agg(count(lit(1)).as("n_langs"))
+    val nLines = lines.groupBy("__id").agg(count(lit(1)).as("n_lines"))
+    nLines.join(langsPerDoc, Seq("__id"), "left")
+      .join(major, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"), col("n_lines"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        col("major_lang"),
+        (coalesce(col("__maj"), lit(0L)).cast("double")
+          / col("n_lines").cast("double")).as("major_frac"))
+  }
 }

@@ -520,6 +520,22 @@ object Curation {
         .dedupLines(lined(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // per-LINE language ID with a per-doc mix profile
+    // (graft.api.TextQuality.langSegments): CCNet's paragraph-level LID
+    // — a doc-level vote papers over code-mixed pages; here each
+    // 10-token line votes under the doc-label-fitted naive-Bayes model
+    // and the profile reports how mixed each doc is. One (doc, line,
+    // token) lattice feeds both fit and probe; 9-dp DECIMAL log-prob
+    // sums; Heaps-model scoring join never broadcast-hinted.
+    "llm_lang_segments" -> ((s, d) => {
+      val base = lined(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id")
+      graft.api.TextQuality
+        .langSegments(base, col("doc_id"), col("lang"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL line dedup — the nightly CCNet paragraph-dedup shape
     // (graft.api.TextDedup.writeLineIndex/dedupLinesAgainstIndex): the
     // accumulated corpus's distinct line hashes persist once (timed
@@ -706,6 +722,23 @@ object Curation {
         .join(labels, "doc_id")
         .select("doc_id", "score_micro", "keep", "y")
         .orderBy("doc_id")
+    }),
+
+    // ACTIVE-LEARNING sampling (graft.api.Quality.uncertaintySample):
+    // the 20 docs whose fitted margin sits closest to the decision
+    // boundary — where the next human label buys the most model; docs
+    // the filter is already sure about teach it nothing. Exp-free
+    // (|margin| ranks identically to |p − ½|); global top-k by
+    // TakeOrderedAndProject, rank window over the ≤k-row frame.
+    "llm_quality_active_sample" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      graft.api.Quality.uncertaintySample(feats, model, k = 20)
+        .orderBy("rk")
     }),
 
     // the EVAL side — what a curation run reports before trusting a
@@ -1705,6 +1738,16 @@ object Curation {
          |SELECT sc.doc_id, sc.score_micro, sc.score_micro > 0 AS keep, l.y
          |FROM sc JOIN labels l USING (doc_id)
          |ORDER BY sc.doc_id""".stripMargin,
+    "llm_quality_active_sample" ->
+      s"""WITH $qualityCte,
+         |sc AS (SELECT f.doc_id,
+         |    CAST(SUM(f.n * w2.w_micro) AS BIGINT) AS score_micro
+         |  FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id)
+         |SELECT CAST(ROW_NUMBER() OVER
+         |    (ORDER BY abs(score_micro), doc_id) AS INTEGER) AS rk,
+         |  doc_id, score_micro
+         |FROM sc ORDER BY abs(score_micro), doc_id LIMIT 20""".stripMargin,
+
     "llm_quality_eval" ->
       s"""WITH $qualityCte,
          |sc AS (SELECT f.doc_id,
@@ -1845,6 +1888,61 @@ object Curation {
         |  FROM d2)
         |SELECT "group", rk, vec_id, dist2_r FROM rk WHERE rk <= 5
         |ORDER BY "group", rk""".stripMargin,
+
+    "llm_lang_segments" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    string_split_regex(text, ' ') AS tk FROM documents),
+        |l0 AS (SELECT doc_id, lang,
+        |    list_transform(range(0, (len(tk) + 9) // 10),
+        |      i -> array_to_string(tk[i*10+1 : i*10+10], ' ')) AS ls
+        |  FROM tk),
+        |ln AS (SELECT doc_id, lang, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS ln_no FROM l0),
+        |lh AS (SELECT doc_id, lang, CAST(ln_no AS BIGINT) AS ln_no, line
+        |  FROM ln WHERE trim(line) <> ''),
+        |lt0 AS (SELECT doc_id, ln_no, token,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, ln_no,
+        |      unnest(string_split_regex(line, ' ')) AS token FROM lh)
+        |  GROUP BY doc_id, ln_no, token),
+        |langs AS (SELECT DISTINCT doc_id, lang FROM documents),
+        |ltk AS (SELECT l.lang, t.token, CAST(SUM(t.n_tok) AS BIGINT)
+        |    AS c_lt
+        |  FROM lt0 t JOIN langs l USING (doc_id) GROUP BY l.lang, t.token),
+        |v AS (SELECT COUNT(DISTINCT token) AS v FROM ltk),
+        |tot AS (SELECT lang AS m_lang, CAST(SUM(c_lt) AS BIGINT) AS c_l
+        |  FROM ltk GROUP BY lang),
+        |grid AS (SELECT token, m_lang, c_l FROM
+        |  (SELECT DISTINCT token FROM ltk) CROSS JOIN tot),
+        |probs AS (SELECT g.token, g.m_lang,
+        |    CAST(ROUND(ln(CAST(COALESCE(k.c_lt, 0) + 1 AS DOUBLE)
+        |      / (g.c_l + v.v)), 9) AS DECIMAL(18,9)) AS logp
+        |  FROM grid g CROSS JOIN v
+        |  LEFT JOIN ltk k ON g.token = k.token AND g.m_lang = k.lang),
+        |sc AS (SELECT t.doc_id, t.ln_no, p.m_lang,
+        |    SUM(p.logp * t.n_tok) AS score
+        |  FROM lt0 t JOIN probs p USING (token)
+        |  GROUP BY t.doc_id, t.ln_no, p.m_lang),
+        |vote AS (SELECT doc_id, m_lang FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, ln_no
+        |      ORDER BY score DESC, m_lang ASC) AS rk FROM sc)
+        |  WHERE rk = 1),
+        |pl AS (SELECT doc_id, m_lang, COUNT(*) AS n FROM vote
+        |  GROUP BY doc_id, m_lang),
+        |maj AS (SELECT doc_id, m_lang AS major_lang, n AS maj FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY n DESC, m_lang ASC) AS mrk FROM pl) WHERE mrk = 1),
+        |nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lh GROUP BY doc_id),
+        |ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_langs
+        |  FROM pl GROUP BY doc_id)
+        |SELECT nl.doc_id, nl.n_lines,
+        |  CAST(COALESCE(ng.n_langs, 0) AS BIGINT) AS n_langs,
+        |  maj.major_lang,
+        |  CAST(COALESCE(maj.maj, 0) AS DOUBLE)
+        |    / CAST(nl.n_lines AS DOUBLE) AS major_frac
+        |FROM nl LEFT JOIN ng USING (doc_id) LEFT JOIN maj USING (doc_id)
+        |ORDER BY nl.doc_id""".stripMargin,
 
     // rebuilt-over-day0∪day1 definition — the gate certifies the
     // write+append+compact+screen lifecycle end to end

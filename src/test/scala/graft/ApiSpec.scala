@@ -1945,6 +1945,36 @@ class ApiSpec extends AnyFunSuite {
       "total must be the exact integer sum of per-token contributions")
   }
 
+  test("TextQuality.langSegments votes per line and reports the " +
+      "code-mixed profile a doc-level LID papers over") {
+    // doc 1 is labeled en but its second line is German — the per-line
+    // vote must split it; doc 2 is uniformly German
+    val docs = Seq(
+      (1L, "en", "the cat sat\nder hund lief"),
+      (2L, "de", "der hund lief\nder hund schlief")
+    ).toDF("id", "lg", "body")
+    val out = TextQuality.langSegments(docs, col("id"), col("lg"),
+        col("body"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((2L, 2L, "de", 0.5)),
+      s"mixed doc must show 2 langs, 1-1 tie broken label-asc: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, "de", 1.0)), s"uniform doc: ${out(2L)}")
+  }
+
+  test("Quality.uncertaintySample ranks boundary-adjacent docs first " +
+      "with id tie-break; confident docs fall outside the budget") {
+    import graft.api.Quality
+    val feats = Seq((1L, 0L, 1L), (2L, 1L, 2L), (3L, 0L, 1L),
+      (3L, 1L, 3L), (4L, 1L, 5L)).toDF("doc_id", "bucket", "n")
+    val w = Seq((0L, 500L), (1L, -100L)).toDF("bucket", "w_micro")
+    // margins: d1 +500, d2 -200, d3 +200, d4 -500
+    val out = Quality.uncertaintySample(feats, w, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, 2L, -200L), (2, 3L, 200L), (3, 1L, 500L)),
+      s"|200| ties break by id, d4 (sure) is outside k=3: $out")
+  }
+
   test("Corpus.driftByGroup normalizes within each group; a vanished " +
       "group scores the one-sided half-ln2 ceiling") {
     import graft.api.Corpus
