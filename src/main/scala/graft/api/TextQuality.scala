@@ -314,8 +314,13 @@ object TextQuality {
       .select("token").distinct().agg(count(lit(1)).as("v"))
     val langTot = langTok.groupBy(col("__label"))
       .agg(sum(col("c_lt")).as("c_l"))
+    // the label-totals side is |languages|-bounded by construction, so
+    // the vocab × labels grid expansion is BROADCAST-hinted — without
+    // the hint the planner may fall back to an (equally bounded but
+    // sweep-flagged) CartesianProduct when size estimates are poor
     val grid = langTok.filter(col("c_lt") > 0).select("token").distinct()
-      .crossJoin(langTot.select(col("__label").as("m_label"), col("c_l")))
+      .crossJoin(broadcast(
+        langTot.select(col("__label").as("m_label"), col("c_l"))))
       .alias("g")
     val lt = langTok.alias("lt")
     val probs = grid

@@ -103,6 +103,53 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // the END-TO-END export job as ONE declarative plan — what actually
+    // ships to the trainer: normalize → quality gates → exact dedup
+    // keep-first → disjoint 16-token chunks → 128-token packs per
+    // source (running-sum window, no global sort) → per-pack manifest
+    // row with an ORDER-FREE integer checksum of (doc, chunk) members
+    // (the shardManifest idiom — file order cannot move it; recompute
+    // on the trainer's copy and compare). Catalyst sees the whole
+    // chain: normalization/gating fold into the scan projection, the
+    // dedup window and the pack window are the only wide stages, and
+    // document text never survives past the chunk split. The composite
+    // proof that curation, packing and integrity ride one plan.
+    "llm_training_export" -> ((s, d) => {
+      val norm = documents(s, d).select(col("doc_id"), col("source"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .as("norm_text"))
+      val toks = split(col("norm_text"), " ")
+      val gated = norm
+        .withColumn("__n", size(toks))
+        .withColumn("__dup",
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        .filter(col("__n") >= 5 && col("__dup") <= 0.5)
+      val wD = Window.partitionBy(md5(col("norm_text")))
+        .orderBy(col("doc_id"))
+      val surv = gated.withColumn("__rk", row_number().over(wD))
+        .filter(col("__rk") === 1)
+      val chunks = surv
+        .select(col("doc_id"), col("source"), col("__n"),
+          explode(sequence(lit(1), col("__n"), lit(16))).as("__start"))
+        .select(col("doc_id"), col("source"),
+          ((col("__start") - 1) / 16).cast("int").as("chunk_id"),
+          least(lit(16), col("__n") - col("__start") + 1).as("n_tokens"))
+      val wP = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("pack_id",
+          ((sum(col("n_tokens")).over(wP) - col("n_tokens")) / 128)
+            .cast("int"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(conv(substring(md5(concat(lit("exp|"),
+            col("doc_id").cast("string"), lit("|"),
+            col("chunk_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))
+        .orderBy("source", "pack_id")
+    }),
+
     // Gopher repetition removal: duplicate-token fraction + most-frequent-
     // bigram dominance, gated on the RAW ratios (displayed rounded)
     "llm_repetition_filter" -> ((s, d) =>
@@ -1124,6 +1171,40 @@ object Curation {
         |  (rk = 1) AS is_canonical,
         |  ((n_tokens >= 5 AND dup_frac <= 0.5) AND rk = 1) AS final_keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "llm_training_export" ->
+      """WITH norm AS (SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, norm_text,
+        |    len(string_split_regex(norm_text, ' ')) AS n,
+        |    1.0 - CAST(len(list_distinct(string_split_regex(norm_text,
+        |        ' '))) AS DOUBLE)
+        |      / len(string_split_regex(norm_text, ' ')) AS dup
+        |  FROM norm),
+        |g AS (SELECT * FROM t WHERE n >= 5 AND dup <= 0.5),
+        |surv AS (SELECT doc_id, source, n FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(norm_text)
+        |      ORDER BY doc_id) AS rk FROM g) WHERE rk = 1),
+        |ch AS (SELECT doc_id, source,
+        |    CAST((start - 1) // 16 AS INTEGER) AS chunk_id,
+        |    LEAST(16, n - start + 1) AS n_tokens
+        |  FROM (SELECT doc_id, source, n,
+        |      unnest(range(1, n + 1, 16)) AS start FROM surv)),
+        |p AS (SELECT source, doc_id, chunk_id, n_tokens,
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY doc_id, chunk_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - n_tokens) // 128 AS INTEGER) AS pack_id
+        |  FROM ch)
+        |SELECT source, pack_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST('0x' || substr(md5('exp|'
+        |    || CAST(doc_id AS VARCHAR) || '|'
+        |    || CAST(chunk_id AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS checksum
+        |FROM p GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
+
     "llm_dataset_card" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split_regex(text, ' '))) AS BIGINT) AS n_tokens,

@@ -1945,6 +1945,37 @@ class ApiSpec extends AnyFunSuite {
       "total must be the exact integer sum of per-token contributions")
   }
 
+  test("llm_training_export conserves survivor tokens across packs and " +
+      "respects the pack budget within one chunk of slack") {
+    val out = SparkEntry.queries("llm_training_export")(spark,
+      SparkFixture.sf0001)
+    val packs = out.collect()
+    val packedTokens = packs.map(_.getLong(3)).sum
+    // independent survivor-token recompute: normalize → gates → exact
+    // dedup keep-first (the same chain, spelled differently)
+    val docs = SparkFixture.spark.read
+      .parquet(s"${SparkFixture.sf0001}/documents.parquet")
+    val norm = docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("nt"))
+    val tk = split(col("nt"), " ")
+    val surv = norm
+      .withColumn("n", size(tk))
+      .withColumn("dup",
+        lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk))
+      .filter(col("n") >= 5 && col("dup") <= 0.5)
+      .groupBy(md5(col("nt")).as("h"))
+      .agg(org.apache.spark.sql.functions.min(
+        struct(col("doc_id"), col("n"))).as("m"))
+      .select(col("m.n"))
+    val survivorTokens = surv.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(packedTokens == survivorTokens,
+      s"packing must conserve tokens: $packedTokens vs $survivorTokens")
+    // a pack closes when the running sum crosses the 128 boundary; the
+    // crossing chunk (≤ 16 tokens) is the only permitted overshoot
+    val over = packs.filter(_.getLong(3) > 128 + 15)
+    assert(over.isEmpty, s"packs over budget+slack: ${over.toSeq}")
+  }
+
   test("TextQuality.langSegments votes per line and reports the " +
       "code-mixed profile a doc-level LID papers over") {
     // doc 1 is labeled en but its second line is German — the per-line

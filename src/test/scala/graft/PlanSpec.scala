@@ -553,4 +553,41 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final cell aggregation:\n$p")
   }
+
+  test("llm_training_export: the whole export chain is ONE plan whose " +
+      "only wide stages are the dedup window, the pack window and the " +
+      "manifest aggregate") {
+    val p = plan("llm_training_export")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+    // "Window [" is the Window node print; WindowGroupLimit nodes (the
+    // rank-filter pushdown Spark adds around the dedup window) are
+    // expected and excluded
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"exactly two window stages (dedup + pack):\n$p")
+    // dedup hash, pack-by-source, (maybe) manifest agg, presentation
+    // sort — nothing else is allowed to move data
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"unexpected extra exchanges in the export chain:\n$p")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"manifest aggregate must be partial+final:\n$p")
+  }
+
+  test("llm_doc_stitch: candidates are a hash equi-join of two in-row " +
+      "hash frames — never a cartesian, text never joined") {
+    val p = plan("llm_doc_stitch")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"tail→head matching must be an equi-join:\n$p")
+  }
+
+  test("llm_corpus_drift: counts collapse map-side before the one " +
+      "vocab-sized full-outer join; totals broadcast") {
+    val p = plan("llm_corpus_drift")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final count aggregation on both sides:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row totals must broadcast:\n$p")
+  }
 }
