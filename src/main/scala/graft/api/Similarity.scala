@@ -991,4 +991,72 @@ object Similarity {
       .select(col("group"), col("rk"), col("__vid").as("vec_id"),
         col("dist2_r"))
   }
+
+  /** MEASURED recall@k-vs-probe-cost curve of the IVF sign-bucket index
+    * ([[topKIvf]]) against exact brute force ([[topK]]) — the audit a
+    * production ANN deployment runs on a sampled query set BEFORE
+    * committing to an nprobe setting: the recall lever is only worth
+    * what it measures, and this prices each candidate setting in both
+    * recall (|approx ∩ exact| / |exact|, the standard definition) and
+    * probe cost (candidates actually scored = Σ probe-list sizes).
+    *
+    * Every arithmetic step is engine-reproducible: hit counts and
+    * candidate counts are exact integers (the ranking underneath uses
+    * the house round-6dp + id tie-break), and recall is ONE IEEE
+    * division of exact integers — so the whole audit is
+    * oracle-checkable, unlike a float-threshold recall estimate.
+    *
+    * `excludeSelf` semantics as in [[topK]]; when true the candidate
+    * count subtracts the query's own vector (its bucket is always the
+    * m=0 probe), which assumes queries are drawn FROM the corpus id
+    * space — same caveat as the ranking itself.
+    *
+    * Scale shape: |nprobes| corpus scans (the audit runs on a SAMPLED
+    * query set, so each scan is the cheap side) + one 2^bits-row bucket
+    * histogram reused across settings via broadcast; per-setting hit
+    * counting is a broadcast semi-join of two (|queries|·k)-row frames.
+    * Nothing touches the driver. Output: (nprobe, n_exact, candidates,
+    * hits, recall), nprobe ascending. */
+  def recallAudit(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, bits: Int = 8,
+      nprobes: Seq[Int] = Seq(1, 2, 4),
+      excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    require(nprobes.nonEmpty && nprobes == nprobes.sorted,
+      s"nprobes must be a non-empty ascending list, got $nprobes")
+    require(nprobes.head >= 1 && nprobes.last <= bits + 1,
+      s"every nprobe must be in [1, bits + 1 = ${bits + 1}], got $nprobes")
+    val exact = topK(corpus, id, vec, queries, k, excludeSelf)
+      .select(col("qid"), col("vec_id"))
+    val exactCnt = exact.agg(count(lit(1)).as("n_exact"))
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    val hist = corpus.select(signBucket(vec, bits).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__bn"))
+    val perSetting = nprobes.map { p =>
+      val hits = topKIvf(corpus, id, vec, queries, k, bits, excludeSelf, p)
+        .select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      // probe cost: the query's own bucket plus its first p−1 one-bit
+      // flips — EXACTLY topKIvf's probe set; empty flip buckets read 0
+      val probeCols = Seq(col("__qb")) ++
+        (0 until (p - 1)).map(i => col("__qb").bitwiseXOR(lit(1 << i)))
+      val cand = queries
+        .select(signBucket(col("qe"), bits).as("__qb"))
+        .select(explode(array(probeCols: _*)).as("__probe"))
+        .join(broadcast(hist), col("__probe") === col("__b"), "left")
+        .agg(sum(coalesce(col("__bn"), lit(0L))).as("__scanned"))
+      hits.crossJoin(broadcast(cand)).withColumn("nprobe", lit(p))
+    }
+    perSetting.reduce(_.unionByName(_))
+      .crossJoin(broadcast(exactCnt))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("n_exact"),
+        (col("__scanned") -
+          (if (excludeSelf) col("__nq") else lit(0L))).as("candidates"),
+        col("hits"),
+        (col("hits").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("nprobe")
+  }
 }

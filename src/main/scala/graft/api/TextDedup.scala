@@ -1658,6 +1658,85 @@ object TextDedup {
     frames.reduce(_ unionByName _).orderBy("b")
   }
 
+  /** MEASURED LSH screen audit — the empirical twin of [[lshPlan]]'s
+    * analytic S-curve at the same k-minhash budget: for each `bands`
+    * factorization of k, the band screen's ACTUAL candidate count,
+    * recall, and precision against exact shingle-jaccard ≥ `minJaccard`
+    * ground truth on the audited corpus (a SAMPLE at production scale —
+    * the planner prices settings a priori, this verifies them on the
+    * data the pipeline actually sees; the [[Similarity.recallAudit]]
+    * idea applied to the dedup screen).
+    *
+    * Ground truth itself never goes all-pairs: J(A,B) ≥ t forces
+    * |A|/|B| within factor 1/t (|A∩B| ≤ min and J ≤ min/max), so
+    * enumeration uses the same geometric size-band equi-join as
+    * [[jaccardWithinBucket]] — deterministic 100% recall at a
+    * band-bounded pair cost. The screen side replays the EXACT
+    * [[nearMinhashMd5]] candidate stage (md5 minhashes, band-signature
+    * keys, distinct pairs), so measured recall is what the production
+    * screen would really achieve — and because md5 minhash is
+    * engine-reproducible, the whole audit is oracle-checkable (an
+    * xxhash64-screen audit would be sanctioned no-oracle; the md5-twin
+    * rule applied to measurement).
+    *
+    * When each bands option divides the next (2|4|8 with the aligned
+    * i/r grouping), a coarser band is a concatenation of finer bands,
+    * so its collisions are a SUBSET — candidates/hits/recall are
+    * provably monotone in `bands` (pinned in ApiSpec). Counts are exact
+    * integers; recall/precision single IEEE divisions of exact counts.
+    * Output: (bands, rows_per_band, n_truth, candidates, hits, recall,
+    * precision), bands ascending. */
+  def lshAudit(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, k: Int = 16,
+      bandsOptions: Seq[Int] = Seq(2, 4, 8),
+      minJaccard: Double = 0.8): DataFrame = {
+    require(bandsOptions.nonEmpty && bandsOptions == bandsOptions.sorted,
+      s"bandsOptions must be non-empty ascending, got $bandsOptions")
+    require(bandsOptions.forall(b => b >= 1 && k % b == 0),
+      s"every bands option must divide k=$k, got $bandsOptions")
+    val sh = md5Shingles(df, id, text, shingleWidth)
+    // ground truth with deterministic 100% recall via the size-ratio
+    // bound: geometric shingle-count bands, equal/adjacent orientation
+    // rule — the jaccardWithinBucket enumeration on the shingle frame
+    val r = minJaccard - 0.0001
+    val g = math.exp(math.log(1.0 / r) / 0.9)
+    val keyed = sh.select(col("__id"), size(col("sh")).as("nsh"))
+      .withColumn("band",
+        floor(log(greatest(col("nsh"), lit(1)).cast("double")) /
+          math.log(g)).cast("long"))
+    val a = keyed
+      .withColumn("bandkey", explode(array(col("band"), col("band") + 1)))
+      .alias("a")
+    val b = keyed.withColumn("bandkey", col("band")).alias("b")
+    val tCand = a.join(b, col("a.bandkey") === col("b.bandkey") &&
+        (col("a.band") =!= col("b.band") || col("a.__id") < col("b.__id")) &&
+        least(col("a.nsh"), col("b.nsh")).cast("double") >=
+          greatest(col("a.nsh"), col("b.nsh")) * r)
+      .select(least(col("a.__id"), col("b.__id")).as("doc_a"),
+        greatest(col("a.__id"), col("b.__id")).as("doc_b"))
+    val truth = jaccardVerify(joinShingles(tCand, sh, sh), minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
+    val per = bandsOptions.map { bn =>
+      val cand = selfBandCandidates(md5BandSigs(sh, bn, k / bn))
+      val nc = cand.agg(count(lit(1)).as("candidates"))
+      cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nc))
+        .withColumn("bands", lit(bn))
+        .withColumn("rows_per_band", lit(k / bn))
+    }
+    per.reduce(_.unionByName(_))
+      .crossJoin(broadcast(truthCnt))
+      .select(col("bands"), col("rows_per_band"), col("n_truth"),
+        col("candidates"), col("hits"),
+        (col("hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        (col("hits").cast("double") / col("candidates").cast("double"))
+          .as("precision"))
+      .orderBy("bands")
+  }
+
   // === Fragment stitching — reassembly candidates =======================
   // Crawled corpora carry SPLIT documents: pagination ("page 2 of 7"),
   // chunked uploads, continuation posts. The tell is a w-token overlap

@@ -674,6 +674,24 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // MEASURED ANN audit (graft.api.Similarity.recallAudit): recall@5 of
+    // the IVF sign-bucket index vs exact brute force at nprobe = 1/2/4,
+    // each setting priced in candidates actually scored (Σ probe-list
+    // sizes, self excluded) — the table a deployment reads before
+    // committing to a probe width; the llm_sim_topk_ivf* keys exercise
+    // the index, this key MEASURES it. Hit/candidate counts are exact
+    // integers over the house round-6dp + id-tie-break ranking, recall
+    // one IEEE division ⇒ the full audit is oracle-checked.
+    "llm_ann_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .recallAudit(e, col("vec_id"), col("embedding"), q, k = 5)
+        .select("nprobe", "n_exact", "candidates", "hits", "recall")
+        .orderBy("nprobe")
+    }),
+
     // the PACKED multimodal layout as a declared key: fixture-derived
     // payloads land in packToParquet's flat (path, mime, meta, bytes)
     // parquet layout, are read back through readPacked's struct view,
@@ -985,6 +1003,43 @@ object LlmExtras {
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM sc) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
+    "llm_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+         |  FROM e WHERE vec_id < 10),
+         |np(np, m) AS (VALUES (1,0),(2,0),(2,1),(4,0),(4,1),(4,2),(4,4)),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY ROUND(${dotSql("qe", "e.embedding")}, 6) DESC,
+         |      e.vec_id) AS rk
+         |  FROM q JOIN e ON e.vec_id != q.qid) t WHERE rk <= 5),
+         |ec AS (SELECT COUNT(*) AS n_exact FROM exact),
+         |nq AS (SELECT COUNT(*) AS n FROM q),
+         |appr AS (SELECT np, qid, vec_id FROM (
+         |  SELECT np.np, qid, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY np.np, qid
+         |      ORDER BY ROUND(${dotSql("qe", "e.embedding")}, 6) DESC,
+         |        e.vec_id) AS rk
+         |  FROM q CROSS JOIN np JOIN e ON e.bucket = xor(q.qbucket, np.m)
+         |    AND e.vec_id != q.qid) t WHERE rk <= 5),
+         |hits AS (SELECT np, COUNT(*) AS hits FROM appr
+         |  JOIN exact USING (qid, vec_id) GROUP BY np),
+         |hist AS (SELECT bucket, COUNT(*) AS n FROM e GROUP BY bucket),
+         |cand AS (SELECT np.np AS np, SUM(COALESCE(h.n, 0)) AS scanned
+         |  FROM q CROSS JOIN np
+         |  LEFT JOIN hist h ON h.bucket = xor(q.qbucket, np.m)
+         |  GROUP BY np.np)
+         |SELECT s.np AS nprobe, ec.n_exact,
+         |  CAST(c.scanned - nq.n AS BIGINT) AS candidates,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE)
+         |    AS recall
+         |FROM (SELECT DISTINCT np FROM np) s
+         |LEFT JOIN hits h ON h.np = s.np
+         |JOIN cand c ON c.np = s.np
+         |CROSS JOIN ec CROSS JOIN nq
+         |ORDER BY nprobe""".stripMargin,
     "llm_embed_cov_matrix" -> {
       // generated from the SAME dim list as the Spark side; exact
       // micro-unit integer moments, covariance finished in double

@@ -123,6 +123,18 @@ object LlmOps {
         Seq(BigDecimal("0.3"), BigDecimal("0.4"), BigDecimal("0.5"),
           BigDecimal("0.6"), BigDecimal("0.7")))),
 
+    // MEASURED LSH audit (graft.api.TextDedup.lshAudit): the S-curve
+    // VERIFIED on real data — for each (bands, rows) factorization of
+    // the same k=16 budget, the md5 band screen's actual candidates /
+    // hits / recall / precision against exact shingle-jaccard ≥ 0.8
+    // ground truth (size-ratio-bounded, never all-pairs). llm_lsh_plan
+    // prices the settings a priori; this key measures them — the pair
+    // every production dedup tuning loop reads together.
+    "llm_lsh_audit" -> ((s, d) =>
+      graft.api.TextDedup
+        .lshAudit(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("bands")),
+
     // dedup after normalization: lower + collapse whitespace + trim
     "llm_dedup_norm" -> ((s, d) =>
       graft.api.TextDedup
@@ -394,6 +406,47 @@ object LlmOps {
         |  MAX(CASE WHEN sv = CAST(0.7 AS DECIMAL(12,9))
         |    THEN CAST(1 - acc AS DOUBLE) END) AS p70
         |FROM qb WHERE i = b GROUP BY b, r ORDER BY b""".stripMargin,
+    // measured LSH audit: ground truth = exact shingle jaccard >= 0.8
+    // (with the provable size-ratio prefilter riding the pair join —
+    // same bound the Spark side uses); screen = the md5MinhashCte sig
+    // chain re-banded per factorization (aligned i // r grouping)
+    "llm_lsh_audit" ->
+      s"""WITH $md5MinhashCte,
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |    AND least(len(a.sh), len(b.sh)) >=
+         |      greatest(len(a.sh), len(b.sh)) * 0.7999
+         |  WHERE ROUND(
+         |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+         |      AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh)
+         |       - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+         |    4) >= 0.8),
+         |bnd AS (SELECT bo.bands, s.doc_id, s.i // (16 // bo.bands) AS bd,
+         |    md5(string_agg(s.m, '|' ORDER BY s.i)) AS bsig
+         |  FROM sig s CROSS JOIN (VALUES (2),(4),(8)) bo(bands)
+         |  GROUP BY bo.bands, s.doc_id, s.i // (16 // bo.bands)),
+         |cand AS (SELECT DISTINCT a.bands, a.doc_id AS doc_a,
+         |    b.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b ON a.bands = b.bands AND a.bd = b.bd
+         |    AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |tc AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |cc AS (SELECT bands, COUNT(*) AS candidates FROM cand
+         |  GROUP BY bands),
+         |h AS (SELECT bands, COUNT(*) AS hits FROM cand
+         |  JOIN truth USING (doc_a, doc_b) GROUP BY bands)
+         |SELECT bo.bands, CAST(16 // bo.bands AS INTEGER) AS rows_per_band,
+         |  tc.n_truth,
+         |  COALESCE(cc.candidates, 0) AS candidates,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(tc.n_truth AS DOUBLE)
+         |    AS recall,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE)
+         |    / CAST(COALESCE(cc.candidates, 0) AS DOUBLE) AS precision
+         |FROM (VALUES (2),(4),(8)) bo(bands) CROSS JOIN tc
+         |LEFT JOIN cc ON cc.bands = bo.bands
+         |LEFT JOIN h ON h.bands = bo.bands
+         |ORDER BY bo.bands""".stripMargin,
     // full DuckDB twin of the md5 MinHash-LSH pipeline: 3-gram shingles →
     // 16 md5 minhashes → 4 bands of 4 → band-bucket self-join → exact
     // jaccard on distinct shingle sets

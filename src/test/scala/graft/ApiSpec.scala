@@ -107,6 +107,75 @@ class ApiSpec extends AnyFunSuite {
       assert(bestM(qid) >= s, s"recall dropped for query $qid") }
   }
 
+  test("Similarity.recallAudit: hits re-derived from the public pieces, " +
+      "recall/candidates monotone in nprobe, ratio exact") {
+    val emb = graft.util.Tables.embeddings(spark, SparkFixture.sf0001)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val audit = Similarity
+      .recallAudit(emb, col("vec_id"), col("embedding"), q, k = 5,
+        nprobes = Seq(1, 2, 4))
+      .orderBy("nprobe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(audit.map(_._1).toSeq == Seq(1, 2, 4))
+    // n_exact = |queries|·k (fixture corpus far exceeds k+1 vectors)
+    assert(audit.forall(_._2 == 10L * 5))
+    // wider probing can only add candidates and never lose hits
+    assert(audit.map(_._3).toSeq == audit.map(_._3).toSeq.sorted)
+    assert(audit.map(_._4).toSeq == audit.map(_._4).toSeq.sorted)
+    audit.foreach { case (_, ne, cd, h, rec) =>
+      assert(h <= ne && cd >= h,
+        s"hits $h must be <= n_exact $ne and <= candidates $cd")
+      assert(rec == h.toDouble / ne.toDouble, "recall must be the exact " +
+        "IEEE division of the integer counts")
+    }
+    // independent re-derivation of the nprobe=2 hit count from the two
+    // public rankings the audit claims to compare
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.topK(emb, col("vec_id"),
+      col("embedding"), q, k = 5))
+    val approx2 = pairs(Similarity.topKIvf(emb, col("vec_id"),
+      col("embedding"), q, k = 5, nprobe = 2))
+    assert(audit(1)._4 == (exact intersect approx2).size.toLong,
+      "audit hit count must equal the intersection of the two rankings")
+  }
+
+  test("TextDedup.lshAudit: exact-dup pair caught at every setting, " +
+      "nested factorizations monotone, ratios exact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "one two three four five six seven eight"),
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val audit = TextDedup.lshAudit(docs, col("doc_id"), col("text"))
+      .orderBy("bands").collect()
+    assert(audit.map(_.getInt(0)).toSeq == Seq(2, 4, 8))
+    // ground truth is exactly the planted exact-dup pair
+    assert(audit.forall(_.getLong(2) == 1L), "n_truth must be 1")
+    // identical docs have identical signatures — caught at EVERY setting
+    assert(audit.forall(_.getLong(4) == 1L), "exact dup must always hit")
+    // 2|4|8 with aligned grouping: a coarser band is a concatenation of
+    // finer bands, so its collisions are a subset — candidates and hits
+    // monotone non-decreasing in bands
+    val cands = audit.map(_.getLong(3)).toSeq
+    val hits = audit.map(_.getLong(4)).toSeq
+    assert(cands == cands.sorted && hits == hits.sorted)
+    audit.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3),
+        "hits cannot exceed candidates")
+      assert(r.getDouble(5) ==
+        r.getLong(4).toDouble / r.getLong(2).toDouble,
+        "recall must be the exact IEEE division of the integer counts")
+      assert(r.getDouble(6) ==
+        r.getLong(4).toDouble / r.getLong(3).toDouble,
+        "precision must be the exact IEEE division of the integer counts")
+    }
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
