@@ -169,6 +169,47 @@ object Unigram {
     model
   }
 
+  /** Per-group tokenizer FERTILITY audit — the compression table a
+    * tokenizer deployment reads per corpus slice: under a fitted
+    * (piece, cost) model, each group's word instances, emitted pieces,
+    * and characters, with fertility = pieces/word and chars_per_piece =
+    * the realized compression ratio. A slice whose fertility runs high
+    * pays proportionally more sequence length for the same text — the
+    * number that decides whether a tokenizer refit is worth it and
+    * which source is being tokenized badly (the vocab-coverage curve
+    * prices the CUTOFF; this prices the SEGMENTATION).
+    *
+    * Scale shape: segmentation runs per distinct WORD (the
+    * Heaps-bounded vocabulary, never per document token); per-group
+    * word counts are one map-side-combinable groupBy; the join back is
+    * vocabulary-sized. Counts are exact integers (order-free), ratios
+    * single IEEE divisions — with the Viterbi path itself
+    * engine-reproducible ([[viterbiSegment]]'s packed integer
+    * tie-break), the whole audit is oracle-checkable. Words the model
+    * cannot cover (or ≥ [[MaxWordLen]]) are excluded identically on
+    * both sides, the [[Unigram]] training convention. Output: (group,
+    * n_words, n_pieces, n_chars, fertility, chars_per_piece). */
+  def fertilityByGroup(docs: DataFrame, text: Column, group: Column,
+      pieces: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val wordsByGroup = docs.select(group.as("group"),
+        explode(split(text, " ")).as("word"))
+      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .groupBy("group", "word").agg(count(lit(1)).as("g_n"))
+    val vocab = wordsByGroup.groupBy("word").agg(sum(col("g_n")).as("w_n"))
+    val seg = viterbiSegment(vocab, pieces, maxPieceLen)
+      .select(col("word"), size(col("pieces")).as("__np"))
+    wordsByGroup.join(seg, "word")
+      .groupBy("group")
+      .agg(sum(col("g_n")).as("n_words"),
+        sum(col("g_n") * col("__np")).as("n_pieces"),
+        sum(col("g_n") * length(col("word"))).as("n_chars"))
+      .select(col("group"), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+  }
+
   /** Segment arbitrary words with a trained model (the ENCODE side).
     * Output: the input frame with `tokens ARRAY<STRING>`; rows whose
     * word cannot be covered by the model's pieces carry NULL. */

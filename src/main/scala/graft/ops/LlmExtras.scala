@@ -631,6 +631,22 @@ object LlmExtras {
         .orderBy("word")
     }),
 
+    // tokenizer FERTILITY audit (graft.api.Unigram.fertilityByGroup):
+    // per source, word instances / emitted pieces / chars under the
+    // seed unigram model, fertility = pieces per word — which slice
+    // pays the most sequence length for its text, the number that
+    // prices a tokenizer refit. Segmentation per distinct WORD
+    // (Heaps-bounded), engine-reproducible Viterbi => oracle-checked.
+    "llm_tokenizer_fertility" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wf = graft.api.Bpe.wordFreq(docs, col("text"))
+      graft.api.Unigram
+        .fertilityByGroup(docs, col("text"), col("source"),
+          graft.api.Unigram.seedPieces(wf))
+        .withColumnRenamed("group", "source")
+        .orderBy("source")
+    }),
+
     // the multimodal COLUMN MODEL exercised as a declared, oracle-checked
     // key: no binary fixture exists, so deterministic 16-byte payloads
     // derive from the text fixture (unhex(md5)) and flow through the
@@ -1098,6 +1114,28 @@ object LlmExtras {
          |SELECT word, w_n, CAST(COUNT(*) AS INT) AS n_pieces,
          |  string_agg(piece, '|' ORDER BY j) AS seg
          |FROM used GROUP BY word, w_n ORDER BY word""".stripMargin,
+    // fertility audit: per-word piece counts from the SAME Viterbi walk
+    // as llm_unigram_segment, joined to per-(source, word) counts with
+    // the identical word filter, aggregated per source
+    "llm_tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+         |$unigramCte,
+         |np AS (SELECT word, CAST(COUNT(*) AS INT) AS np FROM used
+         |  GROUP BY word),
+         |gw AS (SELECT source, word, COUNT(*) AS g_n FROM (
+         |    SELECT source, unnest(string_split_regex(text, ' ')) AS word
+         |    FROM documents) w
+         |  WHERE regexp_full_match(word, '[A-Za-z]+')
+         |  GROUP BY source, word)
+         |SELECT source, CAST(SUM(g_n) AS BIGINT) AS n_words,
+         |  CAST(SUM(g_n * np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(g_n * len(word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(g_n * np) AS DOUBLE) / CAST(SUM(g_n) AS DOUBLE)
+         |    AS fertility,
+         |  CAST(SUM(g_n * len(word)) AS DOUBLE)
+         |    / CAST(SUM(g_n * np) AS DOUBLE) AS chars_per_piece
+         |FROM gw JOIN np USING (word)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // llm_sim_topk_pca: omitted (float-order-dependent Jacobi eigen fit,
     // like the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec.
     // llm_sim_topk_pca_exact below IS the oracle-checked PCA: the whole

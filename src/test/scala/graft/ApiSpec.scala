@@ -176,6 +176,30 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Unigram.fertilityByGroup: hand-walked model gives exact counts " +
+      "and ratios; uncoverable words excluded") {
+    import graft.api.Unigram
+    val docs = Seq(("s1", "ab ab cd"), ("s2", "abcd"), ("s3", "zq"))
+      .toDF("source", "text")
+    // single chars at cost 5 except z/q missing => "zq" is uncoverable
+    // and s3 must be absent; "ab" as a cheaper fused piece (3 < 5+5)
+    val model = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L), ("ab", 3L))
+      .toDF("piece", "cost")
+    val out = Unigram
+      .fertilityByGroup(docs, col("text"), col("source"), model)
+      .orderBy("group").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("s1", "s2"),
+      "uncoverable-word-only group must be absent")
+    // s1: ab(x2) -> 1 piece each, cd -> 2 pieces
+    val s1 = out(0)
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3)) == ((3L, 4L, 6L)))
+    assert(s1.getDouble(4) == 4.0 / 3.0 && s1.getDouble(5) == 6.0 / 4.0)
+    // s2: abcd -> ab + c + d (13 micro) beats all-singles (20)
+    val s2 = out(1)
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(3)) == ((1L, 3L, 4L)))
+    assert(s2.getDouble(4) == 3.0 && s2.getDouble(5) == 4.0 / 3.0)
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
