@@ -202,6 +202,42 @@ object Quality {
       .select(col("rk"), col("doc_id"), col("score_micro"))
   }
 
+  /** Interpretability audit of a fitted model — "what did the filter
+    * learn": the k buckets with the largest |weight|, each joined to
+    * its corpus profile (how many distinct tokens hash there, plus the
+    * lexicographically-first as an exemplar). With the hashing trick a
+    * bucket is a feature CLASS, not a single token — the exemplar and
+    * count say how coarse the class is, which is exactly what a
+    * curation reviewer needs before trusting (or debugging) the model:
+    * a huge-|w| bucket holding thousands of tokens is a collision
+    * artifact, one holding a handful is a real learned signal.
+    *
+    * Scale shape: the token inventory is ONE distinct over the
+    * vocabulary (Heaps-bounded, map-side combinable), the join is
+    * model-sized, and the rank window runs over the ≤k-row frame after
+    * a TakeOrderedAndProject top-k — never a corpus or vocabulary sort.
+    * Output: (rk, bucket, w_micro, n_tokens, example_token), rk 1 =
+    * largest |weight|, bucket tie-break. */
+  def topFeatures(docs: DataFrame, text: Column, weights: DataFrame,
+      k: Int = 10, bucketNibbles: Int = 1): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(explode(split(text, " ")).as("__tok")).distinct()
+      .withColumn("bucket",
+        substring(md5(col("__tok")), 1, bucketNibbles))
+    val prof = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("__tok")).as("example_token"))
+    val top = weights.join(prof, Seq("bucket"), "left")
+      .orderBy(abs(col("w_micro")).desc, col("bucket"))
+      .limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("w_micro")).desc, col("bucket"))))
+      .select(col("rk"), col("bucket"), col("w_micro"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("example_token"))
+  }
+
   /** Binned precision/recall curve of a fitted model — the threshold-
     * pricing table a curation run consults before picking the filter's
     * operating point. Scores bucket into integer bins of `binMicro`

@@ -788,6 +788,24 @@ object Curation {
         .orderBy("rk")
     }),
 
+    // INTERPRETABILITY audit (graft.api.Quality.topFeatures): the 10
+    // buckets with the largest fitted |weight|, each with its corpus
+    // profile — distinct tokens hashing there + an exemplar. With the
+    // hashing trick a bucket is a feature CLASS; the count says how
+    // coarse it is (a huge-|w| bucket holding thousands of tokens is a
+    // collision artifact, a narrow one is real signal) — the "what did
+    // my filter learn" table every reviewed curation model ships with.
+    "llm_quality_top_features" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      graft.api.Quality.topFeatures(docs, col("text"), model, k = 10)
+        .orderBy("rk")
+    }),
+
     // the EVAL side — what a curation run reports before trusting a
     // filter: confusion counts + precision/recall/F1 of the fitted
     // classifier against the seed labels. Exp-free (the classify
@@ -1828,6 +1846,20 @@ object Curation {
          |    (ORDER BY abs(score_micro), doc_id) AS INTEGER) AS rk,
          |  doc_id, score_micro
          |FROM sc ORDER BY abs(score_micro), doc_id LIMIT 20""".stripMargin,
+    "llm_quality_top_features" ->
+      s"""WITH $qualityCte,
+         |tok AS (SELECT DISTINCT unnest(string_split_regex(text, ' '))
+         |    AS token FROM documents),
+         |prof AS (SELECT substr(md5(token), 1, 1) AS bucket,
+         |    COUNT(*) AS n_tokens, MIN(token) AS example_token
+         |  FROM tok GROUP BY 1)
+         |SELECT CAST(ROW_NUMBER() OVER
+         |    (ORDER BY abs(w2.w_micro) DESC, w2.bucket) AS INTEGER) AS rk,
+         |  w2.bucket, w2.w_micro,
+         |  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  p.example_token
+         |FROM w2 LEFT JOIN prof p ON p.bucket = w2.bucket
+         |ORDER BY abs(w2.w_micro) DESC, w2.bucket LIMIT 10""".stripMargin,
 
     "llm_quality_eval" ->
       s"""WITH $qualityCte,

@@ -200,6 +200,37 @@ class ApiSpec extends AnyFunSuite {
     assert(s2.getDouble(4) == 3.0 && s2.getDouble(5) == 4.0 / 3.0)
   }
 
+  test("Quality.topFeatures: |w| ranking with bucket tie-break, corpus " +
+      "profile counts distinct tokens, model-only bucket profiles null") {
+    import graft.api.Quality
+    // tokens "a" and "b" hash to distinct nibbles; repeat "a" across
+    // docs to prove the profile is DISTINCT-token counting
+    val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    def nib(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 1)
+    val aB = nib("a")
+    val bB = nib("b")
+    assume(aB != bB)
+    // a spare bucket no corpus token hashes to
+    val spare = (('0' to '9') ++ ('a' to 'f')).map(_.toString)
+      .find(x => x != aB && x != bB).get
+    val w = Seq((aB, -7L), (bB, 5L), (spare, 6L))
+      .toDF("bucket", "w_micro")
+    val out = Quality.topFeatures(docs, col("text"), w, k = 3)
+      .orderBy("rk").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq((1, aB, -7L), (2, spare, 6L), (3, bB, 5L)),
+      "rank must follow |w| desc with bucket tie-break")
+    val byBucket = out.map(r => r.getString(1) ->
+      (r.getLong(3), Option(r.getString(4)))).toMap
+    assert(byBucket(aB) == ((1L, Some("a"))),
+      "repeated token must count once with itself as exemplar")
+    assert(byBucket(bB) == ((1L, Some("b"))))
+    assert(byBucket(spare) == ((0L, None)),
+      "a bucket with no corpus tokens profiles as (0, null)")
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
