@@ -572,4 +572,56 @@ object Corpus {
   def driftSummaryAgainstCounts(newDf: DataFrame, text: Column,
       path: String): DataFrame =
     summarizeDrift(driftAgainstCounts(newDf, text, path))
+
+  /** Deterministic train/val/test split by salted hash of `key` — the
+    * export-time assignment every training pipeline needs: membership
+    * is a pure function of (salt, key), so re-runs, backfills and
+    * incremental appends land every row in the SAME split with zero
+    * coordination state ([[shuffleShard]]'s no-RNG rule applied to
+    * splitting). The gate is EXACT integer arithmetic on the 32-bit
+    * md5 prefix — u·1000 < permille·2³² (u < 2³², so the product stays
+    * far under 2⁶³) — no float near a boundary, bit-identical in any
+    * engine. `valPermille`/`testPermille` are thousandths; the rest is
+    * train. Output: input columns + `split` ∈ {train, val, test}.
+    *
+    * CAVEAT the leakage audit measures: keying on a per-doc id puts
+    * near-duplicate documents in INDEPENDENT splits — a near-copy of a
+    * training doc lands in test with probability ≈ test share, and the
+    * eval leaks. Key on a duplicate-cluster representative instead:
+    * [[splitLeakageSafe]]. */
+  def splitAssign(df: DataFrame, key: Column, salt: String = "split",
+      valPermille: Int = 100, testPermille: Int = 100): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille < 1000,
+      s"val=$valPermille + test=$testPermille permille must leave " +
+        "train mass")
+    val Two32 = 4294967296L
+    val u = conv(substring(md5(concat(lit(salt), lit("|"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long")
+    df.withColumn("split",
+      when(u * 1000L < lit(testPermille.toLong * Two32), "test")
+        .when(u * 1000L <
+          lit((testPermille.toLong + valPermille.toLong) * Two32), "val")
+        .otherwise("train"))
+  }
+
+  /** LEAKAGE-SAFE split: [[splitAssign]] keyed on each doc's duplicate-
+    * CLUSTER representative, so a near-dup cluster travels to ONE split
+    * and no eval row has a training-set twin (the decontamination rule
+    * applied at split time, where it is free — dedup already computed
+    * the clusters). `clusters` is a (node, cluster_id) frame
+    * ([[TextDedup.clusters]]); docs outside every cluster key on their
+    * own id. The cluster join is a plain equi-join (the cluster frame
+    * is dup-bounded, usually tiny — AQE broadcasts when it fits).
+    * Output: input columns + `split`. */
+  def splitLeakageSafe(df: DataFrame, id: Column, clusters: DataFrame,
+      salt: String = "split", valPermille: Int = 100,
+      testPermille: Int = 100): DataFrame = {
+    val withKey = df.withColumn("__sid", id)
+      .join(clusters.select(col("node").as("__sid"),
+        col("cluster_id").as("__scl")), Seq("__sid"), "left")
+      .withColumn("__skey", coalesce(col("__scl"), col("__sid")))
+    splitAssign(withKey, col("__skey"), salt, valPermille, testPermille)
+      .drop("__sid", "__scl", "__skey")
+  }
 }

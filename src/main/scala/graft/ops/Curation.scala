@@ -788,6 +788,50 @@ object Curation {
         .orderBy("rk")
     }),
 
+    // deterministic train/val/test split (graft.api.Corpus.splitAssign):
+    // membership a pure function of (salt, doc_id) — re-runs, backfills
+    // and appends land every row in the SAME split with zero state; the
+    // gate is exact integer arithmetic on the 32-bit md5 prefix (no
+    // float near a boundary). 10% val / 10% test permille defaults.
+    "llm_split_assign" -> ((s, d) =>
+      graft.api.Corpus
+        .splitAssign(documents(s, d).select(col("doc_id")), col("doc_id"))
+        .orderBy("doc_id")),
+
+    // the split LEAKAGE audit — measured, not assumed: near-dup pairs
+    // (the jaccard >= 0.95 edge set) counted against both assignments.
+    // Keying on the per-doc id splits near-duplicates INDEPENDENTLY, so
+    // some eval docs have training-set twins (n_cross > 0); keying on
+    // the duplicate-cluster representative (Corpus.splitLeakageSafe)
+    // sends every cluster to ONE split — the oracle-checked zero in the
+    // cluster row is the construction's proof, and the naive row is the
+    // leak a production split must avoid. The dedup pipeline already
+    // computed the clusters; leakage safety at split time is free.
+    "llm_split_leakage" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = graft.api.TextDedup
+        .jaccardWithinBucket(docs, col("doc_id"), col("source"),
+          col("text"), minJaccard = 0.95)
+        .select(col("doc_a"), col("doc_b"))
+      val cl = graft.api.TextDedup.clusters(pairs, col("doc_a"),
+        col("doc_b"))
+      val ids = docs.select(col("doc_id"))
+      val naive = graft.api.Corpus.splitAssign(ids, col("doc_id"))
+      val safe = graft.api.Corpus.splitLeakageSafe(ids, col("doc_id"), cl)
+      def crossings(asg: org.apache.spark.sql.DataFrame) = pairs
+        .join(asg.select(col("doc_id").as("doc_a"),
+          col("split").as("__sa")), "doc_a")
+        .join(asg.select(col("doc_id").as("doc_b"),
+          col("split").as("__sb")), "doc_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+            .as("n_cross"))
+      crossings(naive).withColumn("method", lit("naive"))
+        .unionByName(crossings(safe).withColumn("method", lit("cluster")))
+        .select("method", "n_pairs", "n_cross")
+        .orderBy("method")
+    }),
+
     // INTERPRETABILITY audit (graft.api.Quality.topFeatures): the 10
     // buckets with the largest fitted |weight|, each with its corpus
     // profile — distinct tokens hashing there + an exemplar. With the
@@ -1151,7 +1195,54 @@ object Curation {
       |  UNION ALL SELECT 3, quantile_cont(s, 0.25) FROM d
       |  UNION ALL SELECT 4, quantile_cont(s, 0.0) FROM d)""".stripMargin
 
+  /** DuckDB twin of Corpus.splitAssign's exact integer gate at the
+    * default 100/100 permille: u·1000 vs 100·2³² = 429496729600 and
+    * 200·2³² = 858993459200. */
+  private def splitCaseSql(k: String): String = {
+    def u = s"CAST('0x' || substr(md5('split|' || CAST($k AS VARCHAR))," +
+      " 1, 8) AS BIGINT) * 1000"
+    s"CASE WHEN $u < 429496729600 THEN 'test' " +
+      s"WHEN $u < 858993459200 THEN 'val' ELSE 'train' END"
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_split_assign" ->
+      s"""SELECT doc_id, ${splitCaseSql("doc_id")} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_split_leakage" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+         |  list_distinct(string_split_regex(text, ' ')) AS tk
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+         |    (CAST(len(a.tk) + len(b.tk) AS DOUBLE)
+         |      - len(list_intersect(a.tk, b.tk))), 4) >= 0.95),
+         |e AS (SELECT doc_a AS x, doc_b AS y FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |walk AS (SELECT x AS node, y AS label FROM e
+         |         UNION
+         |         SELECT e.x, w.label FROM e JOIN walk w ON e.y = w.node),
+         |cl AS (SELECT node, LEAST(node, MIN(label)) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |naive AS (SELECT doc_id, ${splitCaseSql("doc_id")} AS split
+         |  FROM documents),
+         |safek AS (SELECT d.doc_id,
+         |    COALESCE(c.cluster_id, d.doc_id) AS k
+         |  FROM documents d LEFT JOIN cl c ON c.node = d.doc_id),
+         |safe AS (SELECT doc_id, ${splitCaseSql("k")} AS split FROM safek)
+         |SELECT 'naive' AS method, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN a.split != b.split THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cross
+         |FROM p JOIN naive a ON a.doc_id = p.doc_a
+         |JOIN naive b ON b.doc_id = p.doc_b
+         |UNION ALL
+         |SELECT 'cluster' AS method, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN a.split != b.split THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cross
+         |FROM p JOIN safe a ON a.doc_id = p.doc_a
+         |JOIN safe b ON b.doc_id = p.doc_b
+         |ORDER BY method""".stripMargin,
     "llm_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
          |  FROM documents),

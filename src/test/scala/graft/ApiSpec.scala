@@ -231,6 +231,42 @@ class ApiSpec extends AnyFunSuite {
       "a bucket with no corpus tokens profiles as (0, null)")
   }
 
+  test("Corpus.splitAssign: pure-Scala gate re-derivation, determinism; " +
+      "splitLeakageSafe sends a planted cluster to one split") {
+    import graft.api.Corpus
+    def expected(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(h.substring(0, 8), 16)
+      if (u * 1000L < 100L * 4294967296L) "test"
+      else if (u * 1000L < 200L * 4294967296L) "val" else "train"
+    }
+    val ids = (1L to 400L).toDF("doc_id")
+    val got = Corpus.splitAssign(ids, col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 400L).foreach(i => assert(got(i) == expected(i),
+      s"id $i: engine ${got(i)} != re-derived ${expected(i)}"))
+    assert(got.values.toSet == Set("train", "val", "test"),
+      "400 uniform ids must populate all three splits")
+    // a second run is bit-identical (pure function of salt+key)
+    val again = Corpus.splitAssign(ids, col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+    // planted cluster straddling two naive splits must ride together
+    // under the cluster key — and land exactly where its rep's hash says
+    val x = (1L to 400L).find(i => expected(i) == "train").get
+    val y = (1L to 400L).find(i => expected(i) == "test").get
+    val rep = math.min(x, y)
+    val cl = Seq((x, rep), (y, rep)).toDF("node", "cluster_id")
+    val safe = Corpus.splitLeakageSafe(Seq(x, y).toDF("doc_id"),
+        col("doc_id"), cl).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(safe(x) == safe(y), "cluster members must share a split")
+    assert(safe(x) == expected(rep),
+      "the shared split must be the representative's hash gate")
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
