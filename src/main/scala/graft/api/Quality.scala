@@ -202,6 +202,77 @@ object Quality {
       .select(col("rk"), col("doc_id"), col("score_micro"))
   }
 
+  /** k-fold CROSS-VALIDATION of the learned filter — the eval loop
+    * that decides whether the classifier generalizes before it gates a
+    * corpus: deterministic fold assignment (32-bit salted-md5 prefix
+    * mod `folds` — a pure function of (salt, doc_id), the
+    * [[Corpus.splitAssign]] no-RNG rule), then for each fold an
+    * `epochs`-epoch fit on the OTHER folds' labels and an exp-free
+    * margin>0 evaluation on the held-out fold. Train-set confusion
+    * (the llm_quality_eval key) measures fit; THIS measures
+    * generalization — the number that catches an overfit seed rule or
+    * a leaky feature before production.
+    *
+    * Scale shape: the corpus-sized feature frame is materialized ONCE
+    * and reused across all `folds`·`epochs` declarative steps (pass
+    * `checkpointDir` for fault-tolerant truncation on a real cluster);
+    * per-fold work is the same two map-side-combinable aggregates as
+    * [[trainStep]]; fold count is a constant. All counts exact
+    * integers; accuracy is ONE IEEE division — with the fold gate and
+    * the epoch chain both engine-reproducible, the whole loop is
+    * oracle-checkable. Output: (fold, n_train, n_test, tp, fp, fn, tn,
+    * accuracy), fold ascending. */
+  def crossValidate(feats: DataFrame, labels: DataFrame, folds: Int = 3,
+      epochs: Int = 2, lrMicro: Long = 500000L, salt: String = "cv",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(folds >= 2, s"folds=$folds must be at least 2")
+    require(epochs >= 1, s"epochs=$epochs must be at least 1")
+    val u = conv(substring(md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val ck = TextDedup.ckptFn(feats.sparkSession, checkpointDir)
+    val f = ck(feats)
+    val fGen = TextDedup.checkpointRdd(f)
+    val l = ck(labels.withColumn("__fold", (u % folds).cast("int")))
+    val lGen = TextDedup.checkpointRdd(l)
+    var gens = List.empty[org.apache.spark.rdd.RDD[_]]
+    val rows = (0 until folds).map { k =>
+      val trainLab = l.filter(col("__fold") =!= k)
+        .select(col("doc_id"), col("y"))
+      val testLab = l.filter(col("__fold") === k)
+        .select(col("doc_id"), col("y"))
+      var model = trainStep(f, trainLab, emptyWeights(f), lrMicro)
+      var e = 1
+      while (e < epochs) {
+        model = ck(model)
+        TextDedup.checkpointRdd(model).foreach(r => gens = r :: gens)
+        model = trainStep(f, trainLab, model, lrMicro)
+        e += 1
+      }
+      val pred = coalesce(col("z_micro"), lit(0L)) > 0
+      testLab.join(margins(f, model), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(pred && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(pred && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(!pred && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(!pred && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+        .crossJoin(broadcast(
+          trainLab.agg(count(lit(1)).as("n_train"))))
+        .withColumn("fold", lit(k))
+    }
+    val out = rows.reduce(_.unionByName(_))
+      .select(col("fold"), col("n_train"), col("n_test"), col("tp"),
+        col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double")
+          / col("n_test").cast("double")).as("accuracy"))
+      .orderBy("fold")
+    // materialize BEFORE releasing the frames the plan still references
+    val res = ck(out)
+    gens.foreach(_.unpersist(blocking = false))
+    fGen.foreach(_.unpersist(blocking = false))
+    lGen.foreach(_.unpersist(blocking = false))
+    res
+  }
+
   /** Interpretability audit of a fitted model — "what did the filter
     * learn": the k buckets with the largest |weight|, each joined to
     * its corpus profile (how many distinct tokens hash there, plus the

@@ -832,6 +832,24 @@ object Curation {
         .orderBy("method")
     }),
 
+    // k-fold CROSS-VALIDATION (graft.api.Quality.crossValidate): the
+    // generalization eval the learned filter needs before gating a
+    // corpus — deterministic md5-mod-3 folds, per fold the same
+    // two-epoch fit on the OTHER folds' labels, exp-free margin
+    // evaluation on the held-out fold. llm_quality_eval measures FIT
+    // on the training labels; this measures what that fit is worth on
+    // docs the model never saw. Fold gate + epoch chain both
+    // engine-reproducible => the whole loop is oracle-checked.
+    "llm_quality_cv" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      graft.api.Quality.crossValidate(feats, labels)
+        .orderBy("fold")
+    }),
+
     // INTERPRETABILITY audit (graft.api.Quality.topFeatures): the 10
     // buckets with the largest fitted |weight|, each with its corpus
     // profile — distinct tokens hashing there + an exemplar. With the
@@ -1937,6 +1955,7 @@ object Curation {
          |    (ORDER BY abs(score_micro), doc_id) AS INTEGER) AS rk,
          |  doc_id, score_micro
          |FROM sc ORDER BY abs(score_micro), doc_id LIMIT 20""".stripMargin,
+    "llm_quality_cv" -> qualityCvSql,
     "llm_quality_top_features" ->
       s"""WITH $qualityCte,
          |tok AS (SELECT DISTINCT unnest(string_split_regex(text, ' '))
@@ -2334,6 +2353,72 @@ object Curation {
       |      AS token
       |    FROM (SELECT doc_id, string_split_regex(text, ' ') AS tk
       |          FROM documents)) GROUP BY 1, 2)""".stripMargin)
+
+  /** DuckDB twin of Quality.crossValidate at 3 folds / 2 epochs: the
+    * qualityCte two-epoch chain replayed per fold over the fold's
+    * training labels (every CTE suffixed _f), evaluated margin>0 on the
+    * held-out fold. The w1/g2 inner join is exact by the same argument
+    * as qualityCte's: every weighted bucket came from a training doc's
+    * feature row, and that same row emits an epoch-2 gradient. */
+  private[ops] def qualityCvSql: String = {
+    val base =
+      """feats AS (SELECT doc_id, substr(md5(token), 1, 1) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' '))
+        |      AS token FROM documents) GROUP BY 1, 2),
+        |lab AS (SELECT doc_id,
+        |    CASE WHEN list_contains(string_split_regex(text, ' '), 'join')
+        |         THEN 1 ELSE 0 END AS y,
+        |    CAST(CAST('0x' || substr(md5('cv|' || CAST(doc_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 3 AS INT) AS fold
+        |  FROM documents)""".stripMargin
+    val perFold = (0 until 3).map { f =>
+      s"""tr$f AS (SELECT doc_id, y FROM lab WHERE fold != $f),
+         |nd$f AS (SELECT COUNT(*) AS n FROM tr$f),
+         |g1_$f AS (SELECT f.bucket,
+         |    CAST(SUM(f.n * (500000 - l.y * 1000000)) AS BIGINT) AS g
+         |  FROM feats f JOIN tr$f l USING (doc_id) GROUP BY f.bucket),
+         |w1_$f AS (SELECT bucket,
+         |    0 - CAST(ROUND((CAST(g AS DOUBLE) / nd$f.n) * 0.5) AS BIGINT)
+         |      AS w
+         |  FROM g1_$f, nd$f),
+         |z2_$f AS (SELECT f.doc_id, CAST(SUM(f.n * w1_$f.w) AS BIGINT) AS z
+         |  FROM feats f JOIN w1_$f USING (bucket) GROUP BY f.doc_id),
+         |e2_$f AS (SELECT l.doc_id,
+         |    CAST(ROUND(1000000.0 / (1.0 + exp(-(CAST(COALESCE(z2_$f.z, 0)
+         |      AS DOUBLE) / 1000000.0)))) AS BIGINT) - l.y * 1000000 AS err
+         |  FROM tr$f l LEFT JOIN z2_$f USING (doc_id)),
+         |g2_$f AS (SELECT f.bucket, CAST(SUM(f.n * e2_$f.err) AS BIGINT)
+         |      AS g
+         |  FROM feats f JOIN e2_$f USING (doc_id) GROUP BY f.bucket),
+         |w2_$f AS (SELECT w1_$f.bucket,
+         |    CAST(w1_$f.w - CAST(ROUND((CAST(g2_$f.g AS DOUBLE) / nd$f.n)
+         |      * 0.5) AS BIGINT) AS BIGINT) AS w_micro
+         |  FROM w1_$f JOIN g2_$f USING (bucket), nd$f),
+         |sc$f AS (SELECT f.doc_id, CAST(SUM(f.n * w2_$f.w_micro) AS BIGINT)
+         |      AS z
+         |  FROM feats f JOIN w2_$f USING (bucket) GROUP BY f.doc_id),
+         |ev$f AS (SELECT $f AS fold,
+         |    (SELECT n FROM nd$f) AS n_train,
+         |    COUNT(*) AS n_test,
+         |    CAST(SUM(CASE WHEN z > 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN z > 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN z <= 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN z <= 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn
+         |  FROM (SELECT l.y, COALESCE(s.z, 0) AS z
+         |    FROM lab l LEFT JOIN sc$f s USING (doc_id)
+         |    WHERE l.fold = $f) t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until 3).map(f =>
+      s"SELECT fold, n_train, n_test, tp, fp, fn, tn, " +
+        s"CAST(tp + tn AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy " +
+        s"FROM ev$f").mkString("\nUNION ALL\n")
+    s"WITH $base,\n$perFold\n$unions\nORDER BY fold"
+  }
 
   private def qualityCteWith(featsCte: String): String =
     featsCte + """,

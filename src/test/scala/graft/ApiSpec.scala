@@ -267,6 +267,45 @@ class ApiSpec extends AnyFunSuite {
       "the shared split must be the representative's hash gate")
   }
 
+  test("Quality.crossValidate: folds partition the labels, confusion " +
+      "partitions each fold, fold-0 eval matches independent " +
+      "train+classify") {
+    import graft.api.{Corpus, Quality}
+    val docs = graft.util.Tables.documents(spark, SparkFixture.sf0001)
+    val feats = Corpus.hashFeatures(docs, col("doc_id"), col("text"))
+    val labels = docs.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+    val cv = Quality.crossValidate(feats, labels).orderBy("fold").collect()
+    assert(cv.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    val total = labels.count()
+    assert(cv.map(_.getLong(2)).sum == total,
+      "test folds must partition the label set")
+    cv.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == total,
+        "train + test must cover every label per fold")
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6)
+        == r.getLong(2), "confusion cells must partition the test fold")
+    }
+    // fold-0 confusion re-derived through the PUBLIC train + classify
+    // path with a pure-Scala fold gate
+    def fold(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cv|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 8), 16) % 3).toInt
+    }
+    val ids = labels.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val train0 = ids.filter(t => fold(t._1) != 0).map(_._1).toSet
+    val model = Quality.train(feats,
+      labels.filter(col("doc_id").isInCollection(train0)), epochs = 2)
+    val keep = Quality.classify(feats, model).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val test0 = ids.filter(t => fold(t._1) == 0)
+    val tp = test0.count(t => keep.getOrElse(t._1, false) && t._2 == 1)
+    val tn = test0.count(t => !keep.getOrElse(t._1, false) && t._2 == 0)
+    assert(cv(0).getLong(3) == tp.toLong && cv(0).getLong(6) == tn.toLong,
+      "fold-0 tp/tn must match the independent train+classify eval")
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
