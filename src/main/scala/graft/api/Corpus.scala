@@ -605,6 +605,47 @@ object Corpus {
         .otherwise("train"))
   }
 
+  /** STRATIFIED split with EXACT per-group quotas — [[splitAssign]]'s
+    * complement for building eval sets: the hash gate gives each group
+    * only ≈permille shares (binomial wobble a small source feels), this
+    * gives exactly ⌊n_g·test/1000⌋ test rows and
+    * ⌊n_g·(test+val)/1000⌋ − ⌊n_g·test/1000⌋ val rows per group
+    * (CUMULATIVE floors — the two gates tile the rank range with no
+    * gap), at the price that membership depends on the group's census
+    * (an
+    * APPENDED doc can displace an old one across the boundary —
+    * splitAssign's stability is the trade; pick per use). Assignment is
+    * deterministic: docs order by salted md5 within their group (id
+    * tie-break, the [[temperatureSample]] convention) and the first
+    * quota ranks go to test, then val; the quota gate is the EXACT
+    * integer cross-multiplication rn·1000 ≤ n_g·permille — no float,
+    * no rounding mode to disagree on.
+    *
+    * Scale shape: one per-group rank window (each group sorts
+    * independently — no global sort), one |groups|-row broadcast count
+    * join. Output: input columns + `split`. */
+  def splitStratified(df: DataFrame, id: Column, group: Column,
+      salt: String = "split", valPermille: Int = 100,
+      testPermille: Int = 100): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille < 1000,
+      s"val=$valPermille + test=$testPermille permille must leave " +
+        "train mass")
+    val base = df.withColumn("__g", group)
+    val counts = base.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(md5(concat(lit(s"$salt:"), id.cast("string"))), id)
+    base.withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), "__g")
+      .withColumn("split",
+        when(col("__rn") * 1000L <= col("__n") * testPermille.toLong,
+          "test")
+          .when(col("__rn") * 1000L <=
+            col("__n") * (testPermille.toLong + valPermille.toLong), "val")
+          .otherwise("train"))
+      .drop("__g", "__rn", "__n")
+  }
+
   /** LEAKAGE-SAFE split: [[splitAssign]] keyed on each doc's duplicate-
     * CLUSTER representative, so a near-dup cluster travels to ONE split
     * and no eval row has a training-set twin (the decontamination rule

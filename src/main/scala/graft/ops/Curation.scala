@@ -798,6 +798,18 @@ object Curation {
         .splitAssign(documents(s, d).select(col("doc_id")), col("doc_id"))
         .orderBy("doc_id")),
 
+    // STRATIFIED split (graft.api.Corpus.splitStratified): exact
+    // per-source quotas — each source contributes exactly
+    // floor(n*permille/1000) test and val rows (the eval-set builder's
+    // spelling; the hash gate's binomial wobble would starve a small
+    // source). Quota gate = exact integer cross-multiplication; ranks
+    // from per-group salted-hash windows, no global sort.
+    "llm_split_stratified" -> ((s, d) =>
+      graft.api.Corpus
+        .splitStratified(documents(s, d).select(col("doc_id"),
+          col("source")), col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // the split LEAKAGE audit — measured, not assumed: near-dup pairs
     // (the jaccard >= 0.95 edge set) counted against both assignments.
     // Keying on the per-doc id splits near-duplicates INDEPENDENTLY, so
@@ -1227,6 +1239,18 @@ object Curation {
     "llm_split_assign" ->
       s"""SELECT doc_id, ${splitCaseSql("doc_id")} AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_split_stratified" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN rn * 1000 <= n * 100 THEN 'test'
+        |       WHEN rn * 1000 <= n * 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "llm_split_leakage" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, source,
          |  list_distinct(string_split_regex(text, ' ')) AS tk

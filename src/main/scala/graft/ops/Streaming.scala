@@ -308,6 +308,26 @@ object Streaming {
           thresholdMicro))
     }
 
+  /** Streaming twin of the deterministic split — the ingestion-time
+    * router: because [[graft.api.Corpus.splitAssign]] is a pure
+    * per-row function of (salt, key), each micro-batch routes with
+    * ZERO state store and zero coordination — the property the no-RNG
+    * design buys (an RNG split would need to remember every past
+    * draw). A doc arriving in any batch, on any executor, on any
+    * replay lands in the SAME split — exactly-once routing without
+    * idempotency machinery. `emit` receives the batch + `split`;
+    * batch ≡ streaming equality is pinned in StreamingSpec. */
+  def twinSplitAssign(docs: DataFrame, key: org.apache.spark.sql.Column,
+      salt: String = "split", valPermille: Int = 100,
+      testPermille: Int = 100)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.Corpus.splitAssign(batch, key, salt,
+          valPermille, testPermille))
+    }
+
   /** Streaming twin of the persisted count-min sketch's accept step —
     * the [[twinDedupAgainstIndex]] shape applied to frequency tracking:
     * each micro-batch builds its delta sketch and APPENDS the cells

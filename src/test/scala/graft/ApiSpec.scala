@@ -306,6 +306,31 @@ class ApiSpec extends AnyFunSuite {
       "fold-0 tp/tn must match the independent train+classify eval")
   }
 
+  test("Corpus.splitStratified: exact cumulative-floor quotas per " +
+      "group, deterministic") {
+    import graft.api.Corpus
+    val docs = ((1L to 25L).map(i => (i, "A")) ++
+      (26L to 32L).map(i => (i, "B"))).toDF("doc_id", "source")
+    def run() = Corpus
+      .splitStratified(docs, col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val out = run()
+    val a = out.filter(_._2 == "A").groupBy(_._3).view
+      .mapValues(_.length).toMap
+    // 25 docs at 100/100 permille, CUMULATIVE floors: test = floor(2.5)
+    // = 2, test+val = floor(5.0) = 5 => val = 3 (no gap between gates)
+    assert(a == Map("test" -> 2, "val" -> 3, "train" -> 20),
+      s"group A quotas must be exact cumulative floors, got $a")
+    // 7 docs: test floors to 0, but the CUMULATIVE gate floor(1.4) = 1
+    // still grants one eval row — a small group is never starved of
+    // val representation by two independent floors
+    val b = out.filter(_._2 == "B").groupBy(_._3).view
+      .mapValues(_.length).toMap
+    assert(b == Map("val" -> 1, "train" -> 6),
+      s"group B must get one cumulative-floor val row, got $b")
+    assert(run().toSeq == out.toSeq, "assignment must be deterministic")
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +

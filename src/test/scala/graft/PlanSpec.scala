@@ -580,6 +580,50 @@ class PlanSpec extends AnyFunSuite {
       s"tail→head matching must be an equi-join:\n$p")
   }
 
+  test("llm_split_assign: the split gate is pure map-side compute — " +
+      "zero exchanges before the presentation sort") {
+    val p = plan("llm_split_assign")
+    // the only allowed data movement is the final ORDER BY (one
+    // rangepartitioning exchange); the hash gate itself must fuse into
+    // the scan projection
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"split assignment must not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+  }
+
+  test("llm_split_leakage: pair set joins assignments by equi-key; " +
+      "no cartesian, no nested-loop against the corpus") {
+    val p = plan("llm_split_leakage")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"crossing counts must aggregate partial+final:\n$p")
+  }
+
+  test("llm_quality_top_features: global top-k is TakeOrderedAndProject" +
+      " — never a vocabulary-wide sort") {
+    val p = plan("llm_quality_top_features")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian")
+  }
+
+  test("llm_ann_recall / llm_lsh_audit: audits keep the screens' " +
+      "bounded join shapes — no cartesian anywhere") {
+    val pa = plan("llm_ann_recall")
+    assert(!pa.contains("CartesianProduct"), "unbounded cartesian (ann)")
+    // the bucket histogram joins broadcast
+    assert(pa.contains("BroadcastHashJoin"),
+      s"probe-cost histogram must broadcast:\n$pa")
+    val pl = plan("llm_lsh_audit")
+    assert(!pl.contains("CartesianProduct"), "unbounded cartesian (lsh)")
+    // the only nested-loop joins allowed are the bounded 1-row scalar
+    // cross joins (hits × candidates × n_truth); the truth and screen
+    // candidate stages themselves must be hash equi-joins
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(pl).nonEmpty,
+      s"candidate stages must plan as equi-joins:\n$pl")
+  }
+
   test("llm_corpus_drift: counts collapse map-side before the one " +
       "vocab-sized full-outer join; totals broadcast") {
     val p = plan("llm_corpus_drift")

@@ -394,6 +394,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming split assign: multi-batch routing equals the batch " +
+      "assignment — pure function of (salt, key), zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.api.Corpus
+    val ids = (1L to 60L).toDF("doc_id")
+    val batchSplit = Corpus.splitAssign(ids, col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchSplit.values.toSet.size > 1,
+      "fixture ids must spread over at least two splits")
+    val in = MemoryStream[Long]
+    val emitted = scala.collection.mutable.Map.empty[Long, String]
+    val q = Streaming.twinSplitAssign(in.toDF.toDF("doc_id"),
+        col("doc_id")) { batch =>
+      emitted.synchronized {
+        batch.collect().foreach(r =>
+          emitted(r.getLong(0)) = r.getString(1))
+      }
+    }.start()
+    try {
+      in.addData(1L to 30L: _*)
+      q.processAllAvailable()
+      in.addData(31L to 60L: _*)
+      q.processAllAvailable()
+      val got = emitted.synchronized(emitted.toMap)
+      assert(got == batchSplit,
+        s"streamed routing diverges from batch:\n$got\nvs\n$batchSplit")
+    } finally q.stop()
+  }
+
   test("streaming quality classify: multi-batch scores equal the batch " +
       "path under the same fitted model (stream-static, zero state)") {
     implicit val sqlCtx = spark.sqlContext
