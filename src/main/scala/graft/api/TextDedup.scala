@@ -1667,11 +1667,12 @@ object TextDedup {
     * data the pipeline actually sees; the [[Similarity.recallAudit]]
     * idea applied to the dedup screen).
     *
-    * Ground truth itself never goes all-pairs: J(A,B) ≥ t forces
-    * |A|/|B| within factor 1/t (|A∩B| ≤ min and J ≤ min/max), so
-    * enumeration uses the same geometric size-band equi-join as
-    * [[jaccardWithinBucket]] — deterministic 100% recall at a
-    * band-bounded pair cost. The screen side replays the EXACT
+    * Ground truth itself never goes all-pairs: enumeration uses the
+    * All-Pairs PREFIX filter ([[jaccardPrefixFiltered]]'s engine
+    * applied to shingle sets) — deterministic 100% recall with the
+    * pair space bounded by per-shingle document frequency, which holds
+    * up even when every doc has the same length (where a size-band
+    * bound degenerates). The screen side replays the EXACT
     * [[nearMinhashMd5]] candidate stage (md5 minhashes, band-signature
     * keys, distinct pairs), so measured recall is what the production
     * screen would really achieve — and because md5 minhash is
@@ -1695,25 +1696,30 @@ object TextDedup {
     require(bandsOptions.forall(b => b >= 1 && k % b == 0),
       s"every bands option must divide k=$k, got $bandsOptions")
     val sh = md5Shingles(df, id, text, shingleWidth)
-    // ground truth with deterministic 100% recall via the size-ratio
-    // bound: geometric shingle-count bands, equal/adjacent orientation
-    // rule — the jaccardWithinBucket enumeration on the shingle frame
+    // ground truth with deterministic 100% recall via the All-Pairs
+    // PREFIX filter on the hashed shingle inventory (the
+    // jaccardPrefixFiltered engine applied to shingle sets): a pair at
+    // J ≥ r must share one of each side's first n − ⌈r·n⌉ + 1 sorted
+    // shingle hashes, so candidates group by prefix hash with
+    // per-shingle-df-bounded groups. A size-band join is the WRONG
+    // bound here: homogeneous doc lengths put the whole corpus in one
+    // band and the pair space degenerates to all-pairs (measured 64 s
+    // at sf0.1; the prefix spelling is sub-second). The size-ratio
+    // prefilter still rides the join condition.
     val r = minJaccard - 0.0001
-    val g = math.exp(math.log(1.0 / r) / 0.9)
-    val keyed = sh.select(col("__id"), size(col("sh")).as("nsh"))
-      .withColumn("band",
-        floor(log(greatest(col("nsh"), lit(1)).cast("double")) /
-          math.log(g)).cast("long"))
-    val a = keyed
-      .withColumn("bandkey", explode(array(col("band"), col("band") + 1)))
-      .alias("a")
-    val b = keyed.withColumn("bandkey", col("band")).alias("b")
-    val tCand = a.join(b, col("a.bandkey") === col("b.bandkey") &&
-        (col("a.band") =!= col("b.band") || col("a.__id") < col("b.__id")) &&
+    val hs = sh.select(col("__id"),
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("hs"))
+      .withColumn("nsh", size(col("hs")))
+    val pref = hs.select(col("__id"), col("nsh"),
+      explode(slice(col("hs"), lit(1),
+        (col("nsh") - ceil(col("nsh") * r) + 1).cast("int"))).as("__pk"))
+    val a = pref.alias("a"); val b = pref.alias("b")
+    val tCand = a.join(b, col("a.__pk") === col("b.__pk") &&
+        col("a.__id") < col("b.__id") &&
         least(col("a.nsh"), col("b.nsh")).cast("double") >=
           greatest(col("a.nsh"), col("b.nsh")) * r)
-      .select(least(col("a.__id"), col("b.__id")).as("doc_a"),
-        greatest(col("a.__id"), col("b.__id")).as("doc_b"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // pairs sharing >1 prefix hash
     val truth = jaccardVerify(joinShingles(tCand, sh, sh), minJaccard)
       .select(col("doc_a"), col("doc_b"))
     val truthCnt = truth.agg(count(lit(1)).as("n_truth"))

@@ -549,10 +549,83 @@ object Composites {
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("c_nationkey")
+    }),
+
+    // CORPUS HEALTHCHECK — the one-sheet top-lines a curation run reads
+    // before anything ships (the scalar companion of llm_dataset_card's
+    // per-(source, lang) profile): size, duplication and balance
+    // top-lines in ONE plan — two corpus aggregates (global counts +
+    // per-source counts for the balance entropy), a broadcast of the
+    // two 1-row/|sources|-row results, and an in-row struct explode to
+    // the (metric, value) sheet (the prep_profile unpivot idiom).
+    // Counts and the entropy's nano-unit term sum are EXACT integers
+    // (the drift discipline absorbs ln ulp differences); every ratio
+    // is one IEEE division — the whole card hash-checks.
+    "llm_corpus_healthcheck" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = split(col("text"), " ")
+      val g = docs.agg(
+        count(lit(1)).as("__nd"),
+        sum(size(toks)).as("__nt"),
+        sum(length(col("text"))).as("__nc"),
+        countDistinct(md5(col("text"))).as("__ndist"))
+      val bySrc = docs.groupBy("source").agg(count(lit(1)).as("__ns"))
+      val p = col("__ns").cast("double") / col("__nd").cast("double")
+      val ent = bySrc
+        .crossJoin(broadcast(g.select(col("__nd"))))
+        .select(round(-p * log(p) * 1e9).cast("long").as("__e"))
+        .agg(sum(col("__e")).as("__entn"), count(lit(1)).as("__nsrc"))
+      def m(name: String, value: org.apache.spark.sql.Column) =
+        struct(lit(name).as("metric"), value.as("value"))
+      g.crossJoin(broadcast(ent))
+        .select(explode(array(
+          m("n_docs", col("__nd").cast("double")),
+          m("n_tokens", col("__nt").cast("double")),
+          m("n_chars", col("__nc").cast("double")),
+          m("n_sources", col("__nsrc").cast("double")),
+          m("exact_dup_frac", lit(1.0) -
+            col("__ndist").cast("double") / col("__nd").cast("double")),
+          m("mean_tokens_per_doc",
+            col("__nt").cast("double") / col("__nd").cast("double")),
+          m("mean_chars_per_token",
+            col("__nc").cast("double") / col("__nt").cast("double")),
+          m("source_entropy_nats",
+            col("__entn").cast("double") / lit(1e9)))).as("__m"))
+        .select(col("__m.metric").as("metric"),
+          col("__m.value").as("value"))
+        .orderBy("metric")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_corpus_healthcheck" ->
+      """WITH g AS (SELECT COUNT(*) AS nd,
+        |    SUM(len(string_split_regex(text, ' '))) AS nt,
+        |    SUM(len(text)) AS nc,
+        |    COUNT(DISTINCT md5(text)) AS ndist
+        |  FROM documents),
+        |s AS (SELECT source, COUNT(*) AS ns FROM documents
+        |  GROUP BY source),
+        |e AS (SELECT CAST(SUM(CAST(ROUND(
+        |      -(CAST(ns AS DOUBLE) / g.nd)
+        |        * ln(CAST(ns AS DOUBLE) / g.nd) * 1e9) AS BIGINT))
+        |    AS BIGINT) AS entn,
+        |    COUNT(*) AS nsrc
+        |  FROM s, g)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(nd AS DOUBLE) AS value FROM g
+        |  UNION ALL SELECT 'n_tokens', CAST(nt AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'n_chars', CAST(nc AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'n_sources', CAST(nsrc AS DOUBLE) FROM e
+        |  UNION ALL SELECT 'exact_dup_frac',
+        |    1.0 - CAST(ndist AS DOUBLE) / CAST(nd AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'mean_tokens_per_doc',
+        |    CAST(nt AS DOUBLE) / CAST(nd AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'mean_chars_per_token',
+        |    CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'source_entropy_nats',
+        |    CAST(entn AS DOUBLE) / 1e9 FROM e) t
+        |ORDER BY metric""".stripMargin,
     "tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  CAST(SUM($revTermSql) AS DOUBLE) AS revenue
