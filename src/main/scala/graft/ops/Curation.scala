@@ -381,6 +381,45 @@ object Curation {
         .orderBy("len_bucket")
     }),
 
+    // the bucket-count KNOB measured (the llm_lsh_plan/llm_lsh_audit
+    // pattern applied to batching): total padding waste at 1/2/4/8
+    // equal-frequency length buckets in one table — llm_length_buckets
+    // prices ONE setting, this prices the knob, showing the diminishing
+    // return that decides how many buckets the batcher actually runs.
+    // Quantile fractions are dyadic (i/2^k — exact doubles in both
+    // engines); waste is exact integers, frac one IEEE division.
+    "llm_length_buckets_sweep" -> ((s, d) => {
+      val docs = documents(s, d).select(
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val rows = Seq(1, 2, 4, 8).map { nb =>
+        val bucketed =
+          if (nb == 1) docs.withColumn("__b", lit(1))
+          else {
+            val qcols = (1 until nb).map(i =>
+              percentile(col("n_tokens"), lit(i.toDouble / nb))
+                .as(s"__q$i"))
+            val qs = docs.agg(qcols.head, qcols.tail: _*)
+            var c: org.apache.spark.sql.Column =
+              when(col("n_tokens") <= col("__q1"), 1)
+            (2 until nb).foreach { i =>
+              c = c.when(col("n_tokens") <= col(s"__q$i"), i) }
+            docs.crossJoin(broadcast(qs))
+              .withColumn("__b", c.otherwise(nb))
+          }
+        bucketed.groupBy("__b")
+          .agg(count(lit(1)).as("__n"), max(col("n_tokens")).as("__mx"),
+            sum(col("n_tokens")).as("__s"))
+          .agg(sum(col("__mx") * col("__n") - col("__s"))
+              .as("pad_waste_tokens"),
+            sum(col("__s")).as("__tot"))
+          .select(lit(nb).as("n_buckets"), col("pad_waste_tokens"),
+            (col("pad_waste_tokens").cast("double") /
+              (col("pad_waste_tokens") + col("__tot")).cast("double"))
+              .as("pad_waste_frac"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("n_buckets")
+    }),
+
     // the domain-weights APPLY (graft.api.Corpus.temperatureSample):
     // the √n-weighted sample MATERIALIZED — each source contributes its
     // rounded share of the budget, rows chosen by the deterministic
@@ -1514,6 +1553,39 @@ object Curation {
         |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
         |    AS pad_waste_tokens
         |FROM b GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
+    "llm_length_buckets_sweep" -> {
+      def block(nb: Int): String =
+        if (nb == 1)
+          """SELECT 1 AS n_buckets,
+            |  CAST(mx * n - s AS BIGINT) AS pad_waste_tokens,
+            |  CAST(mx * n - s AS DOUBLE)
+            |    / CAST((mx * n - s) + s AS DOUBLE) AS pad_waste_frac
+            |FROM (SELECT COUNT(*) AS n, MAX(n_tokens) AS mx,
+            |  SUM(n_tokens) AS s FROM d) g""".stripMargin
+        else {
+          val qdefs = (1 until nb).map(i =>
+            s"quantile_cont(n_tokens, ${i.toDouble / nb}) AS q$i")
+            .mkString(", ")
+          val cases = (1 until nb).map(i =>
+            s"WHEN n_tokens <= q$i THEN $i").mkString(" ")
+          s"""SELECT $nb AS n_buckets,
+             |  CAST(SUM(mx * n - s) AS BIGINT) AS pad_waste_tokens,
+             |  CAST(SUM(mx * n - s) AS DOUBLE)
+             |    / CAST(SUM(mx * n - s) + SUM(s) AS DOUBLE)
+             |    AS pad_waste_frac
+             |FROM (SELECT b, COUNT(*) AS n, MAX(n_tokens) AS mx,
+             |    SUM(n_tokens) AS s
+             |  FROM (SELECT n_tokens, CASE $cases ELSE $nb END AS b
+             |    FROM d, (SELECT $qdefs FROM d) q) x
+             |  GROUP BY b) g""".stripMargin
+        }
+      s"""WITH d AS (SELECT
+         |    CAST(len(string_split_regex(text, ' ')) AS BIGINT)
+         |      AS n_tokens FROM documents)
+         |SELECT * FROM (
+         |${Seq(1, 2, 4, 8).map(block).mkString("\nUNION ALL\n")}
+         |) u ORDER BY n_buckets""".stripMargin
+    },
     // largest-remainder quotas: ⌊share⌋ each + leftover seats to the
     // largest fractional remainders (source tie-break) — Σ n_take ==
     // min(budget, corpus) exactly; shares computed through the same

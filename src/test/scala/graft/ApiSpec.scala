@@ -331,6 +331,24 @@ class ApiSpec extends AnyFunSuite {
     assert(run().toSeq == out.toSeq, "assignment must be deterministic")
   }
 
+  test("llm_length_buckets_sweep: nested dyadic refinement never " +
+      "increases padding waste; fractions track the shared denominator") {
+    val rows = SparkEntry
+      .queries("llm_length_buckets_sweep")(spark, SparkFixture.sf0001)
+      .orderBy("n_buckets").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    // each finer setting's boundaries are a superset of the coarser's
+    // (dyadic i/2^k fractions), and splitting a bucket can only lower
+    // sum(max*n) — waste is monotone non-increasing
+    val w = rows.map(_.getLong(1)).toSeq
+    assert(w == w.sorted.reverse,
+      s"waste must not increase under nested refinement: $w")
+    // total real tokens T is the same in every row, so frac = w/(w+T)
+    // must order exactly as waste does
+    val f = rows.map(_.getDouble(2)).toSeq
+    assert(f == f.sorted.reverse && f.forall(x => x >= 0 && x < 1))
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
