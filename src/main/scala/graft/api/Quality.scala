@@ -273,6 +273,82 @@ object Quality {
     res
   }
 
+  /** Label-NOISE sensitivity audit — how fast the learned filter
+    * degrades as its seed labels corrupt: for each rate, a
+    * deterministic cohort of labels flips (the [[Corpus.splitAssign]]
+    * exact integer hash gate, so the "noise" is a pure function of
+    * (salt, doc_id) and both engines corrupt the SAME docs), the same
+    * `epochs`-epoch fit runs on the corrupted labels, and the fitted
+    * model evaluates margin>0 against the CLEAN labels. Seed rules are
+    * heuristics and human labels disagree — this measures how much of
+    * either the filter can absorb before its held-out quality moves,
+    * the robustness number a curation review asks for next to
+    * [[crossValidate]]'s generalization. Rate 0 reproduces the
+    * standard fit exactly (cross-key consistency with the eval key).
+    *
+    * Scale shape: feature frame materialized ONCE (the
+    * [[crossValidate]] discipline, optional reliable `checkpointDir`);
+    * per-rate work = one fit + one doc-keyed eval aggregate. Counts
+    * exact integers, accuracy one IEEE division — oracle-checkable end
+    * to end. Output: (flip_permille, n_flipped, tp, fp, fn, tn,
+    * accuracy), rate ascending. */
+  def labelNoiseAudit(feats: DataFrame, labels: DataFrame,
+      ratesPermille: Seq[Int] = Seq(0, 100, 300), epochs: Int = 2,
+      lrMicro: Long = 500000L, salt: String = "noise",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(ratesPermille.nonEmpty &&
+      ratesPermille == ratesPermille.sorted &&
+      ratesPermille.forall(r => r >= 0 && r <= 1000),
+      s"ratesPermille must be ascending within [0,1000], " +
+        s"got $ratesPermille")
+    require(epochs >= 1, s"epochs=$epochs must be at least 1")
+    val Two32 = 4294967296L
+    val u = conv(substring(md5(concat(lit(salt), lit("|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val ck = TextDedup.ckptFn(feats.sparkSession, checkpointDir)
+    val f = ck(feats)
+    val fGen = TextDedup.checkpointRdd(f)
+    val l = ck(labels.withColumn("__u", u))
+    val lGen = TextDedup.checkpointRdd(l)
+    var gens = List.empty[org.apache.spark.rdd.RDD[_]]
+    val rows = ratesPermille.map { rate =>
+      val flip = col("__u") * 1000L < lit(rate.toLong * Two32)
+      val noisy = l.select(col("doc_id"),
+        when(flip, lit(1) - col("y")).otherwise(col("y")).as("y"))
+      var model = trainStep(f, noisy, emptyWeights(f), lrMicro)
+      var e = 1
+      while (e < epochs) {
+        model = ck(model)
+        TextDedup.checkpointRdd(model).foreach(r => gens = r :: gens)
+        model = trainStep(f, noisy, model, lrMicro)
+        e += 1
+      }
+      val nFlipped = l.agg(sum(when(flip, 1L).otherwise(0L))
+        .as("n_flipped"))
+      val pred = coalesce(col("z_micro"), lit(0L)) > 0
+      l.select(col("doc_id"), col("y"))
+        .join(margins(f, model), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("__n"),
+          sum(when(pred && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(pred && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(!pred && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(!pred && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+        .crossJoin(broadcast(nFlipped))
+        .withColumn("flip_permille", lit(rate))
+    }
+    val out = rows.reduce(_.unionByName(_))
+      .select(col("flip_permille"), col("n_flipped"), col("tp"),
+        col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double")
+          / col("__n").cast("double")).as("accuracy"))
+      .orderBy("flip_permille")
+    val res = ck(out)
+    gens.foreach(_.unpersist(blocking = false))
+    fGen.foreach(_.unpersist(blocking = false))
+    lGen.foreach(_.unpersist(blocking = false))
+    res
+  }
+
   /** Interpretability audit of a fitted model — "what did the filter
     * learn": the k buckets with the largest |weight|, each joined to
     * its corpus profile (how many distinct tokens hash there, plus the

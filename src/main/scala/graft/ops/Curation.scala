@@ -901,6 +901,24 @@ object Curation {
         .orderBy("fold")
     }),
 
+    // label-NOISE sensitivity (graft.api.Quality.labelNoiseAudit): the
+    // robustness number next to cross-validation — a deterministic
+    // hash-gated cohort of seed labels flips at 0/10/30%, the same
+    // two-epoch fit runs on the corrupted labels, and the model
+    // evaluates against the CLEAN labels. Seed rules are heuristics
+    // and human labels disagree; this measures how much of that the
+    // filter absorbs. Rate 0 reproduces the standard fit (cross-key
+    // consistency with llm_quality_eval). Oracle-checked end to end.
+    "llm_quality_label_noise" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      graft.api.Quality.labelNoiseAudit(feats, labels)
+        .orderBy("flip_permille")
+    }),
+
     // INTERPRETABILITY audit (graft.api.Quality.topFeatures): the 10
     // buckets with the largest fitted |weight|, each with its corpus
     // profile — distinct tokens hashing there + an exemplar. With the
@@ -2052,6 +2070,7 @@ object Curation {
          |  doc_id, score_micro
          |FROM sc ORDER BY abs(score_micro), doc_id LIMIT 20""".stripMargin,
     "llm_quality_cv" -> qualityCvSql,
+    "llm_quality_label_noise" -> qualityNoiseSql,
     "llm_quality_top_features" ->
       s"""WITH $qualityCte,
          |tok AS (SELECT DISTINCT unnest(string_split_regex(text, ' '))
@@ -2514,6 +2533,78 @@ object Curation {
         s"CAST(tp + tn AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy " +
         s"FROM ev$f").mkString("\nUNION ALL\n")
     s"WITH $base,\n$perFold\n$unions\nORDER BY fold"
+  }
+
+  /** DuckDB twin of Quality.labelNoiseAudit at rates 0/100/300 permille
+    * and 2 epochs: the qualityCvSql per-fold generator pattern with the
+    * fold filter replaced by the hash-gated label flip; every fit
+    * trains on flipped labels and evaluates against the clean ones. */
+  private[ops] def qualityNoiseSql: String = {
+    val Two32 = 4294967296L
+    val base =
+      """feats AS (SELECT doc_id, substr(md5(token), 1, 1) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, ' '))
+        |      AS token FROM documents) GROUP BY 1, 2),
+        |lab AS (SELECT doc_id,
+        |    CASE WHEN list_contains(string_split_regex(text, ' '), 'join')
+        |         THEN 1 ELSE 0 END AS y,
+        |    CAST('0x' || substr(md5('noise|' || CAST(doc_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) AS u
+        |  FROM documents)""".stripMargin
+    val rates = Seq(0, 100, 300)
+    val perRate = rates.map { rate =>
+      val thr = rate.toLong * Two32
+      s"""nl$rate AS (SELECT doc_id,
+         |    CASE WHEN u * 1000 < $thr THEN 1 - y ELSE y END AS y
+         |  FROM lab),
+         |nd$rate AS (SELECT COUNT(*) AS n FROM nl$rate),
+         |g1_$rate AS (SELECT f.bucket,
+         |    CAST(SUM(f.n * (500000 - l.y * 1000000)) AS BIGINT) AS g
+         |  FROM feats f JOIN nl$rate l USING (doc_id) GROUP BY f.bucket),
+         |w1_$rate AS (SELECT bucket,
+         |    0 - CAST(ROUND((CAST(g AS DOUBLE) / nd$rate.n) * 0.5)
+         |      AS BIGINT) AS w
+         |  FROM g1_$rate, nd$rate),
+         |z2_$rate AS (SELECT f.doc_id,
+         |    CAST(SUM(f.n * w1_$rate.w) AS BIGINT) AS z
+         |  FROM feats f JOIN w1_$rate USING (bucket) GROUP BY f.doc_id),
+         |e2_$rate AS (SELECT l.doc_id,
+         |    CAST(ROUND(1000000.0 / (1.0 + exp(-(CAST(
+         |      COALESCE(z2_$rate.z, 0) AS DOUBLE) / 1000000.0))))
+         |      AS BIGINT) - l.y * 1000000 AS err
+         |  FROM nl$rate l LEFT JOIN z2_$rate USING (doc_id)),
+         |g2_$rate AS (SELECT f.bucket,
+         |    CAST(SUM(f.n * e2_$rate.err) AS BIGINT) AS g
+         |  FROM feats f JOIN e2_$rate USING (doc_id) GROUP BY f.bucket),
+         |w2_$rate AS (SELECT w1_$rate.bucket,
+         |    CAST(w1_$rate.w - CAST(ROUND((CAST(g2_$rate.g AS DOUBLE)
+         |      / nd$rate.n) * 0.5) AS BIGINT) AS BIGINT) AS w_micro
+         |  FROM w1_$rate JOIN g2_$rate USING (bucket), nd$rate),
+         |sc$rate AS (SELECT f.doc_id,
+         |    CAST(SUM(f.n * w2_$rate.w_micro) AS BIGINT) AS z
+         |  FROM feats f JOIN w2_$rate USING (bucket) GROUP BY f.doc_id),
+         |ev$rate AS (SELECT $rate AS flip_permille,
+         |    (SELECT CAST(SUM(CASE WHEN u * 1000 < $thr THEN 1 ELSE 0 END)
+         |      AS BIGINT) FROM lab) AS n_flipped,
+         |    CAST(SUM(CASE WHEN z > 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN z > 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN z <= 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN z <= 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn,
+         |    COUNT(*) AS nt
+         |  FROM (SELECT l.y, COALESCE(s.z, 0) AS z
+         |    FROM lab l LEFT JOIN sc$rate s USING (doc_id)) t)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = rates.map(r =>
+      s"SELECT flip_permille, n_flipped, tp, fp, fn, tn, " +
+        s"CAST(tp + tn AS DOUBLE) / CAST(nt AS DOUBLE) AS accuracy " +
+        s"FROM ev$r").mkString("\nUNION ALL\n")
+    s"WITH $base,\n$perRate\n$unions\nORDER BY flip_permille"
   }
 
   private def qualityCteWith(featsCte: String): String =

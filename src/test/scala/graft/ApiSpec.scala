@@ -349,6 +349,46 @@ class ApiSpec extends AnyFunSuite {
     assert(f == f.sorted.reverse && f.forall(x => x >= 0 && x < 1))
   }
 
+  test("Quality.labelNoiseAudit: rate 0 equals the clean fit, flip " +
+      "cohort matches the pure-Scala gate, confusion partitions") {
+    import graft.api.{Corpus, Quality}
+    val docs = graft.util.Tables.documents(spark, SparkFixture.sf0001)
+    val feats = Corpus.hashFeatures(docs, col("doc_id"), col("text"))
+    val labels = docs.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+    val audit = Quality.labelNoiseAudit(feats, labels)
+      .orderBy("flip_permille").collect()
+    assert(audit.map(_.getInt(0)).toSeq == Seq(0, 100, 300))
+    val n = labels.count()
+    audit.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        == n, "confusion cells must partition the label set")
+    }
+    assert(audit(0).getLong(1) == 0L, "rate 0 flips nothing")
+    // flip cohort re-derived with the pure-Scala hash gate
+    def flipped(id: Long, rate: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"noise|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16) * 1000L <
+        rate * 4294967296L
+    }
+    val ids = labels.select("doc_id").collect().map(_.getLong(0))
+    assert(audit(1).getLong(1) == ids.count(flipped(_, 100L)).toLong)
+    assert(audit(2).getLong(1) == ids.count(flipped(_, 300L)).toLong)
+    // rate 0 reproduces the standard two-epoch fit: tp/tn equal an
+    // independent train+classify eval on the clean labels
+    val model = Quality.train(feats, labels, epochs = 2)
+    val keep = Quality.classify(feats, model).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val ys = labels.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val tp = ys.count(t => keep.getOrElse(t._1, false) && t._2 == 1)
+    val tn = ys.count(t => !keep.getOrElse(t._1, false) && t._2 == 0)
+    assert(audit(0).getLong(2) == tp.toLong &&
+      audit(0).getLong(5) == tn.toLong,
+      "rate-0 row must equal the clean-fit eval")
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
