@@ -273,6 +273,22 @@ object Quality {
     res
   }
 
+  /** Persist a fitted (bucket, w_micro) model — the classifier trained
+    * on one cadence and served everywhere else (the index-file
+    * discipline applied to the quality model, completing the lifecycle
+    * family: signatures/substrings/lines/sketches/token-counts all
+    * persist, the model that GATES the corpus must too). The frame is
+    * 16^nibbles rows — tiny — but it stays a FRAME end to end: write
+    * and read are parquet jobs, no driver materialization. */
+  def writeModel(weights: DataFrame, path: String): Unit =
+    weights.select(col("bucket"), col("w_micro"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a persisted model for [[classify]]/[[margins]] serving. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).select(col("bucket"), col("w_micro"))
+
   /** Label-NOISE sensitivity audit — how fast the learned filter
     * degrades as its seed labels corrupt: for each rate, a
     * deterministic cohort of labels flips (the [[Corpus.splitAssign]]

@@ -919,6 +919,29 @@ object Curation {
         .orderBy("flip_permille")
     }),
 
+    // the quality model's PERSISTED lifecycle (Quality.writeModel/
+    // readModel + warm start): two epochs fit, the model persists,
+    // reads back, and ONE more epoch continues from the stored weights
+    // — the nightly retrain shape (yesterday's model is the starting
+    // point, the corpus-sized featurization is the only big cost). The
+    // oracle re-derives THREE straight epochs, so the DuckDB gate
+    // itself certifies stored-and-resumed ≡ never-persisted — the
+    // substring_grow/cms_index rule applied to the model file.
+    "llm_quality_model_index" -> ((s, d) => {
+      val docs = documents(s, d)
+      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
+        col("text"))
+      val labels = docs.select(col("doc_id"),
+        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+      val m2 = graft.api.Quality.train(feats, labels, epochs = 2)
+      val dest = new java.io.File("target/graft-qmodel/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Quality.writeModel(m2, dest)
+      graft.api.Quality
+        .trainStep(feats, labels, graft.api.Quality.readModel(s, dest))
+        .orderBy("bucket")
+    }),
+
     // INTERPRETABILITY audit (graft.api.Quality.topFeatures): the 10
     // buckets with the largest fitted |weight|, each with its corpus
     // profile — distinct tokens hashing there + an exemplar. With the
@@ -2071,6 +2094,25 @@ object Curation {
          |FROM sc ORDER BY abs(score_micro), doc_id LIMIT 20""".stripMargin,
     "llm_quality_cv" -> qualityCvSql,
     "llm_quality_label_noise" -> qualityNoiseSql,
+    // three straight epochs — epoch 3's presence certifies the model
+    // round-trip (a corrupted store would shift every weight)
+    "llm_quality_model_index" ->
+      s"""WITH $qualityCte,
+         |z3 AS (SELECT f.doc_id, CAST(SUM(f.n * w2.w_micro) AS BIGINT)
+         |      AS z
+         |  FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id),
+         |e3 AS (SELECT l.doc_id,
+         |    CAST(ROUND(1000000.0 / (1.0 + exp(-(CAST(COALESCE(z3.z, 0)
+         |      AS DOUBLE) / 1000000.0)))) AS BIGINT) - l.y * 1000000
+         |      AS err
+         |  FROM labels l LEFT JOIN z3 USING (doc_id)),
+         |g3 AS (SELECT f.bucket, CAST(SUM(f.n * e3.err) AS BIGINT) AS g
+         |  FROM feats f JOIN e3 USING (doc_id) GROUP BY f.bucket),
+         |w3 AS (SELECT w2.bucket,
+         |    CAST(w2.w_micro - CAST(ROUND((CAST(g3.g AS DOUBLE) / nd.n)
+         |      * 0.5) AS BIGINT) AS BIGINT) AS w_micro
+         |  FROM w2 JOIN g3 USING (bucket), nd)
+         |SELECT bucket, w_micro FROM w3 ORDER BY bucket""".stripMargin,
     "llm_quality_top_features" ->
       s"""WITH $qualityCte,
          |tok AS (SELECT DISTINCT unnest(string_split_regex(text, ' '))

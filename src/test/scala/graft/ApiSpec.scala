@@ -389,6 +389,29 @@ class ApiSpec extends AnyFunSuite {
       "rate-0 row must equal the clean-fit eval")
   }
 
+  test("Quality.writeModel/readModel: lossless round-trip, and a warm " +
+      "start from the store equals never persisting") {
+    import graft.api.{Corpus, Quality}
+    val docs = graft.util.Tables.documents(spark, SparkFixture.sf0001)
+    val feats = Corpus.hashFeatures(docs, col("doc_id"), col("text"))
+    val labels = docs.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "join").cast("int").as("y"))
+    val m2 = Quality.train(feats, labels, epochs = 2)
+    val dest = new java.io.File(
+      "target/test-qmodel-roundtrip").getAbsolutePath
+    Quality.writeModel(m2, dest)
+    def wmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wmap(Quality.readModel(spark, dest)) == wmap(m2),
+      "persisted model must read back weight-for-weight")
+    val warm = wmap(Quality.trainStep(feats, labels,
+      Quality.readModel(spark, dest)))
+    val straight = wmap(Quality.train(feats, labels, epochs = 3))
+    assert(warm == straight,
+      "one warm-start epoch from the store must equal three straight " +
+        "epochs")
+  }
+
   test("TextQuality.gopherFilter flags degenerate docs on custom columns") {
     val docs = Seq(
       (10L, "a reasonable sentence with several ordinary words inside it " +
