@@ -27,7 +27,8 @@ object SparkEntry {
       (ops.LlmExtras.entries, ops.LlmExtras.oracles),
       (ops.Curation.entries, ops.Curation.oracles),
       (ops.Composites.entries, ops.Composites.oracles),
-      (ops.Selection.entries, ops.Selection.oracles)
+      (ops.Selection.entries, ops.Selection.oracles),
+      (ops.Retrieval.entries, ops.Retrieval.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

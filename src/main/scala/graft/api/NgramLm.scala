@@ -112,4 +112,48 @@ object NgramLm {
         (col("total_cost_micro").cast("double")
           / col("n_bigrams").cast("double")).as("avg_cost_micro"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999, both public) — the smoothing the actual
+    * KenLM/CCNet perplexity filters use, upgrading [[train]]'s add-1:
+    * add-1 hands unseen successors probability proportional to NOTHING
+    * (uniform), while KN backs off to the CONTINUATION probability — how
+    * many distinct contexts a word follows — which is what makes
+    * "Francisco" (frequent, one context) score below "report" (less
+    * frequent, many contexts).
+    *
+    *   p_kn(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *               + (D · N₁₊(w1·)/c(w1)) · N₁₊(·w2)/B
+    *
+    * with D the absolute discount, N₁₊(w1·) the distinct successors of
+    * w1, N₁₊(·w2) the distinct predecessors of w2, B the distinct bigram
+    * types. Every input is an exact integer off ONE (w1, w2) count frame;
+    * the probability is a fixed-shape IEEE expression over them (no
+    * transcendentals), so the rounded output is engine-reproducible
+    * bit-for-bit.
+    *
+    * Scale shape: one bigram explode → one (w1, w2) groupBy (map-side
+    * combinable; the only corpus-sized shuffle — [[train]]'s exact
+    * shape); successor/predecessor/type counts are all model-sized
+    * aggregates of that frame; the final assembly is two model-sized
+    * equi-joins plus a 1-row broadcast. Output: (w1, w2, c_bi, p_kn)
+    * for every observed bigram, p_kn RAW double. */
+  def trainKn(df: DataFrame, id: Column, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    val cb = bigrams(df, id, text)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val fw = cb.groupBy("w1").agg(sum(col("c_bi")).as("c_w1"),
+      count(lit(1)).as("n_fw"))
+    val bw = cb.groupBy("w2").agg(count(lit(1)).as("n_bw"))
+    val b = cb.agg(count(lit(1)).as("b_types"))
+    cb.join(fw, "w1").join(bw, "w2").crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), col("c_bi"),
+        (greatest(col("c_bi").cast("double") - lit(discount), lit(0.0))
+          / col("c_w1")
+          + ((lit(discount) * col("n_fw")) / col("c_w1"))
+            * (col("n_bw").cast("double") / col("b_types")))
+          .as("p_kn"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 ranked retrieval over a document corpus — the lexical
+  * scoring half of every data-curation retrieval stack (targeted corpus
+  * audits, "find documents like this benchmark prompt" sweeps, seed-set
+  * expansion for classifier training). Robertson & Zaragoza 2009 (public)
+  * define the scoring function; the idf spelling is the non-negative
+  * Lucene variant ln(1 + (N − df + 0.5)/(df + 0.5)).
+  *
+  * Cross-engine determinism (the [[NgramLm]] micro-unit discipline): idf
+  * is rounded to integer MICRO-nats immediately after the only
+  * transcendental (ln), every remaining factor is correctly-rounded IEEE
+  * double arithmetic from exact integers (tf, dl, and avgdl's two exact
+  * totals), and the per-term score is rounded back to an integer micro
+  * BEFORE the per-document reduction — so document totals are exact
+  * integer sums, addition-order-free, and ranking ties break on
+  * (score_micro, id): bit-identical across engines.
+  *
+  * Scale shape: ONE corpus tokenization pass. Tokens are screened against
+  * the (tiny, broadcast) distinct query-term set BEFORE any shuffle, so
+  * the per-(doc, term) aggregate and everything after it is sized by
+  * matching postings, not the corpus token stream. Document frequency and
+  * the (N, Σdl) stats frame both derive from model-sized intermediates
+  * (df from the postings aggregate; the stats from one map-side-combined
+  * corpus aggregate). The query expansion join is a broadcast of the
+  * |queries × terms| frame. Top-k is a per-query window — never a global
+  * sort. At 100 TB nothing here materializes more than the postings of
+  * the queried terms.
+  */
+object Retrieval {
+
+  /** BM25 top-k documents per query.
+    *
+    * @param df      corpus
+    * @param id      unique document id column
+    * @param text    document text column
+    * @param queries (query_id, qtext) frame — one row per query; qtext is
+    *                tokenized with the same separator as the corpus.
+    *                Assumed SMALL (a query workload, not a corpus): it is
+    *                broadcast.
+    * @param k       results per query
+    * @param k1      BM25 term-frequency saturation (classic 1.2)
+    * @param b       BM25 length normalization (classic 0.75)
+    * @param sep     token-separator REGEX (the [[TextQuality]] contract)
+    * @return (query_id, rk, id, score_micro) — score in micro-nats;
+    *         rk = 1..k by (score_micro DESC, id ASC)
+    */
+  def bm25TopK(df: DataFrame, id: Column, text: Column, queries: DataFrame,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      sep: String = " "): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = split(text, sep)
+    val base = df.select(id.as("__id"), toks.as("__tk"))
+    // (n_docs, total_tokens): one map-side-combined pass; avgdl derives
+    // from the two exact integers IN the scoring expression, so both
+    // engines divide the same exact values
+    val stats = base.agg(count(lit(1)).as("__n_docs"),
+      sum(size(col("__tk"))).as("__total_tokens"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode(split(col("qtext"), sep)).as("__term"))
+      .distinct()
+    val termSet = qterms.select("__term").distinct()
+    // screen the token stream against the broadcast term set BEFORE the
+    // (doc, term) shuffle: postings of queried terms, not the corpus
+    val postings = base
+      .select(col("__id"), size(col("__tk")).as("__dl"),
+        explode(col("__tk")).as("__term"))
+      .join(broadcast(termSet), Seq("__term"))
+      .groupBy("__id", "__term")
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    val dfreq = postings.groupBy("__term")
+      .agg(count(lit(1)).as("__df"))
+    val scored = postings
+      .join(dfreq, Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("__term"))
+      .select(col("query_id"), col("__id"),
+        // idf → micro-nats immediately after the ln (the only
+        // transcendental); everything after is exact-input IEEE
+        round(log(lit(1.0) + (col("__n_docs") - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5))) * 1e6).cast("long").as("__idf_u"),
+        col("__tf").cast("double").as("__tf_d"),
+        col("__dl").cast("double").as("__dl_d"),
+        (col("__total_tokens").cast("double")
+          / col("__n_docs").cast("double")).as("__avgdl"))
+      .select(col("query_id"), col("__id"),
+        round(col("__idf_u") * ((col("__tf_d") * lit(k1 + 1.0))
+          / (col("__tf_d") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * (col("__dl_d") / col("__avgdl"))))))
+          .cast("long").as("__s_u"))
+    val totals = scored.groupBy("query_id", "__id")
+      .agg(sum(col("__s_u")).as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("__id").asc)
+    totals.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("__id").as("id"),
+        col("score_micro"))
+  }
+}

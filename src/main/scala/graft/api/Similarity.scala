@@ -1059,4 +1059,42 @@ object Similarity {
           .as("recall"))
       .orderBy("nprobe")
   }
+
+  /** Semantic (embedding-space) decontamination screen: flag corpus
+    * vectors whose cosine to ANY vector of a benchmark/eval set reaches
+    * `tau` — the companion to the n-gram screen
+    * ([[TextQuality.decontaminate]]) that catches PARAPHRASED test-set
+    * leakage exact n-grams structurally miss (the screen used alongside
+    * SemDeDup-style pipelines; Abbas et al. 2023, public).
+    *
+    * `evalSet` columns: (qid, qe) — the [[topK]] query contract. Eval
+    * suites are benchmark-sized (thousands, not corpus-sized), so the
+    * eval side is BROADCAST and the plan is one corpus scan of codegen'd
+    * dot products — no shuffle of the corpus, no pair materialization
+    * beyond threshold survivors. For an eval set too big to broadcast,
+    * route both sides through the IVF bucket screen instead ([[topKIvf]]
+    * is the shape); the flag semantics stay the same.
+    *
+    * Output: one row per FLAGGED corpus vector — (id, n_hits, eval_id,
+    * sim_r) with eval_id = the best-matching eval vector (ties on the
+    * 6-dp-rounded sim break toward the smaller eval id, so the report is
+    * engine-reproducible). */
+  def decontaminateByEmbedding(corpus: DataFrame, id: Column, vec: Column,
+      evalSet: DataFrame, tau: Double): DataFrame = {
+    requireQuerySchema(evalSet)
+    val scored = corpus.select(id.as("__cid"), vec.as("__v"))
+      .crossJoin(broadcast(evalSet))
+      .select(col("__cid"), col("qid"),
+        round(dot(col("qe"), col("__v")), 6).as("sim_r"))
+      .filter(col("sim_r") >= tau)
+    val w = Window.partitionBy("__cid")
+      .orderBy(col("sim_r").desc, col("qid").asc)
+    scored
+      .withColumn("n_hits", count(lit(1)).over(
+        Window.partitionBy(col("__cid"))))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__cid").as("id"), col("n_hits"),
+        col("qid").as("eval_id"), col("sim_r"))
+  }
 }

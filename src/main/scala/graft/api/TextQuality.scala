@@ -363,4 +363,76 @@ object TextQuality {
         (coalesce(col("__maj"), lit(0L)).cast("double")
           / col("n_lines").cast("double")).as("major_frac"))
   }
+
+  /** First-failing-gate attribution — the per-document half of the
+    * rejection FUNNEL every production curation run reports ("of the 10 B
+    * documents in, stage 3 killed 22%, stage 4 another 9%, 61% survived").
+    * Gates are (name, failCondition) pairs evaluated IN ORDER; a document
+    * is attributed to the first gate whose condition is true, or to
+    * `keptLabel` if none fire. A NULL gate condition (NULL stats on a
+    * NULL-text row, say) counts as NOT failing that gate — make the gate
+    * itself null-aware if NULLs should reject.
+    *
+    * Pure per-row expression over whatever stats frame the caller built —
+    * attribution adds NO shuffle beyond the stats' own; downstream the
+    * funnel report is one |gates|-row aggregate. Output: the input frame
+    * plus (stage_idx, stage) — stage_idx 1-based in gate order,
+    * |gates|+1 = kept — so both the per-doc audit ("why did MY document
+    * die") and the aggregate funnel come from one pass. */
+  def filterFunnel(df: DataFrame, gates: Seq[(String, Column)],
+      keptLabel: String = "kept"): DataFrame = {
+    require(gates.nonEmpty, "need at least one (name, failCondition) gate")
+    val attributed = gates.zipWithIndex.foldLeft(
+        lit(null).cast("struct<stage_idx:int,stage:string>")) {
+      case (acc, ((name, cond), i)) =>
+        coalesce(acc, when(cond,
+          struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"))))
+    }
+    val fin = coalesce(attributed,
+      struct(lit(gates.size + 1).as("stage_idx"),
+        lit(keptLabel).as("stage")))
+    df.withColumn("__attr", fin)
+      .withColumn("stage_idx", col("__attr.stage_idx"))
+      .withColumn("stage", col("__attr.stage"))
+      .drop("__attr")
+  }
+
+  /** Corpus n-gram diversity (distinct-n): per group, the fraction of
+    * unique unigrams and bigrams in the group's token stream — the
+    * standard Self-BLEU-adjacent audit for template collapse and
+    * synthetic-data mode collapse (Zhu et al. 2018 "Texygen" distinct-n,
+    * public). LOW distinct-n = the group repeats itself.
+    *
+    * Output: (group, n_tokens, n_distinct_tokens, distinct1, n_bigrams,
+    * n_distinct_bigrams, distinct2); ratios are one IEEE division over
+    * exact integers. Scale shape: two explode → partial-agg passes (one
+    * per order); distinct counts are exact two-phase aggregates keyed by
+    * (group, gram) — at extreme vocabularies swap in the HLL sketch
+    * (`agg_approx_distinct`) without changing the plan shape. */
+  def ngramDiversity(df: DataFrame, group: Column, text: Column,
+      sep: String = " "): DataFrame = {
+    val tk = split(text, sep)
+    val uni = df.select(group.as("group"), explode(tk).as("__g"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("__g")).as("n_distinct_tokens"))
+    val bi = df.select(group.as("group"), tk.as("__tk"))
+      .filter(size(col("__tk")) > 1)
+      .select(col("group"), explode(transform(
+        sequence(lit(1), size(col("__tk")) - 1),
+        i => concat_ws(" ", element_at(col("__tk"), i),
+          element_at(col("__tk"), i + 1)))).as("__g"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("__g")).as("n_distinct_bigrams"))
+    uni.join(bi, Seq("group"), "left")
+      .select(col("group"), col("n_tokens"), col("n_distinct_tokens"),
+        (col("n_distinct_tokens").cast("double")
+          / col("n_tokens").cast("double")).as("distinct1"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L))
+          .as("n_distinct_bigrams"),
+        (col("n_distinct_bigrams").cast("double")
+          / col("n_bigrams").cast("double")).as("distinct2"))
+  }
 }

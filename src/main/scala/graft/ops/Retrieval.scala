@@ -1,0 +1,290 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Retrieval-and-audit keys (round 8, session 3): BM25 ranked retrieval,
+  * the curation rejection funnel, corpus distinct-n diversity, the
+  * Kneser–Ney bigram model, and the embedding-space decontamination
+  * screen — the remaining retrieval/report components of a production
+  * training-data stack, each a thin fixture binding over
+  * graft.api.{Retrieval, TextQuality, NgramLm, Similarity}.
+  *
+  * Scale notes:
+  *  - BM25: the corpus token stream is screened against the broadcast
+  *    query-term set BEFORE any shuffle — postings-sized from there on;
+  *  - funnel: attribution is a pure per-row expression over the stats
+  *    pass the gates already needed; the report is a |gates|-row agg;
+  *  - diversity: two explode → partial-agg passes, distinct counts
+  *    keyed by (group, gram) — swap in HLL at extreme vocabularies;
+  *  - KN: one corpus-sized (w1, w2) shuffle; all else model-sized;
+  *  - semantic decontamination: eval suites are benchmark-sized →
+  *    broadcast; one corpus scan of codegen'd dots, no corpus shuffle.
+  */
+object Retrieval {
+
+  /** BM25 constants, computed ONCE in Scala and interpolated into the
+    * oracle as shortest-round-trip decimal literals, so both engines
+    * score with bit-identical doubles (1.2 + 1 in IEEE is a half-ulp
+    * tie — never re-derive it in SQL). */
+  private val K1 = 1.2
+  private val B = 0.75
+  private val K1p1 = K1 + 1.0
+  private val OneMinusB = 1.0 - B
+
+  /** The fixed query workload of llm_bm25_topk (fixture-vocabulary
+    * terms; swap any workload in — the plan is query-set-parametric). */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "fast scan merge",
+    2 -> "key order table",
+    3 -> "hash join window")
+
+  /** DuckDB twin of the codegen'd sequential double dot-product fold. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  /** Funnel gate thresholds (fixture-tuned so every stage fires at
+    * sf0.01; the operator is gate-list-parametric). */
+  private val MinWords = 25
+  private val MaxDupFrac = 0.62
+  private val MaxDominance = 0.12
+  private val MaxShortFrac = 0.05
+
+  /** Semantic-decontamination threshold: the max-cosine median of the
+    * fixture's random unit vectors sits ≈0.28, so 0.3 splits the corpus
+    * (production taus are model/benchmark-calibrated). */
+  private val SemTau = 0.3
+
+  /** Shared per-doc stats for the funnel: map-side word/dup/short stats
+    * plus the one explode → partial-agg dominance pass (the
+    * gopherStats/repetitionStats spellings, assembled in one plan). */
+  private def funnelStats(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    val base = docs.select(col("doc_id"),
+      size(tk).cast("long").as("n_words"),
+      (lit(1.0) - size(array_distinct(tk)).cast("double")
+        / size(tk).cast("double")).as("dup_raw"),
+      (size(filter(tk, x => length(x) <= 2)).cast("double")
+        / size(tk).cast("double")).as("short_raw"))
+    val dom = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("__token"))
+      .groupBy("doc_id", "__token").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg((max(col("__c")).cast("double") / sum(col("__c")).cast("double"))
+        .as("dom_raw"))
+    base.join(dom, Seq("doc_id"))
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Okapi BM25 top-10 per query (graft.api.Retrieval.bm25TopK): the
+    // lexical retrieval op behind targeted corpus audits and seed-set
+    // expansion. Scores are integer micro-nats (idf micro-rounded after
+    // the only ln; per-term scores micro-rounded before the per-doc
+    // sum), so totals are addition-order-free and ranks engine-exact.
+    "llm_bm25_topk" -> ((s, d) => {
+      val qdf = s.createDataFrame(Bm25Queries).toDF("query_id", "qtext")
+      graft.api.Retrieval
+        .bm25TopK(documents(s, d), col("doc_id"), col("text"), qdf,
+          k = 10, k1 = K1, b = B)
+        .select(col("query_id"), col("rk"), col("id").as("doc_id"),
+          col("score_micro"))
+        .orderBy("query_id", "rk")
+    }),
+
+    // Rejection funnel (graft.api.TextQuality.filterFunnel): ordered
+    // quality gates, each document attributed to its FIRST failing gate
+    // — the per-stage removal report every curation run publishes.
+    // Gates compare on RAW doubles (the gopherFilter discipline).
+    "llm_filter_funnel" -> ((s, d) => {
+      val funnel = graft.api.TextQuality.filterFunnel(
+        funnelStats(documents(s, d)), Seq(
+          "too_short" -> (col("n_words") < MinWords),
+          "repetitive" -> (col("dup_raw") > MaxDupFrac),
+          "dominated" -> (col("dom_raw") > MaxDominance),
+          "short_tokens" -> (col("short_raw") > MaxShortFrac)))
+      val total = funnel.agg(count(lit(1)).as("__total"))
+      funnel.groupBy("stage_idx", "stage")
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(total))
+        .select(col("stage_idx"), col("stage"), col("n_docs"),
+          (col("n_docs").cast("double") / col("__total").cast("double"))
+            .as("frac"))
+        .orderBy("stage_idx")
+    }),
+
+    // Corpus distinct-n diversity per source (graft.api.TextQuality
+    // .ngramDiversity): unique-unigram and unique-bigram fractions —
+    // the template-collapse / synthetic-mode-collapse audit.
+    "llm_diversity_ngrams" -> ((s, d) =>
+      graft.api.TextQuality
+        .ngramDiversity(documents(s, d), col("source"), col("text"))
+        .select(col("group").as("source"), col("n_tokens"),
+          col("n_distinct_tokens"), round(col("distinct1"), 6)
+            .as("distinct1"),
+          col("n_bigrams"), col("n_distinct_bigrams"),
+          round(col("distinct2"), 6).as("distinct2"))
+        .orderBy("source")),
+
+    // Interpolated Kneser–Ney bigram model (graft.api.NgramLm.trainKn):
+    // the KenLM/CCNet smoothing next to the add-1 model of llm_ngram_lm.
+    // Probability is a fixed-shape IEEE expression over exact integers
+    // off ONE (w1, w2) count frame — no transcendentals anywhere.
+    "llm_ngram_lm_kn" -> ((s, d) =>
+      graft.api.NgramLm
+        .trainKn(documents(s, d), col("doc_id"), col("text"))
+        .select(col("w1"), col("w2"), col("c_bi"),
+          round(col("p_kn"), 6).as("p_kn_r"))
+        .orderBy("w1", "w2")),
+
+    // Embedding-space decontamination (graft.api.Similarity
+    // .decontaminateByEmbedding): flag corpus vectors within cosine 0.3
+    // of the benchmark slice (vec_id % 10 = 0 stands in for the eval
+    // suite) — the paraphrase-leakage companion to llm_decontaminate's
+    // n-gram screen. Eval side broadcast; one corpus scan of codegen'd
+    // dots.
+    "llm_decontaminate_semantic" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val eval0 = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.api.Similarity
+        .decontaminateByEmbedding(
+          e.filter(col("vec_id") % 10 =!= 0), col("vec_id"),
+          col("embedding"), eval0, tau = SemTau)
+        .select(col("id").as("vec_id"), col("n_hits"), col("eval_id"),
+          col("sim_r"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "llm_bm25_topk" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  ${Bm25Queries.map { case (i, t) => s"($i, '$t')" }
+             .mkString(", ")}),
+         |qt AS (SELECT DISTINCT query_id,
+         |    unnest(string_split_regex(qtext, ' ')) AS term FROM q),
+         |ts AS (SELECT DISTINCT term FROM qt),
+         |d AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |    SUM(len(tk)) AS total_tokens FROM d),
+         |dt AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf,
+         |    ANY_VALUE(dl) AS dl FROM dt
+         |  WHERE term IN (SELECT term FROM ts) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT qt.query_id, tf.doc_id,
+         |    CAST(ROUND(
+         |      CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * 1000000.0) AS BIGINT)
+         |      * ((CAST(tf AS DOUBLE) * $K1p1)
+         |        / (CAST(tf AS DOUBLE) + $K1 * ($OneMinusB
+         |          + $B * (CAST(dl AS DOUBLE)
+         |            / (CAST(total_tokens AS DOUBLE)
+         |              / CAST(n_docs AS DOUBLE))))))) AS BIGINT) AS s_u
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         |  JOIN qt USING (term)),
+         |totals AS (SELECT query_id, doc_id,
+         |    CAST(SUM(s_u) AS BIGINT) AS score_micro FROM scored
+         |  GROUP BY query_id, doc_id)
+         |SELECT query_id, rk, doc_id, score_micro FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rk
+         |  FROM totals) t
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "llm_filter_funnel" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+         |  FROM documents),
+         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+         |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS dup_raw,
+         |    CAST(len(list_filter(tk, x -> length(x) <= 2)) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS short_raw
+         |  FROM tk),
+         |dom AS (SELECT doc_id,
+         |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dom_raw
+         |  FROM (SELECT doc_id, token, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split_regex(text, ' ')) AS token
+         |    FROM documents) GROUP BY doc_id, token) GROUP BY doc_id),
+         |attr AS (SELECT b.doc_id,
+         |    CASE WHEN n_words < $MinWords THEN 1
+         |         WHEN dup_raw > $MaxDupFrac THEN 2
+         |         WHEN dom_raw > $MaxDominance THEN 3
+         |         WHEN short_raw > $MaxShortFrac THEN 4
+         |         ELSE 5 END AS stage_idx,
+         |    CASE WHEN n_words < $MinWords THEN 'too_short'
+         |         WHEN dup_raw > $MaxDupFrac THEN 'repetitive'
+         |         WHEN dom_raw > $MaxDominance THEN 'dominated'
+         |         WHEN short_raw > $MaxShortFrac THEN 'short_tokens'
+         |         ELSE 'kept' END AS stage
+         |  FROM base b JOIN dom USING (doc_id)),
+         |t AS (SELECT COUNT(*) AS total FROM documents)
+         |SELECT stage_idx, stage, COUNT(*) AS n_docs,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(total) AS DOUBLE)
+         |    AS frac
+         |FROM attr CROSS JOIN t GROUP BY stage_idx, stage
+         |ORDER BY stage_idx""".stripMargin,
+
+    "llm_diversity_ngrams" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(text, ' ')) AS g FROM documents),
+        |uni AS (SELECT source, COUNT(*) AS n_tokens,
+        |    COUNT(DISTINCT g) AS n_distinct_tokens FROM tok
+        |  GROUP BY source),
+        |bt AS (SELECT source, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |bg AS (SELECT source, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS g
+        |  FROM bt WHERE len(tk) > 1),
+        |bi AS (SELECT source, COUNT(*) AS n_bigrams,
+        |    COUNT(DISTINCT g) AS n_distinct_bigrams FROM bg
+        |  GROUP BY source)
+        |SELECT source, n_tokens, n_distinct_tokens,
+        |  ROUND(CAST(n_distinct_tokens AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS distinct1,
+        |  n_bigrams, n_distinct_bigrams,
+        |  ROUND(CAST(n_distinct_bigrams AS DOUBLE)
+        |    / CAST(n_bigrams AS DOUBLE), 6) AS distinct2
+        |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin,
+
+    "llm_ngram_lm_kn" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |bi AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |    unnest(tk[2:len(tk)]) AS w2
+        |  FROM tk WHERE len(tk) >= 2),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bi GROUP BY 1, 2),
+        |fw AS (SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_w1,
+        |    COUNT(*) AS n_fw FROM cb GROUP BY w1),
+        |bw AS (SELECT w2, COUNT(*) AS n_bw FROM cb GROUP BY w2),
+        |b AS (SELECT COUNT(*) AS b_types FROM cb)
+        |SELECT cb.w1, cb.w2, c_bi,
+        |  ROUND(GREATEST(CAST(c_bi AS DOUBLE) - 0.75, 0.0) / c_w1
+        |    + ((0.75 * n_fw) / c_w1)
+        |      * (CAST(n_bw AS DOUBLE) / b_types), 6) AS p_kn_r
+        |FROM cb JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN b
+        |ORDER BY w1, w2""".stripMargin,
+
+    "llm_decontaminate_semantic" ->
+      s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 <> 0),
+         |s AS (SELECT vec_id, eid,
+         |    ROUND(${dotSql("embedding", "ee")}, 6) AS sim_r
+         |  FROM tr CROSS JOIN ev),
+         |f AS (SELECT * FROM s WHERE sim_r >= $SemTau),
+         |n AS (SELECT vec_id, COUNT(*) AS n_hits FROM f GROUP BY vec_id),
+         |best AS (SELECT vec_id, eid, sim_r,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY sim_r DESC, eid) AS rk FROM f)
+         |SELECT best.vec_id, n_hits, eid AS eval_id, sim_r
+         |FROM best JOIN n USING (vec_id) WHERE rk = 1
+         |ORDER BY vec_id""".stripMargin
+  )
+}
