@@ -156,4 +156,84 @@ object NgramLm {
             * (col("n_bw").cast("double") / col("b_types")))
           .as("p_kn"))
   }
+
+  /** [[trainKn]] re-shaped as a [[train]]-style self-contained backoff
+    * table in integer micro-costs, so documents can be SCORED under the
+    * KN model with addition-order-free integer sums. Four row shapes:
+    *  - (w1, w2, cost)    — observed bigram: −ln p_kn(w2|w1);
+    *  - (w1, NULL, cost)  — the history's backoff weight: −ln λ(w1)
+    *    with λ(w1) = D·N₁₊(w1·)/c(w1);
+    *  - (NULL, w2, cost)  — the continuation cost: −ln N₁₊(·w2)/B;
+    *  - (NULL, NULL, cost) — the OOV floor: −ln 1/B (one pseudo-type).
+    * An unseen bigram with known history and known continuation scores
+    * λ(w1)·p_cont(w2) as the SUM of the two micro-rounded component
+    * costs (each component rounds independently — the documented ±1 μ
+    * from rounding before the add is the price of order-free sums).
+    * Scale shape identical to [[trainKn]]: one corpus-sized (w1, w2)
+    * shuffle, everything else model-sized. */
+  def trainKnBackoff(df: DataFrame, id: Column, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    val cb = bigrams(df, id, text)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val fw = cb.groupBy("w1").agg(sum(col("c_bi")).as("c_w1"),
+      count(lit(1)).as("n_fw"))
+    val bw = cb.groupBy("w2").agg(count(lit(1)).as("n_bw"))
+    val b = cb.agg(count(lit(1)).as("b_types"))
+    val seen = cb.join(fw, "w1").join(bw, "w2").crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), costMicro(
+        greatest(col("c_bi").cast("double") - lit(discount), lit(0.0))
+          / col("c_w1")
+          + ((lit(discount) * col("n_fw")) / col("c_w1"))
+            * (col("n_bw").cast("double") / col("b_types"))).as("cost"))
+    val lam = fw
+      .select(col("w1"), lit(null).cast("string").as("w2"),
+        costMicro((lit(discount) * col("n_fw")) / col("c_w1")).as("cost"))
+    val cont = bw.crossJoin(broadcast(b))
+      .select(lit(null).cast("string").as("w1"), col("w2"),
+        costMicro(col("n_bw").cast("double") / col("b_types")).as("cost"))
+    val oov = b.select(lit(null).cast("string").as("w1"),
+      lit(null).cast("string").as("w2"),
+      costMicro(lit(1.0) / col("b_types")).as("cost"))
+    seen.unionByName(lam).unionByName(cont).unionByName(oov)
+  }
+
+  /** Score each doc under a [[trainKnBackoff]] model — the KN analogue
+    * of [[scoreDocs]], same output contract: (doc_id, n_bigrams,
+    * total_cost_micro, avg_cost_micro). Backoff per bigram:
+    * exact (w1, w2) → λ(w1) + p_cont(w2), each missing component
+    * replaced by the OOV floor. Joins: one (w1, w2) equi-join against
+    * the model's seen rows, two single-word equi-joins — all plain
+    * shuffle joins (Heaps'-law vocabularies, the [[scoreDocs]] rule). */
+  def scoreDocsKn(df: DataFrame, id: Column, text: Column,
+      model: DataFrame): DataFrame = {
+    val bi = bigrams(df, id, text)
+    val seen = model.filter(col("w1").isNotNull && col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("cost").as("__c_seen"))
+    val lam = model.filter(col("w1").isNotNull && col("w2").isNull)
+      .select(col("w1"), col("cost").as("__c_lam"))
+    val cont = model.filter(col("w1").isNull && col("w2").isNotNull)
+      .select(col("w2"), col("cost").as("__c_cont"))
+    val oov = model.filter(col("w1").isNull && col("w2").isNull)
+      .select(col("cost").as("__c_oov"))
+    val scored = bi
+      .join(seen, Seq("w1", "w2"), "left")
+      .join(lam, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__c_seen"),
+          coalesce(col("__c_lam"), col("__c_oov"))
+            + coalesce(col("__c_cont"), col("__c_oov"))))
+          .as("total_cost_micro"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_cost_micro"), lit(0L)).as("total_cost_micro"),
+        (col("total_cost_micro").cast("double")
+          / col("n_bigrams").cast("double")).as("avg_cost_micro"))
+  }
 }

@@ -139,6 +139,20 @@ object Retrieval {
           round(col("p_kn"), 6).as("p_kn_r"))
         .orderBy("w1", "w2")),
 
+    // KN perplexity scoring (graft.api.NgramLm.trainKnBackoff +
+    // scoreDocsKn): the CCNet-style quality signal under the KN model.
+    // The model trains on the src0 slice and scores the WHOLE corpus, so
+    // the λ(w1)+p_cont(w2) backoff path is exercised by real unseen
+    // bigrams, not just the seen-cost join. Costs are integer micro-nats
+    // → per-doc totals are exact order-free sums.
+    "llm_perplexity_kn" -> ((s, d) => {
+      val docs = documents(s, d)
+      val model = graft.api.NgramLm.trainKnBackoff(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"))
+      graft.api.NgramLm.scoreDocsKn(docs, col("doc_id"), col("text"), model)
+        .orderBy("doc_id")
+    }),
+
     // Embedding-space decontamination (graft.api.Similarity
     // .decontaminateByEmbedding): flag corpus vectors within cosine 0.3
     // of the benchmark slice (vec_id % 10 = 0 stands in for the eval
@@ -269,6 +283,44 @@ object Retrieval {
         |      * (CAST(n_bw AS DOUBLE) / b_types), 6) AS p_kn_r
         |FROM cb JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN b
         |ORDER BY w1, w2""".stripMargin,
+
+    "llm_perplexity_kn" ->
+      """WITH tr AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents WHERE source = 'src0'),
+        |tbi AS (SELECT unnest(tk[1:len(tk)-1]) AS w1,
+        |    unnest(tk[2:len(tk)]) AS w2 FROM tr WHERE len(tk) >= 2),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c_bi FROM tbi GROUP BY 1, 2),
+        |fw AS (SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_w1,
+        |    COUNT(*) AS n_fw FROM cb GROUP BY w1),
+        |bw AS (SELECT w2, COUNT(*) AS n_bw FROM cb GROUP BY w2),
+        |b AS (SELECT COUNT(*) AS b_types FROM cb),
+        |seen AS (SELECT w1, w2, CAST(ROUND(
+        |    -ln(GREATEST(CAST(c_bi AS DOUBLE) - 0.75, 0.0) / c_w1
+        |      + ((0.75 * n_fw) / c_w1)
+        |        * (CAST(n_bw AS DOUBLE) / b_types)) * 1000000.0)
+        |    AS BIGINT) AS c_seen
+        |  FROM cb JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN b),
+        |lam AS (SELECT w1, CAST(ROUND(-ln((0.75 * n_fw) / c_w1)
+        |    * 1000000.0) AS BIGINT) AS c_lam FROM fw),
+        |cont AS (SELECT w2, CAST(ROUND(-ln(CAST(n_bw AS DOUBLE) / b_types)
+        |    * 1000000.0) AS BIGINT) AS c_cont FROM bw CROSS JOIN b),
+        |oov AS (SELECT CAST(ROUND(-ln(1.0 / b_types) * 1000000.0)
+        |    AS BIGINT) AS c_oov FROM b),
+        |tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |bi AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |    unnest(tk[2:len(tk)]) AS w2 FROM tk WHERE len(tk) >= 2),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(COALESCE(c_seen,
+        |      COALESCE(c_lam, c_oov) + COALESCE(c_cont, c_oov)))
+        |      AS BIGINT) AS total
+        |  FROM bi LEFT JOIN seen USING (w1, w2)
+        |  LEFT JOIN lam USING (w1) LEFT JOIN cont USING (w2)
+        |  CROSS JOIN oov GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, total AS total_cost_micro,
+        |  CAST(total AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |    AS avg_cost_micro
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "llm_decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee

@@ -172,6 +172,32 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreDocsKn resolves every backoff shape: seen bigram, " +
+      "λ+cont for unseen pairs, OOV floor for unknown words") {
+    val train = Seq(1L -> "a b a b a c").toDF("doc_id", "text")
+    val model = graft.api.NgramLm
+      .trainKnBackoff(train, col("doc_id"), col("text"))
+    val rows = model.collect()
+    def costOf(w1: Option[String], w2: Option[String]): Long =
+      rows.find(r => Option(r.getString(0)) == w1 &&
+        Option(r.getString(1)) == w2).get.getLong(2)
+    // score a doc whose bigrams hit all three shapes:
+    //   "a b"  → seen;  "b b" → unseen pair (λ(b) + cont(b));
+    //   "b z"  → z unknown (λ(b) + OOV);  "z a" → OOV + cont(a)
+    val test0 = Seq(9L -> "a b b z a").toDF("doc_id", "text")
+    val out = graft.api.NgramLm
+      .scoreDocsKn(test0, col("doc_id"), col("text"), model)
+      .collect().head
+    val expected =
+      costOf(Some("a"), Some("b")) +
+        (costOf(Some("b"), None) + costOf(None, Some("b"))) +
+        (costOf(Some("b"), None) + costOf(None, None)) +
+        (costOf(None, None) + costOf(None, Some("a")))
+    assert(out.getLong(1) == 4L)
+    assert(out.getLong(2) == expected,
+      s"backoff chain total: got ${out.getLong(2)}, want $expected")
+  }
+
   // ------------------------------------- semantic decontamination
 
   test("decontaminateByEmbedding flags a planted eval twin at sim 1.0 " +
