@@ -1982,4 +1982,51 @@ object TextDedup {
           .as("wjac"))
       .filter(col("wjac") >= minWJaccard)
   }
+
+  /** Positional WINNOWING fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 "Winnowing: Local Algorithms for Document Fingerprinting",
+    * public — the MOSS scheme): hash every `k`-token gram, slide a
+    * `win`-window over consecutive gram hashes, keep each window's
+    * MINIMUM. Guarantee: two documents sharing any exact run of
+    * ≥ win + k − 1 tokens share at least one full gram-hash window, hence
+    * at least one fingerprint VALUE — unlike [[fingerprint]]'s global
+    * min-k (which samples the whole doc uniformly and can miss a short
+    * planted overlap), winnowing's guarantee is LOCAL. This emits the
+    * fingerprint value SET (per-window minima, deduplicated); on an
+    * equal-hash tie inside a window both occurrences contribute the same
+    * VALUE, so the set is identical to classic rightmost-tie winnowing.
+    *
+    * Gram hashes are md5-derived 60-bit ints (the llm_simhash_md5
+    * parsing recipe), so the whole op is ORACLE-CHECKABLE; swap in
+    * xxhash64 for 4× cheaper hashing at scale — the selection logic is
+    * hash-agnostic.
+    *
+    * Scale shape: ENTIRELY map-side — grams, hashes, window minima,
+    * dedup and sort are in-row higher-order functions; no explode, no
+    * shuffle, no state. The natural screen on top is an explode →
+    * equi-join on fingerprint value (LSH-bucket-shaped, df-bounded).
+    * Output: (doc_id, n_grams, n_windows, fingerprints ARRAY<BIGINT>
+    * sorted ascending); docs with fewer than win + k − 1 tokens yield
+    * zero windows and an empty fingerprint set. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      k: Int = 4, win: Int = 4): DataFrame = {
+    require(k >= 1 && win >= 1, s"k and win must be >= 1, got k=$k win=$win")
+    val tk = split(text, " ")
+    // sequence(1, n) DESCENDS when n < 1 (Spark semantics) — guard every
+    // sequence with an explicit empty-array branch for short docs
+    val grams = when(size(tk) >= k, transform(
+      sequence(lit(1), size(tk) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(tk, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val hashes = transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    df.select(id.as("doc_id"), hashes.as("__h"))
+      .select(col("doc_id"),
+        size(col("__h")).as("n_grams"),
+        greatest(size(col("__h")) - (win - 1), lit(0)).as("n_windows"),
+        when(size(col("__h")) >= win, array_sort(array_distinct(transform(
+          sequence(lit(1), size(col("__h")) - (win - 1)),
+          q => array_min(slice(col("__h"), q, lit(win)))))))
+          .otherwise(array().cast("array<bigint>")).as("fingerprints"))
+  }
 }

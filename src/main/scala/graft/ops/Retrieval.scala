@@ -153,6 +153,21 @@ object Retrieval {
         .orderBy("doc_id")
     }),
 
+    // Positional winnowing fingerprints (graft.api.TextDedup
+    // .winnowFingerprints, Schleimer et al. 2003): per-window gram-hash
+    // minima with the LOCAL match guarantee (any shared run of
+    // win+k−1 = 7 tokens shares a fingerprint VALUE) — next to
+    // llm_fingerprint's global min-k. Entirely map-side in-row HOFs;
+    // declared output flattens the array (driver comparator contract).
+    "llm_fingerprint_winnow" -> ((s, d) =>
+      graft.api.TextDedup
+        .winnowFingerprints(documents(s, d), col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          col("n_grams").cast("long").as("n_grams"),
+          col("n_windows").cast("long").as("n_windows"),
+          concat_ws("|", col("fingerprints")).as("fingerprints"))
+        .orderBy("doc_id")),
+
     // Embedding-space decontamination (graft.api.Similarity
     // .decontaminateByEmbedding): flag corpus vectors within cosine 0.3
     // of the benchmark slice (vec_id % 10 = 0 stands in for the eval
@@ -321,6 +336,23 @@ object Retrieval {
         |  CAST(total AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
         |    AS avg_cost_micro
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "llm_fingerprint_winnow" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 4 THEN
+        |    list_transform(range(1, len(tk) - 2), i ->
+        |      tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+        |    ELSE [] END AS grams FROM tk),
+        |h AS (SELECT doc_id, list_transform(grams, x ->
+        |    CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM g)
+        |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+        |  CAST(GREATEST(len(hs) - 3, 0) AS BIGINT) AS n_windows,
+        |  array_to_string(list_sort(list_distinct(
+        |    CASE WHEN len(hs) >= 4 THEN list_transform(
+        |      range(1, len(hs) - 2), q -> list_min(hs[q:q+3]))
+        |    ELSE [] END)), '|') AS fingerprints
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "llm_decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee

@@ -198,6 +198,48 @@ class RetrievalSpec extends AnyFunSuite {
       s"backoff chain total: got ${out.getLong(2)}, want $expected")
   }
 
+  // ------------------------------------------------ winnowing
+
+  test("winnowFingerprints: local guarantee — docs sharing a " +
+      "win+k-1-token run share a fingerprint; short docs yield empty " +
+      "sets, not descending-sequence garbage") {
+    val shared = "query scan merge join sort group table" // 7 tokens
+    val docs = Seq(
+      (1L, s"a b c d e $shared x y z"),
+      (2L, s"p q $shared r s t u v w"),
+      (3L, "one two three"), // < k tokens → 0 grams
+      (4L, "completely different words here nothing shared at all ok"))
+      .toDF("id", "text")
+    val out = graft.api.TextDedup
+      .winnowFingerprints(docs, col("id"), col("text"), k = 4, win = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getSeq[Long](3).toSet))).toMap
+    assert(out(3L) == ((0, 0, Set.empty[Long])))
+    val common = out(1L)._3 intersect out(2L)._3
+    assert(common.nonEmpty, "7-token shared run must share a fingerprint")
+    assert((out(1L)._3 intersect out(4L)._3).isEmpty,
+      "no shared grams → no shared fingerprints")
+  }
+
+  test("winnowFingerprints value set matches a pure-Scala reference") {
+    val text = "the fast key order sort table scan merge row value the fast"
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val (k, win) = (4, 4)
+    val toks = text.split(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(g: String): Long = {
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val hs = toks.sliding(k).map(_.mkString(" ")).map(h).toArray
+    val expected = hs.sliding(win).map(_.min).toSet
+    val got = graft.api.TextDedup
+      .winnowFingerprints(docs, col("id"), col("text"), k, win)
+      .collect().head.getSeq[Long](3).toSet
+    assert(got == expected)
+  }
+
   // ------------------------------------- semantic decontamination
 
   test("decontaminateByEmbedding flags a planted eval twin at sim 1.0 " +
