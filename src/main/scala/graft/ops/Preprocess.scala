@@ -363,7 +363,8 @@ object Preprocess {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "prep_robust_categorizer" ->
       """WITH k AS (SELECT p_brand FROM part GROUP BY p_brand
-        |  HAVING COUNT(*) >= 0.035 * (SELECT COUNT(*) FROM part))
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
+        |    >= CAST(0.035 AS DOUBLE) * (SELECT COUNT(*) FROM part))
         |SELECT p.p_partkey,
         |  CASE WHEN k.p_brand IS NULL THEN '<other>' ELSE p.p_brand END
         |    AS p_brand
@@ -544,7 +545,8 @@ object Preprocess {
       """WITH base AS (SELECT p_partkey, p_brand, p_retailprice,
         |    string_split(p_type, ' ')[1] AS type_class FROM part),
         |k AS (SELECT p_brand FROM part GROUP BY p_brand
-        |  HAVING COUNT(*) >= 0.035 * (SELECT COUNT(*) FROM part)),
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
+        |    >= CAST(0.035 AS DOUBLE) * (SELECT COUNT(*) FROM part)),
         |mm AS (SELECT MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx
         |  FROM part)
         |SELECT b.p_partkey,
