@@ -52,7 +52,6 @@ object Retrieval {
   def bm25TopK(df: DataFrame, id: Column, text: Column, queries: DataFrame,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
       sep: String = " "): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val toks = split(text, sep)
     val base = df.select(id.as("__id"), toks.as("__tk"))
     // (n_docs, total_tokens): one map-side-combined pass; avgdl derives
@@ -60,19 +59,68 @@ object Retrieval {
     // engines divide the same exact values
     val stats = base.agg(count(lit(1)).as("__n_docs"),
       sum(size(col("__tk"))).as("__total_tokens"))
-    val qterms = queries
-      .select(col("query_id"),
-        explode(split(col("qtext"), sep)).as("__term"))
-      .distinct()
-    val termSet = qterms.select("__term").distinct()
+    val qterms = queryTerms(queries, sep)
     // screen the token stream against the broadcast term set BEFORE the
     // (doc, term) shuffle: postings of queried terms, not the corpus
     val postings = base
       .select(col("__id"), size(col("__tk")).as("__dl"),
         explode(col("__tk")).as("__term"))
-      .join(broadcast(termSet), Seq("__term"))
+      .join(broadcast(qterms.select("__term").distinct()), Seq("__term"))
       .groupBy("__id", "__term")
       .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    scorePostings(postings, stats, qterms, k, k1, b)
+  }
+
+  /** Build and persist the BM25 retrieval index — the NIGHTLY form: one
+    * corpus tokenization pass writes `dir/postings` (term, id, tf, dl)
+    * and `dir/stats` (n_docs, total_tokens); queries then run against
+    * the index without ever re-reading corpus text (the
+    * signature/substring/line-index discipline — the index is term+id+
+    * two ints per posting, a small fraction of corpus bytes). At real
+    * scale write postings bucketed/partitioned by term so the query-time
+    * screen prunes storage, not just the joined stream. */
+  def writeBm25Index(df: DataFrame, id: Column, text: Column, dir: String,
+      sep: String = " "): Unit = {
+    val toks = split(text, sep)
+    val base = df.select(id.as("__id"), toks.as("__tk"))
+    base
+      .select(col("__id"), size(col("__tk")).as("__dl"),
+        explode(col("__tk")).as("__term"))
+      .groupBy("__id", "__term")
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    base.agg(count(lit(1)).as("__n_docs"),
+        sum(size(col("__tk"))).as("__total_tokens"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k against a [[writeBm25Index]] index — identical scoring
+    * arithmetic to [[bm25TopK]] (shared code path), so results are
+    * bit-equal to scoring the corpus directly; the corpus itself is
+    * never read. Document frequency derives from the query-term postings
+    * AFTER the broadcast screen — model-sized, never a full-index pass. */
+  def bm25TopKAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, sep: String = " "): DataFrame = {
+    val qterms = queryTerms(queries, sep)
+    val raw = spark.read.parquet(s"$dir/postings")
+    requirePostingsSchema(raw)
+    val postings = raw
+      .join(broadcast(qterms.select("__term").distinct()), Seq("__term"))
+    val stats = spark.read.parquet(s"$dir/stats")
+    scorePostings(postings, stats, qterms, k, k1, b)
+  }
+
+  private def queryTerms(queries: DataFrame, sep: String): DataFrame =
+    queries.select(col("query_id"),
+      explode(split(col("qtext"), sep)).as("__term")).distinct()
+
+  /** The one scoring pipeline both entry points share: (postings of the
+    * queried terms, the 1-row stats frame, the (query, term) expansion)
+    * → integer micro-nat totals → per-query top-k window. */
+  private def scorePostings(postings: DataFrame, stats: DataFrame,
+      qterms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val dfreq = postings.groupBy("__term")
       .agg(count(lit(1)).as("__df"))
     val scored = postings
@@ -101,5 +149,13 @@ object Retrieval {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("__id").as("id"),
         col("score_micro"))
+  }
+
+  /** Loud schema guard: a mismatched or stale index directory must fail
+    * diagnosably, not score garbage (the windowTokens-mismatch rule). */
+  private def requirePostingsSchema(postings: DataFrame): Unit = {
+    val need = Set("__id", "__term", "__tf", "__dl")
+    require(need.subsetOf(postings.columns.toSet),
+      s"not a writeBm25Index postings frame: ${postings.columns.mkString(", ")}")
   }
 }

@@ -94,6 +94,26 @@ object Retrieval {
         .orderBy("query_id", "rk")
     }),
 
+    // BM25 against the PERSISTED index (graft.api.Retrieval
+    // .writeBm25Index + bm25TopKAgainstIndex) — the nightly retrieval
+    // form: the index write is timed here (honest cost, the
+    // llm_dedup_incremental precedent); the query path never reads
+    // corpus text. Same scoring code path as llm_bm25_topk ⇒ same
+    // oracle answers; index-vs-direct equality is additionally pinned
+    // in RetrievalSpec.
+    "llm_bm25_index" -> ((s, d) => {
+      val idx = new java.io.File("target/graft-bm25-index/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Retrieval.writeBm25Index(documents(s, d), col("doc_id"),
+        col("text"), idx)
+      val qdf = s.createDataFrame(Bm25Queries).toDF("query_id", "qtext")
+      graft.api.Retrieval
+        .bm25TopKAgainstIndex(s, idx, qdf, k = 10, k1 = K1, b = B)
+        .select(col("query_id"), col("rk"), col("id").as("doc_id"),
+          col("score_micro"))
+        .orderBy("query_id", "rk")
+    }),
+
     // Rejection funnel (graft.api.TextQuality.filterFunnel): ordered
     // quality gates, each document attributed to its FIRST failing gate
     // — the per-stage removal report every curation run publishes.
@@ -188,9 +208,10 @@ object Retrieval {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-
-    "llm_bm25_topk" ->
+  /** Shared by llm_bm25_topk and llm_bm25_index: the index is a pure
+    * materialization of the same postings, so ONE oracle definition
+    * hash-checks both paths (the jaccard-pairs-oracle precedent). */
+  private val Bm25OracleSql: String =
       s"""WITH q(query_id, qtext) AS (VALUES
          |  ${Bm25Queries.map { case (i, t) => s"($i, '$t')" }
              .mkString(", ")}),
@@ -224,7 +245,12 @@ object Retrieval {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rk
          |  FROM totals) t
-         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "llm_bm25_topk" -> Bm25OracleSql,
+    "llm_bm25_index" -> Bm25OracleSql,
 
     "llm_filter_funnel" ->
       s"""WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk

@@ -77,6 +77,16 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == expected, s"engine $out vs reference $expected")
   }
 
+  test("bm25TopKAgainstIndex returns bit-identical results to scoring " +
+      "the corpus directly") {
+    val direct = SparkEntry.queries("llm_bm25_topk")(
+      spark, SparkFixture.sf0001).collect().toSeq
+    val viaIndex = SparkEntry.queries("llm_bm25_index")(
+      spark, SparkFixture.sf0001).collect().toSeq
+    assert(direct == viaIndex, "index path must equal direct path")
+    assert(direct.nonEmpty)
+  }
+
   test("llm_bm25_topk plan: no cartesian; term screen and query expansion " +
       "are broadcast joins") {
     val p = SparkEntry.queries("llm_bm25_topk")(spark, SparkFixture.sf0001)
