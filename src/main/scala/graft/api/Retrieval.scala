@@ -111,6 +111,56 @@ object Retrieval {
     scorePostings(postings, stats, qterms, k, k1, b)
   }
 
+  /** Append a delta corpus to a [[writeBm25Index]] index — the nightly
+    * ACCEPT step (the appendToSignatureIndex discipline), so the index
+    * GROWS instead of being rebuilt: postings are per-(doc, term) rows,
+    * so new documents append disjoint rows; the 1-row stats frame is the
+    * sum of old and delta totals. Precondition (caller-owned, as for
+    * every index family here): delta ids are NEW — re-appending an
+    * existing doc double-counts it in df and avgdl. The grown index is
+    * query-equal to a fresh rebuild over corpus ∪ delta (pinned in
+    * RetrievalSpec).
+    *
+    * The append stages through `dir/postings.new` + `dir/stats.new` and
+    * only then overwrites, because Spark cannot read-and-overwrite the
+    * same parquet path in one job. */
+  def appendToBm25Index(delta: DataFrame, id: Column, text: Column,
+      dir: String, sep: String = " "): Unit = {
+    val spark = delta.sparkSession
+    val old = spark.read.parquet(s"$dir/postings")
+    requirePostingsSchema(old)
+    val toks = split(text, sep)
+    val base = delta.select(id.as("__id"), toks.as("__tk"))
+    val newPostings = base
+      .select(col("__id"), size(col("__tk")).as("__dl"),
+        explode(col("__tk")).as("__term"))
+      .groupBy("__id", "__term")
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    old.unionByName(newPostings)
+      .write.mode("overwrite").parquet(s"$dir/postings.new")
+    val oldStats = spark.read.parquet(s"$dir/stats")
+    val deltaStats = base.agg(count(lit(1)).as("__n_docs"),
+      sum(size(col("__tk"))).as("__total_tokens"))
+    oldStats.unionByName(deltaStats)
+      .agg(sum(col("__n_docs")).as("__n_docs"),
+        sum(col("__total_tokens")).as("__total_tokens"))
+      .write.mode("overwrite").parquet(s"$dir/stats.new")
+    replace(spark, s"$dir/postings.new", s"$dir/postings")
+    replace(spark, s"$dir/stats.new", s"$dir/stats")
+  }
+
+  /** Atomic-enough directory swap for the staged append (test/local
+    * harness; object stores do this with a manifest commit). */
+  private def replace(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    fs.rename(new org.apache.hadoop.fs.Path(src),
+      new org.apache.hadoop.fs.Path(dst))
+    ()
+  }
+
   private def queryTerms(queries: DataFrame, sep: String): DataFrame =
     queries.select(col("query_id"),
       explode(split(col("qtext"), sep)).as("__term")).distinct()

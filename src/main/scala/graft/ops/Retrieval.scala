@@ -114,6 +114,30 @@ object Retrieval {
         .orderBy("query_id", "rk")
     }),
 
+    // The GROW step of the BM25 index (graft.api.Retrieval
+    // .appendToBm25Index): index built from 90% of the corpus, the
+    // held-out delta appended, queries against the grown index — which
+    // must answer exactly like a fresh rebuild, so the key shares the
+    // direct-scoring oracle (the llm_dedup_substring_grow shape; both
+    // writes timed, honest nightly cost).
+    "llm_bm25_grow" -> ((s, d) => {
+      val idx = new java.io.File("target/graft-bm25-grow/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val docs = documents(s, d)
+      graft.api.Retrieval.writeBm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+        idx)
+      graft.api.Retrieval.appendToBm25Index(
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+        idx)
+      val qdf = s.createDataFrame(Bm25Queries).toDF("query_id", "qtext")
+      graft.api.Retrieval
+        .bm25TopKAgainstIndex(s, idx, qdf, k = 10, k1 = K1, b = B)
+        .select(col("query_id"), col("rk"), col("id").as("doc_id"),
+          col("score_micro"))
+        .orderBy("query_id", "rk")
+    }),
+
     // Rejection funnel (graft.api.TextQuality.filterFunnel): ordered
     // quality gates, each document attributed to its FIRST failing gate
     // — the per-stage removal report every curation run publishes.
@@ -251,6 +275,7 @@ object Retrieval {
 
     "llm_bm25_topk" -> Bm25OracleSql,
     "llm_bm25_index" -> Bm25OracleSql,
+    "llm_bm25_grow" -> Bm25OracleSql,
 
     "llm_filter_funnel" ->
       s"""WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk

@@ -87,6 +87,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("appendToBm25Index: grown index answers queries identically to a " +
+      "fresh rebuild over corpus ∪ delta") {
+    val all = Seq(
+      1L -> "fast scan merge table", 2L -> "fast fast scan",
+      3L -> "the big sort group", 4L -> "scan scan scan fast",
+      5L -> "merge fast scan row").toDF("id", "text")
+    val corpus = all.filter(col("id") <= 3)
+    val delta = all.filter(col("id") > 3)
+    val d1 = SparkFixture.tempDir("bm25grow").getAbsolutePath
+    val d2 = SparkFixture.tempDir("bm25full").getAbsolutePath
+    graft.api.Retrieval.writeBm25Index(corpus, col("id"), col("text"), d1)
+    graft.api.Retrieval.appendToBm25Index(delta, col("id"), col("text"), d1)
+    graft.api.Retrieval.writeBm25Index(all, col("id"), col("text"), d2)
+    val q = bm25Queries
+    val grown = graft.api.Retrieval
+      .bm25TopKAgainstIndex(spark, d1, q).collect().toSeq
+    val fresh = graft.api.Retrieval
+      .bm25TopKAgainstIndex(spark, d2, q).collect().toSeq
+    assert(grown == fresh, "append must equal rebuild")
+    assert(grown.nonEmpty)
+  }
+
   test("llm_bm25_topk plan: no cartesian; term screen and query expansion " +
       "are broadcast joins") {
     val p = SparkEntry.queries("llm_bm25_topk")(spark, SparkFixture.sf0001)
