@@ -149,13 +149,16 @@ object Retrieval {
           "repetitive" -> (col("dup_raw") > MaxDupFrac),
           "dominated" -> (col("dom_raw") > MaxDominance),
           "short_tokens" -> (col("short_raw") > MaxShortFrac)))
-      val total = funnel.agg(count(lit(1)).as("__total"))
+      // every doc lands in exactly one stage, so the corpus total IS the
+      // sum of the stage counts: one window over the ≤|gates|+1-row
+      // report, never a second corpus pass
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
       funnel.groupBy("stage_idx", "stage")
         .agg(count(lit(1)).as("n_docs"))
-        .crossJoin(broadcast(total))
         .select(col("stage_idx"), col("stage"), col("n_docs"),
-          (col("n_docs").cast("double") / col("__total").cast("double"))
-            .as("frac"))
+          (col("n_docs").cast("double")
+            / sum(col("n_docs")).over(wAll).cast("double")).as("frac"))
         .orderBy("stage_idx")
     }),
 
