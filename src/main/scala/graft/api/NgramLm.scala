@@ -157,6 +157,74 @@ object NgramLm {
           .as("p_kn"))
   }
 
+  /** (doc_id, w1, w2, w3) trigram triples of each doc; docs under 3
+    * tokens contribute nothing. */
+  private def trigrams(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = split(text, " ")
+    df.select(id.as("doc_id"), tk.as("__tk"))
+      .filter(size(col("__tk")) >= 3)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__tk")) - 2),
+          i => struct(element_at(col("__tk"), i).as("w1"),
+            element_at(col("__tk"), i + 1).as("w2"),
+            element_at(col("__tk"), i + 2).as("w3")))).as("__t"))
+      .select(col("doc_id"), col("__t.w1").as("w1"),
+        col("__t.w2").as("w2"), col("__t.w3").as("w3"))
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM probabilities — the order-3 step
+    * toward the real KenLM shape (Chen & Goodman 1999 eq. 18: the
+    * highest order discounts RAW counts, every lower order discounts
+    * CONTINUATION/type counts):
+    *
+    *   p₃(w3|w1,w2) = max(c(w123) − D, 0)/c(w12·)
+    *                + (D·N₁₊(w12·)/c(w12·)) · p₂(w3|w2)
+    *   p₂(w3|w2)    = max(N₁₊(·w2w3) − D, 0)/N₁₊(·w2·)
+    *                + (D·N₁₊(w2·)/N₁₊(·w2·)) · N₁₊(··w3)/B₂
+    *
+    * Every count is a model-sized aggregate of the ONE (w1, w2, w3)
+    * type/count frame (all lower-order type counts read trigram types,
+    * the self-consistent convention — doc-boundary bigrams outside any
+    * trigram are out of model, exactly like [[train]]'s sub-2-token
+    * rule). Probability is a fixed-shape IEEE expression over exact
+    * integers — no transcendentals — so the rounded output is
+    * engine-reproducible bit-for-bit.
+    *
+    * Scale shape: one corpus-sized (w1, w2, w3) groupBy (map-side
+    * combinable — the only corpus-sized shuffle); five model-sized
+    * aggregates/joins + one 1-row broadcast. Output: (w1, w2, w3,
+    * c_tri, p_kn3 RAW) for every observed trigram. */
+  def trainKn3(df: DataFrame, id: Column, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    val c3 = trigrams(df, id, text)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c_tri"))
+    // history (w1,w2): raw continuation total + distinct-successor types
+    val c12 = c3.groupBy("w1", "w2").agg(sum(col("c_tri")).as("c_12"),
+      count(lit(1)).as("n_fw12"))
+    // N1+(·w2w3): distinct w1 preceding the (w2,w3) bigram
+    val pre23 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n_pre23"))
+    // per w2: N1+(·w2·) = Σ_w3 N1+(·w2w3) and N1+(w2·) as type count
+    val mid2 = pre23.groupBy("w2").agg(sum(col("n_pre23")).as("n_pre2dot"),
+      count(lit(1)).as("n_fw2"))
+    // N1+(··w3): distinct (w2,w3) types per w3; B2 = all (w2,w3) types
+    val w3c = pre23.groupBy("w3").agg(count(lit(1)).as("n_pre3"))
+    val b2 = pre23.agg(count(lit(1)).as("b2_types"))
+    c3.join(c12, Seq("w1", "w2")).join(pre23, Seq("w2", "w3"))
+      .join(mid2, Seq("w2")).join(w3c, Seq("w3"))
+      .crossJoin(broadcast(b2))
+      .select(col("w1"), col("w2"), col("w3"), col("c_tri"),
+        (greatest(col("c_tri").cast("double") - lit(discount), lit(0.0))
+          / col("c_12")
+          + ((lit(discount) * col("n_fw12")) / col("c_12"))
+            * (greatest(col("n_pre23").cast("double") - lit(discount),
+                lit(0.0)) / col("n_pre2dot")
+              + ((lit(discount) * col("n_fw2")) / col("n_pre2dot"))
+                * (col("n_pre3").cast("double") / col("b2_types"))))
+          .as("p_kn3"))
+  }
+
   /** [[trainKn]] re-shaped as a [[train]]-style self-contained backoff
     * table in integer micro-costs, so documents can be SCORED under the
     * KN model with addition-order-free integer sums. Four row shapes:

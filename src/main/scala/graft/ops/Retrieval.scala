@@ -162,6 +162,32 @@ object Retrieval {
         .orderBy("stage_idx")
     }),
 
+    // Funnel threshold SWEEP (the length_buckets_sweep discipline): the
+    // yield curve a curation run consults before fixing its gates — for
+    // each candidate min-words threshold (other gates held fixed),
+    // survivors and survivor fraction, ALL thresholds priced in ONE
+    // corpus pass (an in-row explode over the threshold grid feeding one
+    // partial-agg groupBy; never one job per candidate).
+    "llm_filter_funnel_sweep" -> ((s, d) => {
+      val grid = Seq(10, 20, 30, 40, 50)
+      val stats = funnelStats(documents(s, d))
+        .withColumn("__pass_rest",
+          (col("dup_raw") <= MaxDupFrac) &&
+            (col("dom_raw") <= MaxDominance) &&
+            (col("short_raw") <= MaxShortFrac))
+      stats
+        .select(col("__pass_rest"), col("n_words"),
+          explode(array(grid.map(lit): _*)).as("min_words"))
+        .groupBy("min_words")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__pass_rest") && col("n_words") >= col("min_words"),
+            1L).otherwise(0L)).as("n_kept"))
+        .select(col("min_words"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_docs").cast("double"))
+            .as("kept_frac"))
+        .orderBy("min_words")
+    }),
+
     // Corpus distinct-n diversity per source (graft.api.TextQuality
     // .ngramDiversity): unique-unigram and unique-bigram fractions —
     // the template-collapse / synthetic-mode-collapse audit.
@@ -185,6 +211,18 @@ object Retrieval {
         .select(col("w1"), col("w2"), col("c_bi"),
           round(col("p_kn"), 6).as("p_kn_r"))
         .orderBy("w1", "w2")),
+
+    // TRIGRAM interpolated Kneser–Ney (graft.api.NgramLm.trainKn3) —
+    // the order-3 step toward the real KenLM shape: highest order
+    // discounts raw counts, the bigram level discounts CONTINUATION
+    // type counts (Chen & Goodman 1999). One corpus-sized (w1,w2,w3)
+    // shuffle; everything else model-sized; no transcendentals.
+    "llm_ngram_lm_kn3" -> ((s, d) =>
+      graft.api.NgramLm
+        .trainKn3(documents(s, d), col("doc_id"), col("text"))
+        .select(col("w1"), col("w2"), col("w3"), col("c_tri"),
+          round(col("p_kn3"), 6).as("p_kn3_r"))
+        .orderBy("w1", "w2", "w3")),
 
     // KN perplexity scoring (graft.api.NgramLm.trainKnBackoff +
     // scoreDocsKn): the CCNet-style quality signal under the KN model.
@@ -313,6 +351,34 @@ object Retrieval {
          |FROM attr CROSS JOIN t GROUP BY stage_idx, stage
          |ORDER BY stage_idx""".stripMargin,
 
+    "llm_filter_funnel_sweep" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+         |  FROM documents),
+         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+         |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS dup_raw,
+         |    CAST(len(list_filter(tk, x -> length(x) <= 2)) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS short_raw
+         |  FROM tk),
+         |dom AS (SELECT doc_id,
+         |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dom_raw
+         |  FROM (SELECT doc_id, token, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split_regex(text, ' ')) AS token
+         |    FROM documents) GROUP BY doc_id, token) GROUP BY doc_id),
+         |st AS (SELECT b.doc_id, n_words,
+         |    (dup_raw <= $MaxDupFrac AND dom_raw <= $MaxDominance
+         |      AND short_raw <= $MaxShortFrac) AS pass_rest
+         |  FROM base b JOIN dom USING (doc_id)),
+         |g AS (SELECT unnest([10, 20, 30, 40, 50]) AS min_words)
+         |SELECT min_words, CAST(SUM(CASE WHEN pass_rest
+         |    AND n_words >= min_words THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN pass_rest AND n_words >= min_words
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS kept_frac
+         |FROM st CROSS JOIN g GROUP BY min_words
+         |ORDER BY min_words""".stripMargin,
+
     "llm_diversity_ngrams" ->
       """WITH tok AS (SELECT source,
         |    unnest(string_split_regex(text, ' ')) AS g FROM documents),
@@ -352,6 +418,33 @@ object Retrieval {
         |      * (CAST(n_bw AS DOUBLE) / b_types), 6) AS p_kn_r
         |FROM cb JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN b
         |ORDER BY w1, w2""".stripMargin,
+
+    "llm_ngram_lm_kn3" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |tri AS (SELECT doc_id, unnest(tk[1:len(tk)-2]) AS w1,
+        |    unnest(tk[2:len(tk)-1]) AS w2, unnest(tk[3:len(tk)]) AS w3
+        |  FROM tk WHERE len(tk) >= 3),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c_tri FROM tri
+        |  GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(SUM(c_tri) AS BIGINT) AS c_12,
+        |    COUNT(*) AS n_fw12 FROM c3 GROUP BY w1, w2),
+        |pre23 AS (SELECT w2, w3, COUNT(*) AS n_pre23 FROM c3
+        |  GROUP BY w2, w3),
+        |mid2 AS (SELECT w2, CAST(SUM(n_pre23) AS BIGINT) AS n_pre2dot,
+        |    COUNT(*) AS n_fw2 FROM pre23 GROUP BY w2),
+        |w3c AS (SELECT w3, COUNT(*) AS n_pre3 FROM pre23 GROUP BY w3),
+        |b2 AS (SELECT COUNT(*) AS b2_types FROM pre23)
+        |SELECT c3.w1, c3.w2, c3.w3, c_tri,
+        |  ROUND(GREATEST(CAST(c_tri AS DOUBLE) - 0.75, 0.0) / c_12
+        |    + ((0.75 * n_fw12) / c_12)
+        |      * (GREATEST(CAST(n_pre23 AS DOUBLE) - 0.75, 0.0)
+        |          / n_pre2dot
+        |        + ((0.75 * n_fw2) / n_pre2dot)
+        |          * (CAST(n_pre3 AS DOUBLE) / b2_types)), 6) AS p_kn3_r
+        |FROM c3 JOIN c12 USING (w1, w2) JOIN pre23 USING (w2, w3)
+        |JOIN mid2 USING (w2) JOIN w3c USING (w3) CROSS JOIN b2
+        |ORDER BY w1, w2, w3""".stripMargin,
 
     "llm_perplexity_kn" ->
       """WITH tr AS (SELECT doc_id, string_split_regex(text, ' ') AS tk

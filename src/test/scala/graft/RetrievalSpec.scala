@@ -204,6 +204,54 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("trainKn3 matches a pure-Scala trigram-KN reference and sums to 1 " +
+      "over the full event space per (w1,w2) history") {
+    val texts = Seq("a b a b a c a b", "b a c a b c b a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val d = 0.75
+    val tri = texts.flatMap(_.split(" ").sliding(3).map(w => (w(0), w(1), w(2))))
+    val c3 = tri.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c12 = c3.groupBy(t => (t._1._1, t._1._2))
+      .map { case (k, m) => k -> (m.values.sum, m.size) }
+    val pre23 = c3.groupBy(t => (t._1._2, t._1._3))
+      .map { case (k, m) => k -> m.size }
+    val mid2 = pre23.groupBy(_._1._1)
+      .map { case (k, m) => k -> (m.values.sum, m.size) }
+    val w3c = pre23.groupBy(_._1._2).map { case (k, m) => k -> m.size }
+    val b2 = pre23.size
+    def p2(w2: String, w3: String): Double = {
+      val (n2dot, nFw2) = mid2(w2)
+      math.max(pre23.getOrElse((w2, w3), 0).toDouble - d, 0.0) / n2dot +
+        ((d * nFw2) / n2dot) * (w3c(w3).toDouble / b2)
+    }
+    def p3(w1: String, w2: String, w3: String): Double = {
+      val (c12v, nFw12) = c12((w1, w2))
+      math.max(c3((w1, w2, w3)).toDouble - d, 0.0) / c12v +
+        ((d * nFw12) / c12v) * p2(w2, w3)
+    }
+    val out = graft.api.NgramLm.trainKn3(docs, col("doc_id"), col("text"), d)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(4))
+      .toMap
+    c3.keys.foreach { case (w1, w2, w3) =>
+      assert(math.abs(out((w1, w2, w3)) - p3(w1, w2, w3)) < 1e-12,
+        s"p_kn3($w3|$w1 $w2)")
+    }
+    // full-event-space mass per history: observed trigrams at p3 plus
+    // every unseen w3 at λ12·p2 must total exactly 1
+    val vocab = w3c.keySet
+    c12.keys.foreach { case (w1, w2) =>
+      val (c12v, nFw12) = c12((w1, w2))
+      val lam12 = (d * nFw12) / c12v
+      val seenW3 = c3.keys.filter(t => t._1 == w1 && t._2 == w2)
+        .map(_._3).toSet
+      val mass = seenW3.toSeq.map(w3 => out((w1, w2, w3))).sum +
+        (vocab -- seenW3).toSeq.map(w3 => lam12 * p2(w2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"KN3 mass for history ($w1,$w2)")
+    }
+  }
+
   test("scoreDocsKn resolves every backoff shape: seen bigram, " +
       "λ+cont for unseen pairs, OOV floor for unknown words") {
     val train = Seq(1L -> "a b a b a c").toDF("doc_id", "text")
