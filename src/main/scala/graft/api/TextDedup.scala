@@ -2029,4 +2029,30 @@ object TextDedup {
           q => array_min(slice(col("__h"), q, lit(win)))))))
           .otherwise(array().cast("array<bigint>")).as("fingerprints"))
   }
+
+  /** Candidate near-dup pairs from [[winnowFingerprints]] — the screen
+    * that makes winnowing actionable: documents sharing at least one
+    * fingerprint VALUE, with the shared count as evidence strength
+    * (plagiarism-detection's candidate stage; verify survivors with
+    * [[jaccardWithinBucket]]-style exact scoring). By the winnowing
+    * guarantee every pair sharing an exact ≥ win + k − 1 token run IS
+    * in this output.
+    *
+    * Scale shape: explode the per-doc fingerprint set (a fraction of
+    * the gram stream — that is winnowing's point), ONE equi-join on the
+    * fingerprint value — pair space bounded by per-fingerprint document
+    * frequency exactly like an LSH band bucket, never |corpus|²; a
+    * ubiquitous boilerplate fingerprint is the same skew hazard as a hot
+    * LSH bucket (AQE skew handling / df-cap the hot values). Output:
+    * (doc_a, doc_b, n_shared_fp), doc_a < doc_b. */
+  def winnowCandidates(df: DataFrame, id: Column, text: Column,
+      k: Int = 4, win: Int = 4): DataFrame = {
+    val fps = winnowFingerprints(df, id, text, k, win)
+      .select(col("doc_id"), explode(col("fingerprints")).as("__fp"))
+    fps.select(col("doc_id").as("doc_a"), col("__fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("__fp")), Seq("__fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_fp"))
+  }
 }

@@ -253,6 +253,15 @@ object Retrieval {
           concat_ws("|", col("fingerprints")).as("fingerprints"))
         .orderBy("doc_id")),
 
+    // Winnowing candidate pairs (graft.api.TextDedup.winnowCandidates):
+    // docs sharing ≥1 fingerprint value with the shared count — the
+    // plagiarism-detection candidate stage; pair space bounded by
+    // per-fingerprint document frequency (the LSH-band shape).
+    "llm_dedup_winnow" -> ((s, d) =>
+      graft.api.TextDedup
+        .winnowCandidates(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b")),
+
     // Embedding-space decontamination (graft.api.Similarity
     // .decontaminateByEmbedding): flag corpus vectors within cosine 0.3
     // of the benchmark slice (vec_id % 10 = 0 stands in for the eval
@@ -500,6 +509,23 @@ object Retrieval {
         |      range(1, len(hs) - 2), q -> list_min(hs[q:q+3]))
         |    ELSE [] END)), '|') AS fingerprints
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_winnow" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(tk) - 2), i ->
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+        |    AS grams FROM tk WHERE len(tk) >= 4),
+        |h AS (SELECT doc_id, list_transform(grams, x ->
+        |    CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM g),
+        |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(hs) - 2), q -> list_min(hs[q:q+3])))) AS fp
+        |  FROM h WHERE len(hs) >= 4)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS n_shared_fp
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "llm_decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee

@@ -320,6 +320,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("winnowCandidates surfaces every pair sharing a win+k-1 run and " +
+      "no pair without shared grams") {
+    val shared = "query scan merge join sort group table" // 7 tokens
+    val docs = Seq(
+      (1L, s"a b c d e $shared x y z"),
+      (2L, s"p q $shared r s t u v w"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("id", "text")
+    val pairs = graft.api.TextDedup
+      .winnowCandidates(docs, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"exactly the planted overlap pair, got $pairs")
+  }
+
   // ------------------------------------- semantic decontamination
 
   test("decontaminateByEmbedding flags a planted eval twin at sim 1.0 " +
