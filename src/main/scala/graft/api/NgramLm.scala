@@ -225,6 +225,105 @@ object NgramLm {
           .as("p_kn3"))
   }
 
+  /** [[trainKn3]] re-shaped as a self-contained backoff table in integer
+    * micro-costs, keyed by an explicit `kind` column (six row shapes —
+    * the NULL-pattern encoding of [[trainKnBackoff]] stops scaling past
+    * two orders):
+    *  - kind "p3"   (w1, w2, w3): −ln p₃(w3|w1,w2) for observed trigrams;
+    *  - kind "lam12" (w1, w2):    −ln λ₁₂ = −ln(D·N₁₊(w12·)/c(w12·));
+    *  - kind "p2"   (w2, w3):     −ln p₂(w3|w2) (the continuation-count
+    *    bigram KN of [[trainKn3]]'s lower order);
+    *  - kind "lam2" (w2):         −ln λ₂ = −ln(D·N₁₊(w2·)/N₁₊(·w2·));
+    *  - kind "cont" (w3):         −ln N₁₊(··w3)/B₂;
+    *  - kind "oov"  ():           −ln 1/B₂ (one pseudo-type floor).
+    * A scored trigram resolves seen-exact → λ₁₂ + [p₂ seen → else
+    * λ₂ + [cont → else floor]], every missing component replaced by the
+    * floor; components micro-round independently (the [[trainKnBackoff]]
+    * ±1 μ contract). Same scale shape as [[trainKn3]]. */
+  def trainKn3Backoff(df: DataFrame, id: Column, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    val c3 = trigrams(df, id, text)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c_tri"))
+    val c12 = c3.groupBy("w1", "w2").agg(sum(col("c_tri")).as("c_12"),
+      count(lit(1)).as("n_fw12"))
+    val pre23 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n_pre23"))
+    val mid2 = pre23.groupBy("w2").agg(sum(col("n_pre23")).as("n_pre2dot"),
+      count(lit(1)).as("n_fw2"))
+    val w3c = pre23.groupBy("w3").agg(count(lit(1)).as("n_pre3"))
+    val b2 = pre23.agg(count(lit(1)).as("b2_types"))
+    def row(kind: String, w1: Column, w2: Column, w3: Column,
+        cost: Column): Seq[Column] =
+      Seq(lit(kind).as("kind"), w1.as("w1"), w2.as("w2"), w3.as("w3"),
+        cost.as("cost"))
+    val nullS = lit(null).cast("string")
+    val p2Expr =
+      greatest(col("n_pre23").cast("double") - lit(discount), lit(0.0)) /
+        col("n_pre2dot") +
+        ((lit(discount) * col("n_fw2")) / col("n_pre2dot")) *
+          (col("n_pre3").cast("double") / col("b2_types"))
+    val p3 = c3.join(c12, Seq("w1", "w2")).join(pre23, Seq("w2", "w3"))
+      .join(mid2, Seq("w2")).join(w3c, Seq("w3")).crossJoin(broadcast(b2))
+      .select(row("p3", col("w1"), col("w2"), col("w3"), costMicro(
+        greatest(col("c_tri").cast("double") - lit(discount), lit(0.0))
+          / col("c_12")
+          + ((lit(discount) * col("n_fw12")) / col("c_12")) * p2Expr)): _*)
+    val lam12 = c12.select(row("lam12", col("w1"), col("w2"), nullS,
+      costMicro((lit(discount) * col("n_fw12")) / col("c_12"))): _*)
+    val p2 = pre23.join(mid2, Seq("w2")).join(w3c, Seq("w3"))
+      .crossJoin(broadcast(b2))
+      .select(row("p2", nullS, col("w2"), col("w3"), costMicro(p2Expr)): _*)
+    val lam2 = mid2.select(row("lam2", nullS, col("w2"), nullS,
+      costMicro((lit(discount) * col("n_fw2")) / col("n_pre2dot"))): _*)
+    val cont = w3c.crossJoin(broadcast(b2))
+      .select(row("cont", nullS, nullS, col("w3"),
+        costMicro(col("n_pre3").cast("double") / col("b2_types"))): _*)
+    val oov = b2.select(row("oov", nullS, nullS, nullS,
+      costMicro(lit(1.0) / col("b2_types"))): _*)
+    p3.unionByName(lam12).unionByName(p2).unionByName(lam2)
+      .unionByName(cont).unionByName(oov)
+  }
+
+  /** Score each doc under a [[trainKn3Backoff]] model — the order-3
+    * analogue of [[scoreDocsKn]], same output contract: (doc_id,
+    * n_trigrams, total_cost_micro, avg_cost_micro). Joins: one
+    * (w1,w2,w3) equi-join for the seen costs, then (w1,w2)/(w2,w3)/
+    * (w2)/(w3) model-sized equi-joins for the backoff components —
+    * plain shuffle joins throughout (Heaps'-law vocabularies). */
+  def scoreDocsKn3(df: DataFrame, id: Column, text: Column,
+      model: DataFrame): DataFrame = {
+    val tri = trigrams(df, id, text)
+    def part(kind: String, keys: Seq[String], as: String): DataFrame =
+      model.filter(col("kind") === kind)
+        .select(keys.map(col) :+ col("cost").as(as): _*)
+    val scored = tri
+      .join(part("p3", Seq("w1", "w2", "w3"), "__c3"),
+        Seq("w1", "w2", "w3"), "left")
+      .join(part("lam12", Seq("w1", "w2"), "__l12"),
+        Seq("w1", "w2"), "left")
+      .join(part("p2", Seq("w2", "w3"), "__c2"), Seq("w2", "w3"), "left")
+      .join(part("lam2", Seq("w2"), "__l2"), Seq("w2"), "left")
+      .join(part("cont", Seq("w3"), "__cc"), Seq("w3"), "left")
+      .crossJoin(broadcast(model.filter(col("kind") === "oov")
+        .select(col("cost").as("__oo"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(coalesce(col("__c3"),
+          coalesce(col("__l12"), col("__oo"))
+            + coalesce(col("__c2"),
+              coalesce(col("__l2"), col("__oo"))
+                + coalesce(col("__cc"), col("__oo")))))
+          .as("total_cost_micro"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("total_cost_micro"), lit(0L)).as("total_cost_micro"),
+        (col("total_cost_micro").cast("double")
+          / col("n_trigrams").cast("double")).as("avg_cost_micro"))
+  }
+
   /** [[trainKn]] re-shaped as a [[train]]-style self-contained backoff
     * table in integer micro-costs, so documents can be SCORED under the
     * KN model with addition-order-free integer sums. Four row shapes:

@@ -253,6 +253,21 @@ object Retrieval {
           concat_ws("|", col("fingerprints")).as("fingerprints"))
         .orderBy("doc_id")),
 
+    // Trigram-KN perplexity scoring (graft.api.NgramLm.trainKn3Backoff +
+    // scoreDocsKn3): the full KenLM-shaped chain — seen trigram →
+    // λ₁₂ + [bigram-KN → λ₂ + [continuation → floor]] — in integer
+    // micro-costs. Trained on the src0 slice, scored over the whole
+    // corpus: trigram coverage is far sparser than bigram, so the
+    // backoff path carries most unseen mass (real nightly shape).
+    "llm_perplexity_kn3" -> ((s, d) => {
+      val docs = documents(s, d)
+      val model = graft.api.NgramLm.trainKn3Backoff(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"))
+      graft.api.NgramLm
+        .scoreDocsKn3(docs, col("doc_id"), col("text"), model)
+        .orderBy("doc_id")
+    }),
+
     // Winnowing candidate pairs (graft.api.TextDedup.winnowCandidates):
     // docs sharing ≥1 fingerprint value with the shared count — the
     // plagiarism-detection candidate stage; pair space bounded by
@@ -509,6 +524,66 @@ object Retrieval {
         |      range(1, len(hs) - 2), q -> list_min(hs[q:q+3]))
         |    ELSE [] END)), '|') AS fingerprints
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "llm_perplexity_kn3" ->
+      """WITH tr AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents WHERE source = 'src0'),
+        |ttri AS (SELECT unnest(tk[1:len(tk)-2]) AS w1,
+        |    unnest(tk[2:len(tk)-1]) AS w2, unnest(tk[3:len(tk)]) AS w3
+        |  FROM tr WHERE len(tk) >= 3),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c_tri FROM ttri
+        |  GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(SUM(c_tri) AS BIGINT) AS c_12,
+        |    COUNT(*) AS n_fw12 FROM c3 GROUP BY w1, w2),
+        |pre23 AS (SELECT w2, w3, COUNT(*) AS n_pre23 FROM c3
+        |  GROUP BY w2, w3),
+        |mid2 AS (SELECT w2, CAST(SUM(n_pre23) AS BIGINT) AS n_pre2dot,
+        |    COUNT(*) AS n_fw2 FROM pre23 GROUP BY w2),
+        |w3c AS (SELECT w3, COUNT(*) AS n_pre3 FROM pre23 GROUP BY w3),
+        |b2 AS (SELECT COUNT(*) AS b2_types FROM pre23),
+        |cp3 AS (SELECT c3.w1, c3.w2, c3.w3, CAST(ROUND(
+        |    -ln(GREATEST(CAST(c_tri AS DOUBLE) - 0.75, 0.0) / c_12
+        |      + ((0.75 * n_fw12) / c_12)
+        |        * (GREATEST(CAST(n_pre23 AS DOUBLE) - 0.75, 0.0)
+        |            / n_pre2dot
+        |          + ((0.75 * n_fw2) / n_pre2dot)
+        |            * (CAST(n_pre3 AS DOUBLE) / b2_types)))
+        |    * 1000000.0) AS BIGINT) AS c3c
+        |  FROM c3 JOIN c12 USING (w1, w2) JOIN pre23 USING (w2, w3)
+        |  JOIN mid2 USING (w2) JOIN w3c USING (w3) CROSS JOIN b2),
+        |cl12 AS (SELECT w1, w2, CAST(ROUND(-ln((0.75 * n_fw12) / c_12)
+        |    * 1000000.0) AS BIGINT) AS l12 FROM c12),
+        |cp2 AS (SELECT pre23.w2, pre23.w3, CAST(ROUND(
+        |    -ln(GREATEST(CAST(n_pre23 AS DOUBLE) - 0.75, 0.0) / n_pre2dot
+        |      + ((0.75 * n_fw2) / n_pre2dot)
+        |        * (CAST(n_pre3 AS DOUBLE) / b2_types)) * 1000000.0)
+        |    AS BIGINT) AS c2c
+        |  FROM pre23 JOIN mid2 USING (w2) JOIN w3c USING (w3)
+        |  CROSS JOIN b2),
+        |cl2 AS (SELECT w2, CAST(ROUND(-ln((0.75 * n_fw2) / n_pre2dot)
+        |    * 1000000.0) AS BIGINT) AS l2 FROM mid2),
+        |cc AS (SELECT w3, CAST(ROUND(-ln(CAST(n_pre3 AS DOUBLE)
+        |    / b2_types) * 1000000.0) AS BIGINT) AS ccost
+        |  FROM w3c CROSS JOIN b2),
+        |co AS (SELECT CAST(ROUND(-ln(1.0 / b2_types) * 1000000.0)
+        |    AS BIGINT) AS oo FROM b2),
+        |atk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |atri AS (SELECT doc_id, unnest(tk[1:len(tk)-2]) AS w1,
+        |    unnest(tk[2:len(tk)-1]) AS w2, unnest(tk[3:len(tk)]) AS w3
+        |  FROM atk WHERE len(tk) >= 3),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+        |    CAST(SUM(COALESCE(c3c, COALESCE(l12, oo)
+        |      + COALESCE(c2c, COALESCE(l2, oo) + COALESCE(ccost, oo))))
+        |      AS BIGINT) AS total
+        |  FROM atri LEFT JOIN cp3 USING (w1, w2, w3)
+        |  LEFT JOIN cl12 USING (w1, w2) LEFT JOIN cp2 USING (w2, w3)
+        |  LEFT JOIN cl2 USING (w2) LEFT JOIN cc USING (w3)
+        |  CROSS JOIN co GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, total AS total_cost_micro,
+        |  CAST(total AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+        |    AS avg_cost_micro
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_winnow" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk

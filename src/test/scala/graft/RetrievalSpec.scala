@@ -278,6 +278,33 @@ class RetrievalSpec extends AnyFunSuite {
       s"backoff chain total: got ${out.getLong(2)}, want $expected")
   }
 
+  test("scoreDocsKn3 resolves the full order-3 backoff chain: seen " +
+      "trigram, λ12+p2, λ12+λ2+cont, OOV floors") {
+    val train = Seq(1L -> "a b c a b d").toDF("doc_id", "text")
+    val model = graft.api.NgramLm
+      .trainKn3Backoff(train, col("doc_id"), col("text"))
+    val rows = model.collect()
+    def c(kind: String, ws: String*): Long =
+      rows.find(r => r.getString(0) == kind &&
+        Seq(r.getString(1), r.getString(2), r.getString(3))
+          .filter(_ != null) == ws).get.getLong(4)
+    // "a b c b x a b": (a,b,c) seen; (b,c,b) λ12(b,c)+λ2(c)+cont(b);
+    // (c,b,x) oov+λ2(b)+oov; (b,x,a) oov+oov+cont(a); (x,a,b) oov+p2(a,b)
+    val out = graft.api.NgramLm.scoreDocsKn3(
+      Seq(9L -> "a b c b x a b").toDF("doc_id", "text"),
+      col("doc_id"), col("text"), model).collect().head
+    val oo = c("oov")
+    val expected =
+      c("p3", "a", "b", "c") +
+        (c("lam12", "b", "c") + (c("lam2", "c") + c("cont", "b"))) +
+        (oo + (c("lam2", "b") + oo)) +
+        (oo + (oo + c("cont", "a"))) +
+        (oo + c("p2", "a", "b"))
+    assert(out.getLong(1) == 5L)
+    assert(out.getLong(2) == expected,
+      s"order-3 backoff total: got ${out.getLong(2)}, want $expected")
+  }
+
   // ------------------------------------------------ winnowing
 
   test("winnowFingerprints: local guarantee — docs sharing a " +
