@@ -224,6 +224,39 @@ object Similarity {
         col("__best.sim_r").as("sim_r"))
   }
 
+  /** Model-selection sweep for the cluster count: the spherical-k-means
+    * objective Σ max-sim evaluated for SEVERAL candidate centroid sets
+    * in ONE corpus scan (the elbow curve a SemDeDup/IVF deployment reads
+    * before fixing k). `centroidsByK` carries (k, cid, ce) — all
+    * candidate sets tagged and broadcast together (Σ|sets| rows, model-
+    * sized), so the sweep costs one n·Σk map-side dot-product pass plus
+    * partial-aggregable min-structs, never one scan per candidate and
+    * never a corpus shuffle. Per-vector sims round to 6 dp (the
+    * [[assignClusters]] contract), then sum as exact micro BIGINTs —
+    * order-free, cross-engine. Output: (k, n_vec, obj_micro, avg_sim). */
+  def kSweepObjective(corpus: DataFrame, id: Column, vec: Column,
+      centroidsByK: DataFrame): DataFrame = {
+    val cols = centroidsByK.columns.toSet
+    require(Set("k", "cid", "ce").subsetOf(cols),
+      s"centroidsByK must have (k, cid, ce), got: " +
+        centroidsByK.columns.mkString(", "))
+    corpus.select(id.as("vec_id"), vec.as("__v"))
+      .crossJoin(broadcast(centroidsByK.select(col("k"), col("cid"),
+        col("ce"))))
+      .select(col("k"), col("vec_id"), col("cid"),
+        round(dot(col("ce"), col("__v")), 6).as("sim_r"))
+      .groupBy("k", "vec_id")
+      .agg(min(struct((-col("sim_r")).as("neg_sim"),
+        col("cid").as("cid"), col("sim_r").as("sim_r"))).as("__b"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_vec"),
+        sum(round(col("__b.sim_r") * 1000000.0, 0).cast("long"))
+          .as("obj_micro"))
+      .select(col("k"), col("n_vec"), col("obj_micro"),
+        (col("obj_micro").cast("double") / lit(1000000.0)
+          / col("n_vec").cast("double")).as("avg_sim"))
+  }
+
   /** Spherical k-means fit over full vectors: Lloyd rounds of
     * [[assignClusters]] assignment (broadcast centroids, argmax dot) and
     * L2-NORMALIZED per-cluster means — normalization is what makes the

@@ -435,4 +435,82 @@ object TextQuality {
         (col("n_distinct_bigrams").cast("double")
           / col("n_bigrams").cast("double")).as("distinct2"))
   }
+
+  /** Zipf rank–frequency fit per group — the lexical-health audit a
+    * corpus sheet reports next to Heaps-law vocabulary growth: natural
+    * text follows ln f ≈ α·ln r + c with α ≈ −1; a slope far from −1
+    * (or a low R²) flags templated/synthetic/boilerplate-heavy slices.
+    *
+    * Determinism kit: ranks (frequency desc, token tie-break) and
+    * frequencies are exact integers; ln(r)/ln(f) are micro-rounded to
+    * BIGINT per type (the costMicro contract, ±1 µ cross-engine); the
+    * five OLS moments Σx, Σy, Σxy, Σx², Σy² accumulate in
+    * DecimalType(38,0) (micro-products reach ~4·10¹⁴ per type — a
+    * LongType sum would wrap silently past ~3·10⁴ types); the
+    * slope/intercept/R² formulas are a fixed IEEE expression over the
+    * exact moments, emitted RAW. Output: (group, n_types, slope,
+    * intercept, r2) — slope/intercept in µ·µ space cancel the 10⁶
+    * scaling, so they read directly as ln-ln coefficients.
+    *
+    * Scale shape: one corpus-sized (group, token) aggregate, then
+    * everything is vocabulary-sized; the rank window partitions by
+    * group (vocab-per-group rows, never the corpus). */
+  def zipfFit(df: DataFrame, group: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val freq = df.select(group.as("group"),
+        explode(split(text, " ")).as("__t"))
+      .groupBy("group", "__t").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy(col("f").desc, col("__t"))
+    def micro(c: Column): Column =
+      round(log(c.cast("double")) * 1000000.0, 0).cast("long")
+    val pts = freq.withColumn("r", row_number().over(w))
+      .select(col("group"), micro(col("r")).as("x"), micro(col("f")).as("y"))
+    val m = pts.groupBy("group").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val cov = n * d("sxy") - d("sx") * d("sy")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    m.select(col("group"), col("n").as("n_types"),
+      (cov / vx).as("slope"),
+      ((d("sy") / n - (cov / vx) * (d("sx") / n)) / lit(1000000.0))
+        .as("intercept"),
+      (cov * cov / (vx * vy)).as("r2"))
+  }
+
+  /** Flesch readability per document — the classic surface-form quality
+    * score (Flesch 1948; Kincaid et al. 1975 — public formulas) from
+    * three exact integer counts: words (single-space tokens), sentences
+    * ([.!?]+ runs, floor 1), syllables (per-token [aeiouy]+ vowel-group
+    * runs, floor 1 per token — the standard heuristic when no
+    * pronunciation lexicon ships). The two scores are fixed IEEE
+    * expressions over the exact counts, emitted RAW — bit-identical in
+    * any engine that parses the same decimal literals. Pure map-side
+    * per-doc work: one explode-aggregate per doc for syllables, no
+    * corpus shuffle beyond it. Output: (id, n_words, n_sentences,
+    * n_syllables, flesch_ease, fk_grade). */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    val syl = aggregate(
+      transform(toks, t => greatest(regexp_count(t, lit("[aeiouy]+")),
+        lit(1))),
+      lit(0L), (acc, v) => acc + v)
+    val words = size(toks).cast("long")
+    val sents = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("long")
+    val wps = words.cast("double") / sents.cast("double")
+    val spw = syl.cast("double") / words.cast("double")
+    df.select(id.as("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+      syl.as("n_syllables"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch_ease"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+  }
 }

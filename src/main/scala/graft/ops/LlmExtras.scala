@@ -631,6 +631,46 @@ object LlmExtras {
         .orderBy("word")
     }),
 
+    // WordPiece merge step (graft.api.Wordpiece — the BERT vocabulary
+    // builder next to BPE/unigram): merges ranked by the LIKELIHOOD
+    // score n/(c_a·c_b) instead of the raw count, spelled (n/c_a)/c_b —
+    // two chained IEEE divisions of exact BIGINT counts, bit-identical
+    // cross-engine and overflow-free at any corpus size. TWO chained
+    // merges as one declarative plan (the second re-scores under the
+    // first's rewritten counts), then the top-20 scored pairs. The
+    // iterative Wordpiece.train loop is this step repeated, pinned
+    // against a pure-Scala reference in ApiSpec.
+    "llm_wordpiece_merge_step" -> ((s, d) => {
+      val v0 = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+        .select(graft.api.Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+      val v2 = graft.api.Wordpiece.mergeOnce(
+        graft.api.Wordpiece.mergeOnce(v0))
+      graft.api.Wordpiece.pairScores(v2)
+        .orderBy(col("score").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // WordPiece piece vocabulary: position-0 pieces bare, interior
+    // pieces '##'-prefixed (lengths ≤ 4), kept iff occurrence mass
+    // clears a RELATIVE 3-permille bar (exact integer comparison,
+    // scale-invariant). No single-character exception — a word touching
+    // a pruned char becomes [UNK] under the encode key, exactly how a
+    // BERT vocab yields [UNK] at serving time.
+    "llm_wordpiece_vocab" -> ((s, d) => {
+      val wf = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+      graft.api.Wordpiece.vocabPieces(wf).orderBy("piece")
+    }),
+
+    // the encode side: greedy longest-match-first walk per vocab word
+    // (one edge join + one per-word fold — the corpus never re-enters),
+    // whole-word [UNK] on any unmatchable position.
+    "llm_wordpiece_encode" -> ((s, d) => {
+      val wf = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+      graft.api.Wordpiece
+        .encode(wf, graft.api.Wordpiece.vocabPieces(wf))
+        .orderBy("word")
+    }),
+
     // tokenizer FERTILITY audit (graft.api.Unigram.fertilityByGroup):
     // per source, word instances / emitted pieces / chars under the
     // seed unigram model, fertility = pieces per word — which slice
@@ -808,6 +848,44 @@ object LlmExtras {
        |      FROM $segName) s0
        |    WHERE len(tk) > 1) p0
        |  GROUP BY pair""".stripMargin
+
+  /** WordPiece scored-pairs CTE body over a segmentation CTE (sym, w_n):
+    * pair counts joined to per-symbol counts, score = (n/c_a)/c_b — the
+    * same two chained IEEE divisions the Spark side computes. */
+  private def wpScoredSql(segName: String): String =
+    s"""SELECT pair, n, ca.c AS c_a, cb.c AS c_b,
+       |    CAST(n AS DOUBLE) / ca.c / cb.c AS score
+       |  FROM (${bpePcSql(segName)}) pc
+       |  JOIN (SELECT s, CAST(SUM(w_n) AS BIGINT) AS c FROM (
+       |      SELECT w_n, unnest(string_split(substr(sym, 2,
+       |        length(sym) - 2), ')(')) AS s FROM $segName) sa
+       |    GROUP BY s) ca ON ca.s = string_split(pair, ' ')[1]
+       |  JOIN (SELECT s, CAST(SUM(w_n) AS BIGINT) AS c FROM (
+       |      SELECT w_n, unnest(string_split(substr(sym, 2,
+       |        length(sym) - 2), ')(')) AS s FROM $segName) sb
+       |    GROUP BY s) cb ON cb.s = string_split(pair, ' ')[2]""".stripMargin
+
+  /** DuckDB twin of the Wordpiece piece lattice + 3-permille vocabulary
+    * (graft.api.Wordpiece.vocabPieces): CTEs `wf` → `wsub` (positional
+    * pieces, '##'-marked continuations, len(word) < 100 both sides) →
+    * `wcnt`/`wtot` → `wvoc`. */
+  private val wordpieceCte: String =
+    """wf AS (SELECT word, COUNT(*) AS w_n FROM (
+      |    SELECT unnest(string_split_regex(text, ' ')) AS word
+      |    FROM documents) w
+      |  WHERE regexp_full_match(word, '[A-Za-z]+') AND len(word) < 100
+      |  GROUP BY word),
+      |wsub AS (SELECT word, w_n, r1.i AS i, r1.i + r2.l AS j,
+      |    CASE WHEN r1.i = 0 THEN '' ELSE '##' END ||
+      |      substr(word, CAST(r1.i AS INT) + 1, CAST(r2.l AS INT))
+      |      AS piece
+      |  FROM wf, range(0, 100) r1(i), range(1, 5) r2(l)
+      |  WHERE r1.i < len(word) AND r1.i + r2.l <= len(word)),
+      |wcnt AS (SELECT piece, CAST(SUM(w_n) AS BIGINT) AS cnt FROM wsub
+      |  GROUP BY piece),
+      |wtot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wcnt),
+      |wvoc AS (SELECT piece, cnt FROM wcnt, wtot
+      |  WHERE cnt * 1000 >= 3 * t)""".stripMargin
 
   /** Embedding width of the fixture table + the shared RP seed — ONE
     * definition feeds the Spark entries and the generated oracles so the
@@ -1114,6 +1192,55 @@ object LlmExtras {
          |SELECT word, w_n, CAST(COUNT(*) AS INT) AS n_pieces,
          |  string_agg(piece, '|' ORDER BY j) AS seg
          |FROM used GROUP BY word, w_n ORDER BY word""".stripMargin,
+    // WordPiece merge step: two likelihood-argmax merges chained, then
+    // the top-20 scored pairs — scores via the identical (n/c_a)/c_b
+    // division chain as the Spark plan.
+    "llm_wordpiece_merge_step" ->
+      s"""WITH $bpeCte,
+         |sc1 AS (${wpScoredSql("seg")}),
+         |t1 AS (SELECT string_split(pair, ' ')[1] AS a,
+         |    string_split(pair, ' ')[2] AS b
+         |  FROM sc1 ORDER BY score DESC, pair LIMIT 1),
+         |seg2 AS (SELECT replace(sym, '(' || a || ')(' || b || ')',
+         |    '(' || a || b || ')') AS sym, w_n FROM seg, t1),
+         |sc2 AS (${wpScoredSql("seg2")}),
+         |t2 AS (SELECT string_split(pair, ' ')[1] AS a,
+         |    string_split(pair, ' ')[2] AS b
+         |  FROM sc2 ORDER BY score DESC, pair LIMIT 1),
+         |seg3 AS (SELECT replace(sym, '(' || a || ')(' || b || ')',
+         |    '(' || a || b || ')') AS sym, w_n FROM seg2, t2),
+         |sc3 AS (${wpScoredSql("seg3")})
+         |SELECT pair, n, c_a, c_b, score FROM sc3
+         |ORDER BY score DESC, pair LIMIT 20""".stripMargin,
+    "llm_wordpiece_vocab" ->
+      s"""WITH $wordpieceCte
+         |SELECT piece, cnt FROM wvoc ORDER BY piece""".stripMargin,
+    // greedy longest-match walk as a recursive CTE: one row per word per
+    // step (MAX(e.j) is the longest match), words whose walk never
+    // reaches len(word) fall out of `wdone` and surface as [UNK].
+    "llm_wordpiece_encode" ->
+      s"""WITH RECURSIVE
+         |$wordpieceCte,
+         |wedge AS (SELECT s.word, s.i, s.j FROM wsub s
+         |  JOIN wvoc v USING (piece)),
+         |wwalk AS (
+         |  SELECT word, w_n, 0 AS p, '' AS seg, 0 AS np FROM wf
+         |  UNION ALL
+         |  SELECT w.word, w.w_n, CAST(MAX(e.j) AS INT) AS p,
+         |    w.seg || CASE WHEN w.p = 0 THEN '' ELSE '|##' END ||
+         |      substr(w.word, w.p + 1, CAST(MAX(e.j) AS INT) - w.p) AS seg,
+         |    w.np + 1 AS np
+         |  FROM wwalk w JOIN wedge e ON e.word = w.word AND e.i = w.p
+         |  WHERE w.p < len(w.word)
+         |  GROUP BY w.word, w.w_n, w.p, w.seg, w.np),
+         |wdone AS (SELECT word, w_n, seg, np FROM wwalk
+         |  WHERE p = len(word))
+         |SELECT wf.word, wf.w_n,
+         |  CAST(COALESCE(d.np, 1) AS INT) AS n_pieces,
+         |  COALESCE(d.seg, '[UNK]') AS seg,
+         |  d.word IS NULL AS is_unk
+         |FROM wf LEFT JOIN wdone d USING (word)
+         |ORDER BY word""".stripMargin,
     // fertility audit: per-word piece counts from the SAME Viterbi walk
     // as llm_unigram_segment, joined to per-(source, word) counts with
     // the identical word filter, aggregated per source

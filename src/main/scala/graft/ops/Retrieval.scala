@@ -294,6 +294,43 @@ object Retrieval {
         .select(col("id").as("vec_id"), col("n_hits"), col("eval_id"),
           col("sim_r"))
         .orderBy("vec_id")
+    }),
+
+    // Zipf rank–frequency fit (graft.api.TextQuality.zipfFit): ln-ln
+    // OLS per source — slope ≈ −1 is natural text; templated slices
+    // drift flat. Exact integer ranks/freqs, micro-rounded lns,
+    // DECIMAL(38,0)/HUGEINT moment sums, one fixed IEEE formula.
+    "llm_zipf_fit" -> ((s, d) =>
+      graft.api.TextQuality
+        .zipfFit(documents(s, d), col("source"), col("text"))
+        .withColumnRenamed("group", "source")
+        .orderBy("source")),
+
+    // Flesch/FK readability (graft.api.TextQuality.readability): the
+    // classic surface-form scores from three exact counts (words,
+    // [.!?]+ sentence runs floor 1, vowel-group syllables floor 1).
+    // Pure map-side; raw IEEE doubles from identical literals.
+    "llm_readability" -> ((s, d) =>
+      graft.api.TextQuality
+        .readability(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // Cluster-count elbow sweep (graft.api.Similarity.kSweepObjective):
+    // the spherical-k-means objective for k ∈ {2,4,8,16} seed centroid
+    // sets in ONE corpus scan — all sets ride one tagged broadcast
+    // (30 rows), per-(k, vec) argmax via partial-aggregable min-struct,
+    // micro-exact sums. The curve a SemDeDup/IVF deployment reads
+    // before fixing k.
+    "llm_cluster_k_sweep" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = Seq(2, 4, 8, 16).map(k =>
+          e.filter(col("vec_id") < k)
+            .select(lit(k).as("k"), col("vec_id").as("cid"),
+              col("embedding").as("ce")))
+        .reduce(_ unionByName _)
+      graft.api.Similarity
+        .kSweepObjective(e, col("vec_id"), col("embedding"), cents)
+        .orderBy("k")
     })
   )
 
@@ -617,6 +654,85 @@ object Retrieval {
          |      ORDER BY sim_r DESC, eid) AS rk FROM f)
          |SELECT best.vec_id, n_hits, eid AS eval_id, sim_r
          |FROM best JOIN n USING (vec_id) WHERE rk = 1
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    // ln-ln OLS over micro-rounded points; DuckDB's SUM(BIGINT) widens
+    // to HUGEINT — the exact accumulator twin of Spark's DECIMAL(38,0).
+    "llm_zipf_fit" ->
+      """WITH f AS (SELECT source, t, COUNT(*) AS f FROM (
+        |    SELECT source, unnest(string_split_regex(text, ' ')) AS t
+        |    FROM documents) w GROUP BY source, t),
+        |p AS (SELECT source,
+        |    CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY f DESC, t) AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS x,
+        |    CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS y
+        |  FROM f),
+        |m AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_types,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000.0)
+        |    AS intercept,
+        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+        |FROM m ORDER BY source""".stripMargin,
+
+    "llm_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(tk, t ->
+        |      GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE)
+        |      / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE)) AS flesch_ease,
+        |  0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE))
+        |    - 15.59 AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "llm_cluster_k_sweep" ->
+      s"""WITH ks(k) AS (VALUES (2), (4), (8), (16)),
+         |c AS (SELECT k, vec_id AS cid, embedding AS ce
+         |  FROM embeddings, ks WHERE vec_id < k),
+         |s AS (SELECT c.k, e.vec_id,
+         |    ROUND(${dotSql("ce", "embedding")}, 6) AS sim_r
+         |  FROM embeddings e CROSS JOIN c),
+         |b AS (SELECT k, vec_id, MAX(sim_r) AS best FROM s
+         |  GROUP BY k, vec_id),
+         |o AS (SELECT k, COUNT(*) AS n_vec,
+         |    CAST(SUM(CAST(ROUND(best * 1000000.0) AS BIGINT))
+         |      AS BIGINT) AS obj_micro
+         |  FROM b GROUP BY k)
+         |SELECT CAST(k AS INT) AS k, n_vec, obj_micro,
+         |  CAST(obj_micro AS DOUBLE) / 1000000.0
+         |    / CAST(n_vec AS DOUBLE) AS avg_sim
+         |FROM o ORDER BY k""".stripMargin
   )
 }

@@ -1287,6 +1287,74 @@ class ApiSpec extends AnyFunSuite {
       s"'low' (freq 3 with every prefix merged) split as $lowTokens")
   }
 
+  test("Wordpiece.train matches a pure-Scala likelihood-argmax reference; " +
+      "encode is greedy longest-match with whole-word [UNK]") {
+    import graft.api.Wordpiece
+    val docs = Seq("low lower lowest low low", "new newer newest new 42 a")
+      .toDF("txt")
+    val merges = Wordpiece.train(docs, col("txt"), nMerges = 5)
+
+    // reference: same counts as the BPE reference, argmax on
+    // (n/c_a)/c_b with the identical division order, pair tie-break
+    def refWp(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+      var vocab = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 0 until n) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        val sc = scala.collection.mutable.Map.empty[String, Long]
+        vocab.foreach { case (syms, c) =>
+          syms.foreach(s => sc(s) = sc.getOrElse(s, 0L) + c)
+          if (syms.size > 1) syms.sliding(2).foreach { p =>
+            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c } }
+        if (pc.nonEmpty) {
+          val best = pc.toSeq.minBy { case ((a, b), n0) =>
+            (-(n0.toDouble / sc(a) / sc(b)), s"$a $b") }._1
+          out += best
+          vocab = vocab.map { case (syms, c) =>
+            val buf = Vector.newBuilder[String]; var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) {
+                buf += syms(i) + syms(i + 1); i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            (buf.result(), c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val words = "low lower lowest low low new newer newest new".split(" ")
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = refWp(words, 5)
+    assert(merges == expect, s"train $merges != reference $expect")
+
+    // encode: hand-built vocab — greedy takes the LONGEST piece at each
+    // position; a word touching an out-of-vocab char collapses to [UNK]
+    val wf = Seq(("lowest", 1L), ("low", 3L), ("newer", 1L), ("axe", 1L))
+      .toDF("word", "w_n")
+    val voc = Seq("l", "lo", "low", "##e", "##es", "##st", "##t", "n",
+      "##ew", "##er", "a").toDF("piece")
+    val out = Wordpiece.encode(wf, voc).collect()
+      .map(r => r.getString(0) -> (r.getInt(2), r.getString(3),
+        r.getBoolean(4))).toMap
+    // "lowest": low + ##es (len-2 beats ##e) + ... after ##es at pos 5
+    // only ##t matches
+    assert(out("lowest") == ((3, "low|##es|##t", false)), out("lowest"))
+    assert(out("low") == ((1, "low", false)), out("low"))
+    // "newer": n + ##ew + ##er
+    assert(out("newer") == ((3, "n|##ew|##er", false)), out("newer"))
+    // "axe": a matches, then 'x' has no continuation piece -> [UNK]
+    assert(out("axe") == ((1, "[UNK]", true)), out("axe"))
+
+    // vocabPieces: relative threshold keeps shared pieces, drops
+    // singletons; permille=0 keeps everything
+    val wf2 = graft.api.Bpe.wordFreq(docs, col("txt"))
+    val all = Wordpiece.vocabPieces(wf2, permille = 0).count()
+    val some = Wordpiece.vocabPieces(wf2, permille = 30).count()
+    assert(some > 0 && some < all, s"pruning no-op: $some of $all")
+  }
+
   test("Similarity.randomProjection: deterministic across calls, exact " +
       "manual projection on a unit row, arbitrary column names") {
     // a one-hot vector projects to sign(j, i)/√outDim exactly
