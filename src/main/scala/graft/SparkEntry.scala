@@ -28,7 +28,8 @@ object SparkEntry {
       (ops.Curation.entries, ops.Curation.oracles),
       (ops.Composites.entries, ops.Composites.oracles),
       (ops.Selection.entries, ops.Selection.oracles),
-      (ops.Retrieval.entries, ops.Retrieval.oracles)
+      (ops.Retrieval.entries, ops.Retrieval.oracles),
+      (ops.Ingest.entries, ops.Ingest.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

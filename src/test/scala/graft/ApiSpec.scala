@@ -2549,4 +2549,131 @@ class ApiSpec extends AnyFunSuite {
     // the UNWEIGHTED jaccard of (1,2) is 3/5 = 0.6 — the weighting is
     // what pushes it down
   }
+
+  test("TextClean.fixMojibake inverts a mechanical cp1252 mis-decode; " +
+      "two passes repair double encoding; clean text is untouched") {
+    import graft.api.TextClean
+    val clean = "it’s a “quoted” café " +
+      "– 50€ °C ß"
+    val damaged = TextClean.mojibakeOf(clean)
+    assert(damaged != clean, "probe must actually damage the text")
+    // double-encoding round-trips exactly for the targets whose damaged
+    // forms consist ONLY of characters that have their own map entries:
+    // ’ (â/€/™), – (â/€/“), — (â/€/”) — the scaladoc contract
+    val clean2 = "don’t stop – now — go"
+    val doubled = TextClean.mojibakeOf(TextClean.mojibakeOf(clean2))
+    val df = Seq((1L, damaged), (2L, doubled), (3L, clean))
+      .toDF("id", "t")
+    val out = TextClean.fixMojibake(df, col("id"), col("t"), passes = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == clean, s"single: ${out(1L)}")
+    assert(out(2L).getString(1) == clean2, s"double: ${out(2L)}")
+    assert(out(3L).getString(1) == clean && !out(3L).getBoolean(3),
+      s"clean text must pass through unchanged: ${out(3L)}")
+    assert(out(1L).getBoolean(3) && out(1L).getInt(2) > 0)
+    // map hygiene the chain depends on: no key is a prefix of another
+    val keys = TextClean.Mojibake.map(_._1)
+    for (a <- keys; b <- keys if a != b)
+      assert(!b.startsWith(a), s"key '$a' is a prefix of key '$b'")
+  }
+
+  test("TextClean.stripMarkup drops script/style/comment blocks, strips " +
+      "tags, decodes entities in the safe order") {
+    import graft.api.TextClean
+    val df = Seq(
+      (1L, "<p>Hello &amp; welcome</p><script>var x = 1;</script>done"),
+      // &amp;lt; must decode to the literal text "&lt;", never to "<"
+      (2L, "tricky &amp;lt; stays"),
+      (3L, "<style>p{}</style>a  <b>b</b>\tc"),
+      (4L, "no markup at all")
+    ).toDF("id", "t")
+    val out = TextClean.stripMarkup(df, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "Hello & welcome done", out(1L))
+    assert(out(2L).getString(1) == "tricky &lt; stays", out(2L))
+    assert(out(3L).getString(1) == "a b c", out(3L))
+    assert(out(4L).getString(1) == "no markup at all" &&
+      out(4L).getInt(2) == 0 && out(4L).getInt(3) == 0)
+  }
+
+  test("TextClean.scriptMix counts scripts by codepoint range; argmax " +
+      "main script with first-listed tie-break; symbol-only rows 'none'") {
+    import graft.api.TextClean
+    val df = Seq(
+      (1L, "abc АБВГ"), // 3 latin vs 4 cyrillic
+      (2L, "ab 一二"),              // 2 latin vs 2 han: tie
+      (3L, "123 !!!")                        // no letters
+    ).toDF("id", "t")
+    val out = TextClean.scriptMix(df, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String): Int =
+      out(id).getAs[Int](name)
+    assert(f(1L, "n_latin") == 3 && f(1L, "n_cyrillic") == 4)
+    assert(out(1L).getAs[String]("main_script") == "cyrillic")
+    // tie 2-2: latin listed first wins
+    assert(out(2L).getAs[String]("main_script") == "latin")
+    assert(out(3L).getAs[String]("main_script") == "none" &&
+      out(3L).getAs[Double]("frac_main") == 0.0)
+    assert(f(3L, "n_digit") == 3 && f(3L, "n_other") == 3)
+  }
+
+  test("TextClean.c4LineFilter applies the C4 line and page rules") {
+    import graft.api.TextClean
+    val df = Seq(
+      // line gates: keep 1 & 4; drop short (2), javascript (3),
+      // missing terminal punctuation (5)
+      (1L, "A good first sentence with plenty of words.\nshort one.\n" +
+        "cookie notice requires JavaScript enabled to work properly.\n" +
+        "Another fine sentence with enough words here today.\n" +
+        "this long line has no terminal punctuation at all\n" +
+        "A third good sentence clears the minimum page gate."),
+      // page blocklist beats good lines
+      (2L, "Lorem ipsum dolor sit amet and so on it goes.\n" +
+        "A perfectly good line otherwise sits here.\n" +
+        "Another good line that cannot save this page."),
+      (3L, "code = { x }\nGood sentence one with enough words here.\n" +
+        "Good sentence two with enough words here.\n" +
+        "Good sentence three with enough words here."),
+      // fewer than 3 surviving lines -> page dropped, no blocklist hit
+      (4L, "Only one good sentence here with enough words.\nshort.\nbad")
+    ).toDF("id", "t")
+    val out = TextClean.c4LineFilter(df, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_lines") == 6 &&
+      out(1L).getAs[Int]("n_kept") == 3 &&
+      out(1L).getAs[Boolean]("keep_page"), out(1L))
+    assert(out(1L).getAs[String]("kept_text") ==
+      "A good first sentence with plenty of words.\n" +
+      "Another fine sentence with enough words here today.\n" +
+      "A third good sentence clears the minimum page gate.")
+    assert(out(2L).getAs[Boolean]("page_dropped") &&
+      !out(2L).getAs[Boolean]("keep_page") &&
+      out(2L).getAs[String]("kept_text") == "", out(2L))
+    assert(out(3L).getAs[Boolean]("page_dropped"), out(3L))
+    assert(!out(4L).getAs[Boolean]("page_dropped") &&
+      !out(4L).getAs[Boolean]("keep_page") &&
+      out(4L).getAs[Int]("n_kept") == 1, out(4L))
+  }
+
+  test("TextClean.ingestPipeline chains repair -> per-line strip -> C4 " +
+      "rules in one plan, preserving line structure") {
+    import graft.api.TextClean
+    val dmg = TextClean.mojibakeOf("café")
+    val df = Seq((1L,
+      "<h1>Title Here</h1>\n" +
+      s"A good sentence mentioning $dmg culture and more.\n" +
+      "<script>var x = 1;</script>\n" +
+      "Another complete sentence with plenty of words.\n" +
+      "And a third full sentence closes the page.")).toDF("id", "t")
+    val r = TextClean.ingestPipeline(df, col("id"), col("t"))
+      .collect()(0)
+    assert(r.getAs[Int]("n_lines") == 5 && r.getAs[Int]("n_kept") == 3,
+      r.toString)
+    assert(r.getAs[Boolean]("keep_page"))
+    val kept = r.getAs[String]("kept_text")
+    assert(kept.contains("café culture"),
+      s"mojibake must be repaired before the line rules: $kept")
+    assert(!kept.contains("<") && !kept.contains("Title"),
+      s"markup lines must not survive: $kept")
+  }
 }

@@ -634,4 +634,17 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"),
       s"the 1-row totals must broadcast:\n$p")
   }
+
+  test("ingest cleaning family: pure map-side — the ONLY exchange is " +
+      "the presentation sort") {
+    for (k <- Seq("llm_strip_markup", "llm_fix_mojibake",
+        "llm_script_mix", "llm_c4_line_filter", "llm_ingest_pipeline")) {
+      val p = plan(k)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k must not hash-shuffle:\n$p")
+      assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+        s"$k: more than the presentation sort:\n$p")
+      assert(!p.contains("Join"), s"$k must not join:\n$p")
+    }
+  }
 }
