@@ -41,18 +41,6 @@ object TextClean {
   /** The entity-count pattern: what [[stripMarkup]] will decode. */
   val EntityPat = "&(lt|gt|quot|apos|nbsp|amp|#39);"
 
-  /** Strip HTML/XML markup down to text: script/style/comment BLOCKS go
-    * first (their contents are code, not prose — a tag-only strip would
-    * leak JavaScript into the corpus), then every remaining tag becomes
-    * a space (block tags separate words), then the fixed entity chain
-    * decodes, then whitespace collapses. Reported alongside:
-    * `n_tags` — tag-shaped spans <...> in the RAW text (one number with
-    * one unambiguous definition; block/comment contents count their own
-    * tags) — and `n_entities` (entities the chain will decode, counted
-    * post-strip). Not a parser — an unclosed script/style block
-    * survives as tag-stripped text (acceptable for a cleaner; a crawler
-    * needing DOM fidelity parses upstream).
-    * Output: (doc_id, clean_text, n_tags, n_entities). */
   /** The tag/entity strip as a pure COLUMN expression (no whitespace
     * collapse — callers pick their collapse policy): blocks → comments
     * → tags → entity chain. Composable per line as well as per page
@@ -69,6 +57,18 @@ object TextClean {
     }
   }
 
+  /** Strip HTML/XML markup down to text: script/style/comment BLOCKS go
+    * first (their contents are code, not prose — a tag-only strip would
+    * leak JavaScript into the corpus), then every remaining tag becomes
+    * a space (block tags separate words), then the fixed entity chain
+    * decodes, then whitespace collapses. Reported alongside:
+    * `n_tags` — tag-shaped spans <...> in the RAW text (one number with
+    * one unambiguous definition; block/comment contents count their own
+    * tags) — and `n_entities` (entities the chain will decode, counted
+    * post-strip). Not a parser — an unclosed script/style block
+    * survives as tag-stripped text (acceptable for a cleaner; a crawler
+    * needing DOM fidelity parses upstream).
+    * Output: (doc_id, clean_text, n_tags, n_entities). */
   def stripMarkup(df: DataFrame, id: Column, text: Column): DataFrame = {
     val noBlocks = Seq("script", "style").foldLeft(text) { (c, t) =>
       regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " ")
@@ -294,6 +294,67 @@ object TextClean {
       .withColumn("kept_text",
         when(col("keep_page"), col("__kt")).otherwise(lit("")))
       .drop("__kt")
+  }
+
+  // -------------------------------------------------------------------
+  // URL extraction & sentence segmentation
+  // -------------------------------------------------------------------
+
+  /** URL pattern — scheme + authority + path, stopping at whitespace or
+    * closing punctuation that virtually never belongs to a URL in prose
+    * (quote, angle bracket, paren). Java∩RE2 subset. */
+  val UrlPat = "https?://[^ \\t\\n\\r\"'<>()]+"
+
+  /** Domain of a matched URL: the authority up to the first /, :, ?, or
+    * #, lowercased. */
+  val DomainPat = "^https?://([^/:?#]+)"
+
+  /** Extract every URL with its registrable domain — the provenance
+    * audit behind domain-mixing weights and URL-keyed dedup. One row
+    * per (doc, occurrence index); `url_no` numbers occurrences in
+    * document order so the output has a total key. In-row explode, no
+    * joins; the per-domain rollup is ONE partial-agg shuffle on a
+    * domain-sized key space. Output: (doc_id, url_no, url, domain). */
+  def extractUrls(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        posexplode(regexp_extract_all(text, lit(UrlPat), lit(0))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("url_no"),
+        col("col").as("url"),
+        lower(regexp_extract(col("col"), DomainPat, 1)).as("domain"))
+
+  /** Per-domain link statistics over [[extractUrls]]: how many docs and
+    * occurrences point at each domain — the table a domain-mixing or
+    * blocklist decision reads. */
+  def domainStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    extractUrls(df, id, text).groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Sentence segmentation without lookbehind (RE2 has none): a
+    * sentence is a maximal run of non-terminator characters followed by
+    * a terminator run — `[^.!?]+[.!?]+` — and a trailing fragment with
+    * no terminator is kept as a final sentence (real prose ends
+    * mid-line all the time; dropping it would silently lose text).
+    * The trailing fragment is recovered by comparing consumed length —
+    * pure length arithmetic, no lookaround anywhere. One row per
+    * sentence with its 1-based index and exact word/char counts.
+    * In-row explode, map-side. Output: (doc_id, sent_no, sentence,
+    * n_words, n_chars). */
+  def splitSentences(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val sents = regexp_extract_all(text, lit("[^.!?]+[.!?]+"), lit(0))
+    // total chars the matches consumed; anything after is the fragment
+    val consumed = aggregate(sents, lit(0),
+      (acc, s) => acc + length(s))
+    val tail0 = trim(text.substr(lit(1) + consumed, length(text)))
+    val all = when(length(tail0) > 0,
+      concat(sents, array(tail0))).otherwise(sents)
+    df.select(id.as("doc_id"),
+        posexplode(transform(all, s => trim(s))))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("sent_no"),
+        col("col").as("sentence"),
+        size(split(col("col"), " ")).as("n_words"),
+        length(col("col")).as("n_chars"))
   }
 
   /** The whole ingest chain as ONE map-side plan — the production

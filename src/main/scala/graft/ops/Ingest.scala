@@ -76,6 +76,17 @@ object Ingest {
       "And a third good sentence arrives on time."),
     -1L -> "Only one good sentence here with words enough.\nshort.\nbad")
 
+  /** URL probes — the fixture carries no URLs; these exercise scheme
+    * variants, ports, paths, queries, fragments, and punctuation
+    * boundaries. */
+  private val UrlProbes: Seq[(Long, String)] = Seq(
+    -3L -> ("see https://example.com/path?q=1#frag and also " +
+      "http://sub.example.org:8080/deep/path plus text after"),
+    -2L -> ("wrapped (https://en.wikipedia.org/wiki/Spark) and quoted " +
+      "\"http://docs.example.com/a\" links"),
+    -1L -> ("bare domain example.com is NOT a url; " +
+      "https://example.com twice https://example.com/x"))
+
   /** End-to-end pipeline probes: pages carrying markup AND mojibake AND
     * line-rule cases at once — each survives or dies for a different
     * reason. */
@@ -161,6 +172,35 @@ object Ingest {
             .unionByName(PipelineProbes.toDF("doc_id", "text")),
           col("doc_id"), col("text"))
         .orderBy("doc_id")
+    }),
+
+    // URL extraction with per-occurrence numbering — the provenance
+    // audit behind domain mixing and URL-keyed dedup
+    "llm_extract_urls" -> ((s, d) =>
+      TextClean.extractUrls(withProbes(s, d, UrlProbes),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id", "url_no")),
+
+    // per-domain rollup of the same extraction: ONE partial-agg
+    // shuffle on a domain-sized key space
+    "llm_domain_stats" -> ((s, d) =>
+      TextClean.domainStats(withProbes(s, d, UrlProbes),
+          col("doc_id"), col("text"))
+        .orderBy("domain")),
+
+    // sentence segmentation without lookbehind (RE2-compatible), over
+    // the punctuation-augmented lined fixture: terminator-run split +
+    // length-arithmetic recovery of the unterminated trailing fragment
+    "llm_split_sentences" -> ((s, d) => {
+      import s.implicits._
+      val probes = Seq(
+        -2L -> "First one. Second one! Third one? trailing fragment",
+        -1L -> "No terminator at all in this page")
+        .toDF("doc_id", "text")
+      TextClean.splitSentences(
+          linedPunct(s, d).unionByName(probes),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id", "sent_no")
     })
   )
 
@@ -307,6 +347,66 @@ object Ingest {
          |    THEN array_to_string(ka, chr(10)) ELSE '' END AS kept_text
          |FROM k ORDER BY doc_id""".stripMargin
     },
+
+    "llm_extract_urls" ->
+      s"""WITH ${corpusCte(UrlProbes)},
+         |u AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, ${q(TextClean.UrlPat)}))
+         |      AS url,
+         |    generate_subscripts(regexp_extract_all(text,
+         |      ${q(TextClean.UrlPat)}), 1) AS url_no
+         |  FROM corpus)
+         |SELECT doc_id, CAST(url_no AS INT) AS url_no, url,
+         |  lower(regexp_extract(url, ${q(TextClean.DomainPat)}, 1))
+         |    AS domain
+         |FROM u ORDER BY doc_id, url_no""".stripMargin,
+
+    "llm_domain_stats" ->
+      s"""WITH ${corpusCte(UrlProbes)},
+         |u AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, ${q(TextClean.UrlPat)}))
+         |      AS url
+         |  FROM corpus)
+         |SELECT lower(regexp_extract(url, ${q(TextClean.DomainPat)}, 1))
+         |    AS domain,
+         |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "llm_split_sentences" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+         |  FROM documents),
+         |lp AS (SELECT doc_id, array_to_string(list_transform(
+         |    range(0, (len(tk) + 9) // 10),
+         |    i -> array_to_string(tk[i*10+1 : i*10+10], ' ')
+         |      || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END),
+         |    chr(10)) AS text
+         |  FROM tk),
+         |corpus AS (SELECT doc_id, text FROM lp
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (-2, 'First one. Second one! Third one? trailing fragment'),
+         |    (-1, 'No terminator at all in this page'))
+         |    probes(doc_id, text)),
+         |s1 AS (SELECT doc_id, text,
+         |    regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
+         |    COALESCE(list_sum(list_transform(
+         |      regexp_extract_all(text, '[^.!?]+[.!?]+'),
+         |      s -> length(s))), 0) AS consumed
+         |  FROM corpus),
+         |s2 AS (SELECT doc_id,
+         |    CASE WHEN length(trim(substr(text, CAST(1 + consumed AS INT),
+         |        length(text)))) > 0
+         |      THEN list_append(sents, trim(substr(text,
+         |        CAST(1 + consumed AS INT), length(text))))
+         |      ELSE sents END AS al
+         |  FROM s1),
+         |s3 AS (SELECT doc_id, trim(unnest(al)) AS s,
+         |    generate_subscripts(al, 1) AS i FROM s2)
+         |SELECT doc_id, CAST(i AS INT) AS sent_no, s AS sentence,
+         |  CAST(len(string_split_regex(s, ' ')) AS INT) AS n_words,
+         |  CAST(length(s) AS INT) AS n_chars
+         |FROM s3 WHERE length(s) > 0
+         |ORDER BY doc_id, sent_no""".stripMargin,
 
     "llm_script_mix" -> {
       val cls = TextClean.ScriptClasses

@@ -2676,4 +2676,47 @@ class ApiSpec extends AnyFunSuite {
     assert(!kept.contains("<") && !kept.contains("Title"),
       s"markup lines must not survive: $kept")
   }
+
+  test("TextClean.extractUrls finds scheme'd URLs with punctuation " +
+      "boundaries; domain strips port/path and lowercases") {
+    import graft.api.TextClean
+    val df = Seq(
+      (1L, "see (https://EN.Wikipedia.org/wiki/Spark) and " +
+        "http://sub.example.org:8080/a?q=1#f plus example.com bare"),
+      (2L, "no urls here at all")
+    ).toDF("id", "t")
+    val out = TextClean.extractUrls(df, col("id"), col("t")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3)))
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0) == ((1L, 1, "https://EN.Wikipedia.org/wiki/Spark",
+      "en.wikipedia.org")), out(0))
+    assert(out(1) == ((1L, 2, "http://sub.example.org:8080/a?q=1#f",
+      "sub.example.org")), out(1))
+    val ds = TextClean.domainStats(df, col("id"), col("t")).collect()
+    assert(ds.length == 2 && ds.forall(_.getLong(1) == 1L))
+  }
+
+  test("TextClean.splitSentences splits on terminator runs and recovers " +
+      "the unterminated trailing fragment") {
+    import graft.api.TextClean
+    val df = Seq(
+      (1L, "First one. Second one! Third one?? trailing fragment"),
+      (2L, "no terminator anywhere"),
+      (3L, "Ends clean.")
+    ).toDF("id", "t")
+    val out = TextClean.splitSentences(df, col("id"), col("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3)))
+      .toMap
+    assert(out((1L, 1)) == (("First one.", 2)), out((1L, 1)))
+    assert(out((1L, 2)) == (("Second one!", 2)))
+    assert(out((1L, 3)) == (("Third one??", 2)), "?? run stays attached")
+    assert(out((1L, 4)) == (("trailing fragment", 2)),
+      "fragment must not be dropped")
+    assert(out((2L, 1)) == (("no terminator anywhere", 3)))
+    assert(out.keys.count(_._1 == 3L) == 1 &&
+      out((3L, 1)) == (("Ends clean.", 2)))
+  }
 }

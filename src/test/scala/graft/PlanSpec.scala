@@ -638,7 +638,8 @@ class PlanSpec extends AnyFunSuite {
   test("ingest cleaning family: pure map-side — the ONLY exchange is " +
       "the presentation sort") {
     for (k <- Seq("llm_strip_markup", "llm_fix_mojibake",
-        "llm_script_mix", "llm_c4_line_filter", "llm_ingest_pipeline")) {
+        "llm_script_mix", "llm_c4_line_filter", "llm_ingest_pipeline",
+        "llm_extract_urls", "llm_split_sentences")) {
       val p = plan(k)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$k must not hash-shuffle:\n$p")
