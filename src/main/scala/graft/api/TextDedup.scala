@@ -2043,11 +2043,30 @@ object TextDedup {
     * fingerprint value — pair space bounded by per-fingerprint document
     * frequency exactly like an LSH band bucket, never |corpus|²; a
     * ubiquitous boilerplate fingerprint is the same skew hazard as a hot
-    * LSH bucket (AQE skew handling / df-cap the hot values). Output:
-    * (doc_a, doc_b, n_shared_fp), doc_a < doc_b. */
+    * LSH bucket (AQE skew handling / df-cap the hot values).
+    *
+    * The fingerprint-set frame is PINNED before the explode + self-join
+    * — and the pin is load-bearing, not a cache nicety (r8s4, measured
+    * twice): left as live lineage, the optimizer's Generate handling
+    * (projection collapse into the generator + inferred not-null/size
+    * filters on the generator input) inlines the whole nested-HOF
+    * fingerprint expression and re-evaluates it per consumer — and the
+    * window lambda's `slice(__h, …)` then re-derives the full
+    * grams→hashes chain PER WINDOW: 0.19 s of fingerprinting became
+    * 1362 s at sf0.1 (7000×; pinning only the post-explode stream still
+    * left 706 s — the bomb sits in the Generate node itself, so the cut
+    * must be at the ARRAY level, the exact plan the fast
+    * llm_fingerprint_winnow key runs). The pinned frame is
+    * fingerprint-set-sized (id + ~n_windows 8-byte values — a fraction
+    * of corpus bytes); pass `checkpointDir` for the reliable form on a
+    * real cluster (the [[clusters]] discipline).
+    * Output: (doc_a, doc_b, n_shared_fp), doc_a < doc_b. */
   def winnowCandidates(df: DataFrame, id: Column, text: Column,
-      k: Int = 4, win: Int = 4): DataFrame = {
-    val fps = winnowFingerprints(df, id, text, k, win)
+      k: Int = 4, win: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ck = ckptFn(df.sparkSession, checkpointDir)
+    val fps = ck(winnowFingerprints(df, id, text, k, win)
+      .select(col("doc_id"), col("fingerprints")))
       .select(col("doc_id"), explode(col("fingerprints")).as("__fp"))
     fps.select(col("doc_id").as("doc_a"), col("__fp"))
       .join(fps.select(col("doc_id").as("doc_b"), col("__fp")), Seq("__fp"))

@@ -37,6 +37,35 @@ object Scans {
         .filter(col("l_shipdate") >= lit("2001-01-01").cast(TimestampNTZType))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // GZIPPED raw-text round-trip — the crawl-dump ingest format
+    // (dd.read_text over *.gz): one record per line, \x01-separated
+    // fields, gzip codec picked transparently by extension on read.
+    // The measured cost is deliberately the full write+read cycle.
+    // Contract of the text source: the payload carries no newlines
+    // (the fixture's; a production pipeline escapes or frames them).
+    // NOTE on gzip at 100 TB: gzip is NOT splittable — one file = one
+    // task regardless of size, so shard the WRITE (many files of a few
+    // hundred MB, as here via the upstream partitioning) or use a
+    // splittable codec; the read parallelism then comes from file
+    // count, not block splits.
+    "scan_text_gzip_roundtrip" -> ((s, d) => {
+      val tmp = graft.util.Staging.dir("text_gzip_roundtrip", d)
+      documents(s, d)
+        .select(concat_ws("\u0001", col("doc_id"), col("source"),
+          col("text")).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\u0001").as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+          element_at(col("p"), 2).as("source"),
+          element_at(col("p"), 3).as("text"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    }),
+
     // csv round-trip with an explicit read schema (dd.read_csv(dtype=…)):
     // doubles survive exactly (shortest-round-trip repr both directions)
     "scan_csv_roundtrip" -> ((s, d) => {
@@ -213,6 +242,13 @@ object Scans {
       s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
          |COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // text round-trip is value-preserving: the oracle recomputes the
+    // same audit aggregate straight from the source table
+    "scan_text_gzip_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+        |CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+        |CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "scan_json_lines" ->
       """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
         |COUNT(*) AS n FROM events GROUP BY k ORDER BY k""".stripMargin,

@@ -635,6 +635,18 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row totals must broadcast:\n$p")
   }
 
+  test("llm_dedup_winnow: the fingerprint-set frame is PINNED at the " +
+      "array level — the self-join reads a materialized RDD, never the " +
+      "live nested-HOF lineage (the r8s4 1362s->6s fix)") {
+    val p = plan("llm_dedup_winnow")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"fingerprint frame must be checkpoint-pinned:\n$p")
+    // the expression bomb signature: a Filter re-deriving the gram
+    // hashes would mention md5 in the post-pin plan
+    assert(!p.contains("md5"),
+      s"no md5 re-derivation may survive above the pin:\n$p")
+  }
+
   test("ingest cleaning family: pure map-side — the ONLY exchange is " +
       "the presentation sort") {
     for (k <- Seq("llm_strip_markup", "llm_fix_mojibake",
