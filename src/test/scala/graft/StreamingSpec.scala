@@ -586,4 +586,37 @@ class StreamingSpec extends AnyFunSuite {
         s"expected vocab_added=1 and positive JS: ${last.get}")
     } finally q.stop()
   }
+
+  test("ingest cleaning chain is streaming-safe: stateless map-side ops " +
+      "run under append mode and match the batch result row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.api.TextClean
+    case class Page(doc_id: Long, text: String) // local shape
+    val rows = Seq(
+      (1L, "<h1>Head</h1>\nIt" + TextClean.mojibakeOf("’") +
+        "s a good first sentence right here.\n" +
+        "Another full sentence with enough words today.\n" +
+        "And a third sentence closes the page out."),
+      (2L, "Lorem ipsum dolor sit amet filler here.\n" +
+        "A good line that cannot save the page."))
+    val in = MemoryStream[(Long, String)]
+    val cleaned = TextClean.ingestPipeline(
+      in.toDF.toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val q = cleaned.writeStream.format("memory").queryName("s_ingest")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s_ingest").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = TextClean.ingestPipeline(rows.toDF("doc_id", "text"),
+          col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(streamed == batch,
+        s"stream/batch divergence: $streamed vs $batch")
+      assert(batch(1L).last != "" && batch(2L).last == "",
+        s"expected page 1 kept, page 2 blocklist-dropped: $batch")
+    } finally q.stop()
+  }
 }
