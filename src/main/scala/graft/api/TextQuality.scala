@@ -160,6 +160,57 @@ object TextQuality {
           .as("contamination_frac"))
   }
 
+  /** MEASURED recall audit of the [[decontaminate]] n-gram screen — the
+    * llm_ann_recall discipline applied to decontamination: PLANT a
+    * contiguous `spanTokens`-token span from each eval doc into a
+    * deterministic target train doc (target id = eval id + targetShift;
+    * distinct eval ids give distinct targets, and spans whose target id
+    * is absent from the train side simply plant nothing), run the real
+    * screen at `width`, and report how many planted targets it flagged.
+    * By construction every planted span contributes
+    * spanTokens − width + 1 grams that exist verbatim in the eval doc,
+    * so measured recall < 1.0 means the SCREEN is wired wrong — which
+    * is exactly what an audit is for. `n_other_flagged` prices the
+    * natural (unplanted) overlap background at this width.
+    * Output: one row (n_planted, n_planted_flagged, n_other_flagged,
+    * recall — raw IEEE division of exact counts). */
+  def decontamRecallAudit(train: DataFrame, eval0: DataFrame, id: Column,
+      text: Column, width: Int = 8, spanTokens: Int = 10,
+      targetShift: Long = 2L): DataFrame = {
+    require(spanTokens >= width,
+      s"spanTokens=$spanTokens must be >= width=$width (a shorter span " +
+        "plants zero full grams and the audit would measure nothing)")
+    val spans = eval0
+      .select(id.as("__eid"), split(text, " ").as("__tk"))
+      .filter(size(col("__tk")) >= spanTokens)
+      .select((col("__eid") + targetShift).as("__id"),
+        concat_ws(" ", slice(col("__tk"), 1, spanTokens)).as("__span"))
+    val planted = train.select(id.as("__id"), text.as("__t"))
+      .join(spans, Seq("__id"), "left")
+      .select(col("__id"),
+        when(col("__span").isNotNull,
+          concat(col("__t"), lit(" "), col("__span")))
+          .otherwise(col("__t")).as("__t"),
+        col("__span").isNotNull.as("__target"))
+    // decontaminate() binds ONE (id, text) column pair against both
+    // frames — align the eval frame to the planted frame's names
+    val evalAligned = eval0.select(id.as("__id"), text.as("__t"))
+    val flagged = decontaminate(planted, evalAligned, col("__id"),
+        col("__t"), width)
+      .select(col("id").as("__id"), lit(1).as("__f"))
+    planted.select(col("__id"), col("__target"))
+      .join(flagged, Seq("__id"), "left")
+      .agg(
+        sum(when(col("__target"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("__target") && col("__f").isNotNull, 1L)
+          .otherwise(0L)).as("n_planted_flagged"),
+        sum(when(!col("__target") && col("__f").isNotNull, 1L)
+          .otherwise(0L)).as("n_other_flagged"))
+      .withColumn("recall",
+        col("n_planted_flagged").cast("double")
+          / col("n_planted").cast("double"))
+  }
+
   /** PII-style scrub: replace every match of `pattern` in `payload` with
     * `replacement` and count the redactions. Map-side only; swap in
     * email/phone/id patterns without changing the plan. */

@@ -296,6 +296,21 @@ object Retrieval {
         .orderBy("vec_id")
     }),
 
+    // MEASURED decontamination recall (TextQuality.decontamRecallAudit):
+    // plant a 10-token span from each eval doc into the train doc at
+    // eval_id + 2, run the REAL 8-gram screen, report flagged/planted —
+    // the llm_ann_recall discipline applied to decontamination; recall
+    // below 1.0 means the screen is wired wrong. n_other_flagged prices
+    // the corpus's natural 8-gram overlap background (exact duplicate
+    // docs straddling the eval split land here — real, not noise).
+    "llm_decontam_recall" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.api.TextQuality.decontamRecallAudit(
+        docs.filter(not(expr("doc_id % 100 < 2"))),
+        docs.filter(expr("doc_id % 100 < 2")),
+        col("doc_id"), col("text"))
+    }),
+
     // Zipf rank–frequency fit (graft.api.TextQuality.zipfFit): ln-ln
     // OLS per source — slope ≈ −1 is natural text; templated slices
     // drift flat. Exact integer ranks/freqs, micro-rounded lns,
@@ -655,6 +670,46 @@ object Retrieval {
          |SELECT best.vec_id, n_hits, eid AS eval_id, sim_r
          |FROM best JOIN n USING (vec_id) WHERE rk = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "llm_decontam_recall" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 100 < 2),
+        |tr AS (SELECT doc_id, text FROM documents
+        |  WHERE NOT (doc_id % 100 < 2)),
+        |sp AS (SELECT doc_id + 2 AS tid,
+        |    array_to_string(string_split_regex(text, ' ')[1:10], ' ')
+        |      AS span
+        |  FROM ev WHERE len(string_split_regex(text, ' ')) >= 10),
+        |pl AS (SELECT tr.doc_id,
+        |    CASE WHEN sp.span IS NOT NULL THEN tr.text || ' ' || sp.span
+        |      ELSE tr.text END AS text,
+        |    sp.span IS NOT NULL AS target
+        |  FROM tr LEFT JOIN sp ON sp.tid = tr.doc_id),
+        |tg AS (SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |    FROM (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |          FROM pl) t
+        |    WHERE len(tk) >= 8) x),
+        |eg AS (SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |    FROM (SELECT string_split_regex(text, ' ') AS tk FROM ev) e
+        |    WHERE len(tk) >= 8) y),
+        |fl AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g)),
+        |j AS (SELECT pl.doc_id, target, fl.doc_id IS NOT NULL AS f
+        |  FROM pl LEFT JOIN fl USING (doc_id))
+        |SELECT
+        |  CAST(SUM(CASE WHEN target THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_planted,
+        |  CAST(SUM(CASE WHEN target AND f THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_planted_flagged,
+        |  CAST(SUM(CASE WHEN NOT target AND f THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_other_flagged,
+        |  CAST(SUM(CASE WHEN target AND f THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN target THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS recall
+        |FROM j""".stripMargin,
 
     // ln-ln OLS over micro-rounded points; DuckDB's SUM(BIGINT) widens
     // to HUGEINT — the exact accumulator twin of Spark's DECIMAL(38,0).

@@ -2677,6 +2677,31 @@ class ApiSpec extends AnyFunSuite {
       s"markup lines must not survive: $kept")
   }
 
+  test("TextQuality.decontamRecallAudit: planted spans are always " +
+      "caught (recall 1.0); unplanted docs with no overlap stay clean") {
+    import graft.api.TextQuality
+    // disjoint vocabularies: no natural overlap, so the background is 0
+    val eval0 = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu")).toDF("doc_id", "text")
+    val train = Seq(
+      (102L, "one two three four five six seven eight nine ten"),
+      (103L, "red green blue cyan magenta yellow black white gray pink"))
+      .toDF("doc_id", "text")
+    val r = TextQuality.decontamRecallAudit(train, eval0,
+      col("doc_id"), col("text")).collect()(0)
+    // eval 100 plants into train 102 (shift 2); 103 is untouched
+    assert(r.getAs[Long]("n_planted") == 1L &&
+      r.getAs[Long]("n_planted_flagged") == 1L &&
+      r.getAs[Long]("n_other_flagged") == 0L &&
+      r.getAs[Double]("recall") == 1.0, r.toString)
+    // a span shorter than the gram width must be rejected loudly
+    intercept[IllegalArgumentException] {
+      TextQuality.decontamRecallAudit(train, eval0, col("doc_id"),
+        col("text"), width = 8, spanTokens = 7)
+    }
+  }
+
   test("TextClean.extractUrls finds scheme'd URLs with punctuation " +
       "boundaries; domain strips port/path and lowercases") {
     import graft.api.TextClean
