@@ -81,16 +81,20 @@ object Corpus {
       s"bucketNibbles=$bucketNibbles out of range [1,8]")
     require(wordNgrams == 1 || wordNgrams == 2,
       s"wordNgrams=$wordNgrams not in {1, 2}")
-    val tk = split(text, " ")
     // single-token guard: sequence(1, 0) DESCENDS in Spark (step picks
     // the direction), so the bigram lattice must be gated, not relied
-    // on to come back empty
+    // on to come back empty. The token array is LET-BOUND (Det.let):
+    // un-bound, every element_at in the bigram lambda re-splits the
+    // document — interpreted HOFs have no CSE (the winnowFingerprints
+    // lesson, same fix).
     val features =
-      if (wordNgrams == 1) tk
-      else concat(tk, when(size(tk) >= 2,
-        transform(sequence(lit(1), size(tk) - 1),
-          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-        .otherwise(array()))
+      if (wordNgrams == 1) split(text, " ")
+      else graft.util.Det.let(split(text, " ")) { tk =>
+        concat(tk, when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+          .otherwise(array()))
+      }
     df.select(id.as("doc_id"), explode(features).as("__token"))
       .withColumn("bucket", substring(md5(col("__token")), 1, bucketNibbles))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))

@@ -587,8 +587,12 @@ object LlmExtras {
     // against a pure-Scala reference in ApiSpec; this key is its
     // oracle-checked single step.
     "llm_bpe_merge_step" -> ((s, d) => {
+      // pinned for the same reason as llm_wordpiece_merge_step: the
+      // segmentation feeds pair counts + the merge rewrite + the final
+      // counts — unpinned, each reference re-ran the corpus aggregate
       val vocab = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
         .select(graft.api.Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+        .localCheckpoint()
       val pc = graft.api.Bpe.pairCounts(vocab, col("sym"), col("w_n"))
       val top1 = pc.orderBy(col("n").desc, col("pair")).limit(1)
         .select(split(col("pair"), " ").getItem(0).as("__a"),
@@ -641,10 +645,16 @@ object LlmExtras {
     // iterative Wordpiece.train loop is this step repeated, pinned
     // against a pure-Scala reference in ApiSpec.
     "llm_wordpiece_merge_step" -> ((s, d) => {
+      // each scoring pass references the segmentation ~3x (pair counts
+      // + two symbol-count sides), and two merges chain three passes —
+      // unpinned, the corpus-sized wordFreq aggregate re-ran per
+      // reference (measured 5.1 s at sf0.1). The pins are VOCAB-sized
+      // (Heaps-bounded) and eagerly timed in-key.
       val v0 = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
         .select(graft.api.Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
-      val v2 = graft.api.Wordpiece.mergeOnce(
-        graft.api.Wordpiece.mergeOnce(v0))
+        .localCheckpoint()
+      val v1 = graft.api.Wordpiece.mergeOnce(v0).localCheckpoint()
+      val v2 = graft.api.Wordpiece.mergeOnce(v1).localCheckpoint()
       graft.api.Wordpiece.pairScores(v2)
         .orderBy(col("score").desc, col("pair"))
         .limit(20)
@@ -665,7 +675,10 @@ object LlmExtras {
     // (one edge join + one per-word fold — the corpus never re-enters),
     // whole-word [UNK] on any unmatchable position.
     "llm_wordpiece_encode" -> ((s, d) => {
+      // wf feeds both the vocabulary and the encode walk — pinned
+      // (vocab-sized) so the corpus aggregate runs once
       val wf = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+        .localCheckpoint()
       graft.api.Wordpiece
         .encode(wf, graft.api.Wordpiece.vocabPieces(wf))
         .orderBy("word")

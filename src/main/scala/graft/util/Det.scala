@@ -51,4 +51,25 @@ object Det {
     * sides so ranks cannot diverge even if a 7th decimal ever did. */
   def r6(c: Column): Column = round(c, 6)
   def r4(c: Column): Column = round(c, 4)
+
+  /** LET-BINDING for expression trees: evaluate `value` ONCE per row and
+    * reuse it everywhere `body` references it, spelled as the
+    * single-element-transform idiom `element_at(transform(array(v),
+    * x => body(x)), 1)` — the lambda variable is bound to the evaluated
+    * value, not to the expression.
+    *
+    * Why it exists (r8s4, measured): higher-order functions run on the
+    * INTERPRETED expression path (no whole-stage codegen, no common-
+    * subexpression elimination), so a subexpression referenced inside a
+    * lambda re-evaluates on EVERY lambda invocation — a gram builder
+    * spelled `transform(seq, i => element_at(split(text), i))` re-splits
+    * the document once per element_at call, turning linear work
+    * quadratic-ish. `let(split(text))(tk => transform(seq, i =>
+    * element_at(tk, i)))` restores one split per row
+    * (winnowFingerprints: 5.9 s → ~1 s at sf0.1). Same trick both
+    * engines understand — DuckDB's twin is
+    * `list_transform([v], x -> body)[1]` — though the oracles usually
+    * sidestep it with CTE materialization instead. */
+  def let(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
 }
