@@ -1950,6 +1950,13 @@ object TextDedup {
     * at/above `minWJaccard`. */
   def weightedJaccardOnPairs(df: DataFrame, id: Column, text: Column,
       pairs: DataFrame, minWJaccard: Double = 0.8): DataFrame = {
+    // the hashed token frame has FOUR consumers (df counts, per-doc
+    // totals, both intersection sides) — deliberately NOT pinned:
+    // every consumer sits above the same shuffle, and ReuseExchange
+    // dedupes identical exchange subtrees within one query (measured
+    // r8s4: an eager pin made the key ~1s SLOWER — the winnow fix only
+    // applies where the duplication is map-side expression inlining
+    // with no exchange to reuse)
     val tok = df.select(id.as("__id"),
         explode(array_distinct(split(text, " "))).as("__w"))
       .filter(col("__w") =!= "")
