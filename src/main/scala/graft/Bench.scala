@@ -11,7 +11,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the benign localCheckpoint "lineage truncated"
+    // WARN flood interleaves with the summary JSON in the driver's
+    // captured output and broke its parser two rounds running
+    // (BENCH_r07/r08 `parsed: null`). Failures still surface — every
+    // per-query error is caught and printed explicitly below.
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warm-up so the first timed query doesn't absorb one-time
     // session costs (engine machinery), plus a footer touch per fixture
     // table so whichever query the map iterates first doesn't pay the
@@ -117,7 +122,22 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     val top = results.toSeq.sortBy { case (_, v) => -v }.take(30)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(top)},"queries_full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}""")
+    val summaryLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(top)},"queries_full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
+    // sidecar copy of the summary line: if anything DOES interleave with
+    // stdout on the driver side, the artifact survives in a file
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        summaryLine.getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}") }
+    // stop BEFORE the summary print: whatever shutdown logging Spark
+    // emits lands above the JSON, keeping it the LAST stdout line for
+    // the driver's tail-capture parser
     spark.stop()
+    println(summaryLine)
+    System.out.flush()
   }
 }

@@ -119,11 +119,13 @@ object TextClean {
     * letter entry for "â" itself (key "Ã¢") must run after every â-led
     * punctuation key, or its output could not be distinguished from
     * freshly repaired text in the same pass. */
-  private val MojibakeTargets: String =
-    "‘’“”–—…€™" + // punct
-    "áàâäçéèêí" + // áàâäçéèêí
-    "ñóöúüß" +                   // ñóöúüß
-    "\u00A0\u00B0\u00A3\u00A9"      // nbsp ° £ © (escapes: NBSP is invisible)
+  private val MojibakeTargets: String =          // visible chars in comments
+    "\u2018\u2019\u201C\u201D\u2013\u2014" + // ‘’“”–—
+    "\u2026\u20AC\u2122" +                      // …€™
+    "\u00E1\u00E0\u00E2\u00E4\u00E7" +        // áàâäç
+    "\u00E9\u00E8\u00EA\u00ED" +               // éèêí
+    "\u00F1\u00F3\u00F6\u00FA\u00FC\u00DF" + // ñóöúüß
+    "\u00A0\u00B0\u00A3\u00A9"                 // nbsp ° £ ©
 
   /** UTF-8-read-as-cp1252 damage map, derived MECHANICALLY from
     * [[MojibakeTargets]] (encode the target as UTF-8, mis-decode the
@@ -336,15 +338,22 @@ object TextClean {
     * no terminator is kept as a final sentence (real prose ends
     * mid-line all the time; dropping it would silently lose text).
     * The trailing fragment is recovered by comparing consumed length —
-    * pure length arithmetic, no lookaround anywhere. One row per
-    * sentence with its 1-based index and exact word/char counts.
-    * In-row explode, map-side. Output: (doc_id, sent_no, sentence,
-    * n_words, n_chars). */
+    * pure length arithmetic, no lookaround anywhere. The one place the
+    * matches DON'T cover a prefix of the text is a LEADING terminator
+    * run ("!!!Hello."): `[^.!?]+` can't start there, so the run is
+    * skipped, not consumed — count it separately or the substr-based
+    * fragment recovery re-emits the tail of the last sentence (r9
+    * ADVICE fix; any interior terminator run is absorbed by the
+    * previous match's greedy `[.!?]+`, so leading is the ONLY gap).
+    * One row per sentence with its 1-based index and exact word/char
+    * counts. In-row explode, map-side. Output: (doc_id, sent_no,
+    * sentence, n_words, n_chars). */
   def splitSentences(df: DataFrame, id: Column, text: Column): DataFrame = {
     val sents = regexp_extract_all(text, lit("[^.!?]+[.!?]+"), lit(0))
-    // total chars the matches consumed; anything after is the fragment
-    val consumed = aggregate(sents, lit(0),
-      (acc, s) => acc + length(s))
+    // total chars the matches consumed — plus the leading terminator
+    // run the first match skipped; anything after is the fragment
+    val consumed = length(regexp_extract(text, "^[.!?]+", 0)) +
+      aggregate(sents, lit(0), (acc, s) => acc + length(s))
     val tail0 = trim(text.substr(lit(1) + consumed, length(text)))
     val all = when(length(tail0) > 0,
       concat(sents, array(tail0))).otherwise(sents)

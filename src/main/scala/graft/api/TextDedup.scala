@@ -368,15 +368,29 @@ object TextDedup {
     * candidates back to the shingle frame instead, map-side (the
     * candidate side is LSH-bounded and broadcasts). */
   private def md5BandSigs(shingles: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    bandsFromMh(md5MinhashSigs(shingles, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** (\_\_id, mh) k-vector md5 minhash signatures from a [[md5Shingles]]
+    * frame — the banding-independent half of [[md5BandSigs]], split out
+    * (r9) so [[lshAudit]] can compute the ONE k=16 signature pass its
+    * bands options share instead of once per option. */
+  private def md5MinhashSigs(shingles: DataFrame, k: Int): DataFrame =
+    shingles.select(col("__id"),
+      VectorExprs.minhashMd5(col("sh"), k).as("mh"))
+
+  /** (\_\_id, band, sig) from a precomputed [[md5MinhashSigs]] frame —
+    * bit-identical banding to the fused [[md5BandSigs]] (same slice +
+    * md5-of-joined-rows chain over the same mh vector). */
+  private def bandsFromMh(mhSigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
           slice(col("mh"), b * rowsPerBand + 1, rowsPerBand))).as("sig"))
     }
-    shingles
-      .withColumn("mh", VectorExprs.minhashMd5(col("sh"), k))
+    mhSigs
       .select(col("__id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("__id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -1685,17 +1699,31 @@ object TextDedup {
     * so its collisions are a SUBSET — candidates/hits/recall are
     * provably monotone in `bands` (pinned in ApiSpec). Counts are exact
     * integers; recall/precision single IEEE divisions of exact counts.
+    *
+    * The shingle frame and the ground-truth pair set are PINNED
+    * (r9, measured): `sh` feeds SIX consumers (the prefix ground-truth
+    * self-join twice via [[joinShingles]], one [[md5BandSigs]] per
+    * bands option) and `truth` FOUR (the count + one left_semi per
+    * option) — left as live lineage, the interpreted-HOF md5-shingle
+    * construction below the exchanges re-evaluates per consumer, which
+    * made this audit contention-sensitive (7 s alone, 38 s in-suite in
+    * the r8 driver run). Both pinned frames are hash-sized, never
+    * corpus text; pass `checkpointDir` for the reliable form on a real
+    * cluster (the [[clusters]] discipline — callers own the release of
+    * the final pin, see [[winnowCandidates]]).
     * Output: (bands, rows_per_band, n_truth, candidates, hits, recall,
     * precision), bands ascending. */
   def lshAudit(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, k: Int = 16,
       bandsOptions: Seq[Int] = Seq(2, 4, 8),
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(bandsOptions.nonEmpty && bandsOptions == bandsOptions.sorted,
       s"bandsOptions must be non-empty ascending, got $bandsOptions")
     require(bandsOptions.forall(b => b >= 1 && k % b == 0),
       s"every bands option must divide k=$k, got $bandsOptions")
-    val sh = md5Shingles(df, id, text, shingleWidth)
+    val ck = ckptFn(df.sparkSession, checkpointDir)
+    val sh = ck(md5Shingles(df, id, text, shingleWidth))
     // ground truth with deterministic 100% recall via the All-Pairs
     // PREFIX filter on the hashed shingle inventory (the
     // jaccardPrefixFiltered engine applied to shingle sets): a pair at
@@ -1710,9 +1738,12 @@ object TextDedup {
     val hs = sh.select(col("__id"),
         array_sort(transform(col("sh"), x => xxhash64(x))).as("hs"))
       .withColumn("nsh", size(col("hs")))
-    val pref = hs.select(col("__id"), col("nsh"),
+    // pinned too: the self-join below consumes it TWICE, and its
+    // lineage (xxhash64 + array_sort + slice + explode over the
+    // shingle arrays) is the second-priciest stretch of the audit
+    val pref = ck(hs.select(col("__id"), col("nsh"),
       explode(slice(col("hs"), lit(1),
-        (col("nsh") - ceil(col("nsh") * r) + 1).cast("int"))).as("__pk"))
+        (col("nsh") - ceil(col("nsh") * r) + 1).cast("int"))).as("__pk")))
     val a = pref.alias("a"); val b = pref.alias("b")
     val tCand = a.join(b, col("a.__pk") === col("b.__pk") &&
         col("a.__id") < col("b.__id") &&
@@ -1720,11 +1751,16 @@ object TextDedup {
           greatest(col("a.nsh"), col("b.nsh")) * r)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // pairs sharing >1 prefix hash
-    val truth = jaccardVerify(joinShingles(tCand, sh, sh), minJaccard)
-      .select(col("doc_a"), col("doc_b"))
+    val truth = ck(jaccardVerify(joinShingles(tCand, sh, sh), minJaccard)
+      .select(col("doc_a"), col("doc_b")))
     val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
+    // ONE k-vector minhash pass shared by every bands option (banding
+    // only re-slices the same mh vector), pinned like its consumers'
+    // other inputs — 3 options otherwise re-run the k×|shingles| md5
+    // traversal three times
+    val mh = ck(md5MinhashSigs(sh, k))
     val per = bandsOptions.map { bn =>
-      val cand = selfBandCandidates(md5BandSigs(sh, bn, k / bn))
+      val cand = selfBandCandidates(bandsFromMh(mh, bn, k / bn))
       val nc = cand.agg(count(lit(1)).as("candidates"))
       cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -2082,6 +2118,17 @@ object TextDedup {
     * fingerprint-set-sized (id + ~n_windows 8-byte values — a fraction
     * of corpus bytes); pass `checkpointDir` for the reliable form on a
     * real cluster (the [[clusters]] discipline).
+    *
+    * Pin lifecycle (r9): the pin BACKS the returned (lazy) frame, so it
+    * cannot be released here — unpersisting a localCheckpoint discards
+    * the only copy (lineage is truncated by design) and would break the
+    * caller's action. CALLERS OWN THE RELEASE in a long-lived session:
+    * materialize the result, then drop the session's persisted RDDs
+    * (`spark.sparkContext.getPersistentRDDs.values.foreach(
+    * _.unpersist(false))` — the Bench harness does exactly this between
+    * keys). The iterative fits (kMeansFit, pqTrainCodebook) differ only
+    * in releasing SUPERSEDED generations mid-fit; their final pin has
+    * the same caller-owned lifecycle.
     * Output: (doc_a, doc_b, n_shared_fp), doc_a < doc_b. */
   def winnowCandidates(df: DataFrame, id: Column, text: Column,
       k: Int = 4, win: Int = 4,

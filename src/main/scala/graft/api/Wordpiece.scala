@@ -173,8 +173,13 @@ object Wordpiece {
     * greedy walk hits an unmatchable position emits the single token
     * [UNK] (n_pieces = 1), BERT's whole-word fallback. One vocab-sized
     * edge join + one per-word fold — the corpus never re-enters. */
-  def encode(wf: DataFrame, vocab: DataFrame,
+  def encode(wf0: DataFrame, vocab: DataFrame,
       maxPieceLen: Int = 4): DataFrame = {
+    // the same ≥100-char guard pieces() applies: without it a 100+-char
+    // word has NO edges (pieces drops it) and would surface as an [UNK]
+    // row here while being absent from anything derived through
+    // pieces() — the guard must sit on BOTH sides of the edge join
+    val wf = wf0.filter(length(col("word")) < 100)
     val edges = pieces(wf, maxPieceLen)
       .join(vocab.select("piece"), "piece")
       .groupBy(col("word"), col("w_n"))

@@ -194,6 +194,7 @@ object Ingest {
     "llm_split_sentences" -> ((s, d) => {
       import s.implicits._
       val probes = Seq(
+        -3L -> "!!!Leading run skipped. then a fragment",
         -2L -> "First one. Second one! Third one? trailing fragment",
         -1L -> "No terminator at all in this page")
         .toDF("doc_id", "text")
@@ -384,12 +385,14 @@ object Ingest {
          |  FROM tk),
          |corpus AS (SELECT doc_id, text FROM lp
          |  UNION ALL SELECT * FROM (VALUES
+         |    (-3, '!!!Leading run skipped. then a fragment'),
          |    (-2, 'First one. Second one! Third one? trailing fragment'),
          |    (-1, 'No terminator at all in this page'))
          |    probes(doc_id, text)),
          |s1 AS (SELECT doc_id, text,
          |    regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
-         |    COALESCE(list_sum(list_transform(
+         |    length(regexp_extract(text, '^[.!?]+', 0))
+         |      + COALESCE(list_sum(list_transform(
          |      regexp_extract_all(text, '[^.!?]+[.!?]+'),
          |      s -> length(s))), 0) AS consumed
          |  FROM corpus),

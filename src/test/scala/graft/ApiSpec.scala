@@ -2728,7 +2728,9 @@ class ApiSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "First one. Second one! Third one?? trailing fragment"),
       (2L, "no terminator anywhere"),
-      (3L, "Ends clean.")
+      (3L, "Ends clean."),
+      (4L, "!!!Hello. And more"),
+      (5L, "?!.")
     ).toDF("id", "t")
     val out = TextClean.splitSentences(df, col("id"), col("t"))
       .collect()
@@ -2743,5 +2745,13 @@ class ApiSpec extends AnyFunSuite {
     assert(out((2L, 1)) == (("no terminator anywhere", 3)))
     assert(out.keys.count(_._1 == 3L) == 1 &&
       out((3L, 1)) == (("Ends clean.", 2)))
+    // a LEADING terminator run is skipped by the match, not consumed —
+    // the fragment arithmetic must count it or it re-emits the tail of
+    // the last sentence (r9 ADVICE fix: was ("Hello.", "lo. And more"))
+    assert(out.keys.count(_._1 == 4L) == 2)
+    assert(out((4L, 1)) == (("Hello.", 1)), out((4L, 1)))
+    assert(out((4L, 2)) == (("And more", 2)), out((4L, 2)))
+    // all-terminator text: no sentences, no phantom fragment
+    assert(!out.keys.exists(_._1 == 5L))
   }
 }
