@@ -794,16 +794,15 @@ object Curation {
     // the APPLY side: score + filter the corpus under the fitted model,
     // EXP-FREE — σ is monotone, so the keep decision thresholds the
     // exact integer margin (bit-identical everywhere, no transcendental
-    // at serving time). Model = the same two-epoch fit via the
-    // Quality.train loop; scoring is one doc-keyed agg with a
-    // broadcast model join.
+    // at serving time). Model = the standard two-epoch fit, trained
+    // once per session and replayed (QualityShared — the oracle still
+    // re-derives the fit from scratch, so the hash gate certifies the
+    // replay); scoring is one doc-keyed agg with a broadcast model join.
     "llm_quality_classify" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val labels = QualityShared.seedLabels(docs)
+      val model = QualityShared.model2(s, d)
       graft.api.Quality.classify(feats, model)
         .join(labels, "doc_id")
         .select("doc_id", "score_micro", "keep", "y")
@@ -818,11 +817,8 @@ object Curation {
     // TakeOrderedAndProject, rank window over the ≤k-row frame.
     "llm_quality_active_sample" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val model = QualityShared.model2(s, d)
       graft.api.Quality.uncertaintySample(feats, model, k = 20)
         .orderBy("rk")
     }),
@@ -929,11 +925,9 @@ object Curation {
     // substring_grow/cms_index rule applied to the model file.
     "llm_quality_model_index" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val m2 = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val labels = QualityShared.seedLabels(docs)
+      val m2 = QualityShared.model2(s, d)
       val dest = new java.io.File("target/graft-qmodel/" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       graft.api.Quality.writeModel(m2, dest)
@@ -951,11 +945,7 @@ object Curation {
     // my filter learn" table every reviewed curation model ships with.
     "llm_quality_top_features" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val model = QualityShared.model2(s, d)
       graft.api.Quality.topFeatures(docs, col("text"), model, k = 10)
         .orderBy("rk")
     }),
@@ -971,11 +961,9 @@ object Curation {
     // 2·tp/(2·tp + fp + fn).
     "llm_quality_eval" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val labels = QualityShared.seedLabels(docs)
+      val model = QualityShared.model2(s, d)
       graft.api.Quality.classify(feats, model)
         .join(labels, "doc_id")
         .agg(
@@ -1005,11 +993,9 @@ object Curation {
     // knob). Row at threshold t = metrics of "keep iff margin ≥ t".
     "llm_quality_pr_curve" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val labels = QualityShared.seedLabels(docs)
+      val model = QualityShared.model2(s, d)
       // bins tuned to the fitted margin scale (fixture scores land in
       // ~4–51 margin units): 5-unit bins over [0, 10] ≈ a 10-row curve
       graft.api.Quality.prCurve(feats, labels, model,

@@ -229,11 +229,9 @@ object Selection {
     // the only float is ONE final division of exact integers.
     "llm_quality_ece" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val labels = QualityShared.seedLabels(docs)
+      val model = QualityShared.model2(s, d)
       graft.api.Quality.eceMicro(feats, labels, model)
     }),
 
@@ -298,11 +296,8 @@ object Selection {
         col("doc_id"), col("source"), col("text"), minJaccard = 0.95)
       val cl = graft.api.TextDedup.clusters(pairs, col("doc_a"),
         col("doc_b")).withColumnRenamed("node", "doc_id")
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val model = QualityShared.model2(s, d)
       val sc = graft.api.Quality.classify(feats, model)
         .select(col("doc_id"), col("score_micro"))
       val members = docs.select(col("doc_id"))
@@ -353,11 +348,8 @@ object Selection {
         .clusters(pairs, col("vec_a"), col("vec_b"))
         .withColumnRenamed("node", "doc_id")
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val model = QualityShared.model2(s, d)
       val sc = graft.api.Quality.classify(feats, model)
         .select(col("doc_id"), col("score_micro"))
       val members = docs.select(col("doc_id"))
@@ -395,11 +387,9 @@ object Selection {
     // 2·P·N. Bounded bin windows, never a global score sort.
     "llm_quality_auc" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val labels = QualityShared.seedLabels(docs)
+      val model = QualityShared.model2(s, d)
       // bins tuned to the fitted margin scale (the pr_curve geometry)
       graft.api.Quality.aucBinned(feats, labels, model,
         binMicro = 5000000L, minBin = 0, maxBin = 10)
@@ -412,11 +402,9 @@ object Selection {
     // cumulative walks over bounded bin frames.
     "llm_quality_threshold_by_source" -> ((s, d) => {
       val docs = documents(s, d)
-      val feats = graft.api.Corpus.hashFeatures(docs, col("doc_id"),
-        col("text"))
-      val labels = docs.select(col("doc_id"),
-        array_contains(split(col("text"), " "), "join").cast("int").as("y"))
-      val model = graft.api.Quality.train(feats, labels, epochs = 2)
+      val feats = QualityShared.feats(docs)
+      val labels = QualityShared.seedLabels(docs)
+      val model = QualityShared.model2(s, d)
       graft.api.Quality.operatingPointsByGroup(feats, labels, model,
         docs.select(col("doc_id"), col("source").as("group")),
         pNumer = 9, pDenom = 10, binMicro = 5000000L, minBin = 0,
