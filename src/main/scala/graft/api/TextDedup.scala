@@ -891,7 +891,7 @@ object TextDedup {
     * With the reliable path the superseded-generation `unpersist` calls
     * below are harmless no-ops (reliable checkpoints live in files, not
     * the block manager). */
-  private[api] def ckptFn(spark: SparkSession,
+  private[graft] def ckptFn(spark: SparkSession,
       dir: Option[String]): DataFrame => DataFrame = dir match {
     case Some(d) =>
       // respect a caller-configured checkpoint directory: overwriting it

@@ -789,8 +789,45 @@ object LlmExtras {
             .as("total_chars"),
           min(col("path")).as("first_path"))
         .orderBy("mime")
+    }),
+
+    // PAYLOAD-CONTENT near-dup (graft.sources.Multimodal
+    // .payloadNearDups): the first operator that reads INSIDE the
+    // BINARY payload — 8-byte shingles over the byte stream, md5
+    // MinHash, band-bucket candidates, exact byte-shingle jaccard —
+    // the TextDedup band/bucket engine applied to bytes, so the pair
+    // space stays LSH-bounded. Fixture payloads are the first-24-token
+    // md5 chunk stream (deterministic, and the planted TEXT near-dups
+    // surface as payload near-dups), plus two PROBE payloads differing
+    // in exactly ONE 16-byte chunk — the byte-patched copy exact-hash
+    // dedup misses, mirrored in the oracle (the pii_audit probe-row
+    // precedent). md5 family ⇒ the full pipeline is oracle-checked;
+    // the byte-flip recall pin lives in MultimodalSpec.
+    "llm_multimodal_payload_dedup" -> ((s, d) => {
+      // no key-side pin needed: payloadNearDups pins its block-token
+      // frame, which sits above this derivation in the plan
+      val pay = documents(s, d).select(col("doc_id"),
+        unhex(concat_ws("", transform(
+          slice(split(col("text"), " "), 1, PayloadChunks),
+          t => md5(t)))).as("bytes"))
+      val base = (1 to PayloadChunks).map(i => md5(lit(s"probe:$i")))
+      val patched = base.updated(PayloadPatchPos - 1, md5(lit("probe:alt")))
+      val probes = s.range(1).select(lit(-1L).as("doc_id"),
+          unhex(concat(base: _*)).as("bytes"))
+        .unionByName(s.range(1).select(lit(-2L).as("doc_id"),
+          unhex(concat(patched: _*)).as("bytes")))
+      graft.sources.Multimodal
+        .payloadNearDups(pay.unionByName(probes), col("doc_id"),
+          col("bytes"))
+        .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** Payload derivation constants shared by the Spark key and its
+    * oracle: chunk count of the fixture payload stream and the 1-based
+    * chunk the probe pair differs in. */
+  private val PayloadChunks = 24
+  private val PayloadPatchPos = 13
 
   /** DuckDB twin of the Bpe vocab → segmentation → pair-count pipeline:
     * CTEs `wf` (word freq) → `seg` (paren-wrapped) → `pc` (weighted
@@ -1084,6 +1121,52 @@ object LlmExtras {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN('doc_' || CAST(doc_id AS VARCHAR) || '.bin') AS first_path
         |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    // full DuckDB twin of the payload block-shingle MinHash pipeline:
+    // payload hex stream (md5 chunk chain + the two probe chains,
+    // interpolated from the SAME Scala constants as the Spark key) →
+    // 16-byte block tokens → 2-block shingles → 16 md5 minhashes →
+    // 4 bands of 4 → band self-join → exact block-shingle jaccard ≥ 0.8
+    "llm_multimodal_payload_dedup" -> {
+      val base = (1 to PayloadChunks).map(i => s"md5('probe:$i')")
+      val patched = base.updated(PayloadPatchPos - 1, "md5('probe:alt')")
+      s"""WITH pay AS (
+         |  SELECT doc_id, array_to_string(list_transform(
+         |      (string_split_regex(text, ' '))[1:$PayloadChunks],
+         |      t -> md5(t)), '') AS ph
+         |  FROM documents
+         |  UNION ALL SELECT -1, ${base.mkString(" || ")}
+         |  UNION ALL SELECT -2, ${patched.mkString(" || ")}),
+         |t AS (SELECT doc_id, string_split_regex(trim(
+         |    regexp_replace(ph, '(.{32})', '\\1 ', 'g')), ' ') AS tk
+         |  FROM pay),
+         |d AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(tk)),
+         |    i -> array_to_string(tk[i : i + 1], ' '))) AS sh
+         |  FROM t WHERE len(tk) >= 2),
+         |sig AS (SELECT doc_id, i,
+         |    MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+         |  FROM d, unnest(d.sh) AS u(s), unnest(range(0, 16)) AS v(i)
+         |  GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 4 AS band,
+         |    md5(string_agg(m, '|' ORDER BY i)) AS sig
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |      AND a.doc_id < b.doc_id),
+         |jac AS (SELECT doc_a, doc_b,
+         |    ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) AS jaccard
+         |  FROM cand
+         |  JOIN d da ON da.doc_id = doc_a
+         |  JOIN d db ON db.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+    },
     "llm_sim_topk_rerank" -> {
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 16, RpInDim)
       val rpList = "[" + sm.map(row =>

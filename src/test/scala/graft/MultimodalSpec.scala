@@ -305,4 +305,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("audio/wav", "image/png", "text/plain"), rows.mkString(","))
   }
+
+  test("payloadNearDups: planted byte-flip copy caught, exact copy at " +
+      "jaccard 1, unrelated payload screened out") {
+    import spark.implicits._
+    // deterministic 256-byte payloads: base; a copy with ONE byte
+    // flipped (the patch exact-hash dedup misses); an exact copy; and
+    // an unrelated payload — all as raw BINARY, no fixture derivation
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](1024)(0); rnd.nextBytes(base)
+    val flipped = base.clone(); flipped(517) = (flipped(517) ^ 0x5a).toByte
+    val other = Array.fill[Byte](1024)(0)
+    new scala.util.Random(99).nextBytes(other)
+    val df = Seq((1L, base), (2L, flipped), (3L, base.clone()),
+      (4L, other)).toDF("id", "payload")
+    // 64 blocks, width-2 shingles = 63 windows; one flipped byte
+    // dirties ONE block = 2 windows: jaccard 61/65 ≈ 0.9385 — the flip
+    // pair must clear a 0.8 gate but not 0.95; the exact pair sits at
+    // 1.0 everywhere (recall pin: the band screen caught both)
+    val strict = Multimodal
+      .payloadNearDups(df, col("id"), col("payload"), minJaccard = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(strict.contains((1L, 3L)) && strict((1L, 3L)) == 1.0, strict)
+    assert(!strict.contains((1L, 2L)),
+      s"0.94-jaccard pair above 0.95: $strict")
+    assert(strict.keys.forall { case (a, b) =>
+      Set(a, b).subsetOf(Set(1L, 3L)) },
+      s"unrelated payload survived the screen: $strict")
+    val out = Multimodal
+      .payloadNearDups(df, col("id"), col("payload"), minJaccard = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((1L, 2L)) && out.contains((2L, 3L)),
+      s"byte-flip near-dup pair missed at 0.8: $out")
+    assert(math.abs(out((1L, 2L)) - 61.0 / 65.0) < 1e-3, out)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated payload matched: $out")
+  }
 }
