@@ -36,13 +36,19 @@ object TextDedup {
     * corpus size. Output: (doc_a, doc_b, jaccard). */
   def nearMinhash(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
     val k = bands * rowsPerBand
-    // (__id, hs): sorted distinct shingle hashes — the verify operand
-    val docs = df.select(id.as("__id"),
+    // (__id, hs): sorted distinct shingle hashes — the verify operand.
+    // PINNED (r9, the materialization decision table): three consumers
+    // (band sigs + both verify sides), all map-side construction below
+    // any exchange, so ReuseExchange cannot dedupe it; the pinned frame
+    // is hash-sized (8-byte values), never text.
+    val ck = ckptFn(df.sparkSession, checkpointDir)
+    val docs = ck(df.select(id.as("__id"),
         array_sort(VectorExprs.shingleHashes(split(text, " "), shingleWidth))
           .as("hs"))
-      .filter(size(col("hs")) > 0)
+      .filter(size(col("hs")) > 0))
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand)
         .map(r => element_at(col("mh"), b * rowsPerBand + r + 1))
@@ -85,8 +91,13 @@ object TextDedup {
     * external corpus index). Output: (doc_a, doc_b, jaccard 4 dp). */
   def nearMinhashMd5(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
-    val sh = md5Shingles(df, id, text, shingleWidth)
+      minJaccard: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // shingle frame pinned: three map-side consumers (the lshAudit /
+    // decision-table rule); shingle-text-sized — larger than the hash
+    // pins but held in the block manager, never shuffled
+    val sh = ckptFn(df.sparkSession, checkpointDir)(
+      md5Shingles(df, id, text, shingleWidth))
     val cand = selfBandCandidates(md5BandSigs(sh, bands, rowsPerBand))
     jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
   }
@@ -103,9 +114,13 @@ object TextDedup {
   def nearMinhashMd5Between(left: DataFrame, leftId: Column,
       leftText: Column, right: DataFrame, rightId: Column,
       rightText: Column, shingleWidth: Int = 3, bands: Int = 4,
-      rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
-    val shA = md5Shingles(left, leftId, leftText, shingleWidth)
-    val shB = md5Shingles(right, rightId, rightText, shingleWidth)
+      rowsPerBand: Int = 4, minJaccard: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // each side's shingle frame has two map-side consumers (its band
+    // sigs + its verify side) — same pin, per side
+    val ck = ckptFn(left.sparkSession, checkpointDir)
+    val shA = ck(md5Shingles(left, leftId, leftText, shingleWidth))
+    val shB = ck(md5Shingles(right, rightId, rightText, shingleWidth))
     val cand = crossBandCandidates(md5BandSigs(shA, bands, rowsPerBand),
       md5BandSigs(shB, bands, rowsPerBand))
     jaccardVerify(joinShingles(cand, shA, shB), minJaccard)
@@ -125,8 +140,11 @@ object TextDedup {
     * (doc_a, doc_b, jaccard 4 dp). */
   def nearMinhashKM(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
-    val sh = md5Shingles(df, id, text, shingleWidth)
+      minJaccard: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // same three-consumer pin as nearMinhashMd5
+    val sh = ckptFn(df.sparkSession, checkpointDir)(
+      md5Shingles(df, id, text, shingleWidth))
     val cand = selfBandCandidates(kmBandSigs(sh, bands, rowsPerBand))
     jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
   }

@@ -820,6 +820,39 @@ object LlmExtras {
         .payloadNearDups(pay.unionByName(probes), col("doc_id"),
           col("bytes"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // PERCEPTUAL near-dup (graft.sources.Multimodal.phashNearDups):
+    // dHash over a 9×8 pixel matrix — 64 gradient-sign bits packed as
+    // FOUR 16-bit bands, band equi-join candidates, exact hamming ≤ 3
+    // verify, with the PIGEONHOLE guarantee (≤3 differing bits can
+    // touch at most 3 of 4 bands ⇒ candidate recall is deterministically
+    // 1.0 — no MinHash S-curve). Fixture pixel matrices derive from the
+    // first-9-token md5 lattice (so exact/near text dups land at
+    // hamming 0), plus two PROBE matrices differing in exactly ONE
+    // pixel — ≤2 dHash bits, both inside one band, so the pair is
+    // GUARANTEED caught. Real-image decode (javax.imageio thumbnail →
+    // BT.601 luma → the same dhashBands) is pinned in MultimodalSpec;
+    // this key oracle-checks everything downstream of the pixel matrix.
+    "llm_multimodal_phash_dedup" -> ((s, d) => {
+      val tk = slice(split(col("text"), " "), 1, 9)
+      val ts = (0 until 9).map(c =>
+        coalesce(element_at(tk, c + 1), lit(s"pad:$c")))
+      val px = array((for (r <- 0 until 8; c <- 0 until 9) yield
+        conv(substring(md5(ts(c)), 2 * r + 1, 2), 16, 10).cast("int")): _*)
+      val docsPx = documents(s, d).select(col("doc_id"), px.as("px"))
+      val baseP: Seq[org.apache.spark.sql.Column] = (0 until 72).map(i =>
+        conv(substring(md5(lit(s"ppix:$i")), 1, 2), 16, 10).cast("int"))
+      val patchedP = baseP.updated(PhashPatchPixel,
+        ((baseP(PhashPatchPixel) + lit(128)) % 256).cast("int"))
+      val probes = s.range(1).select(lit(-1L).as("doc_id"),
+          array(baseP: _*).as("px"))
+        .unionByName(s.range(1).select(lit(-2L).as("doc_id"),
+          array(patchedP: _*).as("px")))
+      graft.sources.Multimodal
+        .phashNearDups(docsPx.unionByName(probes), col("doc_id"),
+          col("px"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -828,6 +861,11 @@ object LlmExtras {
     * chunk the probe pair differs in. */
   private val PayloadChunks = 24
   private val PayloadPatchPos = 13
+
+  /** 0-based pixel the phash probe pair differs in: row 4, col 4 —
+    * both affected dHash bits live in band 2, so the pigeonhole
+    * guarantee applies with margin. */
+  private val PhashPatchPixel = 40
 
   /** DuckDB twin of the Bpe vocab → segmentation → pair-count pipeline:
     * CTEs `wf` (word freq) → `seg` (paren-wrapped) → `pc` (weighted
@@ -1166,6 +1204,52 @@ object LlmExtras {
          |  JOIN d db ON db.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // full DuckDB twin of the dHash pipeline: pixel lattice (md5 hex
+    // pairs over the first-9-token columns + the two probe matrices,
+    // all interpolated from the SAME Scala constants/loops as the Spark
+    // key) → four 16-bit gradient-sign bands → band self-join → exact
+    // hamming (Σ bit_count(xor)) ≤ 3
+    "llm_multimodal_phash_dedup" -> {
+      val pxDoc = (for (r <- 0 until 8; c <- 0 until 9) yield
+        s"CAST('0x' || substr(md5(COALESCE(tk[${c + 1}], 'pad:$c')), " +
+          s"${2 * r + 1}, 2) AS INT)").mkString("[\n    ", ",\n    ", "]")
+      val basePx = (0 until 72).map(i =>
+        s"CAST('0x' || substr(md5('ppix:$i'), 1, 2) AS INT)")
+      val patchedPx = basePx.updated(PhashPatchPixel,
+        s"(${basePx(PhashPatchPixel)} + 128) % 256")
+      def bandSql(k: Int): String =
+        (0 until 16).map { j =>
+          val r = 2 * k + j / 8
+          val c = j % 8
+          s"(CASE WHEN px[${r * 9 + c + 1}] > px[${r * 9 + c + 2}] " +
+            s"THEN 1 ELSE 0 END) * ${1 << (15 - j)}"
+        }.mkString("(", " + ", ")")
+      s"""WITH tk0 AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+         |  FROM documents),
+         |px0 AS (SELECT doc_id, $pxDoc AS px FROM tk0
+         |  UNION ALL SELECT -1, [${basePx.mkString(", ")}]
+         |  UNION ALL SELECT -2, [${patchedPx.mkString(", ")}]),
+         |bw AS (SELECT doc_id,
+         |    ${(0 until 4).map(k => s"${bandSql(k)} AS b$k")
+                .mkString(",\n    ")}
+         |  FROM px0),
+         |bl AS (SELECT doc_id, k,
+         |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+         |      ELSE b3 END AS sig
+         |  FROM bw, range(0, 4) r(k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bl a JOIN bl b
+         |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |h AS (SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(wa.b0, wb.b0))
+         |      + bit_count(xor(wa.b1, wb.b1))
+         |      + bit_count(xor(wa.b2, wb.b2))
+         |      + bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
+         |  FROM cand JOIN bw wa ON wa.doc_id = cand.doc_a
+         |  JOIN bw wb ON wb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "llm_sim_topk_rerank" -> {
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 16, RpInDim)

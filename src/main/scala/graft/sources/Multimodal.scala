@@ -544,4 +544,132 @@ object Multimodal {
       col("__pid"), col("__bt"), shingleWidth, bands, rowsPerBand,
       minJaccard)
   }
+
+  // === Perceptual-hash near-dup (dHash) =================================
+  // payloadNearDups catches byte-level copies; a RE-ENCODED image shares
+  // zero bytes with its original but (nearly) all of its PIXELS. dHash
+  // (difference hash — public, e.g. the pHash/blockhash family) reduces
+  // any image to 64 gradient-sign bits over a 9×8 grayscale thumbnail;
+  // re-encodes, format changes, mild resizes and small edits move only a
+  // few bits, so near-dup = small hamming distance. The decode step is
+  // the usual splice point (real via javax.imageio where the JDK has a
+  // reader, deterministic stub otherwise); everything AFTER the pixel
+  // matrix is pure Catalyst arithmetic — engine-reproducible, so the
+  // whole banded near-dup pipeline is DuckDB-oracle-checkable.
+
+  /** Row-major 8×9 grayscale pixel matrix (72 ints, rows of 9) per
+    * payload: REAL decode + 9×8 bilinear thumbnail + ITU-R BT.601
+    * integer luminance for every JDK-readable image; other payloads get
+    * the deterministic md5-expansion stub (real schema and partition
+    * shape, the decodeDims convention). Partition-wise iterator
+    * streaming; output is 72 ints — payload bytes never leave the map
+    * side. */
+  def imagePixels9x8(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("path"), col("media.bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(it => it.map { case (p, b) => (p, pixels9x8(b)) })
+      .toDF("path", "pixels")
+  }
+
+  /** 9×8 grayscale thumbnail as 72 row-major ints — real decode when
+    * the JDK can read the bytes, md5-expansion stub otherwise. */
+  private[sources] def pixels9x8(bytes: Array[Byte]): Array[Int] =
+    (try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+     catch { case scala.util.control.NonFatal(_) => None }) match {
+      case Some(img) =>
+        val dst = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        val px = new Array[Int](72)
+        var i = 0
+        while (i < 72) {
+          val rgb = dst.getRGB(i % 9, i / 9)
+          // BT.601 integer luma: (299 R + 587 G + 114 B) / 1000
+          px(i) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          i += 1
+        }
+        px
+      case None =>
+        // deterministic stub: md5-chain expansion of the payload bytes
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val px = new Array[Int](72)
+        var block = md.digest(bytes)
+        var i = 0
+        while (i < 72) {
+          if (i % 16 == 0 && i > 0) block = md.digest(block)
+          px(i) = block(i % 16) & 0xff
+          i += 1
+        }
+        px
+    }
+
+  /** dHash band signature from a row-major 8×9 pixel matrix
+    * (array<int>, 72 values): bit (r, c) = pixel(r, c) > pixel(r, c+1),
+    * 8 bits per row, packed as FOUR 16-bit values (rows 2k and 2k+1 →
+    * band k) rather than one 64-bit word — the band values ARE the
+    * hamming-LSH bucket keys, and 16-bit ints sidestep the 64-bit
+    * overflow divergence (DuckDB errors on BIGINT overflow where Spark
+    * wraps). Pure Catalyst comparisons + integer folds — codegen'd,
+    * engine-reproducible. */
+  def dhashBands(pixels: Column): Column = {
+    val bands = (0 until 4).map { k =>
+      (0 until 16).foldLeft(lit(0)) { (acc, j) =>
+        val r = 2 * k + j / 8
+        val c = j % 8
+        val bit = when(element_at(pixels, r * 9 + c + 1) >
+          element_at(pixels, r * 9 + c + 2), 1).otherwise(0)
+        acc * 2 + bit
+      }
+    }
+    array(bands: _*)
+  }
+
+  /** Perceptual near-dup pairs from pixel matrices: candidates are
+    * pairs sharing at least one of the four 16-bit dHash bands (an
+    * equi-join on (band, sig) — LSH-bounded, never |corpus|²), verified
+    * by EXACT hamming distance over all 64 bits (Σ bit_count(xor) per
+    * band). PIGEONHOLE GUARANTEE: a pair at hamming d ≤ 3 differs in at
+    * most 3 of 4 bands, so at least one band matches — candidate recall
+    * is exactly 1.0 for every pair the verify would keep, DETERMINISTIC
+    * (MinHash's probabilistic S-curve has no analogue here; pinned in
+    * MultimodalSpec). `maxDist` is capped at 3 for that reason — a
+    * looser verify would silently lose the guarantee. The band frame is
+    * pinned (4 ints + id per row; three consumers).
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def phashNearDups(df: DataFrame, id: Column, pixels: Column,
+      maxDist: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist: the 4-band screen is complete only for " +
+        "hamming <= 3 (pigeonhole); shrink maxDist or add bands")
+    val ck = graft.api.TextDedup.ckptFn(df.sparkSession, checkpointDir)
+    val bw = ck(df.select(id.as("__id"), dhashBands(pixels).as("__bd")))
+    val sigs = bw.select(col("__id"),
+      posexplode(col("__bd")).as(Seq("band", "sig")))
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val ham = (0 until 4).map(k =>
+      bit_count(element_at(col("__ba"), k + 1)
+        .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)
+    cand
+      .join(bw.select(col("__id").as("doc_a"), col("__bd").as("__ba")),
+        "doc_a")
+      .join(bw.select(col("__id").as("doc_b"), col("__bd").as("__bb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
 }

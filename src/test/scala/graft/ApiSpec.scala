@@ -1672,6 +1672,42 @@ class ApiSpec extends AnyFunSuite {
       s"power-method dominant component disagrees with Jacobi: $dp")
   }
 
+  test("Jacobi-PCA top-k agrees with the hash-checked exact-power twin " +
+      "on an identifiable subspace: recall@5 between the two solvers' " +
+      "retrievals (llm_sim_topk_pca's no-oracle fit, measured against " +
+      "the llm_sim_topk_pca_exact path)") {
+    // the last no-oracle key's loop-closer: the Jacobi fit cannot be
+    // DuckDB-checked (float-order-dependent), but it must retrieve the
+    // same neighbors as the oracle-checked exact-power solver — the
+    // llm_ann_recall idea applied to the eigen-solver choice. Measured
+    // on a PLANTED anisotropic cloud (spectral gaps 4/3/2/1.5 vs 0.3),
+    // where the top-4 subspace is identifiable; on the near-isotropic
+    // fixture embeddings the subspace is solver-arbitrary by
+    // construction (measured recall 0.36 there — not a defect, the
+    // spectrum is flat), so a fixture-based pin would be meaningless.
+    val rnd = new scala.util.Random(13)
+    val d = 8
+    val scale = Array(4.0f, 3.0f, 2.0f, 1.5f, 0.3f, 0.3f, 0.3f, 0.3f)
+    val data = (0L until 400L).map { i =>
+      (i, Seq.tabulate(d)(j => (rnd.nextFloat() * 2 - 1) * scale(j)))
+    }.toDF("vec_id", "v")
+    val q = data.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"))
+    def sets(m: Similarity.PcaModel) = Similarity
+      .topKPca(data, col("vec_id"), col("v"), q, k = 5, m)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val jac = sets(Similarity.pcaFit(data, col("v"), inDim = d, k = 4))
+    val pow = sets(
+      Similarity.pcaFitExactPower(data, col("v"), inDim = d, k = 4))
+    val hits = pow.keys.toSeq
+      .map(k => (pow(k) intersect jac.getOrElse(k, Set.empty)).size).sum
+    val recall = hits.toDouble / pow.values.map(_.size).sum
+    info(f"Jacobi-vs-exact-power recall@5: $recall%.3f")
+    assert(recall >= 0.9,
+      f"Jacobi subspace diverged from the exact-power twin: $recall%.3f")
+  }
+
   test("Similarity.topKRerank: recall at least the RP-only path, and " +
       "rerank scores equal the exact scores") {
     val e = spark.read.parquet(SparkFixture.sf0001 + "/embeddings.parquet")

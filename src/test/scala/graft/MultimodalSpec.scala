@@ -306,6 +306,67 @@ class MultimodalSpec extends AnyFunSuite {
       Seq("audio/wav", "image/png", "text/plain"), rows.mkString(","))
   }
 
+  test("phashNearDups on REAL decoded images: a re-rendered half-size " +
+      "copy lands at small hamming and is caught; an inverted-gradient " +
+      "image is not") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dir = tempDir("graft_ph_")
+    def gradient(w: Int, h: Int, invert: Boolean): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v0 = ((x * 255) / w + (y * 128) / h) % 256
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    ImageIO.write(gradient(180, 120, invert = false), "png",
+      new java.io.File(dir, "orig.png"))
+    // the SAME scene re-rendered at half size: zero shared bytes with
+    // orig.png, (nearly) identical 9x8 thumbnail — the case byte-level
+    // dedup (payloadNearDups) provably cannot catch
+    ImageIO.write(gradient(90, 60, invert = false), "png",
+      new java.io.File(dir, "resized.png"))
+    ImageIO.write(gradient(180, 120, invert = true), "png",
+      new java.io.File(dir, "inverted.png"))
+    val px = Multimodal.imagePixels9x8(
+      Multimodal.readDir(spark, dir.getAbsolutePath, "*.png"))
+    def nm(p: String) = p.split('/').last
+    val pairs = Multimodal
+      .phashNearDups(px, col("path"), col("pixels"))
+      .collect()
+      .map(r => Set(nm(r.getString(0)), nm(r.getString(1))) -> r.getInt(2))
+      .toMap
+    assert(pairs.contains(Set("orig.png", "resized.png")),
+      s"re-rendered copy missed: $pairs")
+    assert(pairs(Set("orig.png", "resized.png")) <= 3)
+    assert(!pairs.keys.exists(_.contains("inverted.png")),
+      s"inverted gradient wrongly matched: $pairs")
+  }
+
+  test("phashNearDups pigeonhole guarantee: a pair at EXACTLY hamming 3 " +
+      "spread over three different bands is still caught (deterministic " +
+      "recall, no LSH dice); maxDist > 3 is rejected") {
+    import spark.implicits._
+    // ascending base matrix: every gradient bit is 0; raising pixel at
+    // 0-based column index c flips ONLY bit (r, c) — three raises in
+    // bands 0, 1, 3 give hamming exactly 3 with band 2 untouched
+    val base = Array.tabulate(72)(identity)
+    val mod = base.clone()
+    mod(2) = 1000   // row 0 -> band 0
+    mod(20) = 1000  // row 2 -> band 1
+    mod(56) = 1000  // row 6 -> band 3
+    val df = Seq((1L, base), (2L, mod)).toDF("id", "px")
+    val out = Multimodal.phashNearDups(df, col("id"), col("px")).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L
+      && out.head.getLong(1) == 2L && out.head.getInt(2) == 3,
+      out.mkString(","))
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDups(df, col("id"), col("px"), maxDist = 4)
+    }
+  }
+
   test("payloadNearDups: planted byte-flip copy caught, exact copy at " +
       "jaccard 1, unrelated payload screened out") {
     import spark.implicits._
