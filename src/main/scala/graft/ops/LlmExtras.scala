@@ -822,6 +822,41 @@ object LlmExtras {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the NIGHTLY form of payload dedup — every dedup family in this
+    // repo has a persisted-index incremental shape (signatures r6,
+    // substrings r7/r8, lines r8), and the multimodal family now does
+    // too: the corpus's payload BLOCK-token signatures persist once
+    // (writeSignatureIndex — the text machinery verbatim, block tokens
+    // in the text seat, width-2 shingles), the day's delta shard
+    // screens against the index AND itself (dedupShardAgainstIndex's
+    // keep-min rule), survivors are what the training set accepts.
+    // Payload bytes never re-read at screen time; the probe is a
+    // 32-byte-hash equi-join. Same md5 signature family ⇒ the whole
+    // lifecycle is oracle-checked (the llm_dedup_incremental twin over
+    // payload-derived tokens).
+    "llm_multimodal_payload_delta" -> ((s, d) => {
+      // fixture-derivation pin: the block-token frame feeds the index
+      // write (corpus role) AND the two-sided delta screen — the 24-
+      // md5s/doc chain would otherwise re-run per consumer (a real
+      // media corpus starts from stored bytes and has no such chain)
+      val bt = documents(s, d).select(col("doc_id"), col("source"),
+        graft.sources.Multimodal.payloadBlockTokens(
+          unhex(concat_ws("", transform(
+            slice(split(col("text"), " "), 1, PayloadChunks),
+            t => md5(t))))).as("bt"))
+        .localCheckpoint()
+      val corpus = bt.filter(col("doc_id") % 10 =!= 0)
+      val delta = bt.filter(col("doc_id") % 10 === 0)
+      val idx = graft.util.Staging.dir("payload_sig_index", d)
+      graft.api.TextDedup.writeSignatureIndex(corpus, col("doc_id"),
+        col("bt"), idx, shingleWidth = 2)
+      graft.api.TextDedup
+        .dedupShardAgainstIndex(delta, col("doc_id"), col("bt"), idx,
+          shingleWidth = 2)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // PERCEPTUAL near-dup (graft.sources.Multimodal.phashNearDups):
     // dHash over a 9×8 pixel matrix — 64 gradient-sign bits packed as
     // FOUR 16-bit bands, band equi-join candidates, exact hamming ≤ 3
@@ -1205,6 +1240,62 @@ object LlmExtras {
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
     },
+    // persisted-index twin over payload block tokens: signatures are
+    // per-doc and deterministic, so the oracle computes the same md5
+    // scheme for corpus and delta roles directly (the
+    // llm_dedup_incremental rule — the parquet round trip changes
+    // bytes on disk, not values)
+    "llm_multimodal_payload_delta" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id, source, array_to_string(list_transform(
+         |      (string_split_regex(text, ' '))[1:$PayloadChunks],
+         |      t -> md5(t)), '') AS ph
+         |  FROM documents),
+         |t AS (SELECT doc_id, string_split_regex(trim(
+         |    regexp_replace(ph, '(.{32})', '\\1 ', 'g')), ' ') AS tk
+         |  FROM pay),
+         |d AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(tk)),
+         |    i -> array_to_string(tk[i : i + 1], ' '))) AS sh
+         |  FROM t WHERE len(tk) >= 2),
+         |sig AS (SELECT doc_id, i,
+         |    MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+         |  FROM d, unnest(d.sh) AS u(s), unnest(range(0, 16)) AS v(i)
+         |  GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 4 AS band,
+         |    md5(string_agg(m, '|' ORDER BY i)) AS sig
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+         |dup AS (SELECT DISTINCT doc_a FROM cand
+         |  JOIN d da ON da.doc_id = cand.doc_a
+         |  JOIN d db ON db.doc_id = cand.doc_b
+         |  WHERE ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) >= 0.8),
+         |icand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+         |intra AS (SELECT DISTINCT doc_b FROM icand
+         |  JOIN d da ON da.doc_id = icand.doc_a
+         |  JOIN d db ON db.doc_id = icand.doc_b
+         |  WHERE ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) >= 0.8)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id NOT IN (SELECT doc_a FROM dup)
+         |  AND doc_id NOT IN (SELECT doc_b FROM intra)
+         |ORDER BY doc_id""".stripMargin,
     // full DuckDB twin of the dHash pipeline: pixel lattice (md5 hex
     // pairs over the first-9-token columns + the two probe matrices,
     // all interpolated from the SAME Scala constants/loops as the Spark
