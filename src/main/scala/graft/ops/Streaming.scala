@@ -250,7 +250,8 @@ object Streaming {
     * `id`/`text` select the document key and body from `docs`'s
     * schema. */
   def twinDedupAgainstIndex(docs: DataFrame, id: org.apache.spark.sql.Column,
-      text: org.apache.spark.sql.Column, indexPath: String)(
+      text: org.apache.spark.sql.Column, indexPath: String,
+      shingleWidth: Int = 3)(
       emit: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
@@ -258,9 +259,12 @@ object Streaming {
       (batch: DataFrame, _: Long) =>
         // index screen + intra-batch self-screen (pairs arriving in the
         // SAME micro-batch never meet the index; cross-batch dups are
-        // the append cadence's job) — the exact batch accept-screen
+        // the append cadence's job) — the exact batch accept-screen.
+        // `text` is any token stream: document text with the default
+        // width, or payload BLOCK tokens (Multimodal.payloadBlockTokens,
+        // width 2) — the multimodal screen streams through the same twin
         emit(graft.api.TextDedup.dedupShardAgainstIndex(batch, id, text,
-          indexPath))
+          indexPath, shingleWidth))
     }
 
   /** Streaming twin of the INCREMENTAL SUBSTRING screen — the same

@@ -158,6 +158,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PAYLOAD screen: binary block tokens through the same " +
+      "twinDedupAgainstIndex — byte-patched copy of an indexed payload " +
+      "dropped, fresh payload survives, intra-batch copy dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def payload() = { val b = new Array[Byte](512); rnd.nextBytes(b); b }
+    val corpus = (0L until 10L).map(i => (i, payload()))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-payidx-stream").resolve("idx").toString
+    def bt(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.sources.Multimodal
+        .payloadBlockTokens(col("payload")).as("bt"))
+    graft.api.TextDedup.writeSignatureIndex(
+      bt(corpus.toDF("doc_id", "payload")), col("doc_id"), col("bt"),
+      dir, shingleWidth = 2)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streaming.twinDedupAgainstIndex(
+        bt(in.toDF.toDF("doc_id", "payload")), col("doc_id"), col("bt"),
+        dir, shingleWidth = 2) {
+      batch => emitted.synchronized {
+        emitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      // a byte-patched copy of indexed payload 0 (one flipped byte —
+      // the copy exact hashing misses) + a fresh payload
+      val patched = corpus(0)._2.clone()
+      patched(200) = (patched(200) ^ 0x5a).toByte
+      val fresh = payload()
+      in.addData((100L, patched), (101L, fresh))
+      q.processAllAvailable()
+      // an exact intra-batch copy pair of a new payload: only the
+      // self-screen can catch it (never met the index)
+      val fresh2 = payload()
+      in.addData((102L, fresh2), (103L, fresh2.clone()))
+      q.processAllAvailable()
+      val survivors = emitted.synchronized(emitted.toSet)
+      assert(!survivors.contains(100L),
+        "byte-patched index near-dup must not survive")
+      assert(!survivors.contains(103L),
+        "intra-batch payload copy must not survive")
+      assert(survivors == Set(101L, 102L),
+        s"expected survivors {101, 102}, got $survivors")
+    } finally q.stop()
+  }
+
   test("session windows: gap split + [first, last+gap) bounds") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
