@@ -869,27 +869,53 @@ object LlmExtras {
     // GUARANTEED caught. Real-image decode (javax.imageio thumbnail →
     // BT.601 luma → the same dhashBands) is pinned in MultimodalSpec;
     // this key oracle-checks everything downstream of the pixel matrix.
-    "llm_multimodal_phash_dedup" -> ((s, d) => {
-      val tk = slice(split(col("text"), " "), 1, 9)
-      val ts = (0 until 9).map(c =>
-        coalesce(element_at(tk, c + 1), lit(s"pad:$c")))
-      val px = array((for (r <- 0 until 8; c <- 0 until 9) yield
-        conv(substring(md5(ts(c)), 2 * r + 1, 2), 16, 10).cast("int")): _*)
-      val docsPx = documents(s, d).select(col("doc_id"), px.as("px"))
-      val baseP: Seq[org.apache.spark.sql.Column] = (0 until 72).map(i =>
-        conv(substring(md5(lit(s"ppix:$i")), 1, 2), 16, 10).cast("int"))
-      val patchedP = baseP.updated(PhashPatchPixel,
-        ((baseP(PhashPatchPixel) + lit(128)) % 256).cast("int"))
-      val probes = s.range(1).select(lit(-1L).as("doc_id"),
-          array(baseP: _*).as("px"))
-        .unionByName(s.range(1).select(lit(-2L).as("doc_id"),
-          array(patchedP: _*).as("px")))
+    "llm_multimodal_phash_dedup" -> ((s, d) =>
       graft.sources.Multimodal
-        .phashNearDups(docsPx.unionByName(probes), col("doc_id"),
-          col("px"))
-        .orderBy("doc_a", "doc_b")
+        .phashNearDups(phashPixelFrame(s, d), col("doc_id"), col("px"))
+        .orderBy("doc_a", "doc_b")),
+
+    // the APPLY side of perceptual dedup — the row-level output a
+    // training run consumes (the llm_dedup_apply shape over pixel
+    // space): phash pairs → connected components (clusters) → keep the
+    // representative (min id), survivors = corpus minus non-
+    // representative members. Pairs are hamming ≤ 3 with the
+    // pigeonhole-complete screen, components ride 8-byte node ids —
+    // media bytes appear nowhere past the map-side thumbnail.
+    "llm_multimodal_phash_apply" -> ((s, d) => {
+      val pairs = graft.sources.Multimodal
+        .phashNearDups(phashPixelFrame(s, d), col("doc_id"), col("px"))
+        .select(col("doc_a"), col("doc_b"))
+      val drop = graft.api.TextDedup
+        .clusters(pairs, col("doc_a"), col("doc_b"))
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      documents(s, d).join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     })
   )
+
+  /** The phash fixture frame shared by the dedup and apply keys:
+    * pixel matrices from the first-9-token md5 lattice plus the two
+    * probe matrices (one patched pixel — both affected dHash bits in
+    * one band, so the pair is pigeonhole-guaranteed caught). */
+  private def phashPixelFrame(s: SparkSession, d: String): DataFrame = {
+    val tk = slice(split(col("text"), " "), 1, 9)
+    val ts = (0 until 9).map(c =>
+      coalesce(element_at(tk, c + 1), lit(s"pad:$c")))
+    val px = array((for (r <- 0 until 8; c <- 0 until 9) yield
+      conv(substring(md5(ts(c)), 2 * r + 1, 2), 16, 10).cast("int")): _*)
+    val docsPx = documents(s, d).select(col("doc_id"), px.as("px"))
+    val baseP: Seq[org.apache.spark.sql.Column] = (0 until 72).map(i =>
+      conv(substring(md5(lit(s"ppix:$i")), 1, 2), 16, 10).cast("int"))
+    val patchedP = baseP.updated(PhashPatchPixel,
+      ((baseP(PhashPatchPixel) + lit(128)) % 256).cast("int"))
+    val probes = s.range(1).select(lit(-1L).as("doc_id"),
+        array(baseP: _*).as("px"))
+      .unionByName(s.range(1).select(lit(-2L).as("doc_id"),
+        array(patchedP: _*).as("px")))
+    docsPx.unionByName(probes)
+  }
 
   /** Payload derivation constants shared by the Spark key and its
     * oracle: chunk count of the fixture payload stream and the 1-based
@@ -901,6 +927,49 @@ object LlmExtras {
     * both affected dHash bits live in band 2, so the pigeonhole
     * guarantee applies with margin. */
   private val PhashPatchPixel = 40
+
+  /** Shared DuckDB CTE block (tk0 → px0 → bw → bl → cand → h) of the
+    * dHash pipeline, interpolated from the same constants/loops as the
+    * Spark [[phashPixelFrame]]; used by both phash oracles. */
+  private lazy val phashCteSql: String = {
+    val pxDoc = (for (r <- 0 until 8; c <- 0 until 9) yield
+      s"CAST('0x' || substr(md5(COALESCE(tk[${c + 1}], 'pad:$c')), " +
+        s"${2 * r + 1}, 2) AS INT)").mkString("[\n    ", ",\n    ", "]")
+    val basePx = (0 until 72).map(i =>
+      s"CAST('0x' || substr(md5('ppix:$i'), 1, 2) AS INT)")
+    val patchedPx = basePx.updated(PhashPatchPixel,
+      s"(${basePx(PhashPatchPixel)} + 128) % 256")
+    def bandSql(k: Int): String =
+      (0 until 16).map { j =>
+        val r = 2 * k + j / 8
+        val c = j % 8
+        s"(CASE WHEN px[${r * 9 + c + 1}] > px[${r * 9 + c + 2}] " +
+          s"THEN 1 ELSE 0 END) * ${1 << (15 - j)}"
+      }.mkString("(", " + ", ")")
+    s"""tk0 AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+       |  FROM documents),
+       |px0 AS (SELECT doc_id, $pxDoc AS px FROM tk0
+       |  UNION ALL SELECT -1, [${basePx.mkString(", ")}]
+       |  UNION ALL SELECT -2, [${patchedPx.mkString(", ")}]),
+       |bw AS (SELECT doc_id,
+       |    ${(0 until 4).map(k => s"${bandSql(k)} AS b$k")
+              .mkString(",\n    ")}
+       |  FROM px0),
+       |bl AS (SELECT doc_id, k,
+       |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+       |      ELSE b3 END AS sig
+       |  FROM bw, range(0, 4) r(k)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bl a JOIN bl b
+       |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |h AS (SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(wa.b0, wb.b0))
+       |      + bit_count(xor(wa.b1, wb.b1))
+       |      + bit_count(xor(wa.b2, wb.b2))
+       |      + bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
+       |  FROM cand JOIN bw wa ON wa.doc_id = cand.doc_a
+       |  JOIN bw wb ON wb.doc_id = cand.doc_b)""".stripMargin
+  }
 
   /** DuckDB twin of the Bpe vocab → segmentation → pair-count pipeline:
     * CTEs `wf` (word freq) → `seg` (paren-wrapped) → `pc` (weighted
@@ -1301,47 +1370,26 @@ object LlmExtras {
     // all interpolated from the SAME Scala constants/loops as the Spark
     // key) → four 16-bit gradient-sign bands → band self-join → exact
     // hamming (Σ bit_count(xor)) ≤ 3
-    "llm_multimodal_phash_dedup" -> {
-      val pxDoc = (for (r <- 0 until 8; c <- 0 until 9) yield
-        s"CAST('0x' || substr(md5(COALESCE(tk[${c + 1}], 'pad:$c')), " +
-          s"${2 * r + 1}, 2) AS INT)").mkString("[\n    ", ",\n    ", "]")
-      val basePx = (0 until 72).map(i =>
-        s"CAST('0x' || substr(md5('ppix:$i'), 1, 2) AS INT)")
-      val patchedPx = basePx.updated(PhashPatchPixel,
-        s"(${basePx(PhashPatchPixel)} + 128) % 256")
-      def bandSql(k: Int): String =
-        (0 until 16).map { j =>
-          val r = 2 * k + j / 8
-          val c = j % 8
-          s"(CASE WHEN px[${r * 9 + c + 1}] > px[${r * 9 + c + 2}] " +
-            s"THEN 1 ELSE 0 END) * ${1 << (15 - j)}"
-        }.mkString("(", " + ", ")")
-      s"""WITH tk0 AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
-         |  FROM documents),
-         |px0 AS (SELECT doc_id, $pxDoc AS px FROM tk0
-         |  UNION ALL SELECT -1, [${basePx.mkString(", ")}]
-         |  UNION ALL SELECT -2, [${patchedPx.mkString(", ")}]),
-         |bw AS (SELECT doc_id,
-         |    ${(0 until 4).map(k => s"${bandSql(k)} AS b$k")
-                .mkString(",\n    ")}
-         |  FROM px0),
-         |bl AS (SELECT doc_id, k,
-         |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
-         |      ELSE b3 END AS sig
-         |  FROM bw, range(0, 4) r(k)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bl a JOIN bl b
-         |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |h AS (SELECT doc_a, doc_b,
-         |    CAST(bit_count(xor(wa.b0, wb.b0))
-         |      + bit_count(xor(wa.b1, wb.b1))
-         |      + bit_count(xor(wa.b2, wb.b2))
-         |      + bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
-         |  FROM cand JOIN bw wa ON wa.doc_id = cand.doc_a
-         |  JOIN bw wb ON wb.doc_id = cand.doc_b)
+    "llm_multimodal_phash_dedup" ->
+      s"""WITH $phashCteSql
          |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // apply twin: the same phash pair CTEs + the recursive component
+    // walk (the llm_dedup_apply rule), survivors = min-id per component
+    "llm_multimodal_phash_apply" ->
+      s"""WITH RECURSIVE $phashCteSql,
+         |p AS (SELECT doc_a, doc_b FROM h WHERE hamming <= 3),
+         |e AS (SELECT doc_a AS x, doc_b AS y FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |walk AS (SELECT x AS node, y AS label FROM e
+         |         UNION
+         |         SELECT e.x, w.label FROM e JOIN walk w ON e.y = w.node),
+         |comp AS (SELECT node, LEAST(node, MIN(label)) AS cluster_id
+         |  FROM walk GROUP BY node)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id NOT IN
+         |    (SELECT node FROM comp WHERE node != cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "llm_sim_topk_rerank" -> {
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 16, RpInDim)
       val rpList = "[" + sm.map(row =>
