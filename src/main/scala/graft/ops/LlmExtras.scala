@@ -892,6 +892,32 @@ object LlmExtras {
       documents(s, d).join(drop, Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
         .orderBy("doc_id")
+    }),
+
+    // the NIGHTLY form of perceptual dedup (Multimodal.writePhashIndex
+    // + phashDedupShardAgainstIndex): the corpus's dHash bands persist
+    // once as a 4-int-per-doc parquet table (~20 bytes/doc regardless
+    // of media size — the 100 TB point), the day's delta screens
+    // against the index AND itself with the pigeonhole-complete band
+    // join; corpus payloads/pixels are never re-touched. Completes the
+    // incremental-index story for the perceptual family (signatures
+    // r6, substrings r7/r8, lines r8, payload blocks r9).
+    "llm_multimodal_phash_delta" -> ((s, d) => {
+      // probe rows have negative ids → % 10 != 0 → corpus role (both
+      // engines agree: Spark and DuckDB % keep the dividend's sign)
+      val frame = phashPixelFrame(s, d).localCheckpoint()
+      val corpus = frame.filter(col("doc_id") % 10 =!= 0)
+      val delta = frame.filter(col("doc_id") % 10 === 0)
+      val idx = graft.util.Staging.dir("phash_band_index", d)
+      graft.sources.Multimodal.writePhashIndex(corpus, col("doc_id"),
+        col("px"), idx)
+      graft.sources.Multimodal
+        .phashDedupShardAgainstIndex(delta, col("doc_id"), col("px"),
+          idx)
+        .select(col("doc_id"))
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -928,10 +954,10 @@ object LlmExtras {
     * guarantee applies with margin. */
   private val PhashPatchPixel = 40
 
-  /** Shared DuckDB CTE block (tk0 → px0 → bw → bl → cand → h) of the
-    * dHash pipeline, interpolated from the same constants/loops as the
-    * Spark [[phashPixelFrame]]; used by both phash oracles. */
-  private lazy val phashCteSql: String = {
+  /** Shared DuckDB CTE block (tk0 → px0 → bw → bl) of the dHash
+    * pipeline, interpolated from the same constants/loops as the Spark
+    * [[phashPixelFrame]]; used by all three phash oracles. */
+  private lazy val phashBaseCteSql: String = {
     val pxDoc = (for (r <- 0 until 8; c <- 0 until 9) yield
       s"CAST('0x' || substr(md5(COALESCE(tk[${c + 1}], 'pad:$c')), " +
         s"${2 * r + 1}, 2) AS INT)").mkString("[\n    ", ",\n    ", "]")
@@ -958,18 +984,27 @@ object LlmExtras {
        |bl AS (SELECT doc_id, k,
        |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
        |      ELSE b3 END AS sig
-       |  FROM bw, range(0, 4) r(k)),
+       |  FROM bw, range(0, 4) r(k))""".stripMargin
+  }
+
+  /** Exact 64-bit hamming between two [[phashBaseCteSql]] `bw` rows. */
+  private def phashHamSql(a: String, b: String): String =
+    s"""CAST(bit_count(xor($a.b0, $b.b0))
+       |      + bit_count(xor($a.b1, $b.b1))
+       |      + bit_count(xor($a.b2, $b.b2))
+       |      + bit_count(xor($a.b3, $b.b3)) AS INT)""".stripMargin
+
+  /** [[phashBaseCteSql]] + the SELF-join candidate/verify tail (cand,
+    * h) — the CTE chain of the phash near-dup oracle. */
+  private lazy val phashCteSql: String =
+    s"""$phashBaseCteSql,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bl a JOIN bl b
        |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
        |h AS (SELECT doc_a, doc_b,
-       |    CAST(bit_count(xor(wa.b0, wb.b0))
-       |      + bit_count(xor(wa.b1, wb.b1))
-       |      + bit_count(xor(wa.b2, wb.b2))
-       |      + bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
+       |    ${phashHamSql("wa", "wb")} AS hamming
        |  FROM cand JOIN bw wa ON wa.doc_id = cand.doc_a
        |  JOIN bw wb ON wb.doc_id = cand.doc_b)""".stripMargin
-  }
 
   /** DuckDB twin of the Bpe vocab → segmentation → pair-count pipeline:
     * CTEs `wf` (word freq) → `seg` (paren-wrapped) → `pc` (weighted
@@ -1374,6 +1409,32 @@ object LlmExtras {
       s"""WITH $phashCteSql
          |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // persisted-band-index twin: signatures are per-doc and
+    // deterministic, so the oracle computes the same bands for corpus
+    // and delta roles directly; cross candidates are delta×corpus, the
+    // intra pair keeps the earlier id (keep-min)
+    "llm_multimodal_phash_delta" ->
+      s"""WITH $phashBaseCteSql,
+         |xc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bl a JOIN bl b ON a.k = b.k AND a.sig = b.sig
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+         |xdup AS (SELECT DISTINCT doc_a FROM xc
+         |  JOIN bw wa ON wa.doc_id = xc.doc_a
+         |  JOIN bw wb ON wb.doc_id = xc.doc_b
+         |  WHERE ${phashHamSql("wa", "wb")} <= 3),
+         |ic AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bl a JOIN bl b
+         |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+         |intra AS (SELECT DISTINCT doc_b FROM ic
+         |  JOIN bw wa ON wa.doc_id = ic.doc_a
+         |  JOIN bw wb ON wb.doc_id = ic.doc_b
+         |  WHERE ${phashHamSql("wa", "wb")} <= 3)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id NOT IN (SELECT doc_a FROM xdup)
+         |  AND doc_id NOT IN (SELECT doc_b FROM intra)
+         |ORDER BY doc_id""".stripMargin,
     // apply twin: the same phash pair CTEs + the recursive component
     // walk (the llm_dedup_apply rule), survivors = min-id per component
     "llm_multimodal_phash_apply" ->

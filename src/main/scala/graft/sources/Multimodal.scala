@@ -672,4 +672,69 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Persist a dHash band index — the nightly form of perceptual dedup
+    * (the writeSignatureIndex discipline applied to pixel space): the
+    * accumulated corpus's band signatures land ONCE as a parquet table
+    * of (__id, __bd ARRAY<INT> of 4); each delta shard then screens
+    * with a band equi-join instead of re-decoding anything. Signatures
+    * are deterministic per payload, so accepting a screened shard =
+    * appending its 4-int rows (mode("append") on the same path);
+    * rebuild only if the dHash geometry changes. The index is ~20
+    * bytes/doc regardless of media size — the whole point at 100 TB
+    * of media. */
+  def writePhashIndex(df: DataFrame, id: Column, pixels: Column,
+      path: String): Unit =
+    df.select(id.as("__id"), dhashBands(pixels).as("__bd"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+
+  /** Screen a delta shard against a [[writePhashIndex]] index:
+    * (doc_a from the shard, doc_b from the index, hamming ≤ maxDist).
+    * Same pigeonhole-complete band candidates + exact hamming verify
+    * as [[phashNearDups]], with the index side read from parquet —
+    * payload bytes and pixels of the CORPUS are never touched. */
+  def phashScreenAgainstIndex(shard: DataFrame, id: Column,
+      pixels: Column, path: String, maxDist: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist: the 4-band screen is complete only for " +
+        "hamming <= 3 (pigeonhole)")
+    val spark = shard.sparkSession
+    val ck = graft.api.TextDedup.ckptFn(spark, checkpointDir)
+    val sb = ck(shard.select(id.as("__id"), dhashBands(pixels).as("__bd")))
+    val ib = spark.read.parquet(s"$path/bands")
+    def long(f: DataFrame) = f.select(col("__id"),
+      posexplode(col("__bd")).as(Seq("band", "sig")))
+    val cand = long(sb).alias("a")
+      .join(long(ib).alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val ham = (0 until 4).map(k =>
+      bit_count(element_at(col("__ba"), k + 1)
+        .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)
+    cand
+      .join(sb.select(col("__id").as("doc_a"), col("__bd").as("__ba")),
+        "doc_a")
+      .join(ib.select(col("__id").as("doc_b"), col("__bd").as("__bb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The complete nightly accept-screen for perceptual dedup: shard
+    * members with a near-dup in the INDEX ([[phashScreenAgainstIndex]])
+    * or earlier WITHIN the shard ([[phashNearDups]] keep-min — pairs
+    * arriving together never meet the index) are dropped; survivors
+    * keep all original columns (the dedupShardAgainstIndex contract
+    * over pixel space). */
+  def phashDedupShardAgainstIndex(shard: DataFrame, id: Column,
+      pixels: Column, path: String, maxDist: Int = 3): DataFrame = {
+    val inter = phashScreenAgainstIndex(shard, id, pixels, path, maxDist)
+      .select(col("doc_a"))
+    val intra = phashNearDups(shard, id, pixels, maxDist)
+      .select(col("doc_b").as("doc_a"))
+    shard.join(inter.union(intra).distinct(), id === col("doc_a"),
+      "left_anti")
+  }
 }
