@@ -857,6 +857,27 @@ object LlmExtras {
         .orderBy("doc_id")
     }),
 
+    // MEDIA DECONTAMINATION (graft.sources.Multimodal
+    // .payloadNearDupsBetween): training payloads whose byte stream
+    // near-dups an EVAL-set payload — the llm_decontaminate_fuzzy
+    // primitive over bytes (exact payload hashing misses re-muxed or
+    // byte-patched leaks). Same id-range roles as the text key
+    // (doc_id < 100 = benchmark side); candidates from a band-bucket
+    // equi-join of the two signature sets, never |train|×|eval|; the
+    // eval side's SIGNATURE frame, not its bytes, is the broadcast.
+    "llm_multimodal_payload_decontam" -> ((s, d) => {
+      val pay = documents(s, d).select(col("doc_id"),
+        unhex(concat_ws("", transform(
+          slice(split(col("text"), " "), 1, PayloadChunks),
+          t => md5(t)))).as("bytes"))
+      graft.sources.Multimodal.payloadNearDupsBetween(
+          pay.filter(col("doc_id") >= 100), col("doc_id"), col("bytes"),
+          pay.filter(col("doc_id") < 100), col("doc_id"), col("bytes"))
+        .select(col("doc_a").as("train_doc"),
+          col("doc_b").as("bench_doc"), col("jaccard"))
+        .orderBy("train_doc", "bench_doc")
+    }),
+
     // PERCEPTUAL near-dup (graft.sources.Multimodal.phashNearDups):
     // dHash over a 9×8 pixel matrix — 64 gradient-sign bits packed as
     // FOUR 16-bit bands, band equi-join candidates, exact hamming ≤ 3
@@ -953,6 +974,31 @@ object LlmExtras {
     * both affected dHash bits live in band 2, so the pigeonhole
     * guarantee applies with margin. */
   private val PhashPatchPixel = 40
+
+  /** Shared DuckDB CTE block (pay → t → d → sig → band) of the payload
+    * block-token md5-signature pipeline (no probe rows), interpolated
+    * from the same constants as the Spark keys; used by the
+    * payload_delta and payload_decontam oracles. */
+  private lazy val payloadSigCteSql: String =
+    s"""pay AS (
+       |  SELECT doc_id, source, array_to_string(list_transform(
+       |      (string_split_regex(text, ' '))[1:$PayloadChunks],
+       |      t -> md5(t)), '') AS ph
+       |  FROM documents),
+       |t AS (SELECT doc_id, string_split_regex(trim(
+       |    regexp_replace(ph, '(.{32})', '\\1 ', 'g')), ' ') AS tk
+       |  FROM pay),
+       |d AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(tk)),
+       |    i -> array_to_string(tk[i : i + 1], ' '))) AS sh
+       |  FROM t WHERE len(tk) >= 2),
+       |sig AS (SELECT doc_id, i,
+       |    MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+       |  FROM d, unnest(d.sh) AS u(s), unnest(range(0, 16)) AS v(i)
+       |  GROUP BY doc_id, i),
+       |band AS (SELECT doc_id, i // 4 AS band,
+       |    md5(string_agg(m, '|' ORDER BY i)) AS sig
+       |  FROM sig GROUP BY doc_id, i // 4)""".stripMargin
 
   /** Shared DuckDB CTE block (tk0 → px0 → bw → bl) of the dHash
     * pipeline, interpolated from the same constants/loops as the Spark
@@ -1350,25 +1396,7 @@ object LlmExtras {
     // llm_dedup_incremental rule — the parquet round trip changes
     // bytes on disk, not values)
     "llm_multimodal_payload_delta" ->
-      s"""WITH pay AS (
-         |  SELECT doc_id, source, array_to_string(list_transform(
-         |      (string_split_regex(text, ' '))[1:$PayloadChunks],
-         |      t -> md5(t)), '') AS ph
-         |  FROM documents),
-         |t AS (SELECT doc_id, string_split_regex(trim(
-         |    regexp_replace(ph, '(.{32})', '\\1 ', 'g')), ' ') AS tk
-         |  FROM pay),
-         |d AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, len(tk)),
-         |    i -> array_to_string(tk[i : i + 1], ' '))) AS sh
-         |  FROM t WHERE len(tk) >= 2),
-         |sig AS (SELECT doc_id, i,
-         |    MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
-         |  FROM d, unnest(d.sh) AS u(s), unnest(range(0, 16)) AS v(i)
-         |  GROUP BY doc_id, i),
-         |band AS (SELECT doc_id, i // 4 AS band,
-         |    md5(string_agg(m, '|' ORDER BY i)) AS sig
-         |  FROM sig GROUP BY doc_id, i // 4),
+      s"""WITH $payloadSigCteSql,
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b
          |    ON a.band = b.band AND a.sig = b.sig
@@ -1409,6 +1437,30 @@ object LlmExtras {
       s"""WITH $phashCteSql
          |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // cross-corpus twin: signatures are per-doc (independent of the
+    // frame split), so the oracle computes them once and applies the
+    // train/bench id-range roles at the candidate join — the
+    // llm_decontaminate_fuzzy rule over payload tokens
+    "llm_multimodal_payload_decontam" ->
+      s"""WITH $payloadSigCteSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS train_doc,
+         |    b.doc_id AS bench_doc
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id >= 100 AND b.doc_id < 100),
+         |jac AS (SELECT train_doc, bench_doc,
+         |    ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) AS jaccard
+         |  FROM cand
+         |  JOIN d da ON da.doc_id = train_doc
+         |  JOIN d db ON db.doc_id = bench_doc)
+         |SELECT train_doc, bench_doc, jaccard FROM jac
+         |WHERE jaccard >= 0.8
+         |ORDER BY train_doc, bench_doc""".stripMargin,
     // persisted-band-index twin: signatures are per-doc and
     // deterministic, so the oracle computes the same bands for corpus
     // and delta roles directly; cross candidates are delta×corpus, the

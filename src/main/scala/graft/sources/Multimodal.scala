@@ -545,6 +545,30 @@ object Multimodal {
       minJaccard)
   }
 
+  /** Cross-corpus payload near-dup — MEDIA DECONTAMINATION: training
+    * payloads whose byte stream near-dups an EVAL-set payload (the
+    * fuzzy-decontamination primitive over bytes; exact payload hashing
+    * misses re-muxed or byte-patched leaks). Delegates to
+    * [[graft.api.TextDedup.nearMinhashMd5Between]] over the two
+    * [[payloadBlockTokens]] streams — candidates from a band-bucket
+    * equi-join of the two signature sets (LSH-bounded, never |L|×|R|);
+    * at scale the eval side is the small one and its SIGNATURE frame,
+    * never its bytes, is what the join broadcasts. Output: (doc_a from
+    * `train`, doc_b from `eval`, jaccard 4 dp). */
+  def payloadNearDupsBetween(train: DataFrame, trainId: Column,
+      trainBytes: Column, eval0: DataFrame, evalId: Column,
+      evalBytes: Column, blockBytes: Int = 16, shingleWidth: Int = 2,
+      bands: Int = 4, rowsPerBand: Int = 4, minJaccard: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame =
+    graft.api.TextDedup.nearMinhashMd5Between(
+      train.select(trainId.as("__pid"),
+        payloadBlockTokens(trainBytes, blockBytes).as("__bt")),
+      col("__pid"), col("__bt"),
+      eval0.select(evalId.as("__pid"),
+        payloadBlockTokens(evalBytes, blockBytes).as("__bt")),
+      col("__pid"), col("__bt"),
+      shingleWidth, bands, rowsPerBand, minJaccard, checkpointDir)
+
   // === Perceptual-hash near-dup (dHash) =================================
   // payloadNearDups catches byte-level copies; a RE-ENCODED image shares
   // zero bytes with its original but (nearly) all of its PIXELS. dHash
