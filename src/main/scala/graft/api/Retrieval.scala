@@ -127,8 +127,7 @@ object Retrieval {
   def appendToBm25Index(delta: DataFrame, id: Column, text: Column,
       dir: String, sep: String = " "): Unit = {
     val spark = delta.sparkSession
-    val old = spark.read.parquet(s"$dir/postings")
-    requirePostingsSchema(old)
+    requirePostingsSchema(spark.read.parquet(s"$dir/postings"))
     val toks = split(text, sep)
     val base = delta.select(id.as("__id"), toks.as("__tk"))
     val newPostings = base
@@ -136,8 +135,22 @@ object Retrieval {
         explode(col("__tk")).as("__term"))
       .groupBy("__id", "__term")
       .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
-    old.unionByName(newPostings)
-      .write.mode("overwrite").parquet(s"$dir/postings.new")
+    // postings rows are per-(doc, term) and the precondition says delta
+    // ids are NEW, so the delta's rows are DISJOINT from the stored
+    // ones: a parquet APPEND of delta-sized files is the whole merge —
+    // O(delta), never a rewrite of the accumulated index (r9; the
+    // appendToSignatureIndex/appendToSubstringIndex discipline — the
+    // previous union+rewrite spelling re-shuffled and re-wrote the FULL
+    // postings table nightly, O(index), exactly the cost the append
+    // step exists to avoid at 100 TB). Same non-atomicity caveat as
+    // every multi-file append here: a mid-job failure leaves partial
+    // delta files — re-run after removing them, or commit via manifest
+    // on stores that support it.
+    newPostings.write.mode("append").parquet(s"$dir/postings")
+    // the 1-row stats frame DOES need read-combine-rewrite (it is a
+    // sum, not a disjoint union) — staged because Spark cannot read and
+    // overwrite the same parquet path in one job; the table is one row,
+    // so the rewrite is O(1)
     val oldStats = spark.read.parquet(s"$dir/stats")
     val deltaStats = base.agg(count(lit(1)).as("__n_docs"),
       sum(size(col("__tk"))).as("__total_tokens"))
@@ -145,7 +158,6 @@ object Retrieval {
       .agg(sum(col("__n_docs")).as("__n_docs"),
         sum(col("__total_tokens")).as("__total_tokens"))
       .write.mode("overwrite").parquet(s"$dir/stats.new")
-    replace(spark, s"$dir/postings.new", s"$dir/postings")
     replace(spark, s"$dir/stats.new", s"$dir/stats")
   }
 
