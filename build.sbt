@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers tail-parse the forked main's LAST stdout
+// line as JSON; sbt's own "[success] Total time: …" epilogue (an
+// info-level message printed AFTER the fork exits) otherwise trails it
+// and breaks the parse. Suppress just that message — errors still show.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -121,9 +121,13 @@ object Retrieval {
     * query-equal to a fresh rebuild over corpus ∪ delta (pinned in
     * RetrievalSpec).
     *
-    * The append stages through `dir/postings.new` + `dir/stats.new` and
-    * only then overwrites, because Spark cannot read-and-overwrite the
-    * same parquet path in one job. */
+    * Postings append IN PLACE as delta-sized parquet files (O(delta) —
+    * disjoint rows need no merge); only the 1-row stats table stages
+    * through `dir/stats.new` and swaps, because Spark cannot
+    * read-and-overwrite the same parquet path in one job. Crash
+    * consistency is correspondingly weaker than a staged rewrite: a
+    * mid-append failure leaves partial postings files — remove them and
+    * re-run, or commit via manifest on stores that support it. */
   def appendToBm25Index(delta: DataFrame, id: Column, text: Column,
       dir: String, sep: String = " "): Unit = {
     val spark = delta.sparkSession

@@ -345,6 +345,10 @@ object TextClean {
     * fragment recovery re-emits the tail of the last sentence (r9
     * ADVICE fix; any interior terminator run is absorbed by the
     * previous match's greedy `[.!?]+`, so leading is the ONLY gap).
+    * A terminator-ONLY document ("?!.") — no match, no tail — emits its
+    * run as the single fragment row rather than vanishing; docs with at
+    * least one sentence still drop a leading run (it is punctuation
+    * noise, not text).
     * One row per sentence with its 1-based index and exact word/char
     * counts. In-row explode, map-side. Output: (doc_id, sent_no,
     * sentence, n_words, n_chars). */
@@ -355,8 +359,16 @@ object TextClean {
     val consumed = length(regexp_extract(text, "^[.!?]+", 0)) +
       aggregate(sents, lit(0), (acc, s) => acc + length(s))
     val tail0 = trim(text.substr(lit(1) + consumed, length(text)))
-    val all = when(length(tail0) > 0,
+    val all0 = when(length(tail0) > 0,
       concat(sents, array(tail0))).otherwise(sents)
+    // a terminator-ONLY document ("?!.") has no match and no tail — the
+    // leading run IS the whole text, so emit it as the one fragment
+    // (the keep-don't-drop principle; r9 ADVICE). Guarded on the
+    // all-empty case so docs with real sentences keep today's
+    // leading-run-skipped behavior.
+    val lead = trim(regexp_extract(text, "^[.!?]+", 0))
+    val all = when(size(all0) === 0 && length(lead) > 0, array(lead))
+      .otherwise(all0)
     df.select(id.as("doc_id"),
         posexplode(transform(all, s => trim(s))))
       .filter(length(col("col")) > 0)

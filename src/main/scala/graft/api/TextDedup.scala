@@ -2137,28 +2137,37 @@ object TextDedup {
     * of corpus bytes); pass `checkpointDir` for the reliable form on a
     * real cluster (the [[clusters]] discipline).
     *
-    * Pin lifecycle (r9): the pin BACKS the returned (lazy) frame, so it
-    * cannot be released here — unpersisting a localCheckpoint discards
-    * the only copy (lineage is truncated by design) and would break the
-    * caller's action. CALLERS OWN THE RELEASE in a long-lived session:
-    * materialize the result, then drop the session's persisted RDDs
-    * (`spark.sparkContext.getPersistentRDDs.values.foreach(
+    * Pin lifecycle (r10): the kMeansFit generation-release discipline —
+    * the RESULT is eagerly checkpointed (pair-sized), which supersedes
+    * the fingerprint-set pin, and the superseded pin is unpersisted
+    * before returning; repeated calls therefore accrete only pair-sized
+    * pins, not fingerprint-set-sized ones (asserted in PropertiesSpec).
+    * The final pin is caller-owned as everywhere: materialize, then
+    * release (`spark.sparkContext.getPersistentRDDs.values.foreach(
     * _.unpersist(false))` — the Bench harness does exactly this between
-    * keys). The iterative fits (kMeansFit, pqTrainCodebook) differ only
-    * in releasing SUPERSEDED generations mid-fit; their final pin has
-    * the same caller-owned lifecycle.
+    * keys).
     * Output: (doc_a, doc_b, n_shared_fp), doc_a < doc_b. */
   def winnowCandidates(df: DataFrame, id: Column, text: Column,
       k: Int = 4, win: Int = 4,
       checkpointDir: Option[String] = None): DataFrame = {
     val ck = ckptFn(df.sparkSession, checkpointDir)
-    val fps = ck(winnowFingerprints(df, id, text, k, win)
+    val fpSets = ck(winnowFingerprints(df, id, text, k, win)
       .select(col("doc_id"), col("fingerprints")))
+    val fps = fpSets
       .select(col("doc_id"), explode(col("fingerprints")).as("__fp"))
-    fps.select(col("doc_id").as("doc_a"), col("__fp"))
+    val pairs = fps.select(col("doc_id").as("doc_a"), col("__fp"))
       .join(fps.select(col("doc_id").as("doc_b"), col("__fp")), Seq("__fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_fp"))
+    // generation release (r9 ADVICE, the kMeansFit discipline): the
+    // checkpoint is EAGER, so by here `out` is materialized with
+    // truncated lineage and the fingerprint-set pin it consumed is
+    // superseded — drop it now instead of leaking one per call in a
+    // long-lived session. Only the pair-sized FINAL pin survives, and
+    // that one is caller-owned as before.
+    val out = ck(pairs)
+    checkpointRdd(fpSets).foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -638,8 +638,7 @@ object Curation {
         col("doc_id") % 10 =!= 3)
       val day1 = docs.filter(col("doc_id") % 10 === 3)
       val delta = docs.filter(col("doc_id") % 10 === 0)
-      val idx = new java.io.File("target/graft-line-index/" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val idx = graft.util.Staging.dir("line_index_delta", d)
       graft.api.TextDedup.writeLineIndex(day0, col("doc_id"),
         col("text"), idx)
       graft.api.TextDedup.appendToLineIndex(day1, col("doc_id"),

@@ -194,6 +194,7 @@ object Ingest {
     "llm_split_sentences" -> ((s, d) => {
       import s.implicits._
       val probes = Seq(
+        -4L -> "?!.",
         -3L -> "!!!Leading run skipped. then a fragment",
         -2L -> "First one. Second one! Third one? trailing fragment",
         -1L -> "No terminator at all in this page")
@@ -385,6 +386,7 @@ object Ingest {
          |  FROM tk),
          |corpus AS (SELECT doc_id, text FROM lp
          |  UNION ALL SELECT * FROM (VALUES
+         |    (-4, '?!.'),
          |    (-3, '!!!Leading run skipped. then a fragment'),
          |    (-2, 'First one. Second one! Third one? trailing fragment'),
          |    (-1, 'No terminator at all in this page'))
@@ -396,13 +398,19 @@ object Ingest {
          |      regexp_extract_all(text, '[^.!?]+[.!?]+'),
          |      s -> length(s))), 0) AS consumed
          |  FROM corpus),
-         |s2 AS (SELECT doc_id,
+         |s2a AS (SELECT doc_id, text,
          |    CASE WHEN length(trim(substr(text, CAST(1 + consumed AS INT),
          |        length(text)))) > 0
          |      THEN list_append(sents, trim(substr(text,
          |        CAST(1 + consumed AS INT), length(text))))
-         |      ELSE sents END AS al
+         |      ELSE sents END AS al0
          |  FROM s1),
+         |s2 AS (SELECT doc_id,
+         |    CASE WHEN len(al0) = 0
+         |        AND length(trim(regexp_extract(text, '^[.!?]+', 0))) > 0
+         |      THEN [trim(regexp_extract(text, '^[.!?]+', 0))]
+         |      ELSE al0 END AS al
+         |  FROM s2a),
          |s3 AS (SELECT doc_id, trim(unnest(al)) AS s,
          |    generate_subscripts(al, 1) AS i FROM s2)
          |SELECT doc_id, CAST(i AS INT) AS sent_no, s AS sentence,

@@ -804,8 +804,8 @@ object LlmExtras {
     // precedent). md5 family ⇒ the full pipeline is oracle-checked;
     // the byte-flip recall pin lives in MultimodalSpec.
     "llm_multimodal_payload_dedup" -> ((s, d) => {
-      // no key-side pin needed: payloadNearDups pins its block-token
-      // frame, which sits above this derivation in the plan
+      // no key-side pin needed: the engine pins its shingle frame,
+      // which sits above this derivation in the plan
       val pay = documents(s, d).select(col("doc_id"),
         unhex(concat_ws("", transform(
           slice(split(col("text"), " "), 1, PayloadChunks),

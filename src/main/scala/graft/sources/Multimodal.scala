@@ -523,27 +523,30 @@ object Multimodal {
     * engine-reproducible ⇒ DuckDB-oracle-checkable end to end; the
     * planted byte-flip recall pin lives in MultimodalSpec.
     *
-    * The block-token frame is PINNED (ckptFn — localCheckpoint by
-    * default, reliable with `checkpointDir`; caller owns the final
-    * pin's release, the [[graft.api.TextDedup.winnowCandidates]]
-    * discipline): the engine's shingle frame has three consumers (band
-    * sigs + both verify sides), and re-running hex + block-split over
-    * full payload bytes per consumer is exactly the interpreted-HOF
-    * recompute hazard the house keeps hitting. The pinned frame is
-    * hex-of-payload-sized — 2 bytes per payload byte; project payloads
-    * away before any OTHER join, as always.
+    * Pinning: the engine pins its SHINGLE frame (three consumers —
+    * band sigs + both verify sides; `checkpointDir` forwards for the
+    * reliable form), which already cuts the hex + block-split recompute
+    * over full payload bytes; the block-token frame itself has one
+    * consumer and is deliberately NOT pinned (the r9 spelling
+    * double-pinned). Caller owns the final pin's release, the
+    * [[graft.api.TextDedup.winnowCandidates]] discipline. The pinned
+    * frame is shingle-of-hex-sized — ~2 bytes per payload byte; project
+    * payloads away before any OTHER join, as always.
     * Output: (doc_a, doc_b, jaccard 4 dp). */
   def payloadNearDups(df: DataFrame, id: Column, bytes: Column,
       blockBytes: Int = 16, shingleWidth: Int = 2, bands: Int = 4,
       rowsPerBand: Int = 4, minJaccard: Double = 0.8,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val ck = graft.api.TextDedup.ckptFn(df.sparkSession, checkpointDir)
+      checkpointDir: Option[String] = None): DataFrame =
+    // no pin here: the block-token frame has ONE consumer (the engine's
+    // shingle builder) — the multi-consumer pin lives INSIDE
+    // nearMinhashMd5 on its shingle frame, and checkpointDir forwards
+    // so the reliable-checkpoint form holds end to end (r9 ADVICE:
+    // the old spelling double-pinned and dropped the dir)
     graft.api.TextDedup.nearMinhashMd5(
-      ck(df.select(id.as("__pid"),
-        payloadBlockTokens(bytes, blockBytes).as("__bt"))),
+      df.select(id.as("__pid"),
+        payloadBlockTokens(bytes, blockBytes).as("__bt")),
       col("__pid"), col("__bt"), shingleWidth, bands, rowsPerBand,
-      minJaccard)
-  }
+      minJaccard, checkpointDir)
 
   /** Cross-corpus payload near-dup — MEDIA DECONTAMINATION: training
     * payloads whose byte stream near-dups an EVAL-set payload (the

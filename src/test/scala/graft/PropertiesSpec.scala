@@ -162,6 +162,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowCandidates releases its fingerprint pin per call " +
+      "(generation discipline — only the pair-sized final pin accretes)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sc = spark.sparkContext
+    // start from a drained context so counts are exact
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(sc.getPersistentRDDs.isEmpty)
+    val docs = (0 until 12).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta token$i eta theta"))
+      .toDF("doc_id", "text")
+    (1 to 3).foreach { call =>
+      val n = graft.api.TextDedup
+        .winnowCandidates(docs, col("doc_id"), col("text")).count()
+      assert(n > 0)
+      // one new persisted RDD per call — the final pair pin; the
+      // fingerprint-set pin each call creates must have been released
+      assert(sc.getPersistentRDDs.size == call,
+        s"after call $call: ${sc.getPersistentRDDs.size} persisted " +
+          "RDDs — the superseded fingerprint pin is leaking")
+    }
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("the manifest checksum is permutation-invariant and moves on any " +
       "single-row tamper") {
     (1 to 100).foreach { _ =>
