@@ -54,18 +54,24 @@ object TextDedup {
         .map(r => element_at(col("mh"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }
+    // (__id, mh) PINNED: the k-minhash pass is the expensive step and
+    // the identical-signature collapse reads the frame three times
+    val mh = ck(docs.select(col("__id"),
+      VectorExprs.minhashSig(col("hs"), k).as("mh")))
+    val (reps, members) = collapseSigGroups(mh, fullSigKey(col("mh")))
     // band rows carry ONLY (__id, band, sig): shuffling the full shingle
     // array ×bands through the self-join exchange was 4× the bytes the
-    // join needs (r6 fix — the verify re-acquires shingles below)
-    val sigs = docs
-      .withColumn("mh", VectorExprs.minhashSig(col("hs"), k))
+    // join needs (r6 fix — the verify re-acquires shingles below) — and
+    // only REPRESENTATIVE rows reach the band self-join (r10 hot-bucket
+    // guard, see collapseSigGroups)
+    val sigs = reps
       .select(col("__id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("__id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
     // candidates are LSH-bounded and tiny relative to the corpus, so
     // these joins broadcast the candidate side and the shingle frames
     // stream map-side — no corpus-wide array shuffle anywhere
-    val pairs = selfBandCandidates(sigs)
+    val pairs = expandSelfPairs(selfBandCandidates(sigs), members)
       .join(docs.select(col("__id").as("doc_a"), col("hs").as("sa")),
         "doc_a")
       .join(docs.select(col("__id").as("doc_b"), col("hs").as("sb")),
@@ -96,9 +102,14 @@ object TextDedup {
     // shingle frame pinned: three map-side consumers (the lshAudit /
     // decision-table rule); shingle-text-sized — larger than the hash
     // pins but held in the block manager, never shuffled
-    val sh = ckptFn(df.sparkSession, checkpointDir)(
-      md5Shingles(df, id, text, shingleWidth))
-    val cand = selfBandCandidates(md5BandSigs(sh, bands, rowsPerBand))
+    val ck = ckptFn(df.sparkSession, checkpointDir)
+    val sh = ck(md5Shingles(df, id, text, shingleWidth))
+    // signature frame pinned too: the k-digest minhash pass is the
+    // expensive step and the collapse reads it three times
+    val mh = ck(md5MinhashSigs(sh, bands * rowsPerBand))
+    val (reps, members) = collapseSigGroups(mh, fullSigKey(col("mh")))
+    val cand = expandSelfPairs(
+      selfBandCandidates(bandsFromMh(reps, bands, rowsPerBand)), members)
     jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
   }
 
@@ -121,8 +132,18 @@ object TextDedup {
     val ck = ckptFn(left.sparkSession, checkpointDir)
     val shA = ck(md5Shingles(left, leftId, leftText, shingleWidth))
     val shB = ck(md5Shingles(right, rightId, rightText, shingleWidth))
-    val cand = crossBandCandidates(md5BandSigs(shA, bands, rowsPerBand),
-      md5BandSigs(shB, bands, rowsPerBand))
+    // hot-bucket guard on BOTH sides: the quadratic needs identical-sig
+    // groups on both, but collapsing each is one cheap agg over a
+    // pinned hash-sized frame — and the big (train) side is the one
+    // that really needs it
+    val mhA = ck(md5MinhashSigs(shA, bands * rowsPerBand))
+    val mhB = ck(md5MinhashSigs(shB, bands * rowsPerBand))
+    val (repsA, memA) = collapseSigGroups(mhA, fullSigKey(col("mh")))
+    val (repsB, memB) = collapseSigGroups(mhB, fullSigKey(col("mh")))
+    val cand = expandCrossPairs(
+      crossBandCandidates(bandsFromMh(repsA, bands, rowsPerBand),
+        bandsFromMh(repsB, bands, rowsPerBand)),
+      Some(memA), Some(memB))
     jaccardVerify(joinShingles(cand, shA, shB), minJaccard)
   }
 
@@ -142,10 +163,14 @@ object TextDedup {
       shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       minJaccard: Double = 0.8,
       checkpointDir: Option[String] = None): DataFrame = {
-    // same three-consumer pin as nearMinhashMd5
-    val sh = ckptFn(df.sparkSession, checkpointDir)(
-      md5Shingles(df, id, text, shingleWidth))
-    val cand = selfBandCandidates(kmBandSigs(sh, bands, rowsPerBand))
+    // same pins and hot-bucket collapse as nearMinhashMd5
+    val ck = ckptFn(df.sparkSession, checkpointDir)
+    val sh = ck(md5Shingles(df, id, text, shingleWidth))
+    val mh = ck(kmMinhashSigs(sh, bands * rowsPerBand))
+    val (reps, members) = collapseSigGroups(mh, fullSigKey(col("mh")))
+    val cand = expandSelfPairs(
+      selfBandCandidates(kmBandsFromMh(reps, bands, rowsPerBand)),
+      members)
     jaccardVerify(joinShingles(cand, sh, sh), minJaccard)
   }
 
@@ -154,17 +179,21 @@ object TextDedup {
     * interpreted closure per (i, shingle) — measured 5× slower than
     * even the 16-digest scheme; bit-identity to the HOF chain is pinned
     * in ApiSpec). Same no-shingles exchange-volume rule. */
-  private def kmBandSigs(shingles: DataFrame, bands: Int,
+  private def kmMinhashSigs(shingles: DataFrame, k: Int): DataFrame =
+    shingles.select(col("__id"),
+      VectorExprs.minhashKM(col("sh"), k).as("mh"))
+
+  /** K-M sibling of [[bandsFromMh]] (mh is array<long>, so the band
+    * key stringifies each value before the md5-of-joined-rows). */
+  private def kmBandsFromMh(mhSigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
           transform(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand),
             v => v.cast("string")))).as("sig"))
     }
-    shingles
-      .withColumn("mh", VectorExprs.minhashKM(col("sh"), k))
+    mhSigs
       .select(col("__id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("__id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -329,8 +358,20 @@ object TextDedup {
     val spark = delta.sparkSession
     requireIndexParams(spark, indexPath, shingleWidth, bands, rowsPerBand)
     val shA = md5Shingles(delta, id, text, shingleWidth)
-    val cand = crossBandCandidates(md5BandSigs(shA, bands, rowsPerBand),
-      spark.read.parquet(s"$indexPath/sigs"))
+    // hot-bucket guard on the DELTA side only (dirty input shards DO
+    // arrive with identical-sig groups); the index side needs none —
+    // the accept-screen discipline keeps it free of identical
+    // signatures (a shard doc whose signature already exists in the
+    // index is a jaccard-1 near-dup and is dropped before append)
+    // delta-sized signature pin: the collapse reads the frame three
+    // times and the k-digest pass is the expensive step
+    val mhA = ckptFn(spark, None)(
+      md5MinhashSigs(shA, bands * rowsPerBand))
+    val (repsA, memA) = collapseSigGroups(mhA, fullSigKey(col("mh")))
+    val cand = expandCrossPairs(
+      crossBandCandidates(bandsFromMh(repsA, bands, rowsPerBand),
+        spark.read.parquet(s"$indexPath/sigs")),
+      Some(memA), None)
     // the candidate frame is LSH-bounded and broadcasts, so attaching
     // the index side's shingles is a map-side probe over the shingles
     // parquet (a scan of the ~1%-of-corpus index, never a shuffle of
@@ -343,7 +384,7 @@ object TextDedup {
     * (band, sig) self-join, doc_a < doc_b — the LSH candidate stage
     * every self-dedup variant shares (xxhash64, md5, K-M): one
     * definition, so a join fix lands everywhere at once. */
-  private def selfBandCandidates(sigs: DataFrame): DataFrame = {
+  private[graft] def selfBandCandidates(sigs: DataFrame): DataFrame = {
     val a = sigs.alias("a"); val b = sigs.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -363,6 +404,96 @@ object TextDedup {
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  // ---------------------------------------------------------------------
+  // Hot-LSH-bucket guard (r10): identical-signature collapse
+  // ---------------------------------------------------------------------
+
+  /** Collapse rows with an IDENTICAL full signature to one min-id
+    * representative — the hot-LSH-bucket guard: g rows with the same
+    * signature vector share EVERY band, so they all land in one bucket
+    * and the band self-join emits g² candidate rows × bands (the one
+    * latent quadratic at 100 TB — think a million boilerplate pages
+    * that dodged exact dedup by a counter byte). Collapsing before the
+    * band join caps each group's band-join contribution at ONE row per
+    * band; [[expandSelfPairs]] / [[expandCrossPairs]] restore
+    * member-level pairs afterwards, and the candidate SET is provably
+    * identical: band keys are a pure function of the signature, so a
+    * member pair matches some band iff its rep pair does, and same-sig
+    * pairs — candidates by construction (all bands equal) — come back
+    * as within-group expansion. The exact-jaccard / exact-hamming
+    * verify downstream is untouched, so outputs are bit-identical.
+    *
+    * Grouping is by `groupKey` (a pure function of the signature — the
+    * full vector itself, or its md5 when the vector is wide; the 128-bit
+    * key's collision tolerance is the same one every band bucket here
+    * already accepts) via groupBy + min, NOT a window: partial
+    * aggregation combines the hot key map-side, which is exactly the
+    * skew this guard exists for — a window would funnel the whole group
+    * through one task. `frame` is consumed three times (groups, member
+    * map, rep rows) — PIN it upstream.
+    *
+    * Returns (reps: `frame` restricted to representative rows minus the
+    * key column, members: (__id, __rep)). */
+  private[graft] def collapseSigGroups(frame: DataFrame,
+      groupKey: Column): (DataFrame, DataFrame) = {
+    val keyed = frame.withColumn("__fs", groupKey)
+    val groups = keyed.groupBy("__fs").agg(min(col("__id")).as("__rep"))
+    val members = keyed.select(col("__id"), col("__fs"))
+      .join(groups, "__fs").select(col("__id"), col("__rep"))
+    val reps = frame.join(groups.select(col("__rep").as("__id")),
+      Seq("__id"), "left_semi")
+    (reps, members)
+  }
+
+  /** Expand representative-level self-join candidates back to member
+    * level: cross-group pairs route through the member map on both
+    * sides (least/greatest restores the doc_a < doc_b order — rep order
+    * does not imply member order), and every within-group pair is a
+    * candidate by construction (all bands equal). The two sets are
+    * disjoint (same group ⇔ same signature), so the union needs no
+    * dedup. Output: (doc_a, doc_b), doc_a < doc_b. */
+  private[graft] def expandSelfPairs(repPairs: DataFrame,
+      members: DataFrame): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("__rep").as("doc_a"),
+        col("__id").as("__ma")), "doc_a")
+      .join(members.select(col("__rep").as("doc_b"),
+        col("__id").as("__mb")), "doc_b")
+      .select(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"))
+    val within = members.alias("x")
+      .join(members.alias("y"),
+        col("x.__rep") === col("y.__rep") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
+    cross.unionByName(within)
+  }
+
+  /** Cross-frame sibling of [[expandSelfPairs]]: each side expands
+    * through its own member map when collapsed (None = that side was
+    * not collapsed — e.g. a persisted index, which the accept-screen
+    * discipline keeps free of identical-signature groups: a shard doc
+    * whose signature already exists in the index is a jaccard-1 /
+    * hamming-0 near-dup and is dropped before append). No within-group
+    * component — the frames are different id domains. */
+  private[graft] def expandCrossPairs(repPairs: DataFrame,
+      membersA: Option[DataFrame],
+      membersB: Option[DataFrame]): DataFrame = {
+    val a = membersA.fold(repPairs)(m => repPairs
+      .join(m.select(col("__rep").as("doc_a"), col("__id").as("__ma")),
+        "doc_a")
+      .select(col("__ma").as("doc_a"), col("doc_b")))
+    membersB.fold(a)(m => a
+      .join(m.select(col("__rep").as("doc_b"), col("__id").as("__mb")),
+        "doc_b")
+      .select(col("doc_a"), col("__mb").as("doc_b")))
+  }
+
+  /** Full-signature group key for an array-typed signature column:
+    * md5 of the joined string forms — 32 bytes through the collapse
+    * shuffles instead of the full vector. */
+  private[graft] def fullSigKey(mh: Column): Column =
+    md5(concat_ws("|", transform(mh, v => v.cast("string"))))
 
   /** (\_\_id, sh) distinct `shingleWidth`-gram shingles per doc — the
     * jaccard-verify operand of the md5 MinHash family. */

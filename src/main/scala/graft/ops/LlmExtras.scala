@@ -771,8 +771,7 @@ object LlmExtras {
     // chunks, even through the struct view (nested-schema pruning) —
     // is plan-asserted on THIS key's frame in MultimodalSpec.
     "llm_multimodal_packed" -> ((s, d) => {
-      val dest = new java.io.File("target/graft-packed/" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val dest = graft.util.Staging.dir("multimodal_packed", d)
       documents(s, d).select(
           concat(lit("doc_"), col("doc_id"), lit(".bin")).as("path"),
           when(col("doc_id") % 3 === 0, "image/png")
@@ -939,6 +938,59 @@ object LlmExtras {
         .join(documents(s, d).select(col("doc_id"), col("source")),
           Seq("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // the MULTIMODAL training-export composite — the end-to-end job a
+    // vision-language corpus ships through, and the media twin of
+    // llm_training_export: a byte-level payload screen (md5-MinHash
+    // over block tokens — catches re-muxed / byte-patched copies) and a
+    // perceptual dHash screen (catches re-encoded / re-rendered copies)
+    // each drop every doc that near-dups an EARLIER one (keep-first, the
+    // shard-screen discipline); survivors emit ONE media-ref
+    // pseudo-chunk (a fixed vision-token budget + the payload digest
+    // the trainer resolves against the packed store — bytes themselves
+    // never ride the plan) ahead of their 16-token text chunks, and the
+    // interleaved stream packs per source into 128-token sequences via
+    // the running-cumsum window (no global sort — the llm_pack_sequences
+    // scale rule). Output is ROW-LEVEL pack membership so the DuckDB
+    // gate certifies packing AND media-ref integrity; the 1:1
+    // refs-resolve-to-surviving-payloads pin lives in MultimodalSpec.
+    "llm_multimodal_training_export" -> ((s, d) => {
+      val docs = documents(s, d)
+      val ph = concat_ws("", transform(
+        slice(split(col("text"), " "), 1, PayloadChunks), t => md5(t)))
+      val payDrop = graft.sources.Multimodal
+        .payloadNearDups(
+          docs.select(col("doc_id"), unhex(ph).as("bytes")),
+          col("doc_id"), col("bytes"))
+        .select(col("doc_b").as("doc_id"))
+      val pxDrop = graft.sources.Multimodal
+        .phashNearDups(phashPixelFrame(s, d), col("doc_id"), col("px"))
+        .select(col("doc_b").as("doc_id"))
+      val surv = docs.join(payDrop.unionByName(pxDrop).distinct(),
+        Seq("doc_id"), "left_anti")
+      val media = surv.select(col("doc_id"), lit(0).as("chunk_id"),
+        col("source"), lit("media").as("kind"),
+        lit(MediaTokens).as("n_tokens"), md5(ph).as("ref"))
+      val text = surv
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("__n"))
+        .select(col("doc_id"), col("source"), col("__n"),
+          explode(sequence(lit(1), col("__n"), lit(16))).as("__st"))
+        .select(col("doc_id"),
+          (((col("__st") - 1) / 16).cast("int") + 1).as("chunk_id"),
+          col("source"), lit("text").as("kind"),
+          least(lit(16), col("__n") - col("__st") + 1).as("n_tokens"),
+          lit("").as("ref"))
+      val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      media.unionByName(text)
+        .withColumn("pack_id",
+          ((sum(col("n_tokens")).over(w) - col("n_tokens")) / 128)
+            .cast("int"))
+        .select(col("doc_id"), col("chunk_id"), col("source"),
+          col("pack_id"), col("kind"), col("n_tokens"), col("ref"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -975,10 +1027,15 @@ object LlmExtras {
     * guarantee applies with margin. */
   private val PhashPatchPixel = 40
 
+  /** Fixed vision-token budget a media ref occupies in a packed
+    * training sequence (llm_multimodal_training_export) — the
+    * placeholder-token count a multimodal trainer reserves per image. */
+  private val MediaTokens = 64
+
   /** Shared DuckDB CTE block (pay → t → d → sig → band) of the payload
     * block-token md5-signature pipeline (no probe rows), interpolated
     * from the same constants as the Spark keys; used by the
-    * payload_delta and payload_decontam oracles. */
+    * payload_delta, payload_decontam and training_export oracles. */
   private lazy val payloadSigCteSql: String =
     s"""pay AS (
        |  SELECT doc_id, source, array_to_string(list_transform(
@@ -1503,6 +1560,51 @@ object LlmExtras {
          |WHERE doc_id NOT IN
          |    (SELECT node FROM comp WHERE node != cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // composite twin: payload-screen drops (band candidates + jaccard
+    // verify, keep-first) ∪ phash-screen drops (hamming ≤ 3 pairs,
+    // keep-first), then the media-ref + 16-token chunk interleave and
+    // the same per-source running-cumsum packing as llm_training_export
+    "llm_multimodal_training_export" ->
+      s"""WITH $payloadSigCteSql,
+         |pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |      AND a.doc_id < b.doc_id),
+         |pdrop AS (SELECT DISTINCT doc_b FROM pcand
+         |  JOIN d da ON da.doc_id = pcand.doc_a
+         |  JOIN d db ON db.doc_id = pcand.doc_b
+         |  WHERE ROUND(
+         |      CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+         |        AS DOUBLE)
+         |      / (len(da.sh) + len(db.sh)
+         |         - len(list_filter(da.sh, x -> list_contains(db.sh, x)))),
+         |      4) >= 0.8),
+         |$phashCteSql,
+         |xdrop AS (SELECT DISTINCT doc_b FROM h WHERE hamming <= 3),
+         |surv AS (SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pdrop)
+         |    AND doc_id NOT IN (SELECT doc_b FROM xdrop)),
+         |media AS (SELECT s.doc_id, CAST(0 AS INTEGER) AS chunk_id,
+         |    s.source, 'media' AS kind,
+         |    CAST($MediaTokens AS INTEGER) AS n_tokens, md5(p.ph) AS ref
+         |  FROM surv s JOIN pay p ON p.doc_id = s.doc_id),
+         |txt AS (SELECT doc_id,
+         |    CAST((st - 1) // 16 + 1 AS INTEGER) AS chunk_id, source,
+         |    'text' AS kind, CAST(LEAST(16, n - st + 1) AS INTEGER)
+         |      AS n_tokens, '' AS ref
+         |  FROM (SELECT doc_id, source,
+         |      len(string_split_regex(text, ' ')) AS n,
+         |      unnest(range(1, len(string_split_regex(text, ' ')) + 1,
+         |        16)) AS st
+         |    FROM surv)),
+         |r0 AS (SELECT * FROM media UNION ALL SELECT * FROM txt)
+         |SELECT doc_id, chunk_id, source,
+         |  CAST((SUM(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY doc_id, chunk_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens) // 128 AS INTEGER) AS pack_id,
+         |  kind, n_tokens, ref
+         |FROM r0 ORDER BY doc_id, chunk_id""".stripMargin,
     "llm_sim_topk_rerank" -> {
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 16, RpInDim)
       val rpList = "[" + sm.map(row =>

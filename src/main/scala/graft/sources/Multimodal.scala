@@ -680,14 +680,19 @@ object Multimodal {
         "hamming <= 3 (pigeonhole); shrink maxDist or add bands")
     val ck = graft.api.TextDedup.ckptFn(df.sparkSession, checkpointDir)
     val bw = ck(df.select(id.as("__id"), dhashBands(pixels).as("__bd")))
-    val sigs = bw.select(col("__id"),
+    // hot-bucket guard (r10, the TextDedup.collapseSigGroups engine):
+    // identical 64-bit dHashes — blank frames, solid-color thumbnails —
+    // would otherwise put g member rows in the SAME bucket of all four
+    // bands and emit 4·g² candidate rows; only one representative per
+    // distinct hash reaches the band self-join, and member pairs are
+    // restored afterwards (within-group pairs are hamming-0 candidates
+    // by construction), so the output is bit-identical
+    val (reps, members) =
+      graft.api.TextDedup.collapseSigGroups(bw, col("__bd"))
+    val sigs = reps.select(col("__id"),
       posexplode(col("__bd")).as(Seq("band", "sig")))
-    val a = sigs.alias("a"); val b = sigs.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = graft.api.TextDedup.expandSelfPairs(
+      graft.api.TextDedup.selfBandCandidates(sigs), members)
     val ham = (0 until 4).map(k =>
       bit_count(element_at(col("__ba"), k + 1)
         .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)
@@ -732,11 +737,19 @@ object Multimodal {
     val ib = spark.read.parquet(s"$path/bands")
     def long(f: DataFrame) = f.select(col("__id"),
       posexplode(col("__bd")).as(Seq("band", "sig")))
-    val cand = long(sb).alias("a")
-      .join(long(ib).alias("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // hot-bucket guard on the SHARD side only (see phashNearDups); the
+    // index needs none — the accept-screen discipline keeps it free of
+    // identical hashes (a shard doc whose dHash already exists in the
+    // index is a hamming-0 near-dup and is dropped before append)
+    val (reps, members) =
+      graft.api.TextDedup.collapseSigGroups(sb, col("__bd"))
+    val cand = graft.api.TextDedup.expandCrossPairs(
+      long(reps).alias("a")
+        .join(long(ib).alias("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+        .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b"),
+      Some(members), None)
     val ham = (0 until 4).map(k =>
       bit_count(element_at(col("__ba"), k + 1)
         .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)

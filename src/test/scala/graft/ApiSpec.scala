@@ -2787,7 +2787,9 @@ class ApiSpec extends AnyFunSuite {
     assert(out.keys.count(_._1 == 4L) == 2)
     assert(out((4L, 1)) == (("Hello.", 1)), out((4L, 1)))
     assert(out((4L, 2)) == (("And more", 2)), out((4L, 2)))
-    // all-terminator text: no sentences, no phantom fragment
-    assert(!out.keys.exists(_._1 == 5L))
+    // terminator-ONLY text keeps its run as the one fragment row (r10,
+    // the keep-don't-drop rule) — and emits nothing beyond it
+    assert(out.keys.count(_._1 == 5L) == 1 &&
+      out((5L, 1)) == (("?!.", 1)), out.filter(_._1._1 == 5L))
   }
 }

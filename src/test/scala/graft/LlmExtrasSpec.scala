@@ -99,6 +99,67 @@ class LlmExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-LSH-bucket guard: 60 identical payloads collapse to ONE " +
+      "band-join row yet every member pair still comes out") {
+    import spark.implicits._
+    // the pathological shard exact dedup should have caught but didn't:
+    // 60 byte-identical payloads + 3 distinct ones. Pre-r10 the band
+    // self-join ate 60² candidate rows per band; the collapse must cap
+    // its input at one representative per distinct signature while the
+    // OUTPUT pair set stays exactly the all-pairs contract.
+    val clone = Array.tabulate(64)(i => (i * 37 + 11).toByte)
+    val docs = ((0 until 60).map(i => (i.toLong, clone)) ++
+      Seq(60L -> Array.tabulate(64)(i => (i * 53 + 7).toByte),
+        61L -> Array.tabulate(64)(i => (i * 59 + 3).toByte),
+        62L -> Array.tabulate(64)(i => (i * 61 + 5).toByte)))
+      .toDF("doc_id", "payload")
+    // the bounded-candidate claim, asserted on the collapse itself: the
+    // signature frame the band join sees has one row per DISTINCT
+    // signature (4 groups), not one per doc (63)
+    val toks = docs.select(col("doc_id").as("__id"),
+      graft.sources.Multimodal.payloadBlockTokens(col("payload"))
+        .as("__bt"))
+    val sh = toks.select(col("__id"),
+      array_distinct(transform(
+        sequence(lit(1), size(split(col("__bt"), " ")) - 1),
+        i => concat_ws(" ", slice(split(col("__bt"), " "), i, lit(2)))))
+        .as("sh"))
+    val mh = sh.select(col("__id"),
+      graft.functions.VectorExprs.minhashMd5(col("sh"), 16).as("mh"))
+    val (reps, members) = graft.api.TextDedup.collapseSigGroups(
+      mh, graft.api.TextDedup.fullSigKey(col("mh")))
+    assert(reps.count() == 4,
+      "band join must see one representative per distinct signature")
+    assert(members.count() == 63)
+    // end to end: all C(60,2) = 1770 clone pairs at jaccard 1.0, and
+    // nothing involving the distinct payloads
+    val out = graft.sources.Multimodal
+      .payloadNearDups(docs, col("doc_id"), col("payload"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(out.length == 1770, s"expected 1770 pairs, got ${out.length}")
+    assert(out.forall { case ((a, b), j) => a < b && b < 60 && j == 1.0 })
+  }
+
+  test("hot-bucket guard (perceptual): 50 identical pixel matrices " +
+      "collapse to one dHash representative, all pairs at hamming 0") {
+    import spark.implicits._
+    val flat = Array.tabulate(72)(i => (i * 7) % 251) // one gradient img
+    val other = Array.tabulate(72)(i => (i * 113 + 9) % 251)
+    val df = ((0 until 50).map(i => (i.toLong, flat)) ++
+      Seq(50L -> other)).toDF("id", "px")
+    val bw = df.select(col("id").as("__id"),
+      graft.sources.Multimodal.dhashBands(col("px")).as("__bd"))
+    val (reps, _) =
+      graft.api.TextDedup.collapseSigGroups(bw, col("__bd"))
+    assert(reps.count() == 2,
+      "one representative per distinct dHash must reach the band join")
+    val out = graft.sources.Multimodal
+      .phashNearDups(df, col("id"), col("px"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(out.length == 1225, s"expected C(50,2) pairs, got ${out.length}")
+    assert(out.forall { case ((a, b), h) => a < b && b < 50 && h == 0 })
+  }
+
   test("language-ID confusion matrix covers every true lang") {
     val cm = SparkEntry.queries("llm_lang_id")(spark, SparkFixture.sf0001)
       .groupBy("lang").agg(sum("n").as("n")).collect()

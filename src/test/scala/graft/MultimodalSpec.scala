@@ -294,7 +294,7 @@ class MultimodalSpec extends AnyFunSuite {
       .queries("llm_multimodal_packed")(spark, SparkFixture.sf0001)
     val leaves = frame.queryExecution.executedPlan.collectLeaves()
       .map(_.toString)
-    val packedScans = leaves.filter(_.contains("graft-packed"))
+    val packedScans = leaves.filter(_.contains("graft_multimodal_packed"))
     assert(packedScans.nonEmpty,
       s"no packed-table scan in the plan leaves:\n${leaves.mkString("\n")}")
     assert(packedScans.forall(s => !s.contains("bytes")),
@@ -403,5 +403,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(out((1L, 2L)) - 61.0 / 65.0) < 1e-3, out)
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L },
       s"unrelated payload matched: $out")
+  }
+
+  test("multimodal training export: media refs resolve 1:1 to " +
+      "surviving payload digests and lead every doc's sequence") {
+    val sf = SparkFixture.sf0001
+    val rows = SparkEntry
+      .queries("llm_multimodal_training_export")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // independent payload-digest derivation: md5 of the concatenated
+    // md5 chunk stream over the first 24 whitespace tokens, recomputed
+    // in plain JVM code from the raw fixture text
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ph = r.getString(1).split(" ").take(24).map(md5hex).mkString
+        r.getLong(0) -> md5hex(ph)
+      }.toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val media = rs.filter(_.getString(4) == "media")
+      // exactly ONE media ref per surviving doc, at the head of the
+      // doc's chunk sequence, carrying ITS OWN payload digest
+      assert(media.length == 1, s"doc $doc: ${media.length} media rows")
+      assert(media.head.getInt(1) == 0 &&
+        rs.map(_.getInt(1)).min == 0, s"doc $doc: media must lead")
+      assert(media.head.getString(6) == expected(doc),
+        s"doc $doc: ref does not resolve to its payload digest")
+      assert(rs.filter(_.getString(4) == "text")
+        .forall(_.getString(6).isEmpty))
+    }
+    // and the screens really dropped something at sf0.001 (planted
+    // text dups ⇒ identical payloads AND identical pixel lattices)
+    assert(byDoc.size < expected.size,
+      "no doc was screened — the planted duplicates must drop")
   }
 }

@@ -178,9 +178,12 @@ class PropertiesSpec extends AnyFunSuite {
       val n = graft.api.TextDedup
         .winnowCandidates(docs, col("doc_id"), col("text")).count()
       assert(n > 0)
-      // one new persisted RDD per call — the final pair pin; the
-      // fingerprint-set pin each call creates must have been released
-      assert(sc.getPersistentRDDs.size == call,
+      // AT MOST one new persisted RDD per call — the final pair pin;
+      // the fingerprint-set pin each call creates must have been
+      // released (a leak shows 2 per call). "At most" because the
+      // ContextCleaner may GC-unpersist earlier calls' discarded
+      // result pins in the meantime — that direction is fine.
+      assert(sc.getPersistentRDDs.size <= call,
         s"after call $call: ${sc.getPersistentRDDs.size} persisted " +
           "RDDs — the superseded fingerprint pin is leaking")
     }
