@@ -1,0 +1,213 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Partition-overlap windowing — the `dask.dataframe.map_overlap` analogue
+  * (reference surface: `df.map_overlap(fn, before, after)`, plus the
+  * global-order forms of `rolling(n)`, `shift()`, `diff()`, `cumsum()`
+  * that dask runs through it).
+  *
+  * The Spark trap this module exists for: a global-order window
+  * (`Window.orderBy(...)` with NO partition key) moves the ENTIRE dataset
+  * through one task — `WindowExec` warns "No Partition Defined … Moving
+  * all data to a single partition". Fine for presentation ranks over
+  * model-sized frames; fatal for a 100 TB corpus. Dask sidesteps it with
+  * physical-partition halos (`map_overlap` copies `before` trailing rows
+  * of each partition to its successor); the Spark-first equivalent is a
+  * VALUE-RANGE bucket plus the same halo exchange, kept entirely inside
+  * declarative plans:
+  *
+  *  1. bucket each row by a fixed-width range of a numeric key that is
+  *     MONOTONE in the window order (any coarsening works — bucketing
+  *     only needs order-respecting boundaries; ties and finer-grained
+  *     order live inside a bucket);
+  *  2. merge adjacent buckets until every group holds at least
+  *     `max(before, after)` rows (per-bucket counts are ≤`buckets`
+  *     values — a sanctioned driver-side scalar collect, independent of
+  *     data size), so ONE neighbor's halo always completes a frame;
+  *  3. copy the `before` trailing rows of each group into its successor
+  *     and the `after` leading rows into its predecessor (rank windows —
+  *     bucket-partitioned, streaming), tagged `__halo`;
+  *  4. run the requested rows-frame window PARTITIONED BY GROUP — frames
+  *     that cross a group boundary complete through the halo rows — and
+  *     drop halo outputs.
+  *
+  * The result is bit-identical to the single-partition global window
+  * (asserted in ApiSpec on the fixture) while every exchange and sort is
+  * bucket-parallel. At 100 TB you raise `buckets` so a group ~ one
+  * executor's worth of rows; skewed key values degrade gracefully (a
+  * single hot key value cannot be range-split — that one group is the
+  * floor, same as dask's repartitioned divisions).
+  *
+  * Degenerate inputs stay correct: an empty frame short-circuits, and a
+  * corpus whose whole key range collapses into one group simply runs the
+  * single-group window (which is then honestly the answer).
+  */
+object Overlap {
+
+  /** Internal column names — dropped before returning. */
+  private val Bkt = "__ovl_bkt"
+  private val Grp = "__ovl_grp"
+  private val Halo = "__ovl_halo"
+
+  /** Assign each row a dense group id (0..G-1) by value-range bucketing
+    * `bucketKey` into `buckets` fixed-width ranges, then greedily merging
+    * adjacent non-empty buckets until every group carries ≥ `minRows`
+    * rows (an undersized FINAL group folds back into its predecessor, so
+    * the guarantee holds for every group whenever the dataset itself has
+    * ≥ minRows rows). Returns (frame + Grp column, number of groups);
+    * G == 0 means the input was empty. */
+  private def assignGroups(df: DataFrame, bucketKey: Column,
+      buckets: Int, minRows: Int): (DataFrame, Int) = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    val keyed = df.withColumn(Bkt, bucketKey.cast("double"))
+    // two scalars — bounded driver work at any data size
+    val mm = keyed.agg(min(col(Bkt)), max(col(Bkt))).collect()(0)
+    if (mm.isNullAt(0)) return (keyed.withColumn(Grp, lit(0)), 0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
+    val bktCol = least(floor((col(Bkt) - lit(lo)) / lit(width)),
+      lit(buckets - 1)).cast("int")
+    val withBkt = keyed.withColumn(Bkt, bktCol)
+    // per-bucket counts: ≤ `buckets` rows to the driver, sorted walk
+    val counts = withBkt.groupBy(Bkt).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val grpOf = Array.newBuilder[(Int, Int)]
+    var g = 0; var acc = 0L
+    counts.foreach { case (b, n) =>
+      if (acc >= minRows) { g += 1; acc = 0L }
+      grpOf.addOne(b -> g); acc += n
+    }
+    var mapping = grpOf.result()
+    val groups = if (mapping.isEmpty) 0 else mapping.last._2 + 1
+    // fold an undersized trailing group into its predecessor
+    if (groups > 1 && acc < minRows) {
+      mapping = mapping.map { case (b, gg) =>
+        b -> math.min(gg, groups - 2)
+      }
+    }
+    val finalGroups = if (mapping.isEmpty) 0 else mapping.last._2 + 1
+    val remap = spark.createDataFrame(mapping.toSeq).toDF(Bkt, Grp)
+    (withBkt.join(broadcast(remap), Bkt), finalGroups)
+  }
+
+  /** Exact global-order ROWS-frame window without a single-partition
+    * WindowExec. `order` must be a TOTAL order (unique tie-break last);
+    * `bucketKey` any numeric column monotone in that order (a coarser
+    * granularity is fine — e.g. epoch seconds bucketing a microsecond
+    * order). `aggs` receives the group-partitioned, ordered `WindowSpec`
+    * and returns the aliased output columns; every frame it applies (and
+    * every lag/lead offset) must stay within rows [-before, after] — that
+    * is the halo the exchange replicates, so a wider frame would silently
+    * truncate at group boundaries. The result carries `df`'s columns plus
+    * the outputs. */
+  def rollingRows(df: DataFrame, bucketKey: Column, order: Seq[Column],
+      before: Int, after: Int, buckets: Int = 64)
+      (aggs: WindowSpec => Seq[Column]): DataFrame = {
+    require(before >= 0 && after >= 0, "frame bounds must be >= 0")
+    val (grouped0, groups) = assignGroups(df, bucketKey, buckets,
+      math.max(math.max(before, after), 1))
+    val w = Window.partitionBy(Grp).orderBy(order: _*)
+    if (groups <= 1) {
+      // empty or single-group input: no halo needed
+      return grouped0.withColumn(Halo, lit(false))
+        .select(df.columns.map(col) ++ aggs(w): _*)
+    }
+    val grouped = grouped0.withColumn(Halo, lit(false))
+    // halo exchange: trailing rows → successor, leading rows → predecessor
+    val asc = Window.partitionBy(Grp).orderBy(order: _*)
+    val desc = Window.partitionBy(Grp).orderBy(order.map(_.desc): _*)
+    val ranked = grouped
+      .withColumn("__ovl_ra", row_number().over(asc))
+      .withColumn("__ovl_rd", row_number().over(desc))
+    val trailing = ranked
+      .filter(col("__ovl_rd") <= before && col(Grp) < groups - 1)
+      .withColumn(Grp, col(Grp) + 1).withColumn(Halo, lit(true))
+    val leading = ranked
+      .filter(col("__ovl_ra") <= after && col(Grp) > 0)
+      .withColumn(Grp, col(Grp) - 1).withColumn(Halo, lit(true))
+    val halo = trailing.unionByName(leading)
+      .drop("__ovl_ra", "__ovl_rd")
+    grouped.unionByName(halo)
+      .select(col(Halo) +: df.columns.map(col) :+ struct(aggs(w): _*)
+        .as("__ovl_out"): _*)
+      .filter(!col(Halo))
+      .select(df.columns.map(col) :+ col("__ovl_out.*"): _*)
+  }
+
+  /** Exact global-order RANGE-frame window (`rolling('7D')` over the
+    * whole corpus) without a single-partition WindowExec. Simpler than
+    * [[rollingRows]]: with the group VALUE SPAN forced to
+    * ≥ max(rangeBefore, rangeAfter), every frame completes through ONE
+    * neighbor's halo, and halo membership is a pure value predicate — no
+    * per-bucket counts, no rank windows, empty groups harmless. `key`
+    * must be an exact integral order key (e.g. epoch micros); `aggs`
+    * receives the group-partitioned spec already framed
+    * [-rangeBefore, +rangeAfter]. Ties share a frame by definition of
+    * range frames, so no tie-break column is needed. */
+  def rollingRange(df: DataFrame, key: Column, rangeBefore: Long,
+      rangeAfter: Long, buckets: Int = 64)
+      (aggs: WindowSpec => Seq[Column]): DataFrame = {
+    require(rangeBefore >= 0 && rangeAfter >= 0, "range bounds must be >= 0")
+    val keyed = df.withColumn(Bkt, key.cast("long"))
+    val mm = keyed.agg(min(col(Bkt)), max(col(Bkt))).collect()(0)
+    val w0 = Window.partitionBy(Grp).orderBy(col(Bkt))
+      .rangeBetween(-rangeBefore, rangeAfter)
+    if (mm.isNullAt(0))
+      return keyed.withColumn(Grp, lit(0))
+        .select(df.columns.map(col) ++ aggs(w0): _*)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max((hi - lo) / buckets + 1,
+      math.max(math.max(rangeBefore, rangeAfter), 1L))
+    val maxGrp = ((hi - lo) / width).toInt
+    val base = keyed
+      // DIV: exact integer division (long `/` would round through double)
+      .withColumn(Grp, expr(s"CAST(($Bkt - ${lo}L) DIV ${width}L AS INT)"))
+      .withColumn(Halo, lit(false))
+    if (maxGrp == 0)
+      return base.select(df.columns.map(col) ++ aggs(w0): _*)
+    // halo by value predicate: the tail of g within rangeBefore of g+1's
+    // lower bound, the head of g within rangeAfter of g-1's upper bound
+    val trailing = base
+      .filter(col(Grp) < maxGrp &&
+        col(Bkt) >= lit(lo) + (col(Grp) + 1) * lit(width) - lit(rangeBefore))
+      .withColumn(Grp, col(Grp) + 1).withColumn(Halo, lit(true))
+    val leading = base
+      .filter(col(Grp) > 0 &&
+        col(Bkt) < lit(lo) + col(Grp) * lit(width) + lit(rangeAfter))
+      .withColumn(Grp, col(Grp) - 1).withColumn(Halo, lit(true))
+    base.unionByName(trailing).unionByName(leading)
+      .select(col(Halo) +: df.columns.map(col) :+ struct(aggs(w0): _*)
+        .as("__ovl_out"): _*)
+      .filter(!col(Halo))
+      .select(df.columns.map(col) :+ col("__ovl_out.*"): _*)
+  }
+
+  /** Exact global running aggregate (`cumsum` over a total order) as a
+    * two-phase prefix sum: within-group running sum (group-partitioned
+    * window) plus the exact per-group totals' prefix offsets. The only
+    * un-partitioned window runs over the TOTALS frame — ≤ `buckets` rows
+    * by construction, never the data. `value` must be an EXACT (decimal /
+    * integral) expression so group totals are addition-order-free. */
+  def runningSum(df: DataFrame, bucketKey: Column, order: Seq[Column],
+      value: Column, out: String, buckets: Int = 64): DataFrame = {
+    val (grouped, groups) = assignGroups(df, bucketKey, buckets, 1)
+    val inGrp = sum(value).over(
+      Window.partitionBy(Grp).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if (groups <= 1)
+      return grouped.select(df.columns.map(col) :+ inGrp.as(out): _*)
+    val totals = grouped.groupBy(Grp).agg(sum(value).as("__ovl_tot"))
+    val offs = totals.select(col(Grp),
+      coalesce(sum(col("__ovl_tot")).over(
+          Window.orderBy(Grp)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast(totals.schema("__ovl_tot").dataType)).as("__ovl_off"))
+    grouped.join(broadcast(offs), Grp)
+      .select(df.columns.map(col) :+
+        (inGrp + col("__ovl_off")).as(out): _*)
+  }
+}

@@ -1089,7 +1089,22 @@ object TextDedup {
       s"pigeonhole broken: maxHamming=$maxHamming needs > $maxHamming bands")
     val width = 64 / bands
     val mask = -1L >>> (64 - width)
-    val banded = sigs.select(id.as("__id"), sig.as("__sig"))
+    // hot-bucket guard (r10, same engine as the MinHash/dHash families):
+    // g byte-identical docs share the SAME 64-bit simhash, hence every
+    // band bucket — the band join would emit bands·g² rows. Collapse
+    // identical signatures to a min-id representative first (the
+    // signature frame is 16 bytes/doc — pinned, three consumers), pair
+    // at rep level, then restore member pairs: cross-group pairs carry
+    // their reps' hamming (members are sig-identical to their rep) and
+    // within-group pairs are hamming-0 candidates by construction.
+    val ck = ckptFn(sigs.sparkSession, None)
+    // null signatures never equi-join in the band buckets — keep that
+    // contract by excluding them before the collapse (a null GROUP would
+    // otherwise emit within-group pairs the original join never made)
+    val sigsSel = ck(sigs.select(id.as("__id"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull))
+    val (reps, members) = collapseSigGroups(sigsSel, col("__sig"))
+    val banded = reps
       .select(col("__id"), col("__sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -1098,12 +1113,26 @@ object TextDedup {
       .select(col("__id"), col("__sig"),
         col("bs.band").as("band"), col("bs.v").as("v"))
     val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.v") === col("b.v")
+    val repPairs = a
+      .join(b, col("a.band") === col("b.band") && col("a.v") === col("b.v")
         && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b") // identical rows across bands
+    val cross = repPairs
+      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ma")),
+        "doc_a")
+      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__mb")),
+        "doc_b")
+      .select(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"), col("hamming"))
+    val within = members.alias("x")
+      .join(members.alias("y"),
+        col("x.__rep") === col("y.__rep") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
   }
 
   /** The classic signature-based near-dup dedup: [[simhash]] signatures →

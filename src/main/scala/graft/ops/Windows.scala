@@ -362,7 +362,77 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"),
           nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
         .orderBy("o_custkey", "o_orderkey")
-    })
+    }),
+
+    // ------------------------------------------------------------------
+    // GLOBAL-order windows (r10) — dask's map_overlap territory. A naive
+    // Window.orderBy with no partition key funnels the whole corpus
+    // through ONE task; these three run through graft.api.Overlap's
+    // bucket+halo engine instead (value-range buckets merged to ≥frame
+    // rows, boundary rows replicated into the neighbor group, window
+    // partitioned BY GROUP), which is bit-identical to the naive plan
+    // (asserted in ApiSpec) with every exchange bucket-parallel.
+    // ------------------------------------------------------------------
+
+    // map_overlap(rolling(5, center=True).mean()): centered 5-row mean
+    // over the GLOBAL (ts, event_id) order — exact decimal frame sum /
+    // frame count, same determinism rules as window_rolling_rows
+    "window_rolling_global" -> ((s, d) =>
+      graft.api.Overlap.rollingRows(
+          events(s, d).select(col("event_id"), col("ts"), col("value")),
+          unix_micros(col("ts").cast("timestamp")),
+          Seq(col("ts"), col("event_id")), before = 2, after = 2)(w0 => {
+        val w = w0.rowsBetween(-2, 2)
+        Seq((sum(dec(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("rolling_mean5c"))
+      })
+        .select(col("event_id"), col("rolling_mean5c"))
+        .orderBy("event_id")),
+
+    // map_overlap(shift(±1)) / diff(): global lag/lead spelled as
+    // first_value over the [-1,-1] / [1,1] rows frame (lag/lead reject
+    // explicit frames, and the one-row frame is exactly the halo width);
+    // diff stays in exact decimal before the double cast
+    "window_lag_global" -> ((s, d) =>
+      graft.api.Overlap.rollingRows(
+          events(s, d).select(col("event_id"), col("ts"), col("value")),
+          unix_micros(col("ts").cast("timestamp")),
+          Seq(col("ts"), col("event_id")), before = 1, after = 1)(w0 =>
+        Seq(
+          first(col("value")).over(w0.rowsBetween(-1, -1)).as("prev_value"),
+          first(col("value")).over(w0.rowsBetween(1, 1)).as("next_value"),
+          (dec(col("value")) -
+            first(dec(col("value"))).over(w0.rowsBetween(-1, -1)))
+            .cast("double").as("diff_value")))
+        .select(col("event_id"), col("prev_value"), col("next_value"),
+          col("diff_value"))
+        .orderBy("event_id")),
+
+    // map_overlap(rolling('24h').sum()): trailing-24-hour sum over the
+    // GLOBAL time order — the RANGE-frame halo form: group value spans
+    // are forced ≥ the range width, so halo membership is a pure value
+    // predicate (no counts, no ranks) and every frame completes through
+    // one neighbor; exact decimal sum, micros key both engines
+    "window_rolling_time_global" -> ((s, d) =>
+      graft.api.Overlap.rollingRange(
+          events(s, d).select(col("event_id"), col("ts"), col("value")),
+          unix_micros(col("ts").cast("timestamp")),
+          rangeBefore = 86400000000L, rangeAfter = 0L)(w =>
+        Seq(sum(dec(col("value"))).over(w).cast("double").as("sum_24h")))
+        .select(col("event_id"), col("sum_24h"))
+        .orderBy("event_id")),
+
+    // cumsum() over the global order — the two-phase prefix sum: exact
+    // within-group running decimal totals plus broadcast group offsets;
+    // the only un-partitioned window runs over the ≤64-row TOTALS frame
+    "window_cumsum_global" -> ((s, d) =>
+      graft.api.Overlap.runningSum(
+          events(s, d).select(col("event_id"), col("ts"), col("value")),
+          unix_micros(col("ts").cast("timestamp")),
+          Seq(col("ts"), col("event_id")), dec(col("value")), "run_total")
+        .select(col("event_id"), col("run_total").cast("double")
+          .as("run_total"))
+        .orderBy("event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -571,6 +641,38 @@ object Windows {
         |  ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |  AS last_price
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // the global-order trio: DuckDB runs the NAIVE un-partitioned window
+    // (fine at oracle scale) — the bucket+halo plan must match it exactly
+    "window_rolling_global" ->
+      """SELECT event_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)
+        |/ COUNT(*) OVER (ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS rolling_mean5c
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_lag_global" ->
+      """SELECT event_id,
+        |LAG(value) OVER (ORDER BY ts, event_id) AS prev_value,
+        |LEAD(value) OVER (ORDER BY ts, event_id) AS next_value,
+        |CAST(CAST(value AS DECIMAL(18,2))
+        |  - LAG(CAST(value AS DECIMAL(18,2)))
+        |    OVER (ORDER BY ts, event_id) AS DOUBLE) AS diff_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_cumsum_global" ->
+      """SELECT event_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS run_total
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_rolling_time_global" ->
+      """SELECT event_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS sum_24h
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -2792,4 +2792,146 @@ class ApiSpec extends AnyFunSuite {
     assert(out.keys.count(_._1 == 5L) == 1 &&
       out((5L, 1)) == (("?!.", 1)), out.filter(_._1._1 == 5L))
   }
+
+  // -----------------------------------------------------------------------
+  // Overlap — the map_overlap / global-window bucket+halo engine (r10)
+  // -----------------------------------------------------------------------
+
+  /** Events slice used by the Overlap equivalence pins. */
+  private def overlapEvents = graft.util.Tables
+    .events(spark, SparkFixture.sf0001)
+    .select(col("event_id"), col("ts"), col("value"))
+
+  /** All physical nodes, descending through the AQE wrapper and query
+    * stages (plain `.collect` stops at AdaptiveSparkPlanExec — the frame
+    * must be materialized first so the final plan exists). */
+  private def collectWindows(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+  }
+
+  test("Overlap.rollingRows is bit-identical to the naive global window " +
+      "and plans ZERO un-partitioned WindowExec nodes") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Det.dec
+    val naiveW = Window.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 2)
+    val naive = overlapEvents.select(col("event_id"),
+        (sum(dec(col("value"))).over(naiveW).cast("double") /
+          count(lit(1)).over(naiveW)).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // buckets = 7 forces several merged groups at sf0.001 so the halo
+    // path genuinely exercises the boundary frames
+    val fast = graft.api.Overlap.rollingRows(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), before = 2, after = 2,
+        buckets = 7)(w0 => {
+      val w = w0.rowsBetween(-2, 2)
+      Seq((sum(dec(col("value"))).over(w).cast("double") /
+        count(lit(1)).over(w)).as("m"))
+    }).select(col("event_id"), col("m"))
+    val out = fast.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == naive.size)
+    // bit-exact: the halo plan computes the SAME frames
+    naive.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(out(id)) ==
+        java.lang.Double.doubleToLongBits(v), s"event $id: ${out(id)} != $v")
+    }
+    val wins = collectWindows(fast)
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "an un-partitioned WindowExec reached the data path")
+  }
+
+  test("Overlap.rollingRows lag/lead frames match naive shift at every " +
+      "group boundary") {
+    import org.apache.spark.sql.expressions.Window
+    val naiveW = Window.orderBy(col("ts"), col("event_id"))
+    val naive = overlapEvents.select(col("event_id"),
+        lag(col("value"), 1).over(naiveW).as("p"),
+        lead(col("value"), 1).over(naiveW).as("n")).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    val out = graft.api.Overlap.rollingRows(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), before = 1, after = 1,
+        buckets = 11)(w0 => Seq(
+          first(col("value")).over(w0.rowsBetween(-1, -1)).as("p"),
+          first(col("value")).over(w0.rowsBetween(1, 1)).as("n")))
+      .select(col("event_id"), col("p"), col("n")).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out == naive)
+  }
+
+  test("Overlap.runningSum equals the naive global cumsum; the only " +
+      "un-partitioned window runs over the group-totals frame") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Det.dec
+    val naiveW = Window.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = overlapEvents.select(col("event_id"),
+        sum(dec(col("value"))).over(naiveW).cast("double").as("rt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = graft.api.Overlap.runningSum(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), dec(col("value")), "rt",
+        buckets = 7)
+      .select(col("event_id"), col("rt").cast("double").as("rt"))
+    val out = fast.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == naive) // decimal accumulation ⇒ exact equality
+    val (unpart, part) = collectWindows(fast).partition(_.partitionSpec.isEmpty)
+    assert(part.nonEmpty, "the data-path running sum must be partitioned")
+    assert(unpart.size <= 1 &&
+      unpart.forall(_.child.toString.contains("HashAggregate")),
+      "un-partitioned window must sit only above the group-totals aggregate")
+  }
+
+  test("Overlap.rollingRange is bit-identical to the naive global range " +
+      "window and plans zero un-partitioned WindowExec nodes") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Det.dec
+    val ev = overlapEvents
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val range = 3600L * 1000000L // trailing hour
+    val naiveW = Window.orderBy(col("us")).rangeBetween(-range, 0)
+    val naive = ev.select(col("event_id"),
+        sum(dec(col("value"))).over(naiveW).cast("double").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = graft.api.Overlap.rollingRange(ev, col("us"), range, 0L,
+        buckets = 7)(w =>
+      Seq(sum(dec(col("value"))).over(w).cast("double").as("h")))
+      .select(col("event_id"), col("h"))
+    val out = fast.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == naive) // decimal sums ⇒ exact equality
+    val wins = collectWindows(fast)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("Overlap degenerate inputs: empty frame and constant bucket key") {
+    import graft.util.Det.dec
+    val empty = overlapEvents.filter(lit(false))
+    assert(graft.api.Overlap.rollingRows(empty,
+      unix_micros(col("ts").cast("timestamp")),
+      Seq(col("ts"), col("event_id")), 2, 2)(w0 =>
+        Seq(count(lit(1)).over(w0.rowsBetween(-2, 2)).as("c")))
+      .count() == 0)
+    assert(graft.api.Overlap.runningSum(empty,
+      unix_micros(col("ts").cast("timestamp")),
+      Seq(col("ts"), col("event_id")), dec(col("value")), "rt")
+      .count() == 0)
+    // constant key ⇒ one group; still correct (single-group window)
+    val const = graft.api.Overlap.rollingRows(overlapEvents.limit(10),
+        lit(0), Seq(col("event_id")), 1, 0)(w0 =>
+      Seq(count(lit(1)).over(w0.rowsBetween(-1, 0)).as("c")))
+      .select(col("event_id"), col("c")).collect()
+    assert(const.length == 10 && const.map(_.getLong(1)).sum == 19)
+  }
 }

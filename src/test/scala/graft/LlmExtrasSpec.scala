@@ -160,6 +160,25 @@ class LlmExtrasSpec extends AnyFunSuite {
     assert(out.forall { case ((a, b), h) => a < b && b < 50 && h == 0 })
   }
 
+  test("hot-bucket guard (simhash): identical texts collapse to one " +
+      "representative, all member pairs out at hamming 0, nulls stay out") {
+    import spark.implicits._
+    val docs = ((0 until 40).map(i => (i.toLong, "alpha beta gamma delta")) ++
+      Seq(40L -> "totally different words entirely here now",
+        41L -> null.asInstanceOf[String])).toDF("doc_id", "text")
+    val sigs = graft.api.TextDedup.simhash(docs, col("doc_id"), col("text"))
+    val (reps, _) = graft.api.TextDedup.collapseSigGroups(
+      sigs.select(col("doc_id").as("__id"), col("simhash").as("__sig"))
+        .filter(col("__sig").isNotNull), col("__sig"))
+    assert(reps.count() == 2,
+      "band join must see one representative per distinct signature")
+    val out = graft.api.TextDedup
+      .nearSimhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(out.length == 40 * 39 / 2, s"got ${out.length} pairs")
+    assert(out.forall { case ((a, b), h) => a < b && b < 40 && h == 0 })
+  }
+
   test("language-ID confusion matrix covers every true lang") {
     val cm = SparkEntry.queries("llm_lang_id")(spark, SparkFixture.sf0001)
       .groupBy("lang").agg(sum("n").as("n")).collect()
