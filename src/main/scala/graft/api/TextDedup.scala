@@ -1143,6 +1143,170 @@ object TextDedup {
     simhashPairs(sigs, col("doc_id"), col("simhash"), maxHamming)
   }
 
+  /** Near-dup pairs from FOUR 16-bit hamming-LSH bands — the shared
+    * verify core of the dHash (sources.Multimodal) and md5-SimHash
+    * families. `bw` must be the PINNED (\_\_id, \_\_bd ARRAY<INT> of 4)
+    * band frame (three consumers). Candidates are pairs sharing ≥ 1
+    * band (equi-join, LSH-bounded, hot buckets collapsed via
+    * [[collapseSigGroups]] — within-group pairs are hamming-0
+    * candidates by construction); verify is exact 64-bit hamming
+    * (Σ bit_count(xor) per band). PIGEONHOLE: hamming ≤ 3 differs in
+    * ≤ 3 of 4 bands ⇒ recall is deterministically 1.0 — `maxDist` is
+    * capped at 3 to keep that guarantee.
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b. */
+  private[graft] def bandedHammingPairs(bw: DataFrame,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist: the 4-band screen is complete only for " +
+        "hamming <= 3 (pigeonhole); shrink maxDist or add bands")
+    val (reps, members) = collapseSigGroups(bw, col("__bd"))
+    val sigs = reps.select(col("__id"),
+      posexplode(col("__bd")).as(Seq("band", "sig")))
+    val cand = expandSelfPairs(selfBandCandidates(sigs), members)
+    val ham = (0 until 4).map(k =>
+      bit_count(element_at(col("__ba"), k + 1)
+        .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)
+    cand
+      .join(bw.select(col("__id").as("doc_a"), col("__bd").as("__ba")),
+        "doc_a")
+      .join(bw.select(col("__id").as("doc_b"), col("__bd").as("__bb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** md5-derived SimHash band signature: per-doc DISTINCT tokens, token
+    * bit i = bit i of md5(token) (hex nibble c = i/4, bit 3−i%4), per-bit
+    * balance = Σ over tokens of ±1, sign bits (balance > 0; exact-zero
+    * ties → 0, deterministic) packed as FOUR 16-bit band values — the
+    * dHash band geometry. The engine-reproducible twin of the native
+    * xxhash [[simhash]]: every step (md5, integer balances, sign packs,
+    * band join, hamming) is expressible in DuckDB, so the whole pipeline
+    * is hash-checkable end to end — the same upgrade the MinHash family
+    * got from `llm_dedup_minhash_md5`. One token-stream scan: 64 integer
+    * sums ride a single partial aggregation (map-side combine; the
+    * shuffle carries 64 ints + id per doc, never tokens). */
+  def simhashMd5Bands(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // two 32-bit parses per token, bits by integer shifts: nibble c of
+    // the hex occupies bits [4·(7−c), 4·(7−c)+3] of its 8-char half, so
+    // bit i (nibble i/4, in-nibble 3−i%4) = bit 31−i / 63−i. Balances
+    // ride the (doc, bit) LATTICE + two tiny groupBys — the
+    // llm_simhash_md5 spelling: 64 separate sum(CASE) aggregates in one
+    // pass blow whole-stage-codegen method limits and fall back
+    // interpreted (measured ~5× slower than this shape at sf0.1). The
+    // lattice explodes 64 rows per token but each is two int ops, and
+    // partial aggregation collapses to 64 rows/doc map-side.
+    val tok = df
+      .select(id.as("__id"),
+        explode(array_distinct(split(text, " "))).as("tk"))
+      .withColumn("__h", md5(col("tk")))
+      .withColumn("__v1", conv(substring(col("__h"), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("__v2", conv(substring(col("__h"), 9, 8), 16, 10)
+        .cast("long"))
+    // SQL exprs: the Scala shiftleft/shiftright only take literal Int
+    // bit counts, the SQL forms take a column
+    val bit = expr(
+      "(CASE WHEN b < 32 THEN shiftright(__v1, 31 - b) " +
+        "ELSE shiftright(__v2, 63 - b) END) & 1")
+    val balances = tok
+      .select(col("__id"), col("__v1"), col("__v2"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .groupBy("__id", "b")
+      .agg(sum(when(bit === 1, 1).otherwise(-1)).as("sgn"))
+    // band k = Σ_{b∈[16k,16k+16)} [sgn_b > 0] · 2^(15−b%16)
+    val bands = (0 until 4).map { k =>
+      sum(when(col("sgn") > 0 && (col("b") >= 16 * k) && (col("b") < 16 * (k + 1)),
+        expr("shiftleft(1, 15 - b % 16)")).otherwise(0))
+        .cast("int").as(s"__b$k")
+    }
+    balances.groupBy("__id").agg(bands.head, bands.tail: _*)
+      .select(col("__id"),
+        array(col("__b0"), col("__b1"), col("__b2"), col("__b3")).as("__bd"))
+  }
+
+  /** md5-SimHash near-dup pairs over [[simhashMd5Bands]] signatures via
+    * [[bandedHammingPairs]] (pigeonhole-complete ≤ 3, hot buckets
+    * collapsed). Output: (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def nearSimhashMd5(df: DataFrame, id: Column, text: Column,
+      maxDist: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ck = ckptFn(df.sparkSession, checkpointDir)
+    bandedHammingPairs(ck(simhashMd5Bands(df, id, text)), maxDist)
+  }
+
+  /** Cross-frame sibling of [[bandedHammingPairs]] — shard band frame
+    * `sb` (PINNED (\_\_id, \_\_bd); hot buckets collapsed, the shard is
+    * the dirty side) against an index band frame `ib` (no collapse —
+    * the accept-screen discipline keeps a live index free of identical
+    * signatures). Output: (doc_a = shard id, doc_b = index id,
+    * hamming ≤ maxDist). */
+  private[graft] def bandedHammingCrossPairs(sb: DataFrame, ib: DataFrame,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist: the 4-band screen is complete only for " +
+        "hamming <= 3 (pigeonhole)")
+    def long(f: DataFrame) = f.select(col("__id"),
+      posexplode(col("__bd")).as(Seq("band", "sig")))
+    val (reps, members) = collapseSigGroups(sb, col("__bd"))
+    val cand = expandCrossPairs(
+      long(reps).alias("a")
+        .join(long(ib).alias("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+        .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b"),
+      Some(members), None)
+    val ham = (0 until 4).map(k =>
+      bit_count(element_at(col("__ba"), k + 1)
+        .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)
+    cand
+      .join(sb.select(col("__id").as("doc_a"), col("__bd").as("__ba")),
+        "doc_a")
+      .join(ib.select(col("__id").as("doc_b"), col("__bd").as("__bb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Persist an md5-SimHash band index — the nightly form of SimHash
+    * dedup (the writePhashIndex discipline over token space): corpus
+    * band signatures land ONCE as (\_\_id, \_\_bd ARRAY<INT> of 4),
+    * ~20 bytes/doc; deltas screen with a band equi-join instead of
+    * re-tokenizing the corpus. Signatures are deterministic per text,
+    * so accepting a screened shard = appending its rows
+    * (mode("append")); rebuild only if the band geometry changes. */
+  def writeSimhashMd5Index(df: DataFrame, id: Column, text: Column,
+      path: String): Unit =
+    simhashMd5Bands(df, id, text)
+      .write.mode("overwrite").parquet(s"$path/bands")
+
+  /** Screen a delta shard against a persisted [[writeSimhashMd5Index]]:
+    * (doc_a = shard id, doc_b = index id, hamming ≤ maxDist). The
+    * corpus text is never re-read — the probe is a band equi-join
+    * against the 4-int index rows. */
+  def simhashMd5ScreenAgainstIndex(shard: DataFrame, id: Column,
+      text: Column, path: String, maxDist: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ck = ckptFn(shard.sparkSession, checkpointDir)
+    bandedHammingCrossPairs(
+      ck(simhashMd5Bands(shard, id, text)),
+      shard.sparkSession.read.parquet(s"$path/bands"), maxDist)
+  }
+
+  /** The complete nightly accept-screen for md5-SimHash dedup: shard
+    * members with a near-dup in the INDEX or earlier WITHIN the shard
+    * (keep-min — pairs arriving together never meet the index) are
+    * dropped; survivors keep all original columns. */
+  def simhashMd5DedupShardAgainstIndex(shard: DataFrame, id: Column,
+      text: Column, path: String, maxDist: Int = 3): DataFrame = {
+    val inter = simhashMd5ScreenAgainstIndex(shard, id, text, path, maxDist)
+      .select(col("doc_a"))
+    val intra = nearSimhashMd5(shard, id, text, maxDist)
+      .select(col("doc_b").as("doc_a"))
+    shard.join(inter.union(intra).distinct(), id === col("doc_a"),
+      "left_anti")
+  }
+
   /** min-k shingle-hash fingerprint per row (winnowing-style). */
   def fingerprint(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, k: Int = 8): DataFrame =

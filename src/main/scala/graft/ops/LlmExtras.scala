@@ -140,6 +140,45 @@ object LlmExtras {
         .nearSimhash(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_a", "doc_b")),
 
+    // ENGINE-PORTABLE SimHash near-dup PAIRING (r10) — what
+    // llm_simhash_md5 (the per-doc signature) is to llm_simhash, this is
+    // to llm_dedup_simhash: the whole dedup operator hash-checked end to
+    // end. graft.api.TextDedup.nearSimhashMd5: md5-bit ±1 balances ride
+    // ONE 64-sum partial aggregation (the shuffle carries 64 ints + id
+    // per doc, never tokens), sign bits pack as FOUR 16-bit bands (the
+    // dHash geometry — 16-bit ints sidestep 64-bit overflow divergence),
+    // candidates from the collapse-guarded band equi-join, verify =
+    // exact Σ bit_count(xor) hamming ≤ 3 with the pigeonhole recall
+    // guarantee. DuckDB oracle mirrors every step from the same
+    // generated constants.
+    "llm_dedup_simhash_md5" -> ((s, d) =>
+      graft.api.TextDedup
+        .nearSimhashMd5(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_a", "doc_b")),
+
+    // the NIGHTLY form of SimHash dedup (r10) — the last dedup family
+    // to gain a persisted-index incremental shape, and hash-checked
+    // because the md5 band signature is engine-portable: corpus bands
+    // persist once via writeSimhashMd5Index (4 ints/doc, ~20 bytes —
+    // corpus text never re-tokenized at screen time), the day's delta
+    // (doc_id % 10 = 0, the fixture role split every *_delta key uses)
+    // screens against the index AND itself with keep-min
+    // (simhashMd5DedupShardAgainstIndex); probes are band equi-joins
+    // against the 4-int rows
+    "llm_dedup_simhash_delta" -> ((s, d) => {
+      val docs = documents(s, d)
+      val idx = graft.util.Staging.dir("simhash_band_index", d)
+      graft.api.TextDedup.writeSimhashMd5Index(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+        idx)
+      graft.api.TextDedup
+        .simhashMd5DedupShardAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), col("doc_id"),
+          col("text"), idx)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // min-k shingle-hash fingerprint (winnowing-style, graft.api). The
     // declared output flattens ARRAY<BIGINT> → '|'-joined string: the
     // driver's pandas comparator cannot sort raw array columns
@@ -1090,6 +1129,39 @@ object LlmExtras {
        |  FROM bw, range(0, 4) r(k))""".stripMargin
   }
 
+  /** DuckDB CTE block (tok → th → sums → bw → bl) of the md5-SimHash
+    * band pipeline — the same bit convention as
+    * `TextDedup.simhashMd5Bands` (bit i = nibble i/4 of the md5 hex,
+    * in-nibble bit 3−i%4), generated from the same index loops; `bw`/
+    * `bl` are drop-in compatible with the phash candidate/verify tails.
+    * Shared by the pairing and delta oracles. */
+  private lazy val simhashMd5CteSql: String = {
+    def bitSql(i: Int): String =
+      s"((CAST('0x' || substr(h, ${i / 4 + 1}, 1) AS INT) " +
+        s">> ${3 - i % 4}) & 1)"
+    val sums = (0 until 64).map(i =>
+      s"SUM(CASE WHEN ${bitSql(i)} = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    def bandSql(k: Int): String = (0 until 16).map(j =>
+      s"(CASE WHEN s${16 * k + j} > 0 THEN 1 ELSE 0 END) " +
+        s"* ${1 << (15 - j)}").mkString("(", " + ", ")")
+    s"""tok AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split_regex(text, ' '))) AS tk
+       |  FROM documents),
+       |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |sums AS (SELECT doc_id,
+       |    $sums
+       |  FROM th GROUP BY doc_id),
+       |bw AS (SELECT doc_id,
+       |    ${(0 until 4).map(k => s"${bandSql(k)} AS b$k")
+              .mkString(",\n    ")}
+       |  FROM sums),
+       |bl AS (SELECT doc_id, k,
+       |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+       |      ELSE b3 END AS sig
+       |  FROM bw, (SELECT unnest([0, 1, 2, 3]) AS k))""".stripMargin
+  }
+
   /** Exact 64-bit hamming between two [[phashBaseCteSql]] `bw` rows. */
   private def phashHamSql(a: String, b: String): String =
     s"""CAST(bit_count(xor($a.b0, $b.b0))
@@ -1292,6 +1364,45 @@ object LlmExtras {
         |  CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b)
         |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash_md5
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // md5-SimHash PAIRING: same lattice → 4×16-bit-band → band-join →
+    // exact-hamming chain as the Spark plan, generated from the same
+    // index loops (bit i = nibble i/4 of md5 hex, bit 3−i%4)
+    "llm_dedup_simhash_md5" ->
+      s"""WITH $simhashMd5CteSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bl a JOIN bl b
+         |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |ham AS (SELECT doc_a, doc_b,
+         |    ${phashHamSql("wa", "wb")} AS hamming
+         |  FROM cand JOIN bw wa ON wa.doc_id = cand.doc_a
+         |  JOIN bw wb ON wb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // nightly twin: cross (delta % 10 = 0 vs corpus index) + intra
+    // (keep-min within the delta) screens over the same band CTEs —
+    // the phash_delta oracle shape on token space
+    "llm_dedup_simhash_delta" ->
+      s"""WITH $simhashMd5CteSql,
+         |xc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bl a JOIN bl b ON a.k = b.k AND a.sig = b.sig
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+         |xdup AS (SELECT DISTINCT doc_a FROM xc
+         |  JOIN bw wa ON wa.doc_id = xc.doc_a
+         |  JOIN bw wb ON wb.doc_id = xc.doc_b
+         |  WHERE ${phashHamSql("wa", "wb")} <= 3),
+         |ic AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bl a JOIN bl b
+         |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+         |intra AS (SELECT DISTINCT doc_b FROM ic
+         |  JOIN bw wa ON wa.doc_id = ic.doc_a
+         |  JOIN bw wb ON wb.doc_id = ic.doc_b
+         |  WHERE ${phashHamSql("wa", "wb")} <= 3)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id NOT IN (SELECT doc_a FROM xdup)
+         |  AND doc_id NOT IN (SELECT doc_b FROM intra)
+         |ORDER BY doc_id""".stripMargin,
     "llm_pq_encode" ->
       s"""WITH $pqCte
          |SELECT vec_id,

@@ -422,6 +422,18 @@ object Windows {
         .select(col("event_id"), col("sum_24h"))
         .orderBy("event_id")),
 
+    // reset_index-style GLOBAL ordinal: a corpus-wide row_number as the
+    // running count of ones through the same two-phase prefix sum — the
+    // stable-sequential-id assignment a 100 TB corpus cannot get from a
+    // single-partition ROW_NUMBER window
+    "window_row_number_global" -> ((s, d) =>
+      graft.api.Overlap.runningSum(
+          events(s, d).select(col("event_id"), col("ts")),
+          unix_micros(col("ts").cast("timestamp")),
+          Seq(col("ts"), col("event_id")), lit(1L), "rn")
+        .select(col("event_id"), col("rn").cast("bigint").as("rn"))
+        .orderBy("event_id")),
+
     // cumsum() over the global order — the two-phase prefix sum: exact
     // within-group running decimal totals plus broadcast group offsets;
     // the only un-partitioned window runs over the ≤64-row TOTALS frame
@@ -666,6 +678,10 @@ object Windows {
         |  ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  AS run_total
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_row_number_global" ->
+      """SELECT event_id,
+        |ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
         |FROM events ORDER BY event_id""".stripMargin,
     "window_rolling_time_global" ->
       """SELECT event_id,

@@ -675,34 +675,12 @@ object Multimodal {
   def phashNearDups(df: DataFrame, id: Column, pixels: Column,
       maxDist: Int = 3,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"maxDist=$maxDist: the 4-band screen is complete only for " +
-        "hamming <= 3 (pigeonhole); shrink maxDist or add bands")
     val ck = graft.api.TextDedup.ckptFn(df.sparkSession, checkpointDir)
-    val bw = ck(df.select(id.as("__id"), dhashBands(pixels).as("__bd")))
-    // hot-bucket guard (r10, the TextDedup.collapseSigGroups engine):
-    // identical 64-bit dHashes — blank frames, solid-color thumbnails —
-    // would otherwise put g member rows in the SAME bucket of all four
-    // bands and emit 4·g² candidate rows; only one representative per
-    // distinct hash reaches the band self-join, and member pairs are
-    // restored afterwards (within-group pairs are hamming-0 candidates
-    // by construction), so the output is bit-identical
-    val (reps, members) =
-      graft.api.TextDedup.collapseSigGroups(bw, col("__bd"))
-    val sigs = reps.select(col("__id"),
-      posexplode(col("__bd")).as(Seq("band", "sig")))
-    val cand = graft.api.TextDedup.expandSelfPairs(
-      graft.api.TextDedup.selfBandCandidates(sigs), members)
-    val ham = (0 until 4).map(k =>
-      bit_count(element_at(col("__ba"), k + 1)
-        .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)
-    cand
-      .join(bw.select(col("__id").as("doc_a"), col("__bd").as("__ba")),
-        "doc_a")
-      .join(bw.select(col("__id").as("doc_b"), col("__bd").as("__bb")),
-        "doc_b")
-      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
-      .filter(col("hamming") <= maxDist)
+    // candidate/verify core shared with the md5-SimHash family
+    // (TextDedup.bandedHammingPairs): collapse-guarded band equi-join +
+    // exact Σ bit_count(xor) hamming, pigeonhole-complete at ≤ 3
+    graft.api.TextDedup.bandedHammingPairs(
+      ck(df.select(id.as("__id"), dhashBands(pixels).as("__bd"))), maxDist)
   }
 
   /** Persist a dHash band index — the nightly form of perceptual dedup
@@ -728,38 +706,16 @@ object Multimodal {
   def phashScreenAgainstIndex(shard: DataFrame, id: Column,
       pixels: Column, path: String, maxDist: Int = 3,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"maxDist=$maxDist: the 4-band screen is complete only for " +
-        "hamming <= 3 (pigeonhole)")
     val spark = shard.sparkSession
     val ck = graft.api.TextDedup.ckptFn(spark, checkpointDir)
-    val sb = ck(shard.select(id.as("__id"), dhashBands(pixels).as("__bd")))
-    val ib = spark.read.parquet(s"$path/bands")
-    def long(f: DataFrame) = f.select(col("__id"),
-      posexplode(col("__bd")).as(Seq("band", "sig")))
-    // hot-bucket guard on the SHARD side only (see phashNearDups); the
-    // index needs none — the accept-screen discipline keeps it free of
-    // identical hashes (a shard doc whose dHash already exists in the
-    // index is a hamming-0 near-dup and is dropped before append)
-    val (reps, members) =
-      graft.api.TextDedup.collapseSigGroups(sb, col("__bd"))
-    val cand = graft.api.TextDedup.expandCrossPairs(
-      long(reps).alias("a")
-        .join(long(ib).alias("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-        .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b"),
-      Some(members), None)
-    val ham = (0 until 4).map(k =>
-      bit_count(element_at(col("__ba"), k + 1)
-        .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)
-    cand
-      .join(sb.select(col("__id").as("doc_a"), col("__bd").as("__ba")),
-        "doc_a")
-      .join(ib.select(col("__id").as("doc_b"), col("__bd").as("__bb")),
-        "doc_b")
-      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
-      .filter(col("hamming") <= maxDist)
+    // cross core shared with the md5-SimHash index screen
+    // (TextDedup.bandedHammingCrossPairs): hot-bucket guard on the
+    // SHARD side only — the accept-screen discipline keeps the index
+    // free of identical hashes (a shard doc whose dHash already exists
+    // in the index is a hamming-0 near-dup, dropped before append)
+    graft.api.TextDedup.bandedHammingCrossPairs(
+      ck(shard.select(id.as("__id"), dhashBands(pixels).as("__bd"))),
+      spark.read.parquet(s"$path/bands"), maxDist)
   }
 
   /** The complete nightly accept-screen for perceptual dedup: shard

@@ -2793,6 +2793,70 @@ class ApiSpec extends AnyFunSuite {
       out((5L, 1)) == (("?!.", 1)), out.filter(_._1._1 == 5L))
   }
 
+  test("TextDedup.simhashMd5Bands matches a pure-JVM reference bit for " +
+      "bit; nearSimhashMd5 pairs the exact dup at hamming 0") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String): Seq[Int] = {
+      val bal = new Array[Int](64)
+      text.split(" ").distinct.foreach { t =>
+        val h = md5hex(t)
+        for (i <- 0 until 64) {
+          val nib = Integer.parseInt(h.substring(i / 4, i / 4 + 1), 16)
+          bal(i) += (if (((nib >> (3 - i % 4)) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 4).map(k => (0 until 16).foldLeft(0)((acc, j) =>
+        acc * 2 + (if (bal(16 * k + j) > 0) 1 else 0)))
+    }
+    val bands = TextDedup
+      .simhashMd5Bands(corpus, col("id"), col("body")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    corpus.collect().foreach { r =>
+      assert(bands(r.getLong(0)) == ref(r.getString(1)),
+        s"doc ${r.getLong(0)}: engine/JVM band mismatch")
+    }
+    val pairs = TextDedup
+      .nearSimhashMd5(corpus, col("id"), col("body")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0)) // byte-identical docs
+    assert(pairs.forall { case ((a, b), h) => a < b && h <= 3 })
+  }
+
+  test("simhashMd5 index lifecycle: index screen + intra keep-min drop " +
+      "the right docs, and appending survivors grows ≡ rebuilt") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shidx").toString
+    val base = Seq((1L, "the quick brown fox jumps tonight"))
+      .toDF("i", "txt")
+    TextDedup.writeSimhashMd5Index(base, col("i"), col("txt"), dir)
+    val shard = Seq(
+      (10L, "the quick brown fox jumps tonight"), // index near-dup: drop
+      (20L, "completely unrelated different content words here"), // keep
+      (30L, "completely unrelated different content words here")) // intra
+      .toDF("i", "txt")
+    val surv = TextDedup
+      .simhashMd5DedupShardAgainstIndex(shard, col("i"), col("txt"), dir)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(surv == Seq(20L), s"survivors: $surv")
+    // accept = append the survivors' band rows; grown index must equal
+    // a from-scratch rebuild over base ∪ survivors
+    TextDedup.simhashMd5Bands(shard.filter(col("i") === 20L),
+        col("i"), col("txt"))
+      .write.mode("append").parquet(s"$dir/bands")
+    val grown = spark.read.parquet(s"$dir/bands").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-shidx2").toString
+    TextDedup.writeSimhashMd5Index(
+      base.unionByName(shard.filter(col("i") === 20L)),
+      col("i"), col("txt"), dir2)
+    val rebuilt = spark.read.parquet(s"$dir2/bands").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(grown == rebuilt)
+  }
+
   // -----------------------------------------------------------------------
   // Overlap — the map_overlap / global-window bucket+halo engine (r10)
   // -----------------------------------------------------------------------
