@@ -156,6 +156,24 @@ object LlmExtras {
         .nearSimhashMd5(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_a", "doc_b")),
 
+    // the APPLY side of md5-SimHash dedup — the row-level output a
+    // training run consumes: pairs → connected components
+    // (TextDedup.clusters, pointer-jumping over 8-byte node ids) →
+    // min-id representative kept; the llm_dedup_apply /
+    // llm_multimodal_phash_apply rule on token space, hash-checked
+    "llm_dedup_simhash_apply" -> ((s, d) => {
+      val pairs = graft.api.TextDedup
+        .nearSimhashMd5(documents(s, d), col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b"))
+      val drop = graft.api.TextDedup
+        .clusters(pairs, col("doc_a"), col("doc_b"))
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      documents(s, d).join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // the NIGHTLY form of SimHash dedup (r10) — the last dedup family
     // to gain a persisted-index incremental shape, and hash-checked
     // because the md5 band signature is engine-portable: corpus bands
@@ -1378,6 +1396,28 @@ object LlmExtras {
          |  JOIN bw wb ON wb.doc_id = cand.doc_b)
          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // apply twin: the same band CTEs + the recursive component walk
+    // (the llm_dedup_apply rule), survivors = min-id per component
+    "llm_dedup_simhash_apply" ->
+      s"""WITH RECURSIVE $simhashMd5CteSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bl a JOIN bl b
+         |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |p AS (SELECT doc_a, doc_b FROM cand
+         |  JOIN bw wa ON wa.doc_id = cand.doc_a
+         |  JOIN bw wb ON wb.doc_id = cand.doc_b
+         |  WHERE ${phashHamSql("wa", "wb")} <= 3),
+         |e AS (SELECT doc_a AS x, doc_b AS y FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |walk AS (SELECT x AS node, y AS label FROM e
+         |         UNION
+         |         SELECT e.x, w.label FROM e JOIN walk w ON e.y = w.node),
+         |comp AS (SELECT node, LEAST(node, MIN(label)) AS cluster_id
+         |  FROM walk GROUP BY node)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id NOT IN
+         |    (SELECT node FROM comp WHERE node != cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     // nightly twin: cross (delta % 10 = 0 vs corpus index) + intra
     // (keep-min within the delta) screens over the same band CTEs —
     // the phash_delta oracle shape on token space
