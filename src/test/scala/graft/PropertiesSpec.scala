@@ -207,4 +207,43 @@ class PropertiesSpec extends AnyFunSuite {
         "duplicating a row must move the sum (unless its hash is 0)")
     }
   }
+
+  test("Overlap.rollingRows equals the naive global window on random " +
+      "frames across random frame bounds and bucket counts") {
+    // randomized equivalence sweep of the bucket+halo engine: heavy
+    // duplicate keys (ties), clustered values (hot buckets after the
+    // range split), frame bounds 0..4, bucket counts that force many
+    // merged groups — every combination must reproduce the naive
+    // single-partition result EXACTLY (integer sums: no float slack)
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    (1 to 4).foreach { trial =>
+      val n = 60 + rnd.nextInt(120)
+      val rows = (0 until n).map { i =>
+        // keys cluster into few distinct values → ties + hot buckets
+        (i.toLong, (rnd.nextInt(12) * 97).toLong, rnd.nextInt(1000).toLong)
+      }
+      val df = rows.toDF("id", "k", "v")
+      val before = rnd.nextInt(5); val after = rnd.nextInt(5)
+      val buckets = 2 + rnd.nextInt(9)
+      val naiveW = Window.orderBy(col("k"), col("id"))
+        .rowsBetween(-before, after)
+      val naive = df.select(col("id"),
+          sum(col("v")).over(naiveW).as("s"),
+          count(lit(1)).over(naiveW).as("c"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val fast = graft.api.Overlap.rollingRows(df, col("k"),
+          Seq(col("k"), col("id")), before, after, buckets)(w0 => {
+        val w = w0.rowsBetween(-before, after)
+        Seq(sum(col("v")).over(w).as("s"), count(lit(1)).over(w).as("c"))
+      }).select(col("id"), col("s"), col("c"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(fast == naive,
+        s"trial $trial (n=$n before=$before after=$after buckets=$buckets)")
+    }
+  }
 }
