@@ -47,4 +47,59 @@ class PlanSweepSpec extends AnyFunSuite {
       s"allowlisted keys no longer plan a cartesian: " +
         s"${staleAllow.mkString(", ")} — remove them from boundedCartesian")
   }
+
+  /** key → why its un-partitioned window frame is bounded BY
+    * CONSTRUCTION (reviewed, not waived). A window with no partition key
+    * funnels its whole input through ONE task — fine over a model-sized
+    * stats frame, fatal over the corpus (the hazard graft.api.Overlap
+    * exists to avoid). Every entry names the bounded frame. */
+  private val boundedGlobalWindow: Map[String, String] = Map(
+    "llm_dsir_sample" -> "rank over the ≤k-row top-k selection (dsirSelect: per-partition heaps, never a global sort)",
+    "llm_dsir_select" -> "rank over the ≤k-row top-k selection",
+    "llm_filter_funnel" -> "rank over the per-stage funnel stats frame (|stages| rows)",
+    "llm_heavy_hitters_cms" -> "rank over the ≤k heavy-hitter rows probed from the d×w sketch",
+    "llm_mixture_apply" -> "largest-remainder rank over the per-source share frame (|sources| rows)",
+    "llm_mixture_plan" -> "largest-remainder rank over the per-source share frame",
+    "llm_pq_encode" -> "codebook ordinal over the k-means centroid frame (k ≤ 256 rows)",
+    "llm_quality_active_sample" -> "rank over the ≤k-row uncertainty selection (Quality.uncertaintySample)",
+    "llm_quality_auc" -> "running totals over the score-bin frame (bounded bin count)",
+    "llm_quality_pr_curve" -> "running totals over the threshold-bin frame",
+    "llm_quality_top_features" -> "rank over the ≤k rows of TakeOrderedAndProject",
+    "llm_sample_temperature" -> "per-source temperature weights (|sources| rows)",
+    "llm_sim_topk_ivfpq" -> "codebook/centroid ordinals (k-means fit frames, ≤ 256 rows)",
+    "llm_sim_topk_pq" -> "codebook ordinal over the centroid frame",
+    "llm_vocab_coverage" -> "running coverage over FREQUENCY CLASSES — distinct freq values are ≤ ~√(2N) (Σ f·count(f) = N), a sub-linear stats frame, never tokens",
+    "prep_label_encode" -> "category codes over the distinct-category stats table (|categories| rows; Pipeline.LabelEncoder scaladoc)",
+    "window_cumsum_global" -> "the Overlap two-phase prefix sum's TOTALS frame (≤ buckets rows by construction — the data-path window is group-partitioned)",
+    "window_row_number_global" -> "the same Overlap totals frame (running count of ones)"
+  )
+
+  test("no declared query plans an un-partitioned WindowExec outside " +
+      "the reviewed bounded-frame allowlist") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val staleAllow = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
+      // sparkPlan = the physical plan BEFORE the AQE wrapper: typed
+      // collect works without executing the query
+      val hasGlobalWindow = SparkEntry.queries(k)(spark, SparkFixture.sf0001)
+        .queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+      if (boundedGlobalWindow.contains(k)) {
+        if (!hasGlobalWindow) staleAllow += k
+      } else if (hasGlobalWindow) offenders += k
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    assert(offenders.isEmpty,
+      s"un-partitioned WindowExec in: ${offenders.mkString(", ")} — " +
+        "partition the window (or route global order through " +
+        "graft.api.Overlap), or add to boundedGlobalWindow with the " +
+        "bounded-frame argument")
+    assert(staleAllow.isEmpty,
+      s"allowlisted keys no longer plan a global window: " +
+        s"${staleAllow.mkString(", ")} — remove them from " +
+        "boundedGlobalWindow")
+  }
 }
