@@ -60,10 +60,17 @@ object Overlap {
     * ≥ minRows rows). Returns (frame + Grp column, number of groups);
     * G == 0 means the input was empty. */
   private def assignGroups(df: DataFrame, bucketKey: Column,
-      buckets: Int, minRows: Int): (DataFrame, Int) = {
+      buckets: Int, minRows: Int,
+      checkpointDir: Option[String]): (DataFrame, Int) = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = df.sparkSession
-    val keyed = df.withColumn(Bkt, bucketKey.cast("double"))
+    // PINNED: the engine's downstream consumers (min/max, per-bucket
+    // counts, the remap join, the rank/frame windows) would otherwise
+    // each re-scan the source — five full reads of a 100 TB input. One
+    // materialization; everything below re-derives map-side from it
+    // (the group-partitioned exchanges dedupe via ReuseExchange).
+    val keyed = TextDedup.ckptFn(spark, checkpointDir)(
+      df.withColumn(Bkt, bucketKey.cast("double")))
     // two scalars — bounded driver work at any data size
     val mm = keyed.agg(min(col(Bkt)), max(col(Bkt))).collect()(0)
     if (mm.isNullAt(0)) return (keyed.withColumn(Grp, lit(0)), 0)
@@ -105,11 +112,12 @@ object Overlap {
     * truncate at group boundaries. The result carries `df`'s columns plus
     * the outputs. */
   def rollingRows(df: DataFrame, bucketKey: Column, order: Seq[Column],
-      before: Int, after: Int, buckets: Int = 64)
+      before: Int, after: Int, buckets: Int = 64,
+      checkpointDir: Option[String] = None)
       (aggs: WindowSpec => Seq[Column]): DataFrame = {
     require(before >= 0 && after >= 0, "frame bounds must be >= 0")
     val (grouped0, groups) = assignGroups(df, bucketKey, buckets,
-      math.max(math.max(before, after), 1))
+      math.max(math.max(before, after), 1), checkpointDir)
     val w = Window.partitionBy(Grp).orderBy(order: _*)
     if (groups <= 1) {
       // empty or single-group input: no halo needed
@@ -149,10 +157,14 @@ object Overlap {
     * [-rangeBefore, +rangeAfter]. Ties share a frame by definition of
     * range frames, so no tie-break column is needed. */
   def rollingRange(df: DataFrame, key: Column, rangeBefore: Long,
-      rangeAfter: Long, buckets: Int = 64)
+      rangeAfter: Long, buckets: Int = 64,
+      checkpointDir: Option[String] = None)
       (aggs: WindowSpec => Seq[Column]): DataFrame = {
     require(rangeBefore >= 0 && rangeAfter >= 0, "range bounds must be >= 0")
-    val keyed = df.withColumn(Bkt, key.cast("long"))
+    // same single-materialization rule as assignGroups: mm + the three
+    // role selections below would otherwise re-scan the source
+    val keyed = TextDedup.ckptFn(df.sparkSession, checkpointDir)(
+      df.withColumn(Bkt, key.cast("long")))
     val mm = keyed.agg(min(col(Bkt)), max(col(Bkt))).collect()(0)
     val w0 = Window.partitionBy(Grp).orderBy(col(Bkt))
       .rangeBetween(-rangeBefore, rangeAfter)
@@ -193,8 +205,10 @@ object Overlap {
     * by construction, never the data. `value` must be an EXACT (decimal /
     * integral) expression so group totals are addition-order-free. */
   def runningSum(df: DataFrame, bucketKey: Column, order: Seq[Column],
-      value: Column, out: String, buckets: Int = 64): DataFrame = {
-    val (grouped, groups) = assignGroups(df, bucketKey, buckets, 1)
+      value: Column, out: String, buckets: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (grouped, groups) = assignGroups(df, bucketKey, buckets, 1,
+      checkpointDir)
     val inGrp = sum(value).over(
       Window.partitionBy(Grp).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
