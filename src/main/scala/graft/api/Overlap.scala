@@ -1,8 +1,13 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, Row}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{CurrentRow, Expression,
+  Literal, RangeFrame, RowFrame, SpecifiedWindowFrame, UnspecifiedFrame,
+  WindowExpression}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Partition-overlap windowing — the `dask.dataframe.map_overlap` analogue
   * (reference surface: `df.map_overlap(fn, before, after)`, plus the
@@ -37,13 +42,26 @@ import org.apache.spark.sql.functions._
   * The result is bit-identical to the single-partition global window
   * (asserted in ApiSpec on the fixture) while every exchange and sort is
   * bucket-parallel. At 100 TB you raise `buckets` so a group ~ one
-  * executor's worth of rows; skewed key values degrade gracefully (a
-  * single hot key value cannot be range-split — that one group is the
-  * floor, same as dask's repartitioned divisions).
+  * executor's worth of rows.
+  *
+  * Skew handling (r11): a key whose values collapse into ONE value-range
+  * bucket (a constant timestamp column, a ties-dominated id) no longer
+  * degenerates to a single-partition window. When the range walk yields
+  * ≤1 group and the data could support more, grouping falls back to RANK
+  * buckets: `repartitionByRange` over the full `order` columns (a total
+  * order, so ties on the bucket key split freely), partition id becomes
+  * the bucket, and the same merge walk runs over per-partition counts.
+  * Rank buckets are order-contiguous by construction, so every window
+  * form — not just commutative aggregates — stays exact; the fallback is
+  * pinned bit-identical on a constant-key fixture in ApiSpec.
   *
   * Degenerate inputs stay correct: an empty frame short-circuits, and a
-  * corpus whose whole key range collapses into one group simply runs the
-  * single-group window (which is then honestly the answer).
+  * genuinely tiny corpus (fewer than two halos' worth of rows) runs the
+  * single-group window (which is then honestly the answer). NULL bucket
+  * keys fail fast with a clear message (dask's `set_index` raises on
+  * nulls for the same reason): silently routing them to a private null
+  * group would produce locally-framed results that diverge from the
+  * global window this module promises bit-identity to.
   */
 object Overlap {
 
@@ -52,36 +70,14 @@ object Overlap {
   private val Grp = "__ovl_grp"
   private val Halo = "__ovl_halo"
 
-  /** Assign each row a dense group id (0..G-1) by value-range bucketing
-    * `bucketKey` into `buckets` fixed-width ranges, then greedily merging
-    * adjacent non-empty buckets until every group carries ≥ `minRows`
-    * rows (an undersized FINAL group folds back into its predecessor, so
-    * the guarantee holds for every group whenever the dataset itself has
-    * ≥ minRows rows). Returns (frame + Grp column, number of groups);
-    * G == 0 means the input was empty. */
-  private def assignGroups(df: DataFrame, bucketKey: Column,
-      buckets: Int, minRows: Int,
-      checkpointDir: Option[String]): (DataFrame, Int) = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val spark = df.sparkSession
-    // PINNED: the engine's downstream consumers (min/max, per-bucket
-    // counts, the remap join, the rank/frame windows) would otherwise
-    // each re-scan the source — five full reads of a 100 TB input. One
-    // materialization; everything below re-derives map-side from it
-    // (the group-partitioned exchanges dedupe via ReuseExchange).
-    val keyed = TextDedup.ckptFn(spark, checkpointDir)(
-      df.withColumn(Bkt, bucketKey.cast("double")))
-    // two scalars — bounded driver work at any data size
-    val mm = keyed.agg(min(col(Bkt)), max(col(Bkt))).collect()(0)
-    if (mm.isNullAt(0)) return (keyed.withColumn(Grp, lit(0)), 0)
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
-    val bktCol = least(floor((col(Bkt) - lit(lo)) / lit(width)),
-      lit(buckets - 1)).cast("int")
-    val withBkt = keyed.withColumn(Bkt, bktCol)
-    // per-bucket counts: ≤ `buckets` rows to the driver, sorted walk
-    val counts = withBkt.groupBy(Bkt).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+  /** Greedy merge of adjacent non-empty buckets until every group carries
+    * ≥ `minRows` rows; an undersized FINAL group folds back into its
+    * predecessor, so the guarantee holds for every group whenever the
+    * dataset itself has ≥ minRows rows. `counts` is the (bucket, rows)
+    * walk — ≤ `buckets` entries, driver-side by design. Returns the
+    * bucket→group mapping and the group count. */
+  private def mergeWalk(counts: Array[(Int, Long)],
+      minRows: Int): (Array[(Int, Int)], Int) = {
     val grpOf = Array.newBuilder[(Int, Int)]
     var g = 0; var acc = 0L
     counts.foreach { case (b, n) =>
@@ -90,42 +86,162 @@ object Overlap {
     }
     var mapping = grpOf.result()
     val groups = if (mapping.isEmpty) 0 else mapping.last._2 + 1
-    // fold an undersized trailing group into its predecessor
     if (groups > 1 && acc < minRows) {
       mapping = mapping.map { case (b, gg) =>
         b -> math.min(gg, groups - 2)
       }
     }
-    val finalGroups = if (mapping.isEmpty) 0 else mapping.last._2 + 1
-    val remap = spark.createDataFrame(mapping.toSeq).toDF(Bkt, Grp)
-    (withBkt.join(broadcast(remap), Bkt), finalGroups)
+    (mapping, if (mapping.isEmpty) 0 else mapping.last._2 + 1)
   }
 
-  /** Exact global-order ROWS-frame window without a single-partition
-    * WindowExec. `order` must be a TOTAL order (unique tie-break last);
-    * `bucketKey` any numeric column monotone in that order (a coarser
-    * granularity is fine — e.g. epoch seconds bucketing a microsecond
-    * order). `aggs` receives the group-partitioned, ordered `WindowSpec`
-    * and returns the aliased output columns; every frame it applies (and
-    * every lag/lead offset) must stay within rows [-before, after] — that
-    * is the halo the exchange replicates, so a wider frame would silently
-    * truncate at group boundaries. The result carries `df`'s columns plus
-    * the outputs. */
-  def rollingRows(df: DataFrame, bucketKey: Column, order: Seq[Column],
-      before: Int, after: Int, buckets: Int = 64,
-      checkpointDir: Option[String] = None)
-      (aggs: WindowSpec => Seq[Column]): DataFrame = {
-    require(before >= 0 && after >= 0, "frame bounds must be >= 0")
-    val (grouped0, groups) = assignGroups(df, bucketKey, buckets,
-      math.max(math.max(before, after), 1), checkpointDir)
-    val w = Window.partitionBy(Grp).orderBy(order: _*)
-    if (groups <= 1) {
-      // empty or single-group input: no halo needed
-      return grouped0.withColumn(Halo, lit(false))
-        .select(df.columns.map(col) ++ aggs(w): _*)
+  /** Per-bucket counts → merge walk → broadcast remap join. The counts
+    * collect is ≤ `buckets` rows at any data size. A NULL bucket value
+    * (possible only on the value-range path — rank buckets are
+    * partition ids) fails fast. */
+  private def groupByCounts(withBkt: DataFrame,
+      minRows: Int): (DataFrame, Int) = {
+    val counts = withBkt.groupBy(Bkt).count().collect()
+      .map { r =>
+        require(!r.isNullAt(0), "Overlap bucket key is NULL for " +
+          s"${r.getLong(1)} row(s): a null key has no place in the " +
+          "global order — filter or impute upstream")
+        r.getInt(0) -> r.getLong(1)
+      }.sortBy(_._1)
+    val (mapping, groups) = mergeWalk(counts, minRows)
+    val remap = withBkt.sparkSession.createDataFrame(mapping.toSeq)
+      .toDF(Bkt, Grp)
+    (withBkt.join(broadcast(remap), Bkt), groups)
+  }
+
+  /** Assign each row a dense group id (0..G-1) by value-range bucketing
+    * `bucketKey` into `buckets` fixed-width ranges, then greedily merging
+    * adjacent non-empty buckets until every group carries ≥ `minRows`
+    * rows. When the range walk collapses to ≤1 group on data that could
+    * hold ≥2 (ties-dominated / constant keys), falls back to RANK buckets
+    * over `order` (see object scaladoc). Returns (frame + Grp column,
+    * number of groups); G == 0 means the input was empty. Exposed
+    * private[graft] for the ApiSpec tie-split pin. */
+  private[graft] def assignGroups(df: DataFrame, bucketKey: Column,
+      order: Seq[Column], buckets: Int, minRows: Int,
+      checkpointDir: Option[String]): (DataFrame, Int) = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(order.nonEmpty, "order must name at least one column")
+    val spark = df.sparkSession
+    // PINNED: the engine's downstream consumers (min/max, per-bucket
+    // counts, the remap join, the rank/frame windows) would otherwise
+    // each re-scan the source — five full reads of a 100 TB input. One
+    // materialization; everything below re-derives map-side from it
+    // (the group-partitioned exchanges dedupe via ReuseExchange).
+    val keyed = TextDedup.ckptFn(spark, checkpointDir)(
+      df.withColumn(Bkt, bucketKey.cast("double")))
+    // three scalars — bounded driver work at any data size
+    val mm = keyed.agg(min(col(Bkt)), max(col(Bkt)),
+      count(when(col(Bkt).isNull, 1)), count(lit(1))).collect()(0)
+    require(mm.getLong(2) == 0L, "Overlap bucket key contains " +
+      s"${mm.getLong(2)} NULL value(s): a null key has no place in the " +
+      "global order — filter or impute upstream")
+    if (mm.isNullAt(0)) return (keyed.withColumn(Grp, lit(0)), 0)
+    val total = mm.getLong(3)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
+    val bktCol = least(floor((col(Bkt) - lit(lo)) / lit(width)),
+      lit(buckets - 1)).cast("int")
+    val (grouped, groups) =
+      groupByCounts(keyed.withColumn(Bkt, bktCol), minRows)
+    if (groups > 1 || total < 2L * minRows || total < 2)
+      return (grouped, groups)
+    // Salted tie-split (r11): the whole key range collapsed into one
+    // group but the data could carry ≥2. Re-bucket by RANK: range-
+    // partition on the full total order (ties on the bucket key split
+    // freely across the tie-break columns), take the partition id as
+    // the bucket — order-contiguous by construction, monotone in
+    // `order` because range partitions are — and rerun the same merge
+    // walk. One extra bucket-parallel exchange, only on this rare path.
+    val parts = math.min(buckets.toLong,
+      math.max(2L, total / math.max(minRows, 1))).toInt
+    groupByCounts(
+      keyed.repartitionByRange(parts, order: _*)
+        .withColumn(Bkt, spark_partition_id()),
+      minRows)
+  }
+
+  /** Static halo-fit check (r11): every rows frame and lag/lead offset a
+    * caller's `aggs` produced must stay within [-before, after] — that is
+    * exactly the halo the exchange replicates, so a wider frame would
+    * SILENTLY truncate at group boundaries. The frames are readable off
+    * the unresolved expression tree at plan-construction time, so this
+    * fails fast instead (zero runtime cost). Constructs whose frame this
+    * cannot bound statically — range frames (use [[rollingRange]]),
+    * default unbounded frames, rank-family functions — are rejected with
+    * the reason. */
+  private def checkFrames(outs: Seq[Column], before: Int,
+      after: Int): Unit = {
+    def boundOf(e: Expression, side: String): Long = e match {
+      case CurrentRow => 0L
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"Overlap.rollingRows cannot bound the $side frame edge " +
+          s"'$other': only CURRENT ROW / literal row offsets fit a " +
+          s"[-$before, +$after] halo (unbounded frames never do — " +
+          "route running totals through Overlap.runningSum)")
     }
-    val grouped = grouped0.withColumn(Halo, lit(false))
-    // halo exchange: trailing rows → successor, leading rows → predecessor
+    def offsetOf(args: Seq[Expression]): Long = args match {
+      case Seq(_) => 1L
+      case Seq(_, Literal(v: Int, _), _*) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"Overlap.rollingRows: lag/lead offset must be a literal, got " +
+          other.mkString(", "))
+    }
+    outs.map(GraftShim.catalystExpression).foreach(_.foreach {
+      case WindowExpression(fn, spec) =>
+        spec.frameSpecification match {
+          case SpecifiedWindowFrame(RowFrame, l, u) =>
+            val lo = boundOf(l, "lower"); val hi = boundOf(u, "upper")
+            require(lo >= -before && hi <= after,
+              s"Overlap.rollingRows: frame [$lo, $hi] exceeds the " +
+                s"replicated halo [-$before, +$after] — results would " +
+                "silently truncate at group boundaries; widen " +
+                "before/after to cover the frame")
+          case SpecifiedWindowFrame(RangeFrame, _, _) =>
+            throw new IllegalArgumentException(
+              "Overlap.rollingRows is a ROWS-frame engine; range frames " +
+                "route through Overlap.rollingRange (its halo is a value " +
+                "predicate, not a row count)")
+          case UnspecifiedFrame => fn match {
+            case uf: UnresolvedFunction
+                if uf.nameParts.last.equalsIgnoreCase("lag") =>
+              // lag(n) reads row i-n (a negative n reads forward)
+              val off = offsetOf(uf.arguments)
+              require(off <= before && -off <= after,
+                s"Overlap.rollingRows: lag($off) exceeds the halo " +
+                  s"[-$before, +$after]")
+            case uf: UnresolvedFunction
+                if uf.nameParts.last.equalsIgnoreCase("lead") =>
+              // lead(n) reads row i+n (a negative n reads backward)
+              val off = offsetOf(uf.arguments)
+              require(off <= after && -off <= before,
+                s"Overlap.rollingRows: lead($off) exceeds the halo " +
+                  s"[-$before, +$after]")
+            case other => throw new IllegalArgumentException(
+              s"Overlap.rollingRows: window function '$other' carries " +
+                "the default (unbounded) frame, which no finite halo " +
+                "covers — give it an explicit rowsBetween within " +
+                s"[-$before, +$after], or use runningSum / rollingRange")
+          }
+          case other => throw new IllegalArgumentException(
+            s"Overlap.rollingRows: unsupported frame '$other'")
+        }
+      case _ => ()
+    })
+  }
+
+  /** The halo'd frame shared by [[rollingRows]] and [[mapOverlap]]:
+    * `grouped` plus each group's `before` trailing rows re-tagged into
+    * its successor and `after` leading rows into its predecessor (rank
+    * windows — group-partitioned, streaming), halo rows marked true. */
+  private def haloUnion(grouped: DataFrame, order: Seq[Column],
+      before: Int, after: Int, groups: Int): DataFrame = {
     val asc = Window.partitionBy(Grp).orderBy(order: _*)
     val desc = Window.partitionBy(Grp).orderBy(order.map(_.desc): _*)
     val ranked = grouped
@@ -140,10 +256,105 @@ object Overlap {
     val halo = trailing.unionByName(leading)
       .drop("__ovl_ra", "__ovl_rd")
     grouped.unionByName(halo)
-      .select(col(Halo) +: df.columns.map(col) :+ struct(aggs(w): _*)
+  }
+
+  /** Exact global-order ROWS-frame window without a single-partition
+    * WindowExec. `order` must be a TOTAL order (unique tie-break last);
+    * `bucketKey` any numeric column monotone in that order (a coarser
+    * granularity is fine — e.g. epoch seconds bucketing a microsecond
+    * order). `aggs` receives the group-partitioned, ordered `WindowSpec`
+    * and returns the aliased output columns; every frame it applies (and
+    * every lag/lead offset) must stay within rows [-before, after] — the
+    * halo the exchange replicates — and this is VERIFIED statically at
+    * plan-construction time (a wider frame throws instead of silently
+    * truncating at group boundaries). The result carries `df`'s columns
+    * plus the outputs. */
+  def rollingRows(df: DataFrame, bucketKey: Column, order: Seq[Column],
+      before: Int, after: Int, buckets: Int = 64,
+      checkpointDir: Option[String] = None)
+      (aggs: WindowSpec => Seq[Column]): DataFrame = {
+    require(before >= 0 && after >= 0, "frame bounds must be >= 0")
+    val (grouped0, groups) = assignGroups(df, bucketKey, order, buckets,
+      math.max(math.max(before, after), 1), checkpointDir)
+    val w = Window.partitionBy(Grp).orderBy(order: _*)
+    val outs = aggs(w)
+    checkFrames(outs, before, after)
+    if (groups <= 1) {
+      // empty or single-group input: no halo needed
+      return grouped0.withColumn(Halo, lit(false))
+        .select(df.columns.map(col) ++ outs: _*)
+    }
+    haloUnion(grouped0.withColumn(Halo, lit(false)), order, before,
+        after, groups)
+      .select(col(Halo) +: df.columns.map(col) :+ struct(outs: _*)
         .as("__ovl_out"): _*)
       .filter(!col(Halo))
       .select(df.columns.map(col) :+ col("__ovl_out.*"): _*)
+  }
+
+  /** The general `df.map_overlap(fn, before, after)` escape hatch (r11)
+    * — an ARBITRARY per-group transform over halo'd, globally-ordered
+    * row runs, for logic the declarative forms can't spell (custom
+    * smoothers, stateful scans bounded by the halo). Same substrate as
+    * [[rollingRows]]: value-range groups (rank-split on ties), `before`
+    * trailing / `after` leading rows replicated from the neighbors, and
+    * halo OUTPUTS dropped — dask's trim rule.
+    *
+    * `fn` receives ONE group's rows (df's columns only, in `order`,
+    * halo rows included at both ends) and must return EXACTLY one
+    * output row per input row, positionally aligned — the dask
+    * `map_overlap` contract (enforced at runtime). Like dask's version
+    * — and unlike the declarative forms — the function is a black box:
+    * outputs at distance > before/after from what they may read are the
+    * CALLER's contract, and a group must fit in one task's memory (size
+    * it with `buckets`). `order` elements must be plain ascending
+    * expressions. Runs each group as one task via the RDD escape hatch
+    * (`mapPartitions` over group-hashed, run-sorted rows) — the
+    * sanctioned last resort the survey reserves for genuinely
+    * imperative per-partition logic. */
+  def mapOverlap(df: DataFrame, bucketKey: Column, order: Seq[Column],
+      before: Int, after: Int, outSchema: StructType, buckets: Int = 64,
+      checkpointDir: Option[String] = None)
+      (fn: Seq[Row] => Seq[Row]): DataFrame = {
+    require(before >= 0 && after >= 0, "halo widths must be >= 0")
+    val spark = df.sparkSession
+    val (grouped0, groups) = assignGroups(df, bucketKey, order, buckets,
+      math.max(math.max(before, after), 1), checkpointDir)
+    val base = grouped0.withColumn(Halo, lit(false))
+    val halod =
+      if (groups <= 1) base
+      else haloUnion(base, order, before, after, groups)
+    // materialize the sort keys: order elements are arbitrary
+    // expressions over df, not necessarily named columns
+    val sortNames = order.indices.map(i => s"__ovl_o$i")
+    val flat = halod.select(
+      col(Grp) +: col(Halo) +:
+        (order.zip(sortNames).map { case (c, n) => c.as(n) } ++
+          df.columns.map(col)): _*)
+    val userStart = 2 + order.length
+    val parted = flat.repartition(col(Grp))
+      .sortWithinPartitions(col(Grp) +: sortNames.map(col): _*)
+    val out = parted.rdd.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Seq[Row]] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Seq[Row] = {
+          val g = buf.head.getInt(0)
+          val run = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (buf.hasNext && buf.head.getInt(0) == g) run += buf.next()
+          run.toSeq
+        }
+      }.flatMap { run =>
+        val outs = fn(run.map(r => Row.fromSeq(r.toSeq.drop(userStart))))
+        require(outs.length == run.length,
+          s"mapOverlap fn must return exactly one row per input row " +
+            s"(got ${outs.length} for ${run.length}) — the dask " +
+            "map_overlap trim contract")
+        outs.iterator.zip(run.iterator)
+          .collect { case (o, r) if !r.getBoolean(1) => o }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   /** Exact global-order RANGE-frame window (`rolling('7D')` over the
@@ -152,10 +363,13 @@ object Overlap {
     * ≥ max(rangeBefore, rangeAfter), every frame completes through ONE
     * neighbor's halo, and halo membership is a pure value predicate — no
     * per-bucket counts, no rank windows, empty groups harmless. `key`
-    * must be an exact integral order key (e.g. epoch micros); `aggs`
+    * must be an exact integral order key (e.g. epoch micros), NULL-free
+    * (nulls fail fast — they have no place in a value order); `aggs`
     * receives the group-partitioned spec already framed
     * [-rangeBefore, +rangeAfter]. Ties share a frame by definition of
-    * range frames, so no tie-break column is needed. */
+    * range frames, so no tie-break column is needed. A constant key
+    * needs no tie-split here: all rows share ONE frame, and the
+    * single-group plan is honestly that frame. */
   def rollingRange(df: DataFrame, key: Column, rangeBefore: Long,
       rangeAfter: Long, buckets: Int = 64,
       checkpointDir: Option[String] = None)
@@ -165,7 +379,11 @@ object Overlap {
     // role selections below would otherwise re-scan the source
     val keyed = TextDedup.ckptFn(df.sparkSession, checkpointDir)(
       df.withColumn(Bkt, key.cast("long")))
-    val mm = keyed.agg(min(col(Bkt)), max(col(Bkt))).collect()(0)
+    val mm = keyed.agg(min(col(Bkt)), max(col(Bkt)),
+      count(when(col(Bkt).isNull, 1))).collect()(0)
+    require(mm.getLong(2) == 0L, "Overlap range key contains " +
+      s"${mm.getLong(2)} NULL value(s): a null key has no place in the " +
+      "global order — filter or impute upstream")
     val w0 = Window.partitionBy(Grp).orderBy(col(Bkt))
       .rangeBetween(-rangeBefore, rangeAfter)
     if (mm.isNullAt(0))
@@ -207,7 +425,7 @@ object Overlap {
   def runningSum(df: DataFrame, bucketKey: Column, order: Seq[Column],
       value: Column, out: String, buckets: Int = 64,
       checkpointDir: Option[String] = None): DataFrame = {
-    val (grouped, groups) = assignGroups(df, bucketKey, buckets, 1,
+    val (grouped, groups) = assignGroups(df, bucketKey, order, buckets, 1,
       checkpointDir)
     val inGrp = sum(value).over(
       Window.partitionBy(Grp).orderBy(order: _*)

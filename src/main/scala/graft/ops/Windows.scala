@@ -444,7 +444,57 @@ object Windows {
           Seq(col("ts"), col("event_id")), dec(col("value")), "run_total")
         .select(col("event_id"), col("run_total").cast("double")
           .as("run_total"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // the GENERAL df.map_overlap(fn, before, after) escape hatch (r11) —
+    // an arbitrary Scala function over halo'd, globally-ordered row runs
+    // (graft.api.Overlap.mapOverlap): here a centered 5-point WEIGHTED
+    // smoother (weights 1-2-3-2-1, edge-truncated), the custom-kernel
+    // case no declarative frame spells. Exactness discipline: the kernel
+    // accumulates DECIMAL(18,2)-quantized values in exact BigDecimal,
+    // casts the numerator to double, and divides by the integer weight
+    // mass — the same one-rounding-at-the-division rule as
+    // window_rolling_global, mirrored literally by the oracle. Halo rows
+    // complete the kernel at group boundaries; halo OUTPUTS are dropped
+    // (dask's trim rule), so the fn sees a truncated kernel only at the
+    // true corpus edges.
+    "window_map_overlap" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("value"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("smooth5c",
+          org.apache.spark.sql.types.DoubleType)))
+      val weights = Array(1, 2, 3, 2, 1)
+      graft.api.Overlap.mapOverlap(ev,
+          unix_micros(col("ts").cast("timestamp")),
+          Seq(col("ts"), col("event_id")), before = 2, after = 2, sch)(
+        rows => {
+          // DECIMAL(18,2) quantization = the oracle's CAST; BigDecimal
+          // sums are exact, so addition order is free
+          val v = rows.map(r => java.math.BigDecimal.valueOf(r.getDouble(2))
+            .setScale(2, java.math.RoundingMode.HALF_UP))
+          rows.indices.map { i =>
+            var num = java.math.BigDecimal.ZERO
+            var den = 0L
+            var k = -2
+            while (k <= 2) {
+              val j = i + k
+              if (j >= 0 && j < rows.length) {
+                val w = weights(k + 2)
+                num = num.add(v(j)
+                  .multiply(java.math.BigDecimal.valueOf(w.toLong)))
+                den += w
+              }
+              k += 1
+            }
+            org.apache.spark.sql.Row(rows(i).getLong(0),
+              num.doubleValue / den)
+          }
+        })
+        .orderBy("event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -689,6 +739,25 @@ object Windows {
         |  ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  AS sum_24h
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // centered 1-2-3-2-1 smoother, edge-truncated: exact decimal
+    // numerator cast to double, divided by the integer weight mass —
+    // literally the arithmetic the mapOverlap kernel runs
+    "window_map_overlap" ->
+      """WITH t AS (SELECT event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    LAG(CAST(value AS DECIMAL(18,2)), 2) OVER w AS l2,
+        |    LAG(CAST(value AS DECIMAL(18,2)), 1) OVER w AS l1,
+        |    LEAD(CAST(value AS DECIMAL(18,2)), 1) OVER w AS n1,
+        |    LEAD(CAST(value AS DECIMAL(18,2)), 2) OVER w AS n2
+        |  FROM events WINDOW w AS (ORDER BY ts, event_id))
+        |SELECT event_id,
+        |  CAST(COALESCE(l2, 0) * 1 + COALESCE(l1, 0) * 2 + v * 3
+        |     + COALESCE(n1, 0) * 2 + COALESCE(n2, 0) * 1 AS DOUBLE)
+        |  / ((CASE WHEN l2 IS NULL THEN 0 ELSE 1 END)
+        |   + (CASE WHEN l1 IS NULL THEN 0 ELSE 2 END) + 3
+        |   + (CASE WHEN n1 IS NULL THEN 0 ELSE 2 END)
+        |   + (CASE WHEN n2 IS NULL THEN 0 ELSE 1 END)) AS smooth5c
+        |FROM t ORDER BY event_id""".stripMargin
   )
 }

@@ -9,4 +9,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a catalyst Expression
+    * (ExpressionUtils.expression defers non-trivial nodes behind a lazy
+    * ColumnNodeExpression wrapper, which hides window specs from static
+    * inspection — graft.api.Overlap's halo-fit check needs the real
+    * tree). */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

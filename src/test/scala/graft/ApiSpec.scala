@@ -2991,11 +2991,170 @@ class ApiSpec extends AnyFunSuite {
       unix_micros(col("ts").cast("timestamp")),
       Seq(col("ts"), col("event_id")), dec(col("value")), "rt")
       .count() == 0)
-    // constant key ⇒ one group; still correct (single-group window)
+    // constant key ⇒ rank-bucket tie-split (r11); still correct
     val const = graft.api.Overlap.rollingRows(overlapEvents.limit(10),
         lit(0), Seq(col("event_id")), 1, 0)(w0 =>
       Seq(count(lit(1)).over(w0.rowsBetween(-1, 0)).as("c")))
       .select(col("event_id"), col("c")).collect()
     assert(const.length == 10 && const.map(_.getLong(1)).sum == 19)
+  }
+
+  test("Overlap salted tie-split (r11): a constant bucket key splits " +
+      "into >1 rank group, bit-identical to the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Det.dec
+    // the fallback itself: the value-range walk collapses on lit(0),
+    // rank buckets over the total order take over
+    val (_, groups) = graft.api.Overlap.assignGroups(overlapEvents,
+      lit(0), Seq(col("ts"), col("event_id")), 16, 3, None)
+    assert(groups > 1,
+      s"tie-split fallback did not engage (groups=$groups)")
+    val naiveW = Window.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 2)
+    val naive = overlapEvents.select(col("event_id"),
+        (sum(dec(col("value"))).over(naiveW).cast("double") /
+          count(lit(1)).over(naiveW)).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = graft.api.Overlap.rollingRows(overlapEvents, lit(0),
+        Seq(col("ts"), col("event_id")), before = 2, after = 2,
+        buckets = 16)(w0 => {
+      val w = w0.rowsBetween(-2, 2)
+      Seq((sum(dec(col("value"))).over(w).cast("double") /
+        count(lit(1)).over(w)).as("m"))
+    }).select(col("event_id"), col("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.size == naive.size)
+    naive.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(fast(id)) ==
+        java.lang.Double.doubleToLongBits(v), s"event $id: ${fast(id)} != $v")
+    }
+  }
+
+  test("Overlap.mapOverlap (r11) equals the single-partition spelling " +
+      "of the same kernel; halo outputs are dropped") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("s3", DoubleType)))
+    // centered 3-point mean, edge-truncated — same index walk both paths
+    def kernel(rows: Seq[Row]): Seq[Row] = rows.indices.map { i =>
+      val lo = math.max(0, i - 1); val hi = math.min(rows.length - 1, i + 1)
+      val vs = (lo to hi).map(j => rows(j).getDouble(2))
+      Row(rows(i).getLong(0), vs.sum / vs.length)
+    }
+    val fast = graft.api.Overlap.mapOverlap(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), before = 1, after = 1,
+        sch, buckets = 9)(kernel)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val naive = kernel(overlapEvents.orderBy("ts", "event_id").collect()
+        .toSeq)
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.size == naive.size) // exactly one output per REAL row
+    naive.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(fast(id)) ==
+        java.lang.Double.doubleToLongBits(v), s"event $id: ${fast(id)} != $v")
+    }
+  }
+
+  test("Overlap.mapOverlap works through the tie-split path too " +
+      "(constant bucket key, arbitrary kernel)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("prev_id", LongType)))
+    def kernel(rows: Seq[Row]): Seq[Row] = rows.indices.map { i =>
+      Row(rows(i).getLong(0),
+        if (i > 0) rows(i - 1).getLong(0) else -1L)
+    }
+    val out = graft.api.Overlap.mapOverlap(overlapEvents, lit(0),
+        Seq(col("ts"), col("event_id")), before = 1, after = 0,
+        sch, buckets = 8)(kernel)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = overlapEvents.orderBy("ts", "event_id")
+      .select("event_id").collect().map(_.getLong(0))
+    assert(out.size == ordered.length)
+    ordered.indices.foreach { i =>
+      val want = if (i > 0) ordered(i - 1) else -1L
+      assert(out(ordered(i)) == want)
+    }
+  }
+
+  test("Overlap fail-fast guards (r11): null keys, over-wide frames, " +
+      "range/unbounded frames, lag beyond halo, trim contract") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val nullKey = when(col("event_id") % 100 === 0, lit(null))
+      .otherwise(col("event_id")).cast("double")
+    // null bucket key → clear require at plan construction
+    val eNull = intercept[IllegalArgumentException] {
+      graft.api.Overlap.rollingRows(overlapEvents, nullKey,
+        Seq(col("ts"), col("event_id")), 1, 1)(w0 =>
+        Seq(count(lit(1)).over(w0.rowsBetween(-1, 1)).as("c")))
+    }
+    assert(eNull.getMessage.contains("NULL"))
+    val eNullR = intercept[IllegalArgumentException] {
+      graft.api.Overlap.rollingRange(overlapEvents, nullKey, 10L, 0L)(
+        w => Seq(count(lit(1)).over(w).as("c")))
+    }
+    assert(eNullR.getMessage.contains("NULL"))
+    // frame wider than the replicated halo → static reject
+    val eWide = intercept[IllegalArgumentException] {
+      graft.api.Overlap.rollingRows(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), 1, 1)(w0 =>
+        Seq(count(lit(1)).over(w0.rowsBetween(-2, 2)).as("c")))
+    }
+    assert(eWide.getMessage.contains("exceeds the replicated halo"))
+    // range frame in the ROWS engine → routed to rollingRange
+    val eRange = intercept[IllegalArgumentException] {
+      graft.api.Overlap.rollingRows(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), 1, 1)(w0 =>
+        Seq(count(lit(1)).over(w0.rangeBetween(-5, 5)).as("c")))
+    }
+    assert(eRange.getMessage.contains("rollingRange"))
+    // default (unbounded) frame → reject with the runningSum pointer
+    val eUnb = intercept[IllegalArgumentException] {
+      graft.api.Overlap.rollingRows(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), 1, 1)(w0 =>
+        Seq(sum(col("value")).over(w0).as("s")))
+    }
+    assert(eUnb.getMessage.contains("unbounded"))
+    // lag offset beyond the halo → static reject; within → accepted and
+    // CORRECT (matches the naive global shift)
+    val eLag = intercept[IllegalArgumentException] {
+      graft.api.Overlap.rollingRows(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), 2, 0)(w0 =>
+        Seq(lag(col("value"), 3).over(w0).as("p")))
+    }
+    assert(eLag.getMessage.contains("lag(3)"))
+    val lagOk = graft.api.Overlap.rollingRows(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), 1, 0, buckets = 7)(w0 =>
+      Seq(lag(col("value"), 1).over(w0).as("p")))
+      .select(col("event_id"), col("p")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naiveLag = {
+      import org.apache.spark.sql.expressions.Window
+      overlapEvents.select(col("event_id"),
+          lag(col("value"), 1).over(
+            Window.orderBy(col("ts"), col("event_id"))).as("p"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    }
+    assert(lagOk == naiveLag)
+    // mapOverlap trim contract: fn must return one row per input row
+    val sch = StructType(Seq(StructField("event_id", LongType)))
+    val eTrim = intercept[Exception] {
+      graft.api.Overlap.mapOverlap(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), 1, 1, sch, buckets = 7)(
+        rows => rows.drop(1).map(r => Row(r.getLong(0)))).collect()
+    }
+    assert(eTrim.getMessage.contains("one row per input row") ||
+      Option(eTrim.getCause).exists(
+        _.getMessage.contains("one row per input row")))
   }
 }
