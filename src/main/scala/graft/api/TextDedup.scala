@@ -1236,10 +1236,18 @@ object TextDedup {
   }
 
   /** Cross-frame sibling of [[bandedHammingPairs]] — shard band frame
-    * `sb` (PINNED (\_\_id, \_\_bd); hot buckets collapsed, the shard is
-    * the dirty side) against an index band frame `ib` (no collapse —
-    * the accept-screen discipline keeps a live index free of identical
-    * signatures). Output: (doc_a = shard id, doc_b = index id,
+    * `sb` (PINNED (\_\_id, \_\_bd)) against an index band frame `ib`.
+    * BOTH sides run the [[collapseSigGroups]] hot-bucket guard (r11):
+    * the accept-screen discipline keeps a LIVE index free of identical
+    * signatures, but nothing enforces that precondition on arbitrary
+    * callers (a rebuilt index, a fixture corpus with planted dups), and
+    * an uncollapsed hot index signature re-grows candidate fan-out per
+    * shard probe — g identical index rows would turn every matching
+    * probe into g band-join rows. Collapsing costs one groupBy over the
+    * 4-int index frame and restores the one-row-per-signature bound
+    * unconditionally; outputs are identical (the member expansion
+    * reinstates every (shard, index) pair before the exact hamming
+    * verify). Output: (doc_a = shard id, doc_b = index id,
     * hamming ≤ maxDist). */
   private[graft] def bandedHammingCrossPairs(sb: DataFrame, ib: DataFrame,
       maxDist: Int): DataFrame = {
@@ -1249,13 +1257,14 @@ object TextDedup {
     def long(f: DataFrame) = f.select(col("__id"),
       posexplode(col("__bd")).as(Seq("band", "sig")))
     val (reps, members) = collapseSigGroups(sb, col("__bd"))
+    val (repsB, membersB) = collapseSigGroups(ib, col("__bd"))
     val cand = expandCrossPairs(
       long(reps).alias("a")
-        .join(long(ib).alias("b"),
+        .join(long(repsB).alias("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
         .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b"),
-      Some(members), None)
+      Some(members), Some(membersB))
     val ham = (0 until 4).map(k =>
       bit_count(element_at(col("__ba"), k + 1)
         .bitwiseXOR(element_at(col("__bb"), k + 1)))).reduce(_ + _)

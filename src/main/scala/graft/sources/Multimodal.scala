@@ -709,10 +709,10 @@ object Multimodal {
     val spark = shard.sparkSession
     val ck = graft.api.TextDedup.ckptFn(spark, checkpointDir)
     // cross core shared with the md5-SimHash index screen
-    // (TextDedup.bandedHammingCrossPairs): hot-bucket guard on the
-    // SHARD side only — the accept-screen discipline keeps the index
-    // free of identical hashes (a shard doc whose dHash already exists
-    // in the index is a hamming-0 near-dup, dropped before append)
+    // (TextDedup.bandedHammingCrossPairs): hot-bucket guard on BOTH
+    // sides (r11) — the accept-screen discipline keeps a live index
+    // free of identical hashes, but the guard no longer relies on
+    // callers honoring that precondition
     graft.api.TextDedup.bandedHammingCrossPairs(
       ck(shard.select(id.as("__id"), dhashBands(pixels).as("__bd"))),
       spark.read.parquet(s"$path/bands"), maxDist)
