@@ -74,10 +74,15 @@ object Bpe {
     * vocab. Rounds truncate lineage with the house generation-release
     * discipline (the replace chain is linear, but analysis cost grows
     * with it). Returns the learned merge list in order. */
-  def train(docs: DataFrame, text: Column, nMerges: Int): Seq[(String, String)] = {
-    var vocab = wordFreq(docs, text)
-      .select(wrapChars(col("word")).as("sym"), col("w_n"))
-      .localCheckpoint()
+  def train(docs: DataFrame, text: Column, nMerges: Int): Seq[(String, String)] =
+    trainFromVocab(wordFreq(docs, text)
+      .select(wrapChars(col("word")).as("sym"), col("w_n")), nMerges)
+
+  /** [[train]] from a pre-built segmented vocabulary (sym, w_n) — the
+    * entry point when the caller already paid the wordFreq shuffle (and
+    * wants to reuse it for the encode side, e.g. llm_bpe_encode). */
+  def trainFromVocab(vocab0: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var vocab = vocab0.localCheckpoint()
     var prevGen = TextDedup.checkpointRdd(vocab)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0

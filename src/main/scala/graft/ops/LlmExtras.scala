@@ -43,6 +43,11 @@ object LlmExtras {
   private val ChunkWidth = 16
   private val ChunkStep = 12
 
+  /** Merge-count for the llm_bpe_train / llm_bpe_encode keys — one
+    * definition feeding the Spark loop AND the generated N-step oracle
+    * CTE, so the two engines replay the identical training run. */
+  private val BpeTrainMerges = 8
+
   /** NFC composition (JDK Normalizer) — the one text-cleaning step with
     * no Spark built-in; NULL-safe. */
   private val nfcUdf = udf((t: String) =>
@@ -664,6 +669,43 @@ object LlmExtras {
         .limit(20)
     }),
 
+    // the FULL bounded-iteration BPE train loop as a declared key (r11):
+    // graft.api.Bpe.train driver-loops the oracle-checked single step —
+    // per round ONE vocab-sized pairCounts job, a 1-row argmax collect
+    // (the deterministic n-then-pair rule), a literal-replace rewrite,
+    // generation-release checkpointing. Output = the learned merge TABLE
+    // in training order, which IS a BPE tokenizer's entire semantics;
+    // the DuckDB oracle replays the identical 8 merges as a chained CTE.
+    // Scale shape: the corpus collapses to its word-frequency vocabulary
+    // before round 1 (the one corpus-sized shuffle — Heaps-bounded), so
+    // the loop runs on a broadcastable frame at any corpus size.
+    "llm_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      graft.api.Bpe.train(documents(s, d), col("text"), BpeTrainMerges)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "a", "b")
+    }),
+
+    // the ENCODE side under the trained model (r11): the word vocabulary
+    // re-segmented by the 8 learned merges applied in training order —
+    // train→encode as one declarative chain. Segmentation runs per
+    // DISTINCT word (Heaps-bounded, map-side literal replaces); the
+    // corpus never re-enters after the one wordFreq shuffle, which is
+    // pinned because it feeds BOTH the train loop and the encode walk.
+    "llm_bpe_encode" -> ((s, d) => {
+      val wf = graft.api.Bpe.wordFreq(documents(s, d), col("text"))
+        .localCheckpoint()
+      val vocab = wf.select(
+        graft.api.Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+      val merges = graft.api.Bpe.trainFromVocab(vocab, BpeTrainMerges)
+      graft.api.Bpe.segment(wf, col("word"), merges)
+        .select(col("word"), col("w_n"),
+          size(col("tokens")).cast("int").as("n_tokens"),
+          concat_ws("|", col("tokens")).as("seg"))
+        .orderBy("word")
+    }),
+
     // one full unigram-LM EM round as ONE declarative plan (graft.api.
     // Unigram — the SentencePiece-style tokenizer next to BPE): seed
     // piece inventory = all ≤4-char substrings of the vocabulary with
@@ -1269,6 +1311,31 @@ object LlmExtras {
        |    WHERE len(tk) > 1) p0
        |  GROUP BY pair""".stripMargin
 
+  /** Chained N-merge BPE training CTEs (DuckDB twin of Bpe.train):
+    * segw0 = the paren-wrapped vocabulary WITH the word column kept (the
+    * encode oracle needs word → final segmentation), then per round k:
+    * pc_k = weighted pair counts over segw_{k-1}, t_k = the argmax merge
+    * under the n-DESC-then-pair rule (exactly Bpe.train's collect), and
+    * segw_k = the literal non-overlapping replace. Callers project the
+    * merge picks (train oracle) or the final segmentation (encode
+    * oracle) off the same chain. */
+  private def bpeTrainCte(n: Int): String = {
+    val steps = (1 to n).map { k =>
+      s"""pc$k AS (${bpePcSql(s"segw${k - 1}")}),
+         |t$k AS (SELECT string_split(pair, ' ')[1] AS a,
+         |    string_split(pair, ' ')[2] AS b
+         |  FROM pc$k ORDER BY n DESC, pair LIMIT 1),
+         |segw$k AS (SELECT word, replace(sym, '(' || a || ')(' || b || ')',
+         |    '(' || a || b || ')') AS sym, w_n FROM segw${k - 1}, t$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$bpeCte,
+       |segw0 AS (SELECT word, array_to_string(list_transform(
+       |    string_split_regex(word, ''), c -> '(' || c || ')'), '') AS sym,
+       |    w_n FROM wf),
+       |$steps""".stripMargin
+  }
+
   /** WordPiece scored-pairs CTE body over a segmentation CTE (sym, w_n):
     * pair counts joined to per-symbol counts, score = (n/c_a)/c_b — the
     * same two chained IEEE divisions the Spark side computes. */
@@ -1853,6 +1920,24 @@ object LlmExtras {
          |    '(' || a || b || ')') AS sym, w_n FROM seg, top1),
          |pc2 AS (${bpePcSql("seg2")})
          |SELECT pair, n FROM pc2 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // full train loop: the N merge picks in training order — the chained
+    // CTE replays Bpe.train's argmax-rewrite rounds exactly
+    "llm_bpe_train" ->
+      s"""WITH ${bpeTrainCte(BpeTrainMerges)}
+         |${(1 to BpeTrainMerges).map(k =>
+              s"SELECT CAST(${k - 1} AS INT) AS rank, a, b FROM t$k")
+             .mkString("\n UNION ALL ")}
+         |ORDER BY rank""".stripMargin,
+    // encode side: the vocabulary's final segmentation under the N
+    // trained merges (same chain, last segw projected)
+    "llm_bpe_encode" ->
+      s"""WITH ${bpeTrainCte(BpeTrainMerges)}
+         |SELECT word, w_n,
+         |  CAST(len(string_split(substr(sym, 2, length(sym) - 2), ')('))
+         |    AS INT) AS n_tokens,
+         |  array_to_string(string_split(substr(sym, 2, length(sym) - 2),
+         |    ')('), '|') AS seg
+         |FROM segw$BpeTrainMerges ORDER BY word""".stripMargin,
     // unigram EM twin: the Viterbi DP is a recursive CTE building the
     // same packed combined = cost×100 + split array the Spark fold
     // builds (integer min ≡ cost argmin + smallest-split tie-break),

@@ -1285,6 +1285,32 @@ class ApiSpec extends AnyFunSuite {
     val lowTokens = seg.find(_.getString(0) == "low").get.getSeq[String](1)
     assert(lowTokens == Seq("low"),
       s"'low' (freq 3 with every prefix merged) split as $lowTokens")
+
+    // round-trip pin (r11): writeModel → readModel preserves the merge
+    // LIST (order included — it is the tokenizer's semantics), and
+    // segmenting under the reloaded model is bit-identical to segmenting
+    // under the in-memory one
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-model").resolve("m").toString
+    Bpe.writeModel(spark, merges, mdir)
+    val reloaded = Bpe.readModel(spark, mdir)
+    assert(reloaded == merges,
+      s"model round-trip changed the merges: $reloaded != $merges")
+    val words2 = Seq("low", "lowest", "news", "newer").toDF("w")
+    val a = Bpe.segment(words2, col("w"), merges)
+      .select("w", "tokens").collect().map(r =>
+        r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = Bpe.segment(words2, col("w"), reloaded)
+      .select("w", "tokens").collect().map(r =>
+        r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a == b, s"segment diverged under the reloaded model: $a != $b")
+
+    // trainFromVocab (the llm_bpe_encode path) is the same loop: training
+    // from the pre-built vocabulary yields the identical merge list
+    val vocab = Bpe.wordFreq(docs, col("txt"))
+      .select(Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+    assert(Bpe.trainFromVocab(vocab, 6) == merges,
+      "trainFromVocab diverged from train on the same corpus")
   }
 
   test("Wordpiece.train matches a pure-Scala likelihood-argmax reference; " +
