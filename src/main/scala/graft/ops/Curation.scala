@@ -582,6 +582,24 @@ object Curation {
         .dedupSubstrings(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // suffix-array EXACT substring dedup (r11) — the published standard
+    // (Lee et al. 2022) the window/block-hash family approximates:
+    // distributed Manber–Myers prefix-doubling ranks + the overlapping-
+    // windows equality trick, NO hashing anywhere (rank classes are
+    // equality-exact at any corpus size, labeled by min packed
+    // occurrence id). Output = per doc the MAXIMAL token ranges covered
+    // by a ≥12-token run occurring ≥2 times corpus-wide — exact span
+    // boundaries, where llm_dedup_substring reports window-quantized
+    // stats and llm_dup_chunk_frac misses misaligned repeats entirely
+    // (planted-span pin in ApiSpec). Oracle: literal 12-gram grouping +
+    // the same session merge — provably the same set by the covering
+    // argument (SuffixArray scaladoc).
+    "llm_dedup_substring_sa" -> ((s, d) =>
+      graft.api.SuffixArray
+        .duplicateSpans(documents(s, d), col("doc_id"), col("text"),
+          minLen = 12)
+        .orderBy("doc_id", "span_start")),
+
     // CCNet-style LINE (paragraph) dedup stats
     // (graft.api.TextDedup.lineStats) over the fixture reshaped into
     // 10-token lines: a line is dup when its lower+trim-normalized text
@@ -1822,6 +1840,36 @@ object Curation {
         |       ELSE r.max_run + 7 END AS BIGINT) AS max_dup_span_tokens
         |FROM agg a LEFT JOIN rmax r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // suffix-array exact spans: the oracle needs no suffix array — by the
+    // covering argument a position is covered iff some literal 12-gram
+    // containing it repeats, so literal-gram grouping + the same session
+    // merge reproduces the Spark side's rank-class result exactly
+    "llm_dedup_substring_sa" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(1, len(tk) - 10)) AS pos,
+        |    unnest(list_transform(range(1, len(tk) - 10),
+        |      i -> array_to_string(tk[i:i+11], ' '))) AS gram
+        |  FROM tk WHERE len(tk) >= 12),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS c
+        |    FROM w) d0
+        |  WHERE c > 1),
+        |runs AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (
+        |        PARTITION BY doc_id ORDER BY pos) <= 12
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM dup),
+        |isl AS (SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM runs)
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+        |  CAST(MAX(pos) + 11 AS INT) AS span_end,
+        |  CAST(MAX(pos) + 12 - MIN(pos) AS INT) AS span_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin,
     "llm_dedup_substring_apply" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
         |  FROM documents),

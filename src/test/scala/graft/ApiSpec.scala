@@ -1460,6 +1460,75 @@ class ApiSpec extends AnyFunSuite {
     assert(roll(2L) == ((9L, 3L, 3L, 10L)), s"doc 2: ${roll(2L)}")
   }
 
+  test("SuffixArray.duplicateSpans reports EXACT span boundaries for a " +
+      "misaligned planted repeat that dupChunkFrac misses") {
+    import graft.api.SuffixArray
+    // a 13-token run R planted at offset 5 in doc 1 and offset 2 in
+    // doc 2 — misaligned with every disjoint 8-token chunk grid, so
+    // block dedup sees nothing; the suffix-array spans must come back
+    // with exact [start, end] token bounds on both sides
+    val r = (1 to 13).map(i => s"r$i").mkString(" ")
+    val a = s"fa1 fa2 fa3 fa4 $r fa5 fa6 fa7"
+    val b = s"gb1 $r gb2 gb3 gb4 gb5 gb6 gb7"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "body")
+    val chunk = TextDedup.dupChunkFrac(df, col("id"), col("body"))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(chunk.values.forall(_ == 0L),
+      s"disjoint chunks unexpectedly matched: $chunk")
+    val spans = SuffixArray
+      .duplicateSpans(df, col("id"), col("body"), minLen = 12)
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
+        x.getLong(4))).toSet
+    // 13-token repeat, L=12: two duplicated window starts per side,
+    // chaining into one exact span of 13 tokens
+    assert(spans == Set((1L, 5, 17, 13, 2L), (2L, 2, 14, 13, 2L)),
+      s"got $spans")
+  }
+
+  test("SuffixArray.duplicateSpans matches a literal-gram pure-Scala " +
+      "reference on a repeat-dense corpus (tail and no-tail widths)") {
+    import graft.api.SuffixArray
+    // small alphabet → dense repeats at every alignment, in-doc and
+    // cross-doc, runs that chain and runs that touch doc edges
+    val docs = Seq(
+      (10L, "a b a b a b c d e a b c"),
+      (11L, "b a b a b c d e a b c d"),
+      (12L, "c d e a b c a b a b a b"),
+      (13L, "x y z w v u t s q p o n"),
+      (14L, "a b"),
+      (15L, ""))
+    val df = docs.toDF("id", "body")
+
+    def refSpans(l: Int): Set[(Long, Int, Int, Int, Long)] = {
+      val pos = docs.flatMap { case (id, t) =>
+        val tk = t.split(" ", -1)
+        (1 to tk.length - l + 1).map(p =>
+          (id, p, tk.slice(p - 1, p - 1 + l).mkString(" ")))
+      }
+      val n = pos.groupBy(_._3).view.mapValues(_.size).toMap
+      pos.filter(p => n(p._3) > 1).groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val runs = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (cur :: rest), p) if p - cur.head <= l =>
+            (p :: cur) :: rest
+          case (acc, p) => List(p) :: acc
+        }
+        runs.map(run => (id, run.last, run.head + l - 1,
+          run.head + l - run.last, run.size.toLong))
+      }.toSet
+    }
+
+    for (l <- Seq(3, 4)) { // 3: doubling stops at 2 + tail 1; 4: exact pow2
+      val got = SuffixArray
+        .duplicateSpans(df, col("id"), col("body"), minLen = l)
+        .collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
+          x.getLong(4))).toSet
+      assert(got == refSpans(l), s"minLen=$l: $got != ${refSpans(l)}")
+    }
+  }
+
   test("TextDedup line family: stats, keep-first dedup with original " +
       "spelling, boilerplate report + strip, blank-line handling") {
     // normalized "shared footer" occurs 4× across 3 distinct docs (case
