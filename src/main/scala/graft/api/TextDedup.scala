@@ -1065,6 +1065,12 @@ object TextDedup {
       case _ => None
     }
 
+  /** Release the persisted RDD behind a localCheckpoint result — the
+    * generation-release step exposed for callers outside the api package
+    * (the streaming twins pin each micro-batch and must drop it after). */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
   /** 64-bit SimHash signature per row (one-pass native expression). */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),

@@ -423,6 +423,65 @@ object Streaming {
           countsPath))
     }
 
+  /** Streaming twin of `Overlap.runningSum` (r11) — the global-order
+    * cumulative sum continued across micro-batches: each batch runs the
+    * BATCH engine verbatim (bucket + two-phase prefix sum, no
+    * single-partition window anywhere), shifted by the persisted running
+    * offset of everything before it; the offset then advances by the
+    * batch total. The one-row offset frame is the only state — the
+    * index-file discipline of the dedup twins applied to an aggregate
+    * (zero state store; `offsetPath` is rewritten once per batch, AFTER
+    * emit, so a failed batch retries from the old offset — at-least-once
+    * emit, never a double-advanced sum). Correct under the family's
+    * standard cadence contract: batches arrive in global `order` (every
+    * row of batch b+1 follows every row of batch b — a time-ordered
+    * ingest); rows violating the cadence are the ingest's bug, exactly
+    * as late lines are for the line-dedup twin. `value` must be an EXACT
+    * (decimal/integral) expression — the runningSum contract, and what
+    * makes offset addition order-free. Multi-batch ≡ batch-union pinned
+    * in StreamingSpec. */
+  def twinRunningSum(stream: DataFrame,
+      bucketKey: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column],
+      value: org.apache.spark.sql.Column, out: String, offsetPath: String)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val oPath = new org.apache.hadoop.fs.Path(offsetPath)
+        val fs = oPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // the exact batch total and the emitted shift both need the
+        // batch twice — pin once (micro-batch-sized)
+        val pinned = batch.localCheckpoint()
+        val summed = graft.api.Overlap.runningSum(pinned, bucketKey,
+          order, value, out)
+        val sumType = summed.schema(out).dataType
+        val prior: Any =
+          if (fs.exists(oPath))
+            spark.read.parquet(offsetPath).collect()(0).get(0)
+          else null
+        // cast the shift back to the batch engine's output type: decimal
+        // addition re-narrows scale at max precision, and the twin's
+        // contract is BIT-identity with the batch-union result
+        val shifted =
+          if (prior == null) summed
+          else summed.withColumn(out,
+            (col(out) + lit(prior).cast(sumType)).cast(sumType))
+        emit(shifted)
+        // advance the offset LAST (see scaladoc): new = prior + batch sum
+        val batchTotal = pinned.agg(sum(value).cast(sumType)).collect()(0)
+        val newTotal: DataFrame = spark.range(1).select(
+          (coalesce(lit(prior).cast(sumType), lit(0).cast(sumType)) +
+            coalesce(lit(batchTotal.get(0)).cast(sumType),
+              lit(0).cast(sumType))).as("running_total"))
+        newTotal.coalesce(1).write.mode("overwrite").parquet(offsetPath)
+        // release the per-batch pin (generation discipline — a long
+        // stream would otherwise accumulate one persisted RDD per batch)
+        graft.api.TextDedup.releaseCheckpoint(pinned)
+    }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

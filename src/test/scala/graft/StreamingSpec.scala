@@ -667,4 +667,47 @@ class StreamingSpec extends AnyFunSuite {
         s"expected page 1 kept, page 2 blocklist-dropped: $batch")
     } finally q.stop()
   }
+
+  test("twinRunningSum: three time-ordered micro-batches emit the exact " +
+      "batch-union running sum (persisted offset frame, no state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (id, ts, amount): amounts as exact DECIMAL cents; batches arrive
+    // in global ts order — the family's cadence contract
+    val mkRows = (b: Int) => (1 to 40).map { i =>
+      (b * 100L + i, b * 1000L + i * 7L,
+        new java.math.BigDecimal(s"${(i * 13 + b) % 97}.${i % 100}"))
+    }
+    val batches = Seq(mkRows(0), mkRows(1), mkRows(2))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-runsum-stream").resolve("off").toString
+    val in = MemoryStream[(Long, Long, java.math.BigDecimal)]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.math.BigDecimal)]
+    val q = Streaming.twinRunningSum(
+        in.toDF.toDF("id", "ts", "amount"), col("ts"),
+        Seq(col("ts"), col("id")), col("amount"), "running", dir) {
+      out => emitted.synchronized {
+        emitted ++= out.select("id", "running").collect()
+          .map(r => r.getLong(0) -> r.getDecimal(1))
+      }
+    }.start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = emitted.synchronized(emitted.toMap)
+      val batchUnion = graft.api.Overlap.runningSum(
+          batches.flatten.toDF("id", "ts", "amount"), col("ts"),
+          Seq(col("ts"), col("id")), col("amount"), "running")
+        .select("id", "running").collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      assert(streamed.size == 120 && streamed == batchUnion,
+        s"stream/batch running-sum divergence (n=${streamed.size})")
+      // the persisted offset equals the grand total — the state a NEXT
+      // session would resume from
+      val off = spark.read.parquet(dir).collect()(0).getDecimal(0)
+      val grand = batchUnion.values.maxBy(_.doubleValue)
+      assert(off.compareTo(grand) == 0,
+        s"offset $off != grand total $grand")
+    } finally q.stop()
+  }
 }
