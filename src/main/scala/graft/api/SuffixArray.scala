@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,46 +23,60 @@ import org.apache.spark.sql.functions._
   *
   * HOW, Spark-first: the prefix-doubling rank rounds of Manber–Myers
   * suffix-array construction (the standard distributed SA recipe — each
-  * round is one equality-relabel pass), stopped at width 2^m ≤ L and
-  * finished with the overlapping-windows trick (tokens[p..p+L) ≡
-  * tokens[q..q+L) ⟺ rank_m[p] = rank_m[q] ∧ rank_m[p+L-2^m] =
-  * rank_m[q+L-2^m]) — the suffix ORDER is never needed for dedup, only
-  * the equality classes, so the final sort of a full SA build is skipped
-  * and rank ids can be any injective labels:
+  * round is one equality-relabel pass), stopped at width 2^m ≤ L/2 and
+  * finished with the overlapping-blocks trick (tokens[p..p+L) ≡
+  * tokens[q..q+L) ⟺ the 2–4 rank_m blocks tiling [0, L) agree) — the
+  * suffix ORDER is never needed for dedup, only the equality classes, so
+  * the final sort of a full SA build is skipped and rank ids can be any
+  * injective labels:
   *
   *  1. token lattice (doc, pos, token) — the one corpus-sized explode;
-  *  2. rank_1 = each token's equality class, labeled by the class's
-  *     minimum packed occurrence id (min over doc·10⁶+pos — the
-  *     guarded house packing; a map-side-combinable groupBy + an
-  *     AQE-skew-safe equi-join back, the default spelling because
-  *     frequent tokens ARE heavy hitters);
+  *  2. rank_2 = each raw token 2-gram's equality class, labeled by the
+  *     class's minimum packed occurrence id (min over doc·10⁶+pos — the
+  *     guarded house packing, overflow/null raising INSIDE the aggregate
+  *     so no separate driver-side guard job; a map-side-combinable
+  *     groupBy + an AQE-skew-safe equi-join back, the default spelling
+  *     because frequent grams ARE heavy hitters). Starting from the
+  *     2-gram skips a whole rank_1 round for a slightly wider first key;
   *  3. doubling rounds: rank_{2k}[p] = class of (rank_k[p],
   *     rank_k[p+k]), the neighbor fetched with a doc-partitioned lead
-  *     window (docs are row-bounded; no global window anywhere), same
-  *     relabel; localCheckpoint + generation release per round (the
-  *     iterative-plan discipline);
+  *     window (docs are row-bounded; no global window anywhere). Each
+  *     relabel input is PINNED with generation release: the class
+  *     groupBy's exchange carries partial-agg rows while the join
+  *     probe's carries raw rows, so the two exchanges never unify and an
+  *     unpinned chain re-executes its whole subtree per round
+  *     (2^rounds corpus scans at 100 TB);
   *  4. dup mask: L-window starts (pos+L-1 ≤ doc length) grouped by the
-  *     overlapping rank pair; classes with ≥ 2 members mark their
-  *     positions via a semi join (again groupBy + join, skew-safe — a
+  *     block rank key; classes with ≥ 2 members mark their positions via
+  *     a semi join (same two-sided exchange-reuse shape, skew-safe — a
   *     boilerplate 12-gram repeated 10⁶ times stays partial-agg'd);
   *  5. spans: per doc, duplicated starts within L of each other chain
   *     into one covered run (session window over the doc) —
   *     [min start, max start + L - 1], the maximal covered ranges.
   *
-  * Scale shape at 100 TB: ⌈log₂ L⌉ relabel rounds, each two shuffles of
-  * the narrow (doc, pos, rank) lattice — no text ever re-shuffles after
-  * the explode, no sampling, no per-shard approximation, and every
-  * window is doc- or class-partitioned. `parts` sizes the relabel
-  * shuffles; raise it with the corpus.
+  * Scale shape at 100 TB: ⌈log₂(L/2)⌉ relabel rounds, each two shuffles
+  * of the narrow (doc, pos, rank) lattice — no text ever re-shuffles
+  * after the explode, no sampling, no per-shard approximation, and every
+  * window is doc- or class-partitioned.
   */
 object SuffixArray {
 
   private val PackWidth = 1000000L
 
-  /** Injective packed occurrence id — the house doc·10⁶+pos packing,
-    * guarded by [[duplicateSpans]]'s one-time max-pos/doc check. */
+  /** Injective packed occurrence id — the house doc·10⁶+pos packing.
+    * The guard RIDES the expression (raise_error branch, codegen'd):
+    * no separate driver-side guard job, and a violating corpus fails
+    * the first action with a clear message. */
   private def packed(doc: Column, pos: Column): Column =
-    doc.cast("long") * PackWidth + pos
+    when(doc.isNull, raise_error(lit(
+        "SuffixArray: NULL doc id has no place in the position packing " +
+          "— filter or impute upstream")))
+      .when(pos >= PackWidth || doc.cast("long") >= Long.MaxValue / PackWidth
+          || doc.cast("long") <= -(Long.MaxValue / PackWidth),
+        raise_error(concat(lit("SuffixArray: occurrence (doc="), doc,
+          lit(s", pos="), pos,
+          lit(s") overflows the doc*$PackWidth+pos packing"))))
+      .otherwise(doc.cast("long") * PackWidth + pos)
 
   /** Label each distinct (a, b) pair with its class's minimum packed
     * occurrence id — an EXACT equality relabel (no hashing): one
@@ -83,85 +97,92 @@ object SuffixArray {
     * coverage merged). Tokens = the house single-space split, positions
     * 1-based. Output: (doc_id, span_start, span_end, span_tokens,
     * n_dup_windows) — span bounds inclusive token positions,
-    * n_dup_windows the duplicated L-window starts inside the run. */
+    * n_dup_windows the duplicated L-window starts inside the run.
+    * `checkpointDir` routes the every-third-round tree pins to reliable
+    * storage on a real cluster (see TextDedup.ckptFn). */
   def duplicateSpans(docs: DataFrame, id: Column, text: Column,
       minLen: Int = 12, checkpointDir: Option[String] = None): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val spark = docs.sparkSession
-    val ckpt = TextDedup.ckptFn(spark, checkpointDir)
+    val ckpt = TextDedup.ckptFn(docs.sparkSession, checkpointDir)
 
-    // token lattice — the one corpus-sized explode; pinned: it feeds the
-    // guard aggregate, the rank-1 relabel, and (via doc length) the
-    // final window filter
-    val lattice0 = docs
-      .select(id.as("doc"), posexplode(split(text, " ")).as(Seq("p0", "tok")))
-      .select(col("doc"), (col("p0") + 1).cast("int").as("pos"), col("tok"))
-    val lattice = ckpt(lattice0)
-    var prevGen = TextDedup.checkpointRdd(lattice)
-
-    val guard = lattice.agg(max(col("pos")), max(abs(col("doc"))),
-      count(when(col("doc").isNull, 1))).collect()(0)
-    if (guard.isNullAt(0)) {
-      prevGen.foreach(_.unpersist(blocking = false))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        duplicateSpansSchema)
-    }
-    require(guard.getLong(2) == 0, "SuffixArray: NULL doc id")
-    require(guard.getInt(0) < PackWidth,
-      s"SuffixArray: document of ${guard.getInt(0)} tokens exceeds the " +
-        s"packed-id width $PackWidth — raise PackWidth")
-    require(guard.getLong(1) < Long.MaxValue / PackWidth,
-      "SuffixArray: doc id overflows the packed occurrence id")
+    // token lattice — the one corpus-sized explode; doc length carried
+    // from the split so no later length window is needed
+    val lattice = docs
+      .select(id.as("doc"), split(text, " ").as("__tk"))
+      .select(col("doc"), size(col("__tk")).as("__len"),
+        posexplode(col("__tk")).as(Seq("p0", "tok")))
+      .select(col("doc"), col("__len"),
+        (col("p0") + 1).cast("int").as("pos"), col("tok"))
 
     val byDoc = Window.partitionBy("doc").orderBy("pos")
+    // lead sentinel: packed ids can be NEGATIVE (a negative doc id), so
+    // -1 could collide with a real class label (doc=-1, pos=999999 packs
+    // to exactly -1); Long.MinValue is unreachable under the overflow
+    // guard in [[packed]]
+    val Sent = Long.MinValue
 
-    // rank_1: token equality classes
-    var ranked = ckpt(relabel(
-      lattice.withColumn("__one", lit(1)), "tok", "__one", "doc", "pos",
-      "rank"))
-    var gen = TextDedup.checkpointRdd(ranked)
-    prevGen.foreach(_.unpersist(blocking = false))
-    prevGen = gen
+    // rank_2 straight from the raw token 2-gram — skips a whole rank_1
+    // relabel round at the cost of a two-short-strings first key (the
+    // md5-key scale the hash family ships); the "t"/"$" marking keeps
+    // the end-of-doc sentinel provably disjoint from every real token.
+    // Each relabel input is PINNED (localCheckpoint + generation
+    // release): the relabel consumes it twice — the class groupBy's
+    // exchange carries PARTIAL-AGG rows while the join probe's carries
+    // raw rows, so the two exchanges never unify and an unpinned chain
+    // re-executes its whole subtree per round (2^rounds corpus scans at
+    // 100 TB — measured as duplicated stages at sf0.1 too).
+    val g0 = ckpt(lattice
+      .withColumn("__nl", lead(col("tok"), 1).over(byDoc))
+      .withColumn("__nxt", when(col("__nl").isNull, lit("$"))
+        .otherwise(concat(lit("t"), col("__nl"))))
+      .drop("__nl"))
+    var prevGen = TextDedup.checkpointRdd(g0)
+    var ranked = relabel(g0, "tok", "__nxt", "doc", "pos", "rank")
 
-    // doubling rounds to the largest power of two ≤ minLen
-    var k = 1
-    while (k * 2 <= minLen) {
-      val next = ranked
-        .withColumn("__nxt", coalesce(lead(col("rank"), k).over(byDoc),
-          lit(-1L)))
-      ranked = ckpt(relabel(next, "rank", "__nxt", "doc", "pos", "rank"))
-      gen = TextDedup.checkpointRdd(ranked)
+    // double to the largest power of two ≤ minLen/2, then finish with a
+    // BLOCK key (≤4 rank columns tiling the L-window: offsets 0, k, …,
+    // L-k) — one fewer relabel round than doubling all the way to ≤ L,
+    // at ≤ 32 bytes of key
+    var k = 2
+    while (k * 4 <= minLen) {
+      val next = ckpt(ranked.withColumn("__nxt",
+        coalesce(lead(col("rank"), k).over(byDoc), lit(Sent))))
+      val gen = TextDedup.checkpointRdd(next)
       prevGen.foreach(_.unpersist(blocking = false))
       prevGen = gen
+      ranked = relabel(next, "rank", "__nxt", "doc", "pos", "rank")
       k *= 2
     }
 
-    // overlapping-windows key for exact L-token equality: (rank_m[p],
-    // rank_m[p + L - m]); only positions whose L-window fits the doc
-    val tail = minLen - k
-    val wins = ranked
-      .withColumn("__r2",
-        if (tail == 0) col("rank")
-        else coalesce(lead(col("rank"), tail).over(byDoc), lit(-1L)))
-      .withColumn("__len", max(col("pos")).over(Window.partitionBy("doc")))
+    // block offsets tiling [0, L): multiples of k, plus the final L-k
+    // overlap block; equality of all blocks ⟺ exact L-token equality
+    val offsets = ((0 until (minLen - k) by k) :+ (minLen - k)).distinct
+    val blockCols = offsets.zipWithIndex.map { case (off, i) =>
+      (if (off == 0) col("rank")
+       else coalesce(lead(col("rank"), off).over(byDoc), lit(Sent)))
+        .as(s"__b$i")
+    }
+    val blockNames = offsets.indices.map(i => s"__b$i")
+    // pinned: the dup-class detection consumes wins twice (same
+    // partial-agg-vs-raw exchange split as relabel)
+    val wins = ckpt(ranked
+      .select(col("doc") +: col("pos") +: col("__len") +: blockCols: _*)
       .filter(col("pos") + minLen - 1 <= col("__len"))
-      .select(col("doc"), col("pos"), col("rank"), col("__r2"))
-    val pinnedWins = ckpt(wins)
-    gen = TextDedup.checkpointRdd(pinnedWins)
+      .select(col("doc") +: col("pos") +: blockNames.map(col): _*))
     prevGen.foreach(_.unpersist(blocking = false))
-    prevGen = gen
+    // the wins pin stays alive under the returned plan; Verify/Bench
+    // drain persistent RDDs between queries (the house rule for
+    // iterative ops)
 
     // duplicated window starts: classes with ≥2 members, semi-joined back
-    val dupClasses = pinnedWins.groupBy("rank", "__r2")
+    val dupClasses = wins.groupBy(blockNames.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-    val dupStarts = pinnedWins.join(dupClasses, Seq("rank", "__r2"),
-      "left_semi")
+    val dupStarts = wins.join(dupClasses, blockNames, "left_semi")
 
     // session-merge: starts within L of the previous chain one covered run
     val brk = when(col("pos") - lag(col("pos"), 1).over(byDoc) <= minLen,
       lit(0)).otherwise(lit(1))
-    val out = dupStarts
+    dupStarts
       .withColumn("__brk", brk)
       .withColumn("__isl", sum(col("__brk")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -175,25 +196,5 @@ object SuffixArray {
         (col("span_end") - col("span_start") + 1).cast("int")
           .as("span_tokens"),
         col("n_dup_windows"))
-    val res = out.select("doc_id", "span_start", "span_end", "span_tokens",
-      "n_dup_windows")
-    // the caller orders; release generations only after the plan no
-    // longer needs them is impossible here (lazy) — the final pinned
-    // generation stays alive and Verify/Bench drain persistent RDDs
-    // between queries (the house rule for iterative ops).
-    res
   }
-
-  private def duplicateSpansSchema =
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("span_start",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("span_end",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("span_tokens",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("n_dup_windows",
-        org.apache.spark.sql.types.LongType)))
 }
