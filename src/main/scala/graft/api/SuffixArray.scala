@@ -92,16 +92,13 @@ object SuffixArray {
     df.join(classes, Seq(a, b)).drop(a, b).withColumnRenamed("__sa_cls", out)
   }
 
-  /** Per-document maximal duplicated token ranges (runs of length ≥
-    * `minLen` tokens occurring ≥ 2 times corpus-wide, overlapping
-    * coverage merged). Tokens = the house single-space split, positions
-    * 1-based. Output: (doc_id, span_start, span_end, span_tokens,
-    * n_dup_windows) — span bounds inclusive token positions,
-    * n_dup_windows the duplicated L-window starts inside the run.
-    * `checkpointDir` routes the every-third-round tree pins to reliable
-    * storage on a real cluster (see TextDedup.ckptFn). */
-  def duplicateSpans(docs: DataFrame, id: Column, text: Column,
-      minLen: Int = 12, checkpointDir: Option[String] = None): DataFrame = {
+  /** The shared core: the pinned (doc, pos, __b0..__bN) frame of
+    * L-window starts keyed by their exact equality class (block rank
+    * key), plus the block column names. See the object scaladoc for the
+    * construction. */
+  private def windowClasses(docs: DataFrame, id: Column, text: Column,
+      minLen: Int, checkpointDir: Option[String])
+      : (DataFrame, Seq[String]) = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val ckpt = TextDedup.ckptFn(docs.sparkSession, checkpointDir)
 
@@ -173,6 +170,22 @@ object SuffixArray {
     // the wins pin stays alive under the returned plan; Verify/Bench
     // drain persistent RDDs between queries (the house rule for
     // iterative ops)
+    (wins, blockNames)
+  }
+
+  /** Per-document maximal duplicated token ranges (runs of length ≥
+    * `minLen` tokens occurring ≥ 2 times corpus-wide, overlapping
+    * coverage merged). Tokens = the house single-space split, positions
+    * 1-based. Output: (doc_id, span_start, span_end, span_tokens,
+    * n_dup_windows) — span bounds inclusive token positions,
+    * n_dup_windows the duplicated L-window starts inside the run.
+    * `checkpointDir` routes the per-round pins to reliable storage on a
+    * real cluster (see TextDedup.ckptFn). */
+  def duplicateSpans(docs: DataFrame, id: Column, text: Column,
+      minLen: Int = 12, checkpointDir: Option[String] = None): DataFrame = {
+    val (wins, blockNames) =
+      windowClasses(docs, id, text, minLen, checkpointDir)
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
 
     // duplicated window starts: classes with ≥2 members, semi-joined back
     val dupClasses = wins.groupBy(blockNames.map(col): _*)
@@ -196,5 +209,52 @@ object SuffixArray {
         (col("span_end") - col("span_start") + 1).cast("int")
           .as("span_tokens"),
         col("n_dup_windows"))
+  }
+
+  /** The APPLY transform — Lee et al.'s removal itself: every token
+    * covered by a duplicated ≥ `minLen` run is cut EXCEPT in the
+    * globally-first occurrence of each duplicated window (min packed
+    * doc·10⁶+pos = (doc asc, pos asc) election — deterministic
+    * keep-first, same rule as TextDedup.dedupSubstrings but over exact
+    * rank classes instead of window hashes). Output: (doc_id, n_tokens,
+    * n_kept, text_dedup) — the family's apply shape. The rebuild
+    * re-tokenizes the corpus (one extra scan, the same trade the
+    * window-hash apply makes); canonical election is a
+    * map-side-combinable groupBy on the class key + join-back, skew-safe
+    * for boilerplate heavy hitters. */
+  def dedupSpans(docs: DataFrame, id: Column, text: Column,
+      minLen: Int = 12, checkpointDir: Option[String] = None): DataFrame = {
+    val (wins, blockNames) =
+      windowClasses(docs, id, text, minLen, checkpointDir)
+
+    // non-canonical duplicated starts: class members beyond the min
+    // packed occurrence
+    val canon = wins.groupBy(blockNames.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        min(packed(col("doc"), col("pos"))).as("__cn"))
+      .filter(col("__n") > 1)
+    val flagged = wins.join(canon, blockNames)
+      .filter(packed(col("doc"), col("pos")) =!= col("__cn"))
+      .select(col("doc").as("__fd"), col("pos").as("__fp"))
+
+    // cut covered tokens and rebuild (coverage band as join residual,
+    // per-doc rebuild sorts inside the row — no global sort)
+    val toks = docs.select(id.as("doc_id"), split(text, " ").as("__tk"))
+    val tok = toks
+      .select(col("doc_id"), posexplode(col("__tk")).as(Seq("__p0", "token")))
+      .select(col("doc_id"), (col("__p0") + 1).as("t"), col("token"))
+    val kept = tok.join(flagged,
+      col("doc_id") === col("__fd") && col("t") >= col("__fp") &&
+        col("t") <= col("__fp") + (minLen - 1), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("t"), col("token")))),
+          s => s("token"))).as("text_dedup"))
+    toks.select(col("doc_id"), size(col("__tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 }

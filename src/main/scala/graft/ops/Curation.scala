@@ -600,6 +600,19 @@ object Curation {
           minLen = 12)
         .orderBy("doc_id", "span_start")),
 
+    // the APPLY step of the suffix-array family — Lee et al.'s removal
+    // itself: every token covered by a duplicated ≥12-token run cut
+    // except in the globally-first occurrence of each duplicated window
+    // (min packed doc·10⁶+pos election — the same keep-first rule as
+    // llm_dedup_substring_apply, over exact rank classes instead of md5
+    // window hashes). Oracle: literal 12-gram canon election + the
+    // identical coverage cut.
+    "llm_dedup_substring_sa_apply" -> ((s, d) =>
+      graft.api.SuffixArray
+        .dedupSpans(documents(s, d), col("doc_id"), col("text"),
+          minLen = 12)
+        .orderBy("doc_id")),
+
     // CCNet-style LINE (paragraph) dedup stats
     // (graft.api.TextDedup.lineStats) over the fixture reshaped into
     // 10-token lines: a line is dup when its lower+trim-normalized text
@@ -1870,6 +1883,36 @@ object Curation {
         |  CAST(COUNT(*) AS BIGINT) AS n_dup_windows
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+    // apply twin: literal-gram canon election (min packed occurrence) +
+    // coverage cut — the llm_dedup_substring_apply oracle at width 12
+    // with the gram itself as the class key (no hashing)
+    "llm_dedup_substring_sa_apply" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(1, len(tk) - 10)) AS pos,
+        |    unnest(list_transform(range(1, len(tk) - 10),
+        |      i -> array_to_string(tk[i:i+11], ' '))) AS gram
+        |  FROM tk WHERE len(tk) >= 12),
+        |canon AS (SELECT gram, COUNT(*) AS n_occ,
+        |    MIN(doc_id * 1000000 + pos) AS cn
+        |  FROM w GROUP BY gram),
+        |flg AS (SELECT doc_id, pos FROM w JOIN canon USING (gram)
+        |  WHERE n_occ > 1 AND doc_id * 1000000 + pos != cn),
+        |tok AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS t,
+        |    unnest(tk) AS token FROM tk),
+        |kept AS (SELECT tok.doc_id, t, token FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM flg
+        |    WHERE flg.doc_id = tok.doc_id
+        |      AND tok.t BETWEEN flg.pos AND flg.pos + 11)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(token, ' ' ORDER BY t) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM tk b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "llm_dedup_substring_apply" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, ' ') AS tk
         |  FROM documents),

@@ -1519,13 +1519,61 @@ class ApiSpec extends AnyFunSuite {
       }.toSet
     }
 
-    for (l <- Seq(3, 4)) { // 3: doubling stops at 2 + tail 1; 4: exact pow2
+    // 3: rank_2 + one overlap block (no doubling round); 4: two disjoint
+    // rank_2 blocks — both final-key shapes
+    for (l <- Seq(3, 4)) {
       val got = SuffixArray
         .duplicateSpans(df, col("id"), col("body"), minLen = l)
         .collect()
         .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
           x.getLong(4))).toSet
       assert(got == refSpans(l), s"minLen=$l: $got != ${refSpans(l)}")
+    }
+  }
+
+  test("SuffixArray.dedupSpans keeps the globally-first occurrence and " +
+      "cuts every other covered token, matching a pure-Scala reference") {
+    import graft.api.SuffixArray
+    val docs = Seq(
+      (10L, "a b a b a b c d e a b c"),
+      (11L, "b a b a b c d e a b c d"),
+      (12L, "c d e a b c a b a b a b"),
+      (13L, "x y z w v u t s q p o n"),
+      (14L, "a b"),
+      (15L, ""))
+
+    def refDedup(l: Int): Map[Long, (Long, Long, String)] = {
+      val pos = docs.flatMap { case (id, t) =>
+        val tk = t.split(" ", -1)
+        (1 to tk.length - l + 1).map(p =>
+          (id, p, tk.slice(p - 1, p - 1 + l).mkString(" ")))
+      }
+      val byGram = pos.groupBy(_._3)
+      val flagged = byGram.values.filter(_.size > 1).flatMap { occ =>
+        val cn = occ.map { case (d, p, _) => (d, p) }.min
+        occ.collect { case (d, p, _) if (d, p) != cn => (d, p) }
+      }.toSet
+      docs.map { case (id, t) =>
+        val tk = t.split(" ", -1)
+        val kept = tk.zipWithIndex.collect {
+          case (tok, i0) if !flagged.exists { case (d, p) =>
+            d == id && i0 + 1 >= p && i0 + 1 <= p + l - 1 } => tok
+        }
+        id -> ((tk.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+
+    for (l <- Seq(3, 4)) {
+      val got = SuffixArray
+        .dedupSpans(docs.toDF("id", "body"), col("id"), col("body"),
+          minLen = l)
+        .collect()
+        .map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+      assert(got == refDedup(l), s"minLen=$l: $got != ${refDedup(l)}")
+      // rebuilt tokens concatenate from kept positions only — the first
+      // occurrence of every duplicated run must survive somewhere
+      assert(got.values.map(_._2).sum > 0)
     }
   }
 
