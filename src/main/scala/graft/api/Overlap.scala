@@ -422,6 +422,71 @@ object Overlap {
     * un-partitioned window runs over the TOTALS frame — ≤ `buckets` rows
     * by construction, never the data. `value` must be an EXACT (decimal /
     * integral) expression so group totals are addition-order-free. */
+  /** Exact global DENSE_RANK over `order` (ties welcome — this is the
+    * ranking form where `order` need not be total; equal keys share a
+    * rank) without a single-partition window: within-group dense_rank
+    * plus per-group offsets = prefix sums of per-group distinct-key
+    * counts over the TOTALS frame (≤ `buckets` rows — the only
+    * un-partitioned window), minus a boundary correction where the same
+    * key straddles adjacent groups. The correction is LOAD-BEARING on
+    * the tie-split path: a ties-dominated `order` (e.g. a constant key)
+    * falls back to rank buckets, which legitimately split equal keys
+    * across groups — each straddle re-counts the shared key once, and
+    * the subtraction restores the global rank (pinned on a constant-key
+    * fixture in ApiSpec). On the value-range path equal keys never
+    * split, so the correction is zero there. */
+  def denseRank(df: DataFrame, bucketKey: Column, order: Seq[Column],
+      out: String, buckets: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (grouped, groups) = assignGroups(df, bucketKey, order, buckets, 1,
+      checkpointDir)
+    val key = struct(order: _*)
+    val inGrp = dense_rank().over(
+      Window.partitionBy(Grp).orderBy(order: _*)).cast("long")
+    if (groups <= 1)
+      return grouped.select(df.columns.map(col) :+ inGrp.as(out): _*)
+    val totals = grouped.groupBy(Grp).agg(
+      count_distinct(key).as("__ovl_nd"),
+      min(key).as("__ovl_lo"), max(key).as("__ovl_hi"))
+    val w = Window.orderBy(Grp)
+    val offs = totals.select(col(Grp),
+      (coalesce(sum(col("__ovl_nd")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) -
+        coalesce(sum(when(
+            lag(col("__ovl_hi"), 1).over(w) === col("__ovl_lo"), 1L)
+          .otherwise(0L)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0L))).as("__ovl_off"))
+    grouped.join(broadcast(offs), Grp)
+      .select(df.columns.map(col) :+ (inGrp + col("__ovl_off")).as(out): _*)
+  }
+
+  /** Exact global NTILE(n) over a total `order` without a
+    * single-partition window: the global row_number comes from the
+    * two-phase prefix sum ([[runningSum]] of ones), the total from its
+    * maximum (a bounded scalar — the grouped input is pinned, so the
+    * extra pass is a re-read, not a re-shuffle), and the tile from
+    * Spark/SQL's fill rule spelled in exact integer arithmetic: the
+    * first `total % n` tiles carry ⌈total/n⌉ rows, the rest ⌊total/n⌋. */
+  def ntile(df: DataFrame, bucketKey: Column, order: Seq[Column], n: Int,
+      out: String, buckets: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(n >= 1, s"ntile n must be >= 1, got $n")
+    val rn = runningSum(df, bucketKey, order, lit(1L), "__ovl_rn", buckets,
+      checkpointDir)
+    val tot = rn.agg(max(col("__ovl_rn")).as("__ovl_tot"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn(out, expr(
+        s"""CASE WHEN __ovl_tot IS NULL THEN NULL
+           |WHEN __ovl_rn <= (__ovl_tot % $n) * (__ovl_tot DIV $n + 1)
+           |  THEN (__ovl_rn - 1) DIV (__ovl_tot DIV $n + 1) + 1
+           |ELSE (__ovl_tot % $n) +
+           |  (__ovl_rn - (__ovl_tot % $n) * (__ovl_tot DIV $n + 1) - 1)
+           |    DIV (__ovl_tot DIV $n) + 1
+           |END""".stripMargin).cast("int"))
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+
   def runningSum(df: DataFrame, bucketKey: Column, order: Seq[Column],
       value: Column, out: String, buckets: Int = 64,
       checkpointDir: Option[String] = None): DataFrame = {

@@ -446,6 +446,31 @@ object Windows {
           .as("run_total"))
         .orderBy("event_id")),
 
+    // GLOBAL dense_rank (r11) — the ranking form where ties are the
+    // point: each event's DAY index in the corpus-wide day order,
+    // within-group dense_rank + distinct-count prefix offsets over the
+    // ≤64-row TOTALS frame (Overlap.denseRank scaladoc)
+    "window_dense_rank_global" -> ((s, d) => {
+      val day = expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+      graft.api.Overlap.denseRank(
+          events(s, d).select(col("event_id"), col("ts"))
+            .withColumn("__day", day),
+          col("__day"), Seq(col("__day")), "day_rank")
+        .select(col("event_id"), col("day_rank"))
+        .orderBy("event_id")
+    }),
+
+    // GLOBAL ntile (r11) — 7 balanced corpus-order tiles: two-phase
+    // global row_number + the SQL fill rule in exact integer arithmetic
+    // (Overlap.ntile); no single-partition window at any size
+    "window_ntile_global" -> ((s, d) =>
+      graft.api.Overlap.ntile(
+          events(s, d).select(col("event_id"), col("ts")),
+          unix_micros(col("ts").cast("timestamp")),
+          Seq(col("ts"), col("event_id")), n = 7, "tile7")
+        .select(col("event_id"), col("tile7"))
+        .orderBy("event_id")),
+
     // the GENERAL df.map_overlap(fn, before, after) escape hatch (r11) —
     // an arbitrary Scala function over halo'd, globally-ordered row runs
     // (graft.api.Overlap.mapOverlap): here a centered 5-point WEIGHTED
@@ -732,6 +757,15 @@ object Windows {
     "window_row_number_global" ->
       """SELECT event_id,
         |ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_dense_rank_global" ->
+      """SELECT event_id,
+        |DENSE_RANK() OVER (ORDER BY epoch_us(ts) // 86400000000)
+        |  AS day_rank
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_ntile_global" ->
+      """SELECT event_id,
+        |CAST(NTILE(7) OVER (ORDER BY ts, event_id) AS INT) AS tile7
         |FROM events ORDER BY event_id""".stripMargin,
     "window_rolling_time_global" ->
       """SELECT event_id,

@@ -3058,6 +3058,47 @@ class ApiSpec extends AnyFunSuite {
       "an un-partitioned WindowExec reached the data path")
   }
 
+  test("Overlap.denseRank and Overlap.ntile are bit-identical to the " +
+      "naive global windows; data-path windows stay partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    // dense_rank needs TIES — coarsen ts to the hour so many events
+    // share a key; buckets = 9 forces several merged groups
+    val hour = expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")
+    val withHour = overlapEvents.withColumn("h", hour)
+    val naiveDr = withHour.select(col("event_id"),
+        dense_rank().over(Window.orderBy(col("h"))).cast("long").as("dr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fastDr = graft.api.Overlap.denseRank(withHour, col("h"),
+        Seq(col("h")), "dr", buckets = 9)
+      .select(col("event_id"), col("dr"))
+    val gotDr = fastDr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDr == naiveDr, "denseRank diverged from the naive window")
+    // the only un-partitioned WindowExec must sit on the totals frame
+    // (tiny); the event-sized dense_rank is group-partitioned
+    assert(collectWindows(fastDr).exists(_.partitionSpec.nonEmpty),
+      "expected a group-partitioned data-path window")
+
+    val naiveNt = overlapEvents.select(col("event_id"),
+        ntile(7).over(Window.orderBy(col("ts"), col("event_id")))
+          .as("t")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gotNt = graft.api.Overlap.ntile(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), n = 7, "t", buckets = 9)
+      .select(col("event_id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotNt == naiveNt, "ntile diverged from the naive window")
+
+    // constant-key input: the rank-bucket tie-split keeps both forms
+    // exact with >1 group
+    val const = overlapEvents.withColumn("k", lit(5L))
+    val drConst = graft.api.Overlap.denseRank(const, col("k"),
+        Seq(col("k")), "dr", buckets = 9)
+      .select(col("dr")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(drConst == Seq(1L), s"constant key must rank 1 everywhere: " +
+      s"$drConst")
+  }
+
   test("Overlap.rollingRows lag/lead frames match naive shift at every " +
       "group boundary") {
     import org.apache.spark.sql.expressions.Window
