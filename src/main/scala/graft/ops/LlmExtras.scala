@@ -706,6 +706,36 @@ object LlmExtras {
         .orderBy("word")
     }),
 
+    // FERTILITY under the trained BPE (r11) — the chain's end cap
+    // (train → encode → fertility): pieces per word instance per source,
+    // the number that prices a tokenizer refit against each slice. The
+    // unigram twin (llm_tokenizer_fertility) audits the seed model; this
+    // audits the FITTED one. Segmentation stays per DISTINCT word; the
+    // per-(source, word) instance counts are the only corpus-sized
+    // aggregate; fertility is one IEEE divide of exact longs.
+    "llm_bpe_fertility" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wf = graft.api.Bpe.wordFreq(docs, col("text"))
+        .localCheckpoint()
+      val vocab = wf.select(
+        graft.api.Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+      val merges = graft.api.Bpe.trainFromVocab(vocab, BpeTrainMerges)
+      val bySource = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[A-Za-z]+$"))
+        .groupBy("source", "word").agg(count(lit(1)).as("__n"))
+      val pieces = graft.api.Bpe.segment(wf.select("word"), col("word"),
+          merges)
+        .select(col("word"), size(col("tokens")).cast("long").as("__np"))
+      bySource.join(pieces, "word")
+        .groupBy("source")
+        .agg(sum(col("__n")).as("n_words"),
+          sum(col("__n") * col("__np")).as("n_pieces"))
+        .withColumn("fertility",
+          col("n_pieces").cast("double") / col("n_words"))
+        .orderBy("source")
+    }),
+
     // one full unigram-LM EM round as ONE declarative plan (graft.api.
     // Unigram — the SentencePiece-style tokenizer next to BPE): seed
     // piece inventory = all ≤4-char substrings of the vocabulary with
@@ -1938,6 +1968,25 @@ object LlmExtras {
          |  array_to_string(string_split(substr(sym, 2, length(sym) - 2),
          |    ')('), '|') AS seg
          |FROM segw$BpeTrainMerges ORDER BY word""".stripMargin,
+    // fertility under the trained model: per-(source, word) instance
+    // counts joined to the final segmentation's piece counts
+    "llm_bpe_fertility" ->
+      s"""WITH ${bpeTrainCte(BpeTrainMerges)},
+         |bs AS (SELECT source, word, COUNT(*) AS n FROM (
+         |    SELECT source, unnest(string_split_regex(text, ' ')) AS word
+         |    FROM documents) w
+         |  WHERE regexp_full_match(word, '[A-Za-z]+')
+         |  GROUP BY source, word),
+         |np AS (SELECT word,
+         |    CAST(len(string_split(substr(sym, 2, length(sym) - 2),
+         |      ')(')) AS BIGINT) AS np
+         |  FROM segw$BpeTrainMerges)
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_words,
+         |  CAST(SUM(n * np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(n * np) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+         |    AS fertility
+         |FROM bs JOIN np USING (word)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // unigram EM twin: the Viterbi DP is a recursive CTE building the
     // same packed combined = cost×100 + split array the Spark fold
     // builds (integer min ≡ cost argmin + smallest-split tie-break),
