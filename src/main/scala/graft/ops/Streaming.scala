@@ -482,6 +482,61 @@ object Streaming {
         graft.api.TextDedup.releaseCheckpoint(pinned)
     }
 
+  /** Streaming twin of `Overlap.rollingRows` for TRAILING frames (r11)
+    * — the global-order rolling window continued across micro-batches:
+    * each batch unions the persisted TAIL of everything before it (the
+    * last `before` rows in `order` — dask's map_overlap halo carried
+    * across batches as state), runs the batch bucket+halo engine
+    * verbatim over the union, drops the tail rows' outputs (they were
+    * emitted by their own batch), then advances the tail. Trailing
+    * frames only (`after` would need FUTURE rows no stream has yet —
+    * callers needing centered frames buffer downstream); the tail frame
+    * is the only state — `before` rows, rewritten once per batch AFTER
+    * emit, so a failed batch retries from the old tail. Cadence
+    * contract and emit semantics as [[twinRunningSum]]. Multi-batch ≡
+    * batch-union pinned in StreamingSpec. */
+  def twinRollingRows(stream: DataFrame,
+      bucketKey: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column], before: Int,
+      tailPath: String)(
+      aggs: org.apache.spark.sql.expressions.WindowSpec =>
+        Seq[org.apache.spark.sql.Column])(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(before >= 0, "before must be >= 0")
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val tPath = new org.apache.hadoop.fs.Path(tailPath)
+        val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pinned = batch.localCheckpoint()
+        val tagged = pinned.withColumn("__tail", lit(false))
+        val unioned =
+          if (fs.exists(tPath))
+            spark.read.parquet(tailPath).withColumn("__tail", lit(true))
+              .unionByName(tagged)
+          else tagged
+        val rolled = graft.api.Overlap.rollingRows(unioned, bucketKey,
+          order, before, after = 0)(aggs)
+        emit(rolled.filter(!col("__tail")).drop("__tail"))
+        // advance the tail LAST (retry-clean): the last `before` rows of
+        // tail ∪ batch — a TakeOrdered, never a full sort. Collected
+        // (≤ before rows, the Overlap bounded-scalar rule) because the
+        // lazy plan READS tailPath and Spark refuses to overwrite a path
+        // a plan is reading from.
+        if (before > 0) {
+          val tailRows = unioned.drop("__tail")
+            .orderBy(order.map(_.desc): _*).limit(before)
+            .orderBy(order: _*).collect()
+          spark.createDataFrame(
+              java.util.Arrays.asList(tailRows: _*), pinned.schema)
+            .coalesce(1).write.mode("overwrite").parquet(tailPath)
+        }
+        graft.api.TextDedup.releaseCheckpoint(pinned)
+    }
+  }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

@@ -710,4 +710,53 @@ class StreamingSpec extends AnyFunSuite {
         s"offset $off != grand total $grand")
     } finally q.stop()
   }
+
+  test("twinRollingRows: trailing 3-row mean across micro-batches equals " +
+      "the batch-union Overlap result (persisted tail halo)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.util.Det.dec
+    val mkRows = (b: Int) => (1 to 30).map { i =>
+      (b * 100L + i, b * 1000L + i * 11L,
+        new java.math.BigDecimal(s"${(i * 17 + b * 3) % 89}.${i % 10}"))
+    }
+    val batches = Seq(mkRows(0), mkRows(1), mkRows(2))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-roll-stream").resolve("tail").toString
+    val in = MemoryStream[(Long, Long, java.math.BigDecimal)]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double)]
+    def meanAggs(w0: org.apache.spark.sql.expressions.WindowSpec) = {
+      val w = w0.rowsBetween(-2, 0)
+      Seq((sum(col("amount")).over(w).cast("double") /
+        count(lit(1)).over(w)).as("m3"))
+    }
+    val q = Streaming.twinRollingRows(
+        in.toDF.toDF("id", "ts", "amount"), col("ts"),
+        Seq(col("ts"), col("id")), before = 2, dir)(meanAggs) {
+      out => emitted.synchronized {
+        emitted ++= out.select("id", "m3").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1))
+      }
+    }.start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = emitted.synchronized(emitted.toMap)
+      val batchUnion = graft.api.Overlap.rollingRows(
+          batches.flatten.toDF("id", "ts", "amount"), col("ts"),
+          Seq(col("ts"), col("id")), before = 2, after = 0)(meanAggs)
+        .select(col("id"), col("m3")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.size == 90, s"expected 90 rows, got ${streamed.size}")
+      streamed.foreach { case (id, v) =>
+        assert(java.lang.Double.doubleToLongBits(v) ==
+          java.lang.Double.doubleToLongBits(batchUnion(id)),
+          s"row $id: stream $v != batch ${batchUnion(id)}")
+      }
+      // the persisted tail is the last `before` rows of the whole stream
+      val tailIds = spark.read.parquet(dir).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(tailIds == Set(229L, 230L), s"tail $tailIds")
+    } finally q.stop()
+  }
 }
