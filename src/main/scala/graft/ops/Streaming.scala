@@ -537,6 +537,62 @@ object Streaming {
     }
   }
 
+  /** Streaming twin of `Overlap.rollingRange` for TRAILING value frames
+    * (r11) — the rolling-'24h'-style window continued across
+    * micro-batches, completing the Overlap twin family (runningSum /
+    * rollingRows / rollingRange): the persisted tail is every prior row
+    * within `rangeBefore` of the stream's max key (value-predicate halo
+    * — rows, not a count, so the state is data-rate × window sized and
+    * stays a parquet frame, never a collect). Each batch unions the
+    * tail in, runs the batch engine verbatim at rangeAfter = 0, drops
+    * tail outputs, then advances the tail via stage-and-rename (the
+    * new tail's plan reads the old tail's path, so an in-place
+    * overwrite is refused by Spark — write `.next`, swap). Trailing
+    * only, cadence contract and emit semantics as [[twinRunningSum]];
+    * an empty batch leaves the tail untouched. Multi-batch ≡
+    * batch-union pinned in StreamingSpec. */
+  def twinRollingRange(stream: DataFrame,
+      key: org.apache.spark.sql.Column, rangeBefore: Long,
+      tailPath: String)(
+      aggs: org.apache.spark.sql.expressions.WindowSpec =>
+        Seq[org.apache.spark.sql.Column])(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(rangeBefore >= 0, "rangeBefore must be >= 0")
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val tPath = new org.apache.hadoop.fs.Path(tailPath)
+        val fs = tPath.getFileSystem(conf)
+        val pinned = batch.localCheckpoint()
+        val tagged = pinned.withColumn("__tail", lit(false))
+        val unioned =
+          if (fs.exists(tPath))
+            spark.read.parquet(tailPath).withColumn("__tail", lit(true))
+              .unionByName(tagged)
+          else tagged
+        val rolled = graft.api.Overlap.rollingRange(unioned, key,
+          rangeBefore, rangeAfter = 0L)(aggs)
+        emit(rolled.filter(!col("__tail")).drop("__tail"))
+        // advance the tail LAST (retry-clean): union rows within
+        // rangeBefore of the batch max (>= max - rangeBefore — the
+        // inclusive RANGE-frame lower edge every future row can reach)
+        val mx = pinned.agg(max(key.cast("long"))).collect()(0)
+        if (!mx.isNullAt(0)) {
+          val next = new org.apache.hadoop.fs.Path(tailPath + ".next")
+          unioned.drop("__tail")
+            .filter(key.cast("long") >= mx.getLong(0) - rangeBefore)
+            .coalesce(1).write.mode("overwrite").parquet(next.toString)
+          fs.delete(tPath, true)
+          require(fs.rename(next, tPath),
+            s"twinRollingRange: tail swap $next -> $tPath failed")
+        }
+        graft.api.TextDedup.releaseCheckpoint(pinned)
+    }
+  }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

@@ -759,4 +759,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(tailIds == Set(229L, 230L), s"tail $tailIds")
     } finally q.stop()
   }
+
+  test("twinRollingRange: trailing value-window sum across micro-batches " +
+      "equals the batch-union Overlap result (value-predicate tail)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // keys advance ~35/batch; rangeBefore 50 keeps a multi-row tail that
+    // spans batch boundaries
+    val mkRows = (b: Int) => (1 to 25).map { i =>
+      (b * 100L + i, b * 35L + (i * 83L) % 35L,
+        new java.math.BigDecimal(s"${(i * 29 + b * 7) % 97}.${i % 10}"))
+    }
+    val batches = Seq(mkRows(0), mkRows(1), mkRows(2))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-range-stream").resolve("tail").toString
+    val in = MemoryStream[(Long, Long, java.math.BigDecimal)]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.math.BigDecimal)]
+    def sumAggs(w: org.apache.spark.sql.expressions.WindowSpec) =
+      Seq(sum(col("amount")).over(w).as("s50"))
+    val q = Streaming.twinRollingRange(
+        in.toDF.toDF("id", "ts", "amount"), col("ts"), 50L, dir)(sumAggs) {
+      out => emitted.synchronized {
+        emitted ++= out.select("id", "s50").collect()
+          .map(r => r.getLong(0) -> r.getDecimal(1))
+      }
+    }.start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = emitted.synchronized(emitted.toMap)
+      val batchUnion = graft.api.Overlap.rollingRange(
+          batches.flatten.toDF("id", "ts", "amount"), col("ts"), 50L, 0L)(
+          sumAggs)
+        .select(col("id"), col("s50")).collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      assert(streamed.size == 75, s"expected 75 rows, got ${streamed.size}")
+      streamed.foreach { case (id, v) =>
+        assert(v.compareTo(batchUnion(id)) == 0,
+          s"row $id: stream $v != batch ${batchUnion(id)}")
+      }
+      // the tail holds exactly the union rows within 50 of the max key
+      val maxTs = batches.flatten.map(_._2).max
+      val expectTail = batches.flatten
+        .filter(_._2 >= maxTs - 50L).map(_._1).toSet
+      val tailIds = spark.read.parquet(dir).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(tailIds == expectTail, s"tail $tailIds != $expectTail")
+    } finally q.stop()
+  }
 }
