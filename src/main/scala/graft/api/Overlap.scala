@@ -487,6 +487,36 @@ object Overlap {
       .select(df.columns.map(col) :+ col(out): _*)
   }
 
+  /** Exact global RANK / PERCENT_RANK / CUME_DIST over a single `key`
+    * expression (ties natural — the point of these forms) without a
+    * single-partition window, by reduction to [[runningSum]] over the
+    * KEY-LEVEL frame: per-key row counts (one corpus shuffle, map-side
+    * combinable), a two-phase prefix sum of those counts in key order
+    * (rows ≤ v), then an equi-join back to the rows (AQE splits hot
+    * keys). rank(v) = rows<v + 1 = cum − n_v + 1; percent_rank =
+    * (rank−1)/(total−1) (0 when total = 1); cume_dist = cum/total — the
+    * standard SQL definitions, each one IEEE divide of exact longs. The
+    * key-level frame is distinct-key sized, so the prefix machinery
+    * never touches corpus-sized data. Output columns: `rank_out`,
+    * `pct_out`, `cume_out` appended to df. */
+  def rankGlobal(df: DataFrame, key: Column, rankOut: String,
+      pctOut: String, cumeOut: String, buckets: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val kc = df.select(key.as("__ovl_k")).groupBy("__ovl_k")
+      .agg(count(lit(1)).as("__ovl_n"))
+    val cum = runningSum(kc, col("__ovl_k"), Seq(col("__ovl_k")),
+      col("__ovl_n"), "__ovl_cum", buckets, checkpointDir)
+    val tot = cum.agg(max(col("__ovl_cum")).as("__ovl_tot"))
+    val keyed = cum.crossJoin(broadcast(tot))
+      .select(col("__ovl_k"),
+        (col("__ovl_cum") - col("__ovl_n") + 1).as(rankOut),
+        when(col("__ovl_tot") === 1L, lit(0.0))
+          .otherwise((col("__ovl_cum") - col("__ovl_n")).cast("double") /
+            (col("__ovl_tot") - 1)).as(pctOut),
+        (col("__ovl_cum").cast("double") / col("__ovl_tot")).as(cumeOut))
+    df.join(keyed, key === col("__ovl_k")).drop("__ovl_k")
+  }
+
   def runningSum(df: DataFrame, bucketKey: Column, order: Seq[Column],
       value: Column, out: String, buckets: Int = 64,
       checkpointDir: Option[String] = None): DataFrame = {

@@ -471,6 +471,24 @@ object Windows {
         .select(col("event_id"), col("tile7"))
         .orderBy("event_id")),
 
+    // GLOBAL rank / percent_rank / cume_dist (r11) — the tie-honoring
+    // trio by reduction to the KEY-LEVEL prefix sum (Overlap.rankGlobal:
+    // per-key counts, two-phase cum in key order, join back) — the
+    // prefix machinery only ever touches the distinct-key frame
+    "window_rank_stats_global" -> ((s, d) => {
+      val day = expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+      graft.api.Overlap.rankGlobal(
+          events(s, d).select(col("event_id"), col("ts"))
+            .withColumn("__day", day),
+          col("__day"), "day_rank", "day_pct_rank", "day_cume_dist")
+        // RAW doubles: both engines divide the same exact longs, so the
+        // IEEE results are bit-identical (the ROUND(x,6) boundary gotcha
+        // does not apply)
+        .select(col("event_id"), col("day_rank"), col("day_pct_rank"),
+          col("day_cume_dist"))
+        .orderBy("event_id")
+    }),
+
     // the GENERAL df.map_overlap(fn, before, after) escape hatch (r11) —
     // an arbitrary Scala function over halo'd, globally-ordered row runs
     // (graft.api.Overlap.mapOverlap): here a centered 5-point WEIGHTED
@@ -766,6 +784,14 @@ object Windows {
     "window_ntile_global" ->
       """SELECT event_id,
         |CAST(NTILE(7) OVER (ORDER BY ts, event_id) AS INT) AS tile7
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_rank_stats_global" ->
+      """SELECT event_id,
+        |RANK() OVER (ORDER BY epoch_us(ts) // 86400000000) AS day_rank,
+        |PERCENT_RANK() OVER (ORDER BY epoch_us(ts) // 86400000000)
+        |  AS day_pct_rank,
+        |CUME_DIST() OVER (ORDER BY epoch_us(ts) // 86400000000)
+        |  AS day_cume_dist
         |FROM events ORDER BY event_id""".stripMargin,
     "window_rolling_time_global" ->
       """SELECT event_id,

@@ -3099,6 +3099,41 @@ class ApiSpec extends AnyFunSuite {
       s"$drConst")
   }
 
+  test("Overlap.rankGlobal matches the naive RANK/PERCENT_RANK/CUME_DIST " +
+      "windows bit-for-bit, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    val hour = expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")
+    val withHour = overlapEvents.withColumn("h", hour)
+    val nw = Window.orderBy(col("h"))
+    val naive = withHour.select(col("event_id"),
+        rank().over(nw).cast("long").as("r"),
+        percent_rank().over(nw).as("p"),
+        cume_dist().over(nw).as("c")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3)))).toMap
+    val got = graft.api.Overlap.rankGlobal(withHour, col("h"),
+        "r", "p", "c", buckets = 9)
+      .select(col("event_id"), col("r"), col("p"), col("c"))
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3)))).toMap
+    assert(got.size == naive.size)
+    naive.foreach { case (id, (r, p, c)) =>
+      val (gr, gp, gc) = got(id)
+      assert(gr == r && java.lang.Double.doubleToLongBits(gp) ==
+          java.lang.Double.doubleToLongBits(p) &&
+        java.lang.Double.doubleToLongBits(gc) ==
+          java.lang.Double.doubleToLongBits(c),
+        s"event $id: ($gr,$gp,$gc) != ($r,$p,$c)")
+    }
+    // single-row frame: percent_rank's total=1 guard (naive emits 0.0)
+    val one = Seq((1L, 7L)).toDF("event_id", "k")
+    val g1 = graft.api.Overlap.rankGlobal(one, col("k"), "r", "p", "c")
+      .select("r", "p", "c").collect()(0)
+    assert(g1.getLong(0) == 1L && g1.getDouble(1) == 0.0 &&
+      g1.getDouble(2) == 1.0, s"single-row: $g1")
+  }
+
   test("Overlap.rollingRows lag/lead frames match naive shift at every " +
       "group boundary") {
     import org.apache.spark.sql.expressions.Window

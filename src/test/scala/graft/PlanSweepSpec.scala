@@ -73,7 +73,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "window_cumsum_global" -> "the Overlap two-phase prefix sum's TOTALS frame (≤ buckets rows by construction — the data-path window is group-partitioned)",
     "window_row_number_global" -> "the same Overlap totals frame (running count of ones)",
     "window_dense_rank_global" -> "the Overlap denseRank distinct-count TOTALS frame (≤ buckets rows; data-path dense_rank is group-partitioned)",
-    "window_ntile_global" -> "the Overlap prefix-sum totals frame behind ntile's global row_number"
+    "window_ntile_global" -> "the Overlap prefix-sum totals frame behind ntile's global row_number",
+    "window_rank_stats_global" -> "the Overlap prefix-sum totals frame behind rankGlobal's key-level cum counts (the prefix machinery only touches the distinct-key frame)"
   )
 
   test("no declared query plans an un-partitioned WindowExec outside " +
