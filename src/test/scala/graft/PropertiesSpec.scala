@@ -246,4 +246,46 @@ class PropertiesSpec extends AnyFunSuite {
         s"trial $trial (n=$n before=$before after=$after buckets=$buckets)")
     }
   }
+
+  test("Overlap rank family (denseRank/ntile/rankGlobal/runningSum) " +
+      "equals the naive global windows on random tie-heavy frames") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    (1 to 4).foreach { trial =>
+      val n = 50 + rnd.nextInt(100)
+      val rows = (0 until n).map { i =>
+        (i.toLong, (rnd.nextInt(9) * 13).toLong, (rnd.nextInt(500) + 1).toLong)
+      }
+      val df = rows.toDF("id", "k", "v")
+      val buckets = 2 + rnd.nextInt(9)
+      val tiles = 2 + rnd.nextInt(7)
+      val nwTies = Window.orderBy(col("k"))
+      val nwTotal = Window.orderBy(col("k"), col("id"))
+      val naive = df.select(col("id"),
+          dense_rank().over(nwTies).cast("long").as("dr"),
+          rank().over(nwTies).cast("long").as("r"),
+          percent_rank().over(nwTies).as("p"),
+          cume_dist().over(nwTies).as("c"),
+          ntile(tiles).over(nwTotal).as("t"),
+          sum(col("v")).over(nwTotal.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).as("cs"))
+        .collect().map(x => x.getLong(0) -> x.toSeq.tail).toMap
+      val dr = graft.api.Overlap.denseRank(df, col("k"), Seq(col("k")),
+        "dr", buckets).select("id", "dr")
+      val rg = graft.api.Overlap.rankGlobal(df, col("k"), "r", "p", "c",
+        buckets).select("id", "r", "p", "c")
+      val nt = graft.api.Overlap.ntile(df, col("k"),
+        Seq(col("k"), col("id")), tiles, "t", buckets).select("id", "t")
+      val cs = graft.api.Overlap.runningSum(df, col("k"),
+        Seq(col("k"), col("id")), col("v"), "cs", buckets)
+        .select("id", "cs")
+      val got = dr.join(rg, "id").join(nt, "id").join(cs, "id")
+        .select("id", "dr", "r", "p", "c", "t", "cs")
+        .collect().map(x => x.getLong(0) -> x.toSeq.tail).toMap
+      assert(got == naive,
+        s"trial $trial (n=$n buckets=$buckets tiles=$tiles)")
+    }
+  }
 }
