@@ -231,6 +231,36 @@ object Scans {
           min(col("psorted")).as("all_sorted"))
     }),
 
+    // Z-ORDER clustering (r11, graft.api.Layout): the multi-dimension
+    // data-layout key behind Delta/Hudi OPTIMIZE ZORDER (Morton 1966) —
+    // bit-interleave (l_partkey, l_suppkey) so range-partitioning on ONE
+    // key co-locates rows close in EITHER dimension; at 100 TB that is
+    // what lets row-group min/max stats prune scans filtered on either
+    // column. Declared output = the per-z-bucket locality audit: row
+    // counts plus both dimensions' spans per bucket of the clustered
+    // layout (narrow spans ARE the pruning win — pinned quantitatively
+    // in PropertiesSpec); exact long bit arithmetic, oracle recomputes
+    // every z-value bit-for-bit.
+    "repartition_zorder" -> ((s, d) => {
+      val clustered = graft.api.Layout.clusterZOrder(
+        lineitem(s, d).select(col("l_partkey"), col("l_suppkey")),
+        col("l_partkey") % 65536, col("l_suppkey") % 65536, parts = 8)
+      // bucket width is RANGE-relative (z·64 DIV (zmax+1) → 0..63): the
+      // fixture's keys occupy only the low z bits, and a fixed 2^26
+      // divisor would collapse every row into bucket 0 at small SF while
+      // exploding the bucket count at large key domains
+      val zmax = clustered.agg(max(col("z")).as("__zmax"))
+      clustered.crossJoin(broadcast(zmax))
+        // DIV: exact integer division (long `/` rounds through double)
+        .groupBy(expr("z * 64 DIV (__zmax + 1)").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"),
+          max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"),
+          max(col("l_suppkey")).as("max_supp"))
+        .orderBy("zbucket")
+    }),
+
     // hive-partitioned sink + pruned read-back
     // (dd.to_parquet(partition_on=...)): one directory per partition value,
     // so a filter on the partition column prunes whole directories at the
@@ -304,6 +334,27 @@ object Scans {
          |ORDER BY o_orderstatus""".stripMargin,
     "repartition_range" ->
       """SELECT COUNT(*) AS n_rows, true AS all_sorted FROM orders""".stripMargin,
+    "repartition_zorder" -> {
+      // DuckDB twin of Layout.spread16/zorder16 — identical magic-number
+      // bit spreads over BIGINTs
+      def spread(e: String): String = {
+        val m = s"($e & 65535)"
+        val a = s"(($m | ($m << 8)) & 16711935)"
+        val b = s"(($a | ($a << 4)) & 252645135)"
+        val c = s"(($b | ($b << 2)) & 858993459)"
+        s"(($c | ($c << 1)) & 1431655765)"
+      }
+      s"""WITH z0 AS (SELECT l_partkey, l_suppkey,
+         |    (${spread("l_partkey % 65536")} |
+         |     (${spread("l_suppkey % 65536")} << 1)) AS z
+         |  FROM lineitem),
+         |zm AS (SELECT MAX(z) AS zmax FROM z0)
+         |SELECT CAST(z * 64 // (zmax + 1) AS BIGINT) AS zbucket,
+         |  COUNT(*) AS n,
+         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+         |FROM z0, zm GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
     "scan_count_pushdown" ->
       """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_orderkey,
         |MAX(l_orderkey) AS max_orderkey FROM lineitem""".stripMargin,

@@ -288,4 +288,40 @@ class PropertiesSpec extends AnyFunSuite {
         s"trial $trial (n=$n buckets=$buckets tiles=$tiles)")
     }
   }
+
+  test("Layout.zorder16 matches a pure-Scala Morton reference and " +
+      "actually buys 2-D locality (both spans shrink per z-bucket)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mortonRef(a: Int, b: Int): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((a >> i) & 1).toLong << (2 * i)
+        z |= ((b >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    val pts = (1 to 400).map(_ =>
+      (rnd.nextInt(65536), rnd.nextInt(65536)))
+    val df = pts.toDF("a", "b")
+      .withColumn("z", graft.api.Layout.zorder16(col("a"), col("b")))
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) == mortonRef(a, b),
+        s"z($a,$b)=${got((a, b))} != ref ${mortonRef(a, b)}")
+    }
+    // locality: within a z-bucket (top 6 z bits), BOTH dimensions' spans
+    // are bounded by construction (each dim contributes 3 of the top 6
+    // bits → span ≤ 2^13 per bucket vs the 2^16 global span)
+    val spans = df.groupBy(expr("z DIV 67108864"))
+      .agg((max(col("a")) - min(col("a"))).as("sa"),
+        (max(col("b")) - min(col("b"))).as("sb"))
+      .collect()
+    spans.foreach { r =>
+      assert(r.getInt(1) < 8192 && r.getInt(2) < 8192,
+        s"z-bucket spans exceed the 2^13 bound: $r")
+    }
+  }
 }
