@@ -471,6 +471,30 @@ object Windows {
         .select(col("event_id"), col("tile7"))
         .orderBy("event_id")),
 
+    // GLOBAL sessionization (r11) — gaps-and-islands over the WHOLE
+    // corpus order (no user key to partition by: the shape of
+    // click-stream boundary detection, shard cutting, outage
+    // segmentation). Two Overlap engines COMPOSED: the halo'd lag
+    // (rollingRows, before=1) flags >30-min gaps, and the two-phase
+    // prefix sum (runningSum) turns flags into session ids — no
+    // single-partition window anywhere near the data, at any size.
+    "window_sessionize_global" -> ((s, d) => {
+      val evs = events(s, d)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"), col("us"))
+      val flagged = graft.api.Overlap.rollingRows(evs, col("us"),
+          Seq(col("us"), col("event_id")), before = 1, after = 0)(w0 =>
+        Seq(first(col("us")).over(w0.rowsBetween(-1, -1)).as("prev_us")))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull
+            || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+      graft.api.Overlap.runningSum(flagged, col("us"),
+          Seq(col("us"), col("event_id")), col("new_sess"), "session_id")
+        .select(col("event_id"), col("session_id"))
+        .orderBy("event_id")
+    }),
+
     // GLOBAL rank / percent_rank / cume_dist (r11) — the tie-honoring
     // trio by reduction to the KEY-LEVEL prefix sum (Overlap.rankGlobal:
     // per-key counts, two-phase cum in key order, join back) — the
@@ -785,6 +809,19 @@ object Windows {
       """SELECT event_id,
         |CAST(NTILE(7) OVER (ORDER BY ts, event_id) AS INT) AS tile7
         |FROM events ORDER BY event_id""".stripMargin,
+    "window_sessionize_global" ->
+      """WITH f AS (SELECT event_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        ORDER BY epoch_us(ts), event_id) > 1800000000
+        |      OR lag(epoch_us(ts)) OVER (
+        |        ORDER BY epoch_us(ts), event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(SUM(new_sess) OVER (ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |FROM f ORDER BY event_id""".stripMargin,
     "window_rank_stats_global" ->
       """SELECT event_id,
         |RANK() OVER (ORDER BY epoch_us(ts) // 86400000000) AS day_rank,

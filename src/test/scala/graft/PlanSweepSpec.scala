@@ -74,7 +74,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "window_row_number_global" -> "the same Overlap totals frame (running count of ones)",
     "window_dense_rank_global" -> "the Overlap denseRank distinct-count TOTALS frame (≤ buckets rows; data-path dense_rank is group-partitioned)",
     "window_ntile_global" -> "the Overlap prefix-sum totals frame behind ntile's global row_number",
-    "window_rank_stats_global" -> "the Overlap prefix-sum totals frame behind rankGlobal's key-level cum counts (the prefix machinery only touches the distinct-key frame)"
+    "window_rank_stats_global" -> "the Overlap prefix-sum totals frame behind rankGlobal's key-level cum counts (the prefix machinery only touches the distinct-key frame)",
+    "window_sessionize_global" -> "the Overlap prefix-sum totals frame behind the composed sessionizer (halo'd lag flags feed runningSum)"
   )
 
   test("no declared query plans an un-partitioned WindowExec outside " +
