@@ -430,9 +430,11 @@ object Streaming {
     * offset of everything before it; the offset then advances by the
     * batch total. The one-row offset frame is the only state — the
     * index-file discipline of the dedup twins applied to an aggregate
-    * (zero state store; `offsetPath` is rewritten once per batch, AFTER
-    * emit, so a failed batch retries from the old offset — at-least-once
-    * emit, never a double-advanced sum). Correct under the family's
+    * (zero state store; `offsetPath` advances once per batch through the
+    * crash-safe staged swap below — EXACT under foreachBatch retries: a
+    * batch whose swap already landed re-reads its pre-batch offset from
+    * the retained `.bak` generation and skips the re-advance, so emits
+    * recompute identically and the sum never double-advances). Correct under the family's
     * standard cadence contract: batches arrive in global `order` (every
     * row of batch b+1 follows every row of batch b — a time-ordered
     * ingest); rows violating the cadence are the ingest's bug, exactly
@@ -440,6 +442,60 @@ object Streaming {
     * (decimal/integral) expression — the runningSum contract, and what
     * makes offset addition order-free. Multi-batch ≡ batch-union pinned
     * in StreamingSpec. */
+  // ----- crash-safe one-frame state for the foreachBatch twins --------
+  // The state at `path` advances once per micro-batch through a staged
+  // swap: stage at `path.next`, retire the current generation to
+  // `path.bak`, promote — and `.bak` is RETAINED until the next swap.
+  // Every single-point crash leaves a readable generation (`.next` is
+  // ignorable garbage), and the `__twin_batch_id` column makes a RETRY
+  // of the same batch exact, not just at-least-once: a batch whose swap
+  // already landed re-reads its PRE-batch state from `.bak` and skips
+  // the re-advance — state never double-advances, re-emits are computed
+  // from the same inputs as the crashed attempt.
+
+  private def twinStatePaths(spark: SparkSession, path: String) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(conf), p,
+      new org.apache.hadoop.fs.Path(path + ".bak"),
+      new org.apache.hadoop.fs.Path(path + ".next"))
+  }
+
+  /** The state generation a (possibly retried) `batchId` must compute
+    * from, `__twin_batch_id` stripped; None before the first advance.
+    * Second element: true iff this batch's swap already landed (the
+    * retry case — the caller must then SKIP its own advance). */
+  private[graft] def readTwinState(spark: SparkSession, path: String,
+      batchId: Long): (Option[DataFrame], Boolean) = {
+    val (fs, p, bak, _) = twinStatePaths(spark, path)
+    if (fs.exists(p)) {
+      val cur = spark.read.parquet(path)
+      val bid = Option(cur.agg(max(col("__twin_batch_id"))).collect()(0)
+        .get(0)).map(_.asInstanceOf[Long])
+      if (bid.contains(batchId))
+        (if (fs.exists(bak))
+          Some(spark.read.parquet(path + ".bak").drop("__twin_batch_id"))
+         else None, true)
+      else (Some(cur.drop("__twin_batch_id")), false)
+    } else if (fs.exists(bak))
+      (Some(spark.read.parquet(path + ".bak").drop("__twin_batch_id")),
+        false)
+    else (None, false)
+  }
+
+  /** Advance the state to `df` for `batchId` via the staged swap. */
+  private[graft] def writeTwinState(df: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val (fs, p, bak, next) = twinStatePaths(spark, path)
+    df.withColumn("__twin_batch_id", lit(batchId))
+      .coalesce(1).write.mode("overwrite").parquet(next.toString)
+    fs.delete(bak, true) // the generation before last — no longer needed
+    if (fs.exists(p))
+      require(fs.rename(p, bak), s"twin state swap: $p -> $bak failed")
+    require(fs.rename(next, p), s"twin state swap: $next -> $p failed")
+  }
+
   def twinRunningSum(stream: DataFrame,
       bucketKey: org.apache.spark.sql.Column,
       order: Seq[org.apache.spark.sql.Column],
@@ -448,20 +504,17 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val oPath = new org.apache.hadoop.fs.Path(offsetPath)
-        val fs = oPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // the exact batch total and the emitted shift both need the
         // batch twice — pin once (micro-batch-sized)
         val pinned = batch.localCheckpoint()
         val summed = graft.api.Overlap.runningSum(pinned, bucketKey,
           order, value, out)
         val sumType = summed.schema(out).dataType
-        val prior: Any =
-          if (fs.exists(oPath))
-            spark.read.parquet(offsetPath).collect()(0).get(0)
-          else null
+        val (state, alreadyAdvanced) =
+          readTwinState(spark, offsetPath, batchId)
+        val prior: Any = state.map(_.collect()(0).get(0)).orNull
         // cast the shift back to the batch engine's output type: decimal
         // addition re-narrows scale at max precision, and the twin's
         // contract is BIT-identity with the batch-union result
@@ -470,13 +523,17 @@ object Streaming {
           else summed.withColumn(out,
             (col(out) + lit(prior).cast(sumType)).cast(sumType))
         emit(shifted)
-        // advance the offset LAST (see scaladoc): new = prior + batch sum
-        val batchTotal = pinned.agg(sum(value).cast(sumType)).collect()(0)
-        val newTotal: DataFrame = spark.range(1).select(
-          (coalesce(lit(prior).cast(sumType), lit(0).cast(sumType)) +
-            coalesce(lit(batchTotal.get(0)).cast(sumType),
-              lit(0).cast(sumType))).as("running_total"))
-        newTotal.coalesce(1).write.mode("overwrite").parquet(offsetPath)
+        // advance the offset LAST (see the state-helper contract):
+        // new = prior + batch sum; a retry whose swap already landed
+        // re-emits from the pre-batch offset and must not re-advance
+        if (!alreadyAdvanced) {
+          val batchTotal = pinned.agg(sum(value).cast(sumType)).collect()(0)
+          writeTwinState(spark.range(1).select(
+            (coalesce(lit(prior).cast(sumType), lit(0).cast(sumType)) +
+              coalesce(lit(batchTotal.get(0)).cast(sumType),
+                lit(0).cast(sumType))).as("running_total")),
+            offsetPath, batchId)
+        }
         // release the per-batch pin (generation discipline — a long
         // stream would otherwise accumulate one persisted RDD per batch)
         graft.api.TextDedup.releaseCheckpoint(pinned)
@@ -491,8 +548,9 @@ object Streaming {
     * emitted by their own batch), then advances the tail. Trailing
     * frames only (`after` would need FUTURE rows no stream has yet —
     * callers needing centered frames buffer downstream); the tail frame
-    * is the only state — `before` rows, rewritten once per batch AFTER
-    * emit, so a failed batch retries from the old tail. Cadence
+    * is the only state — `before` rows, advanced once per batch through
+    * the crash-safe staged swap (exact under retries — see the state
+    * helpers). Cadence
     * contract and emit semantics as [[twinRunningSum]]. Multi-batch ≡
     * batch-union pinned in StreamingSpec. */
   def twinRollingRows(stream: DataFrame,
@@ -506,32 +564,33 @@ object Streaming {
         org.apache.spark.sql.Row] = {
     require(before >= 0, "before must be >= 0")
     stream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val tPath = new org.apache.hadoop.fs.Path(tailPath)
-        val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val pinned = batch.localCheckpoint()
         val tagged = pinned.withColumn("__tail", lit(false))
-        val unioned =
-          if (fs.exists(tPath))
-            spark.read.parquet(tailPath).withColumn("__tail", lit(true))
-              .unionByName(tagged)
-          else tagged
+        val (state, alreadyAdvanced) =
+          readTwinState(spark, tailPath, batchId)
+        val unioned = state match {
+          case Some(tail) =>
+            tail.withColumn("__tail", lit(true)).unionByName(tagged)
+          case None => tagged
+        }
         val rolled = graft.api.Overlap.rollingRows(unioned, bucketKey,
           order, before, after = 0)(aggs)
         emit(rolled.filter(!col("__tail")).drop("__tail"))
-        // advance the tail LAST (retry-clean): the last `before` rows of
-        // tail ∪ batch — a TakeOrdered, never a full sort. Collected
-        // (≤ before rows, the Overlap bounded-scalar rule) because the
-        // lazy plan READS tailPath and Spark refuses to overwrite a path
-        // a plan is reading from.
-        if (before > 0) {
+        // advance the tail LAST (see the state-helper contract): the
+        // last `before` rows of tail ∪ batch — a TakeOrdered, never a
+        // full sort. Collected (≤ before rows, the Overlap
+        // bounded-scalar rule) so the staged write never reads the path
+        // it replaces.
+        if (before > 0 && !alreadyAdvanced) {
           val tailRows = unioned.drop("__tail")
             .orderBy(order.map(_.desc): _*).limit(before)
             .orderBy(order: _*).collect()
-          spark.createDataFrame(
-              java.util.Arrays.asList(tailRows: _*), pinned.schema)
-            .coalesce(1).write.mode("overwrite").parquet(tailPath)
+          if (tailRows.nonEmpty)
+            writeTwinState(spark.createDataFrame(
+                java.util.Arrays.asList(tailRows: _*), pinned.schema),
+              tailPath, batchId)
         }
         graft.api.TextDedup.releaseCheckpoint(pinned)
     }
@@ -545,9 +604,10 @@ object Streaming {
     * — rows, not a count, so the state is data-rate × window sized and
     * stays a parquet frame, never a collect). Each batch unions the
     * tail in, runs the batch engine verbatim at rangeAfter = 0, drops
-    * tail outputs, then advances the tail via stage-and-rename (the
-    * new tail's plan reads the old tail's path, so an in-place
-    * overwrite is refused by Spark — write `.next`, swap). Trailing
+    * tail outputs, then advances the tail through the crash-safe
+    * staged swap (exact under retries — see the state helpers; the
+    * staged `.next` write also never overwrites the path the union plan
+    * is reading). Trailing
     * only, cadence contract and emit semantics as [[twinRunningSum]];
     * an empty batch leaves the tail untouched. Multi-batch ≡
     * batch-union pinned in StreamingSpec. */
@@ -561,33 +621,35 @@ object Streaming {
         org.apache.spark.sql.Row] = {
     require(rangeBefore >= 0, "rangeBefore must be >= 0")
     stream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val conf = spark.sparkContext.hadoopConfiguration
-        val tPath = new org.apache.hadoop.fs.Path(tailPath)
-        val fs = tPath.getFileSystem(conf)
         val pinned = batch.localCheckpoint()
         val tagged = pinned.withColumn("__tail", lit(false))
-        val unioned =
-          if (fs.exists(tPath))
-            spark.read.parquet(tailPath).withColumn("__tail", lit(true))
-              .unionByName(tagged)
-          else tagged
+        val (state, alreadyAdvanced) =
+          readTwinState(spark, tailPath, batchId)
+        val unioned = state match {
+          case Some(tail) =>
+            tail.withColumn("__tail", lit(true)).unionByName(tagged)
+          case None => tagged
+        }
         val rolled = graft.api.Overlap.rollingRange(unioned, key,
           rangeBefore, rangeAfter = 0L)(aggs)
         emit(rolled.filter(!col("__tail")).drop("__tail"))
-        // advance the tail LAST (retry-clean): union rows within
-        // rangeBefore of the batch max (>= max - rangeBefore — the
-        // inclusive RANGE-frame lower edge every future row can reach)
+        // advance the tail LAST (see the state-helper contract): union
+        // rows within rangeBefore of the batch max (>= max - rangeBefore
+        // — the inclusive RANGE-frame lower edge every future row can
+        // reach). The tail is data-rate × window sized, so it stays a
+        // staged parquet write, never a collect — the union plan reads
+        // the RETIRED generation (`.bak` after the swap), not the path
+        // being written.
         val mx = pinned.agg(max(key.cast("long"))).collect()(0)
-        if (!mx.isNullAt(0)) {
-          val next = new org.apache.hadoop.fs.Path(tailPath + ".next")
-          unioned.drop("__tail")
-            .filter(key.cast("long") >= mx.getLong(0) - rangeBefore)
-            .coalesce(1).write.mode("overwrite").parquet(next.toString)
-          fs.delete(tPath, true)
-          require(fs.rename(next, tPath),
-            s"twinRollingRange: tail swap $next -> $tPath failed")
+        if (!mx.isNullAt(0) && !alreadyAdvanced) {
+          // the staged write lands at `.next` and the swap renames only
+          // AFTER the write job finished, so the plan's read of the old
+          // generation is never pulled out from underneath it
+          writeTwinState(unioned.drop("__tail")
+              .filter(key.cast("long") >= mx.getLong(0) - rangeBefore),
+            tailPath, batchId)
         }
         graft.api.TextDedup.releaseCheckpoint(pinned)
     }

@@ -760,6 +760,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twin state swap is crash-exact under retries: a batch whose swap " +
+      "landed re-reads its pre-batch generation and skips the re-advance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-twinstate").resolve("st").toString
+    // no state yet: batch 0 computes from None and must advance
+    val (s0, adv0) = Streaming.readTwinState(spark, dir, 0L)
+    assert(s0.isEmpty && !adv0)
+    Streaming.writeTwinState(Seq(10L).toDF("v"), dir, 0L)
+    // RETRY of batch 0: swap landed, pre-batch state was None → skip
+    val (r0, radv0) = Streaming.readTwinState(spark, dir, 0L)
+    assert(r0.isEmpty && radv0, s"retry of batch 0: $r0 / $radv0")
+    // batch 1 sees generation 0 and advances
+    val (s1, adv1) = Streaming.readTwinState(spark, dir, 1L)
+    assert(s1.map(_.collect()(0).getLong(0)) == Some(10L) && !adv1)
+    Streaming.writeTwinState(Seq(25L).toDF("v"), dir, 1L)
+    // RETRY of batch 1: pre-batch generation (10) from .bak, skip advance
+    val (r1, radv1) = Streaming.readTwinState(spark, dir, 1L)
+    assert(r1.map(_.collect()(0).getLong(0)) == Some(25L - 15L) && radv1)
+    // batch 2 sees generation 1
+    val (s2, adv2) = Streaming.readTwinState(spark, dir, 2L)
+    assert(s2.map(_.collect()(0).getLong(0)) == Some(25L) && !adv2)
+    // crash-point simulation: current generation renamed away (the
+    // mid-swap window) → the retained .bak serves reads
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    val (sb, advb) = Streaming.readTwinState(spark, dir, 2L)
+    assert(sb.map(_.collect()(0).getLong(0)) == Some(10L) && !advb,
+      s"mid-swap crash must fall back to .bak: $sb / $advb")
+  }
+
   test("twinRollingRange: trailing value-window sum across micro-batches " +
       "equals the batch-union Overlap result (value-predicate tail)") {
     implicit val sqlCtx = spark.sqlContext
