@@ -68,9 +68,17 @@ object SuffixArray {
     * no separate driver-side guard job, and a violating corpus fails
     * the first action with a clear message. */
   private def packed(doc: Column, pos: Column): Column =
-    when(doc.isNull, raise_error(lit(
-        "SuffixArray: NULL doc id has no place in the position packing " +
-          "— filter or impute upstream")))
+    // guard the CAST result, not the raw column: a non-numeric doc id
+    // casts to NULL, which would sail through the overflow comparisons
+    // (NULL-valued predicates) into a NULL class label — and relabel's
+    // null-unsafe equi-join would then silently drop every row instead
+    // of failing fast as promised.
+    when(doc.cast("long").isNull || pos.cast("long").isNull,
+        raise_error(concat(lit(
+          "SuffixArray: occurrence id (doc="), coalesce(doc.cast("string"),
+            lit("NULL")), lit(", pos="), coalesce(pos.cast("string"),
+            lit("NULL")), lit(
+          ") is NULL or not castable to long — filter or fix upstream"))))
       .when(pos >= PackWidth || doc.cast("long") >= Long.MaxValue / PackWidth
           || doc.cast("long") <= -(Long.MaxValue / PackWidth),
         raise_error(concat(lit("SuffixArray: occurrence (doc="), doc,

@@ -1346,17 +1346,23 @@ object LlmExtras {
     * encode oracle needs word → final segmentation), then per round k:
     * pc_k = weighted pair counts over segw_{k-1}, t_k = the argmax merge
     * under the n-DESC-then-pair rule (exactly Bpe.train's collect), and
-    * segw_k = the literal non-overlapping replace. Callers project the
-    * merge picks (train oracle) or the final segmentation (encode
-    * oracle) off the same chain. */
+    * segw_k = the literal non-overlapping replace — via LEFT JOIN +
+    * COALESCE so an EXHAUSTED vocabulary (t_k empty, Spark stops early
+    * with a shorter merge list) carries segw_{k-1} forward unchanged
+    * instead of emptying every later CTE; t_k then contributes zero
+    * rows to the train UNION, matching Spark's early stop exactly.
+    * Callers project the merge picks (train oracle) or the final
+    * segmentation (encode oracle) off the same chain. */
   private def bpeTrainCte(n: Int): String = {
     val steps = (1 to n).map { k =>
       s"""pc$k AS (${bpePcSql(s"segw${k - 1}")}),
          |t$k AS (SELECT string_split(pair, ' ')[1] AS a,
          |    string_split(pair, ' ')[2] AS b
          |  FROM pc$k ORDER BY n DESC, pair LIMIT 1),
-         |segw$k AS (SELECT word, replace(sym, '(' || a || ')(' || b || ')',
-         |    '(' || a || b || ')') AS sym, w_n FROM segw${k - 1}, t$k)"""
+         |segw$k AS (SELECT word, COALESCE(
+         |    replace(sym, '(' || a || ')(' || b || ')',
+         |      '(' || a || b || ')'), sym) AS sym, w_n
+         |  FROM segw${k - 1} LEFT JOIN t$k ON TRUE)"""
         .stripMargin
     }.mkString(",\n")
     s"""$bpeCte,

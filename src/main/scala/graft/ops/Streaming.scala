@@ -490,9 +490,17 @@ object Streaming {
     val (fs, p, bak, next) = twinStatePaths(spark, path)
     df.withColumn("__twin_batch_id", lit(batchId))
       .coalesce(1).write.mode("overwrite").parquet(next.toString)
-    fs.delete(bak, true) // the generation before last — no longer needed
-    if (fs.exists(p))
+    // Retire the current generation ONLY when it exists. If a prior
+    // crash landed between `p -> bak` and `next -> p`, then `.bak` is
+    // the ONLY committed generation — deleting it here would leave a
+    // window (before the promote below) with NO readable state, and the
+    // re-promoted batch would read a null pre-batch offset. Keeping the
+    // existing `.bak` as the retired generation preserves the
+    // invariant: every single-point crash leaves a readable generation.
+    if (fs.exists(p)) {
+      fs.delete(bak, true) // the generation before last — no longer needed
       require(fs.rename(p, bak), s"twin state swap: $p -> $bak failed")
+    }
     require(fs.rename(next, p), s"twin state swap: $next -> $p failed")
   }
 

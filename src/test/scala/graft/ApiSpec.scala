@@ -1311,6 +1311,17 @@ class ApiSpec extends AnyFunSuite {
       .select(Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
     assert(Bpe.trainFromVocab(vocab, 6) == merges,
       "trainFromVocab diverged from train on the same corpus")
+
+    // degenerate corpus: the vocabulary exhausts its mergeable pairs
+    // before the requested rounds — training stops early with the
+    // shorter list (and the chained DuckDB oracle carries the final
+    // segmentation forward, so encode/fertility stay non-empty)
+    val tiny = Seq("ab ab ab").toDF("txt")
+    val tinyVocab = Bpe.wordFreq(tiny, col("txt"))
+      .select(Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+    val tinyMerges = Bpe.trainFromVocab(tinyVocab, 8)
+    assert(tinyMerges == Seq(("a", "b")),
+      s"exhausted vocab must stop after its one merge: $tinyMerges")
   }
 
   test("Wordpiece.train matches a pure-Scala likelihood-argmax reference; " +
@@ -1484,6 +1495,28 @@ class ApiSpec extends AnyFunSuite {
     // chaining into one exact span of 13 tokens
     assert(spans == Set((1L, 5, 17, 13, 2L), (2L, 2, 14, 13, 2L)),
       s"got $spans")
+  }
+
+  test("SuffixArray fails fast on a doc id that is NULL or not castable " +
+      "to long (instead of silently returning empty)") {
+    import graft.api.SuffixArray
+    val r = (1 to 13).map(i => s"r$i").mkString(" ")
+    // a string id that casts to NULL would otherwise bypass the overflow
+    // guards into a NULL class label, which relabel's null-unsafe join
+    // then drops — every row vanishes and duplicateSpans returns empty
+    for (badId <- Seq("doc-x", null)) {
+      val df = Seq((badId, s"a1 a2 $r a3"), ("2", s"b1 $r b2"))
+        .toDF("id", "body")
+      val e = intercept[Exception] {
+        SuffixArray.duplicateSpans(df, col("id"), col("body"), minLen = 12)
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+          msgs(x.getCause))
+      assert(msgs(e).exists(m => m.contains("SuffixArray")),
+        s"id=$badId: wrong failure ${e.getMessage}")
+    }
   }
 
   test("SuffixArray.duplicateSpans matches a literal-gram pure-Scala " +

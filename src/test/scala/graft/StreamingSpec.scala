@@ -793,6 +793,43 @@ class StreamingSpec extends AnyFunSuite {
       s"mid-swap crash must fall back to .bak: $sb / $advb")
   }
 
+  test("twin state recovery from a mid-swap crash never deletes the lone " +
+      ".bak generation: the recovery write keeps it as the retired gen") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-twinstate-crash").resolve("st").toString
+    Streaming.writeTwinState(Seq(10L).toDF("v"), dir, 0L)
+    Streaming.writeTwinState(Seq(25L).toDF("v"), dir, 1L)
+    // simulate batch 2's swap crashing between `p -> bak` and
+    // `next -> p`: the current generation has been retired to .bak and
+    // nothing was promoted — `p` absent, `.bak` (gen 1) is the ONLY
+    // committed generation on disk
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    val fs = p.getFileSystem(conf)
+    fs.delete(bak, true)
+    assert(fs.rename(p, bak))
+    // retry of batch 2 computes from the retired generation …
+    val (s2, adv2) = Streaming.readTwinState(spark, dir, 2L)
+    assert(s2.map(_.collect()(0).getLong(0)) == Some(25L) && !adv2)
+    // … and its write must NOT delete `.bak` first (it is the last
+    // committed generation); with `p` absent the existing `.bak` stays
+    // as the retired generation and `.next` is simply promoted
+    Streaming.writeTwinState(Seq(45L).toDF("v"), dir, 2L)
+    assert(fs.exists(bak), ".bak (the pre-batch generation) was deleted")
+    assert(spark.read.parquet(dir + ".bak").select("v")
+      .collect()(0).getLong(0) == 25L, "retired generation corrupted")
+    // a LATER retry of batch 2 now reads its pre-batch state from .bak
+    // and skips the re-advance — the exactness contract end to end
+    val (r2, radv2) = Streaming.readTwinState(spark, dir, 2L)
+    assert(r2.map(_.collect()(0).getLong(0)) == Some(25L) && radv2,
+      s"post-recovery retry: $r2 / $radv2")
+    // and batch 3 sees the promoted generation 2
+    val (s3, adv3) = Streaming.readTwinState(spark, dir, 3L)
+    assert(s3.map(_.collect()(0).getLong(0)) == Some(45L) && !adv3)
+  }
+
   test("twinRollingRange: trailing value-window sum across micro-batches " +
       "equals the batch-union Overlap result (value-predicate tail)") {
     implicit val sqlCtx = spark.sqlContext
