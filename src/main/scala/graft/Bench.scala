@@ -80,26 +80,39 @@ object Bench {
         sel
       case None => SparkEntry.queries
     }
+    // dev-only regression-review mode (SPARK_GRAFT_REPEATS=N): time each
+    // key N times and report the MEDIAN, so the shared VM's ~2×
+    // run-to-run variance stops masquerading as per-query regressions.
+    // The driver never sets it, so contract runs stay single-pass (and
+    // honest about cold-path costs like index writes).
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS")
+      .map(_.toInt).filter(_ >= 1).getOrElse(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name; false
-        }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // between queries (outside the timed section): drop RDDs the last
-      // query left persisted — localCheckpoint generations from the
-      // iterative ops would otherwise accumulate across all ~170 queries
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // and collect the previous query's garbage NOW (JMH-style
-      // inter-iteration hygiene): otherwise a heavy predecessor's
-      // collection lands inside the next key's timed section — measured
-      // 1.5 s → 4.3 s on llm_dedup_norm purely from running after
-      // tpch_q7. Wall-clock cost sits outside every timed region.
-      System.gc()
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            errors ::= name; false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // between attempts/queries (outside the timed section): drop RDDs
+        // the last run left persisted — localCheckpoint generations from
+        // the iterative ops would otherwise accumulate across the suite
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        // and collect the previous run's garbage NOW (JMH-style
+        // inter-iteration hygiene): otherwise a heavy predecessor's
+        // collection lands inside the next key's timed section — measured
+        // 1.5 s → 4.3 s on llm_dedup_norm purely from running after
+        // tpch_q7. Wall-clock cost sits outside every timed region.
+        System.gc()
+        dt
+      }
+      val dt =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(repeats / 2)
       name -> dt
     }
     // The driver captures only a ~2000-char tail of stdout: a JSON line

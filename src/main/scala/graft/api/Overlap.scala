@@ -41,8 +41,12 @@ import org.apache.spark.sql.types.StructType
   *
   * The result is bit-identical to the single-partition global window
   * (asserted in ApiSpec on the fixture) while every exchange and sort is
-  * bucket-parallel. At 100 TB you raise `buckets` so a group ~ one
-  * executor's worth of rows.
+  * bucket-parallel. Bucket count is AUTO-SIZED by default (r12,
+  * `buckets = 0`): derived from the already-collected row count so
+  * groups hold ~4M rows (one executor task's worth) with at least 2×
+  * the cluster parallelism of them — group size no longer grows with
+  * the corpus, and the same call scales from a laptop fixture to
+  * 100 TB. Pass an explicit positive `buckets` to override.
   *
   * Skew handling (r11): a key whose values collapse into ONE value-range
   * bucket (a constant timestamp column, a ties-dominated id) no longer
@@ -69,6 +73,36 @@ object Overlap {
   private val Bkt = "__ovl_bkt"
   private val Grp = "__ovl_grp"
   private val Halo = "__ovl_halo"
+
+  /** Rows-per-group target for AUTO bucket sizing (`buckets = 0`, the
+    * default): group size stays ~this as the corpus grows instead of
+    * growing linearly with it (a fixed bucket count was the engine's
+    * last manual scale knob — and the task-memory hazard for
+    * [[mapOverlap]], whose groups must fit one task). ~4M narrow rows
+    * is a comfortable single-task window/sort at executor-JVM sizes. */
+  private val AutoTargetRows = 4L * 1024 * 1024
+
+  /** Ceiling on the AUTO bucket count — the per-bucket counts walk is a
+    * driver-side collect of one (int, long) pair per non-empty bucket,
+    * so this bounds it at ~16 MB even at 10^13-row corpora. */
+  private val MaxAutoBuckets = 1 << 20
+
+  /** Resolve a caller `buckets` value: positive = explicit; 0 = AUTO —
+    * enough buckets that (a) groups hold ~[[AutoTargetRows]] rows and
+    * (b) there are at least 2× the cluster's parallelism of them (small
+    * corpora keep full parallelism; huge corpora keep bounded groups).
+    * `total` is the already-collected row count, so AUTO adds no job. */
+  private[graft] def resolveBuckets(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int, total: Long, minRows: Long): Int = {
+    require(buckets >= 0, s"buckets must be >= 0 (0 = auto), got $buckets")
+    if (buckets > 0) buckets
+    else {
+      val p = spark.sparkContext.defaultParallelism.toLong
+      val target = math.max(AutoTargetRows, 2L * math.max(minRows, 1L))
+      math.min(MaxAutoBuckets.toLong,
+        math.max(2L * p, total / target + 1L)).toInt
+    }
+  }
 
   /** Greedy merge of adjacent non-empty buckets until every group carries
     * ≥ `minRows` rows; an undersized FINAL group folds back into its
@@ -97,9 +131,11 @@ object Overlap {
   /** Per-bucket counts → merge walk → broadcast remap join. The counts
     * collect is ≤ `buckets` rows at any data size. A NULL bucket value
     * (possible only on the value-range path — rank buckets are
-    * partition ids) fails fast. */
+    * partition ids) fails fast. Also returns the per-GROUP row counts
+    * (index = group id) — already known from the walk, and what lets
+    * [[haloUnion]] skip a second full sort (r12). */
   private def groupByCounts(withBkt: DataFrame,
-      minRows: Int): (DataFrame, Int) = {
+      minRows: Int): (DataFrame, Int, Array[Long]) = {
     val counts = withBkt.groupBy(Bkt).count().collect()
       .map { r =>
         require(!r.isNullAt(0), "Overlap bucket key is NULL for " +
@@ -108,9 +144,13 @@ object Overlap {
         r.getInt(0) -> r.getLong(1)
       }.sortBy(_._1)
     val (mapping, groups) = mergeWalk(counts, minRows)
+    val sizes = new Array[Long](groups)
+    mapping.iterator.zip(counts.iterator).foreach { case ((_, g), (_, n)) =>
+      sizes(g) += n
+    }
     val remap = withBkt.sparkSession.createDataFrame(mapping.toSeq)
       .toDF(Bkt, Grp)
-    (withBkt.join(broadcast(remap), Bkt), groups)
+    (withBkt.join(broadcast(remap), Bkt), groups, sizes)
   }
 
   /** Assign each row a dense group id (0..G-1) by value-range bucketing
@@ -119,12 +159,12 @@ object Overlap {
     * rows. When the range walk collapses to ≤1 group on data that could
     * hold ≥2 (ties-dominated / constant keys), falls back to RANK buckets
     * over `order` (see object scaladoc). Returns (frame + Grp column,
-    * number of groups); G == 0 means the input was empty. Exposed
-    * private[graft] for the ApiSpec tie-split pin. */
+    * number of groups, per-group row counts); G == 0 means the input
+    * was empty. Exposed private[graft] for the ApiSpec tie-split pin. */
   private[graft] def assignGroups(df: DataFrame, bucketKey: Column,
-      order: Seq[Column], buckets: Int, minRows: Int,
-      checkpointDir: Option[String]): (DataFrame, Int) = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+      order: Seq[Column], buckets0: Int, minRows: Int,
+      checkpointDir: Option[String]): (DataFrame, Int, Array[Long]) = {
+    require(buckets0 >= 0, s"buckets must be >= 0 (0 = auto), got $buckets0")
     require(order.nonEmpty, "order must name at least one column")
     val spark = df.sparkSession
     // PINNED: the engine's downstream consumers (min/max, per-bucket
@@ -140,16 +180,18 @@ object Overlap {
     require(mm.getLong(2) == 0L, "Overlap bucket key contains " +
       s"${mm.getLong(2)} NULL value(s): a null key has no place in the " +
       "global order — filter or impute upstream")
-    if (mm.isNullAt(0)) return (keyed.withColumn(Grp, lit(0)), 0)
+    if (mm.isNullAt(0))
+      return (keyed.withColumn(Grp, lit(0)), 0, Array.empty[Long])
     val total = mm.getLong(3)
+    val buckets = resolveBuckets(spark, buckets0, total, minRows)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
     val bktCol = least(floor((col(Bkt) - lit(lo)) / lit(width)),
       lit(buckets - 1)).cast("int")
-    val (grouped, groups) =
+    val (grouped, groups, sizes) =
       groupByCounts(keyed.withColumn(Bkt, bktCol), minRows)
     if (groups > 1 || total < 2L * minRows || total < 2)
-      return (grouped, groups)
+      return (grouped, groups, sizes)
     // Salted tie-split (r11): the whole key range collapsed into one
     // group but the data could carry ≥2. Re-bucket by RANK: range-
     // partition on the full total order (ties on the bucket key split
@@ -239,22 +281,31 @@ object Overlap {
   /** The halo'd frame shared by [[rollingRows]] and [[mapOverlap]]:
     * `grouped` plus each group's `before` trailing rows re-tagged into
     * its successor and `after` leading rows into its predecessor (rank
-    * windows — group-partitioned, streaming), halo rows marked true. */
+    * windows — group-partitioned, streaming), halo rows marked true.
+    * ONE ascending rank only (r12): the trailing predicate reads the
+    * descending rank as `group size − asc rank < before` off the
+    * per-group counts the merge walk already collected — the order is
+    * total (no ties by contract), so the identity is exact and the
+    * second full sort the desc rank used to cost is gone. */
   private def haloUnion(grouped: DataFrame, order: Seq[Column],
-      before: Int, after: Int, groups: Int): DataFrame = {
+      before: Int, after: Int, groups: Int,
+      sizes: Array[Long]): DataFrame = {
     val asc = Window.partitionBy(Grp).orderBy(order: _*)
-    val desc = Window.partitionBy(Grp).orderBy(order.map(_.desc): _*)
+    val sz = broadcast(grouped.sparkSession
+      .createDataFrame(sizes.toSeq.zipWithIndex.map(_.swap))
+      .toDF(Grp, "__ovl_gn"))
     val ranked = grouped
       .withColumn("__ovl_ra", row_number().over(asc))
-      .withColumn("__ovl_rd", row_number().over(desc))
+      .join(sz, Grp)
     val trailing = ranked
-      .filter(col("__ovl_rd") <= before && col(Grp) < groups - 1)
+      .filter(col("__ovl_gn") - col("__ovl_ra") < before &&
+        col(Grp) < groups - 1)
       .withColumn(Grp, col(Grp) + 1).withColumn(Halo, lit(true))
     val leading = ranked
       .filter(col("__ovl_ra") <= after && col(Grp) > 0)
       .withColumn(Grp, col(Grp) - 1).withColumn(Halo, lit(true))
     val halo = trailing.unionByName(leading)
-      .drop("__ovl_ra", "__ovl_rd")
+      .drop("__ovl_ra", "__ovl_gn")
     grouped.unionByName(halo)
   }
 
@@ -270,12 +321,12 @@ object Overlap {
     * truncating at group boundaries). The result carries `df`'s columns
     * plus the outputs. */
   def rollingRows(df: DataFrame, bucketKey: Column, order: Seq[Column],
-      before: Int, after: Int, buckets: Int = 64,
+      before: Int, after: Int, buckets: Int = 0,
       checkpointDir: Option[String] = None)
       (aggs: WindowSpec => Seq[Column]): DataFrame = {
     require(before >= 0 && after >= 0, "frame bounds must be >= 0")
-    val (grouped0, groups) = assignGroups(df, bucketKey, order, buckets,
-      math.max(math.max(before, after), 1), checkpointDir)
+    val (grouped0, groups, sizes) = assignGroups(df, bucketKey, order,
+      buckets, math.max(math.max(before, after), 1), checkpointDir)
     val w = Window.partitionBy(Grp).orderBy(order: _*)
     val outs = aggs(w)
     checkFrames(outs, before, after)
@@ -285,7 +336,7 @@ object Overlap {
         .select(df.columns.map(col) ++ outs: _*)
     }
     haloUnion(grouped0.withColumn(Halo, lit(false)), order, before,
-        after, groups)
+        after, groups, sizes)
       .select(col(Halo) +: df.columns.map(col) :+ struct(outs: _*)
         .as("__ovl_out"): _*)
       .filter(!col(Halo))
@@ -313,17 +364,17 @@ object Overlap {
     * sanctioned last resort the survey reserves for genuinely
     * imperative per-partition logic. */
   def mapOverlap(df: DataFrame, bucketKey: Column, order: Seq[Column],
-      before: Int, after: Int, outSchema: StructType, buckets: Int = 64,
+      before: Int, after: Int, outSchema: StructType, buckets: Int = 0,
       checkpointDir: Option[String] = None)
       (fn: Seq[Row] => Seq[Row]): DataFrame = {
     require(before >= 0 && after >= 0, "halo widths must be >= 0")
     val spark = df.sparkSession
-    val (grouped0, groups) = assignGroups(df, bucketKey, order, buckets,
-      math.max(math.max(before, after), 1), checkpointDir)
+    val (grouped0, groups, sizes) = assignGroups(df, bucketKey, order,
+      buckets, math.max(math.max(before, after), 1), checkpointDir)
     val base = grouped0.withColumn(Halo, lit(false))
     val halod =
       if (groups <= 1) base
-      else haloUnion(base, order, before, after, groups)
+      else haloUnion(base, order, before, after, groups, sizes)
     // materialize the sort keys: order elements are arbitrary
     // expressions over df, not necessarily named columns
     val sortNames = order.indices.map(i => s"__ovl_o$i")
@@ -371,7 +422,7 @@ object Overlap {
     * needs no tie-split here: all rows share ONE frame, and the
     * single-group plan is honestly that frame. */
   def rollingRange(df: DataFrame, key: Column, rangeBefore: Long,
-      rangeAfter: Long, buckets: Int = 64,
+      rangeAfter: Long, buckets: Int = 0,
       checkpointDir: Option[String] = None)
       (aggs: WindowSpec => Seq[Column]): DataFrame = {
     require(rangeBefore >= 0 && rangeAfter >= 0, "range bounds must be >= 0")
@@ -380,7 +431,7 @@ object Overlap {
     val keyed = TextDedup.ckptFn(df.sparkSession, checkpointDir)(
       df.withColumn(Bkt, key.cast("long")))
     val mm = keyed.agg(min(col(Bkt)), max(col(Bkt)),
-      count(when(col(Bkt).isNull, 1))).collect()(0)
+      count(when(col(Bkt).isNull, 1)), count(lit(1))).collect()(0)
     require(mm.getLong(2) == 0L, "Overlap range key contains " +
       s"${mm.getLong(2)} NULL value(s): a null key has no place in the " +
       "global order — filter or impute upstream")
@@ -389,8 +440,14 @@ object Overlap {
     if (mm.isNullAt(0))
       return keyed.withColumn(Grp, lit(0))
         .select(df.columns.map(col) ++ aggs(w0): _*)
+    // AUTO sizes by ROWS assuming keys are roughly uniform over the
+    // span (the group-size guarantee here is a value span, so row-exact
+    // sizing is not available without a second pass — and uniform-ish
+    // event-time keys are the operating case for range windows)
+    val nBuckets = resolveBuckets(df.sparkSession, buckets,
+      mm.getLong(3), 1L)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val width = math.max((hi - lo) / buckets + 1,
+    val width = math.max((hi - lo) / nBuckets + 1,
       math.max(math.max(rangeBefore, rangeAfter), 1L))
     val maxGrp = ((hi - lo) / width).toInt
     val base = keyed
@@ -436,10 +493,10 @@ object Overlap {
     * fixture in ApiSpec). On the value-range path equal keys never
     * split, so the correction is zero there. */
   def denseRank(df: DataFrame, bucketKey: Column, order: Seq[Column],
-      out: String, buckets: Int = 64,
+      out: String, buckets: Int = 0,
       checkpointDir: Option[String] = None): DataFrame = {
-    val (grouped, groups) = assignGroups(df, bucketKey, order, buckets, 1,
-      checkpointDir)
+    val (grouped, groups, _) = assignGroups(df, bucketKey, order, buckets,
+      1, checkpointDir)
     val key = struct(order: _*)
     val inGrp = dense_rank().over(
       Window.partitionBy(Grp).orderBy(order: _*)).cast("long")
@@ -469,7 +526,7 @@ object Overlap {
     * Spark/SQL's fill rule spelled in exact integer arithmetic: the
     * first `total % n` tiles carry ⌈total/n⌉ rows, the rest ⌊total/n⌋. */
   def ntile(df: DataFrame, bucketKey: Column, order: Seq[Column], n: Int,
-      out: String, buckets: Int = 64,
+      out: String, buckets: Int = 0,
       checkpointDir: Option[String] = None): DataFrame = {
     require(n >= 1, s"ntile n must be >= 1, got $n")
     val rn = runningSum(df, bucketKey, order, lit(1L), "__ovl_rn", buckets,
@@ -500,7 +557,7 @@ object Overlap {
     * never touches corpus-sized data. Output columns: `rank_out`,
     * `pct_out`, `cume_out` appended to df. */
   def rankGlobal(df: DataFrame, key: Column, rankOut: String,
-      pctOut: String, cumeOut: String, buckets: Int = 64,
+      pctOut: String, cumeOut: String, buckets: Int = 0,
       checkpointDir: Option[String] = None): DataFrame = {
     val kc = df.select(key.as("__ovl_k")).groupBy("__ovl_k")
       .agg(count(lit(1)).as("__ovl_n"))
@@ -518,10 +575,10 @@ object Overlap {
   }
 
   def runningSum(df: DataFrame, bucketKey: Column, order: Seq[Column],
-      value: Column, out: String, buckets: Int = 64,
+      value: Column, out: String, buckets: Int = 0,
       checkpointDir: Option[String] = None): DataFrame = {
-    val (grouped, groups) = assignGroups(df, bucketKey, order, buckets, 1,
-      checkpointDir)
+    val (grouped, groups, _) = assignGroups(df, bucketKey, order, buckets,
+      1, checkpointDir)
     val inGrp = sum(value).over(
       Window.partitionBy(Grp).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -255,10 +255,33 @@ object TextDedup {
   def dedupShardAgainstIndex(shard: DataFrame, id: Column, text: Column,
       indexPath: String, shingleWidth: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
-    val inter = screenAgainstIndex(shard, id, text, indexPath,
-      shingleWidth, bands, rowsPerBand, minJaccard).select(col("doc_a"))
-    val intra = nearMinhashMd5(shard, id, text, shingleWidth, bands,
-      rowsPerBand, minJaccard).select(col("doc_b").as("doc_a"))
+    val spark = shard.sparkSession
+    requireIndexParams(spark, indexPath, shingleWidth, bands, rowsPerBand)
+    // ONE shingle pass, ONE k-digest minhash pass, ONE collapse feed
+    // BOTH screens (r12): routing through screenAgainstIndex +
+    // nearMinhashMd5 separately signed the shard twice — the k×|shingles|
+    // md5 traversal is the expensive step and both screens consume the
+    // identical (sh, mh, reps/members, band sigs) lattice
+    val ck = ckptFn(spark, None)
+    val sh = ck(md5Shingles(shard, id, text, shingleWidth))
+    val mh = ck(md5MinhashSigs(sh, bands * rowsPerBand))
+    val (reps, members) = collapseSigGroups(mh, fullSigKey(col("mh")))
+    val bandSigs = bandsFromMh(reps, bands, rowsPerBand)
+    val inter = jaccardVerify(
+        joinShingles(
+          expandCrossPairs(
+            crossBandCandidates(bandSigs,
+              spark.read.parquet(s"$indexPath/sigs")),
+            Some(members), None),
+          sh, spark.read.parquet(s"$indexPath/shingles")),
+        minJaccard)
+      .select(col("doc_a"))
+    val intra = jaccardVerify(
+        joinShingles(
+          expandSelfPairs(selfBandCandidates(bandSigs), members),
+          sh, sh),
+        minJaccard)
+      .select(col("doc_b").as("doc_a"))
     shard.join(inter.union(intra).distinct(), id === col("doc_a"),
       "left_anti")
   }
@@ -583,12 +606,20 @@ object TextDedup {
     * 5-task enumeration and an evenly-spread equi-join at corpus scale. */
   def jaccardWithinBucket(df: DataFrame, id: Column, bucket: Column,
       text: Column, minJaccard: Double = 0.95,
-      prefilterSlack: Double = 0.0001): DataFrame = {
+      prefilterSlack: Double = 0.0001,
+      checkpointDir: Option[String] = None): DataFrame = {
     val r = minJaccard - prefilterSlack
-    val t = df.select(id.as("__id"), bucket.as("__bucket"),
+    // PINNED (r12): the hashed-token frame has FOUR consumers on
+    // DIFFERENT shuffle keys — both sides of the (bucket, band) pair
+    // join plus the doc_a / doc_b verify joins — so ReuseExchange never
+    // unifies them and the tokenize + hash + sort lineage re-evaluates
+    // four times per call (the opposite situation from
+    // weightedJaccardOnPairs' tok, whose consumers share one exchange)
+    val t = ckptFn(df.sparkSession, checkpointDir)(
+      df.select(id.as("__id"), bucket.as("__bucket"),
         array_sort(array_distinct(transform(split(text, " "),
           w => xxhash64(w)))).as("tk"))
-      .withColumn("ntk", size(col("tk")))
+      .withColumn("ntk", size(col("tk"))))
     val banded = if (r > 0.01) {
       // g chosen so the band gap of a ratio-passing pair is ≤ 0.9 < 1
       val g = math.exp(math.log(1.0 / r) / 0.9)
@@ -2116,24 +2147,81 @@ object TextDedup {
     // other inputs — 3 options otherwise re-run the k×|shingles| md5
     // traversal three times
     val mh = ck(md5MinhashSigs(sh, k))
-    val per = bandsOptions.map { bn =>
-      val cand = selfBandCandidates(bandsFromMh(mh, bn, k / bn))
-      val nc = cand.agg(count(lit(1)).as("candidates"))
-      cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(nc))
-        .withColumn("bands", lit(bn))
-        .withColumn("rows_per_band", lit(k / bn))
+    // ONE band self-join shared by every bands option (r12): when the
+    // options form a divisibility chain (the default 2|4|8), a coarse
+    // band is a concatenation of fine bands, so a pair collides at
+    // bands=c iff some aligned group of fineBn/c FINE bands all collide
+    // — derivable from the finest join's per-band match set with a
+    // collect_set + array predicate per option, no second or third
+    // self-join and ONE truth join for all options. (Band sigs are md5
+    // of the slice, so "all sub-slices equal" vs "the concatenated
+    // slice equal" differ only on an md5 collision — the same tolerance
+    // every band bucket here already accepts.)
+    val nested = bandsOptions.zip(bandsOptions.tail)
+      .forall { case (c, f) => f % c == 0 }
+    if (nested) {
+      val fineBn = bandsOptions.last
+      val sigs = bandsFromMh(mh, fineBn, k / fineBn)
+      val a = sigs.alias("a"); val b = sigs.alias("b")
+      // ≤ fineBn match rows per candidate pair (one row per doc per
+      // band on each side, so (pair, band) is already distinct)
+      val matched = a.join(b,
+          col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+          col("a.band").as("band"))
+      val optFlags = bandsOptions.map { bn =>
+        val gs = fineBn / bn // fine bands per coarse band, aligned
+        exists(sequence(lit(0), lit(bn - 1)), g =>
+          forall(sequence(lit(0), lit(gs - 1)), j =>
+            array_contains(col("__mb"), g * gs + j))).as(s"__c$bn")
+      }
+      val flagged = matched.groupBy("doc_a", "doc_b")
+        .agg(collect_set(col("band")).as("__mb"))
+        .select(col("doc_a") +: col("doc_b") +: optFlags: _*)
+        .join(truth.withColumn("__t", lit(true)),
+          Seq("doc_a", "doc_b"), "left")
+      val one = flagged.agg(
+        count(lit(1)).as("__n"), // keeps the agg shape total
+        bandsOptions.flatMap(bn => Seq(
+          sum(when(col(s"__c$bn"), 1L).otherwise(0L)).as(s"__cand$bn"),
+          sum(when(col(s"__c$bn") && col("__t"), 1L).otherwise(0L))
+            .as(s"__hit$bn"))): _*)
+      one.select(explode(array(bandsOptions.map(bn =>
+          struct(lit(bn).as("bands"), lit(k / bn).as("rows_per_band"),
+            coalesce(col(s"__cand$bn"), lit(0L)).as("candidates"),
+            coalesce(col(s"__hit$bn"), lit(0L)).as("hits"))): _*))
+          .as("__r"))
+        .select(col("__r.*"))
+        .crossJoin(broadcast(truthCnt))
+        .select(col("bands"), col("rows_per_band"), col("n_truth"),
+          col("candidates"), col("hits"),
+          (col("hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          (col("hits").cast("double") / col("candidates").cast("double"))
+            .as("precision"))
+        .orderBy("bands")
+    } else {
+      val per = bandsOptions.map { bn =>
+        val cand = selfBandCandidates(bandsFromMh(mh, bn, k / bn))
+        val nc = cand.agg(count(lit(1)).as("candidates"))
+        cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(nc))
+          .withColumn("bands", lit(bn))
+          .withColumn("rows_per_band", lit(k / bn))
+      }
+      per.reduce(_.unionByName(_))
+        .crossJoin(broadcast(truthCnt))
+        .select(col("bands"), col("rows_per_band"), col("n_truth"),
+          col("candidates"), col("hits"),
+          (col("hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          (col("hits").cast("double") / col("candidates").cast("double"))
+            .as("precision"))
+        .orderBy("bands")
     }
-    per.reduce(_.unionByName(_))
-      .crossJoin(broadcast(truthCnt))
-      .select(col("bands"), col("rows_per_band"), col("n_truth"),
-        col("candidates"), col("hits"),
-        (col("hits").cast("double") / col("n_truth").cast("double"))
-          .as("recall"),
-        (col("hits").cast("double") / col("candidates").cast("double"))
-          .as("precision"))
-      .orderBy("bands")
   }
 
   // === Fragment stitching — reassembly candidates =======================

@@ -405,7 +405,13 @@ object TextQuality {
         col("__n").as("__maj"))
     val langsPerDoc = perLang.groupBy("__id")
       .agg(count(lit(1)).as("n_langs"))
-    val nLines = lines.groupBy("__id").agg(count(lit(1)).as("n_lines"))
+    // from the PINNED lattice, not `lines`: counting off the raw frame
+    // re-runs the posexplode + trim lineage over the corpus a second
+    // time, and every non-empty line owns ≥1 lattice row (a space-split
+    // of a non-blank line is never empty), so distinct (__id, __ln) is
+    // exactly the line set
+    val nLines = lnTok.select(col("__id"), col("__ln")).distinct()
+      .groupBy("__id").agg(count(lit(1)).as("n_lines"))
     nLines.join(langsPerDoc, Seq("__id"), "left")
       .join(major, Seq("__id"), "left")
       .select(col("__id").as("doc_id"), col("n_lines"),

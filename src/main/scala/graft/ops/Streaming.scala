@@ -663,6 +663,97 @@ object Streaming {
     }
   }
 
+  /** Streaming twin of the global gaps-and-islands sessionizer (r12 —
+    * the `window_sessionize_global` composition continued across
+    * micro-batches): per batch, gap flags come from the batch
+    * bucket+halo engine (`Overlap.rollingRows` lag-1) with the FIRST
+    * batch row's flag decided by the persisted previous key, the
+    * session id from the batch two-phase prefix sum
+    * (`Overlap.runningSum`) shifted by the persisted session offset.
+    * State is ONE row — (prev_key, session_offset): the last key seen
+    * and the last session id assigned — advanced once per batch through
+    * the crash-safe staged swap (EXACT under foreachBatch retries: a
+    * batch whose swap landed re-reads its pre-batch generation from
+    * `.bak` and skips the re-advance — the [[twinRunningSum]]
+    * discipline). Sessionize is incremental-friendly because a session
+    * boundary only ever looks ONE row back — the whole halo the state
+    * must carry is a single key.
+    *
+    * Cadence contract as the other twins: batches arrive in global
+    * `key` order (`tieBreak` completes the total order within a batch);
+    * an empty batch leaves the state untouched. `key` must cast to
+    * long, NULL-free (the Overlap fail-fast applies); a boundary tie
+    * (batch head equal to the stored prev key) lands in the same
+    * session, gap 0 being ≤ `gap`. Output: the batch's columns plus
+    * `out` = the 1-based global session id. Multi-batch ≡ batch-union
+    * pinned in StreamingSpec, including a retry case. */
+  def twinSessionize(stream: DataFrame,
+      key: org.apache.spark.sql.Column,
+      tieBreak: Seq[org.apache.spark.sql.Column], gap: Long, out: String,
+      statePath: String)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(gap >= 0, "gap must be >= 0")
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sessionizeBatchStep(batch, batchId, key, tieBreak, gap, out,
+          statePath)(emit)
+    }
+  }
+
+  /** One [[twinSessionize]] micro-batch — split out so the retry pin
+    * can re-invoke a batch directly (a foreachBatch retry IS exactly a
+    * second call with the same batchId). */
+  private[graft] def sessionizeBatchStep(batch: DataFrame, batchId: Long,
+      key: org.apache.spark.sql.Column,
+      tieBreak: Seq[org.apache.spark.sql.Column], gap: Long, out: String,
+      statePath: String)(emit: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val pinned = batch.localCheckpoint()
+    val keyed = pinned.withColumn("__sess_k", key.cast("long"))
+    val (state, alreadyAdvanced) =
+      readTwinState(spark, statePath, batchId)
+    val (prevKey, offset): (Option[Long], Long) = state match {
+      case Some(st) =>
+        val r = st.collect()(0) // one-row state frame by contract
+        (Some(r.getLong(0)), r.getLong(1))
+      case None => (None, 0L)
+    }
+    val order = col("__sess_k") +: tieBreak
+    // lag-1 through the halo'd batch engine; only the batch's very
+    // first row in the total order has no predecessor — that is
+    // where the persisted prev key substitutes
+    val flagged = graft.api.Overlap.rollingRows(keyed,
+        col("__sess_k"), order, before = 1, after = 0)(w0 => Seq(
+      first(col("__sess_k")).over(w0.rowsBetween(-1, -1))
+        .as("__sess_prev")))
+      .withColumn("__sess_prev",
+        coalesce(col("__sess_prev"),
+          prevKey.map(lit(_)).getOrElse(lit(null))))
+      .withColumn("__sess_new",
+        when(col("__sess_prev").isNull ||
+          col("__sess_k") - col("__sess_prev") > gap, 1L)
+          .otherwise(0L))
+    val summed = graft.api.Overlap.runningSum(flagged,
+        col("__sess_k"), order, col("__sess_new"), out)
+      .withColumn(out, col(out) + lit(offset))
+    emit(summed.drop("__sess_k", "__sess_prev", "__sess_new"))
+    // advance LAST (the state-helper contract): the new prev key is
+    // the batch max, the new offset the last session id assigned —
+    // both off the emitted frame, a two-scalar bounded collect
+    if (!alreadyAdvanced) {
+      val stats = summed
+        .agg(max(col("__sess_k")), max(col(out))).collect()(0)
+      if (!stats.isNullAt(0))
+        writeTwinState(spark.range(1).select(
+            lit(stats.getLong(0)).as("prev_key"),
+            lit(stats.getLong(1)).as("session_offset")),
+          statePath, batchId)
+    }
+    graft.api.TextDedup.releaseCheckpoint(pinned)
+  }
+
   /** CUSTOM state via flatMapGroupsWithState (the escape hatch beyond
     * built-in aggregations): running count of distinct event types per
     * user. State per key is domain-bounded (the type set), and the KEY

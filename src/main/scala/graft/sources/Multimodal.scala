@@ -726,9 +726,17 @@ object Multimodal {
     * over pixel space). */
   def phashDedupShardAgainstIndex(shard: DataFrame, id: Column,
       pixels: Column, path: String, maxDist: Int = 3): DataFrame = {
-    val inter = phashScreenAgainstIndex(shard, id, pixels, path, maxDist)
+    val spark = shard.sparkSession
+    // ONE pinned band frame feeds both screens (r12): routing through
+    // phashScreenAgainstIndex + phashNearDups separately computed and
+    // localCheckpointed the shard's dHash bands twice — two jobs over
+    // the same 4-int-per-doc frame
+    val bd = graft.api.TextDedup.ckptFn(spark, None)(
+      shard.select(id.as("__id"), dhashBands(pixels).as("__bd")))
+    val inter = graft.api.TextDedup.bandedHammingCrossPairs(
+        bd, spark.read.parquet(s"$path/bands"), maxDist)
       .select(col("doc_a"))
-    val intra = phashNearDups(shard, id, pixels, maxDist)
+    val intra = graft.api.TextDedup.bandedHammingPairs(bd, maxDist)
       .select(col("doc_b").as("doc_a"))
     shard.join(inter.union(intra).distinct(), id === col("doc_a"),
       "left_anti")

@@ -3091,6 +3091,53 @@ class ApiSpec extends AnyFunSuite {
       "an un-partitioned WindowExec reached the data path")
   }
 
+  test("Overlap AUTO bucket sizing (buckets = 0, the default): bounded " +
+      "group sizes at any scale, full parallelism on small corpora, " +
+      "bit-identical output to an explicit bucket count") {
+    val p = spark.sparkContext.defaultParallelism.toLong
+    // the arithmetic, across regimes the fixture can't reach:
+    // small corpus → parallelism floor; huge corpus → ~4M-row groups;
+    // absurd corpus → the MaxAutoBuckets ceiling bounds the driver walk
+    assert(graft.api.Overlap.resolveBuckets(spark, 0, 100000L, 1L)
+      == 2L * p)
+    val target = 4L * 1024 * 1024
+    val huge = 1000L * 1000 * 1000 * 100 // 10^11 rows
+    assert(graft.api.Overlap.resolveBuckets(spark, 0, huge, 1L)
+      == math.max(2L * p, huge / target + 1), "group size must stay " +
+        "~AutoTargetRows instead of growing with the corpus")
+    assert(graft.api.Overlap.resolveBuckets(spark, 0, Long.MaxValue / 2, 1L)
+      == (1 << 20), "the counts-walk collect must stay bounded")
+    // an explicit count still wins
+    assert(graft.api.Overlap.resolveBuckets(spark, 64, huge, 1L) == 64)
+    // a halo wider than the target keeps groups mergeable
+    assert(graft.api.Overlap.resolveBuckets(spark, 0, huge,
+      8L * 1024 * 1024) == huge / (16L * 1024 * 1024) + 1)
+    // end-to-end: the default (auto) spelling groups in parallel and
+    // matches the explicit-bucket result bit-for-bit
+    val (gAuto, nAuto, _) = graft.api.Overlap.assignGroups(overlapEvents,
+      unix_micros(col("ts").cast("timestamp")),
+      Seq(col("ts"), col("event_id")), 0, 2, None)
+    assert(nAuto > 1, "auto sizing degenerated to one group")
+    assert(gAuto.groupBy("__ovl_grp").count().collect()
+      .forall(_.getLong(1) >= 2), "a group under minRows escaped the walk")
+    import graft.util.Det.dec
+    def m3(buckets: Int) = graft.api.Overlap.rollingRows(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), before = 2, after = 0,
+        buckets = buckets)(w0 => {
+      val w = w0.rowsBetween(-2, 0)
+      Seq((sum(dec(col("value"))).over(w).cast("double") /
+        count(lit(1)).over(w)).as("m"))
+    }).select(col("event_id"), col("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val auto = m3(0); val explicit = m3(7)
+    assert(auto.size == explicit.size)
+    explicit.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(auto(id)) ==
+        java.lang.Double.doubleToLongBits(v), s"event $id: auto/explicit")
+    }
+  }
+
   test("Overlap.denseRank and Overlap.ntile are bit-identical to the " +
       "naive global windows; data-path windows stay partitioned") {
     import org.apache.spark.sql.expressions.Window
@@ -3257,7 +3304,7 @@ class ApiSpec extends AnyFunSuite {
     import graft.util.Det.dec
     // the fallback itself: the value-range walk collapses on lit(0),
     // rank buckets over the total order take over
-    val (_, groups) = graft.api.Overlap.assignGroups(overlapEvents,
+    val (_, groups, _) = graft.api.Overlap.assignGroups(overlapEvents,
       lit(0), Seq(col("ts"), col("event_id")), 16, 3, None)
     assert(groups > 1,
       s"tie-split fallback did not engage (groups=$groups)")

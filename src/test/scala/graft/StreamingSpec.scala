@@ -877,4 +877,76 @@ class StreamingSpec extends AnyFunSuite {
       assert(tailIds == expectTail, s"tail $tailIds != $expectTail")
     } finally q.stop()
   }
+
+  test("twinSessionize: global session ids across micro-batches equal " +
+      "the batch-union gaps-and-islands result; a retried batch " +
+      "re-emits identically and never double-advances") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // keys ascend across batches (the cadence contract); gap 50 splits
+    // at each batch boundary (≈480-key jump) and once INSIDE each batch
+    // (the +200 jump at i = 21); ties via the id tie-break
+    val mkRows = (b: Int) => (1 to 40).map { i =>
+      (b * 100L + i, b * 1000L + i * 13L + (if (i > 20) 200L else 0L))
+    }
+    val batches = Seq(mkRows(0), mkRows(1), mkRows(2))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sess-stream").resolve("st").toString
+    val in = MemoryStream[(Long, Long)]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long)]
+    val q = Streaming.twinSessionize(in.toDF.toDF("id", "k"), col("k"),
+        Seq(col("id")), gap = 50L, "sess", dir) {
+      out => emitted.synchronized {
+        emitted ++= out.select("id", "sess").collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+      }
+    }.start()
+    // batch-union reference: the window_sessionize_global composition
+    // over the whole stream at once
+    def unionSessionize(rows: Seq[(Long, Long)]) = {
+      val df = rows.toDF("id", "k")
+      val flagged = graft.api.Overlap.rollingRows(df, col("k"),
+          Seq(col("k"), col("id")), before = 1, after = 0)(w0 => Seq(
+        first(col("k")).over(w0.rowsBetween(-1, -1)).as("prev")))
+        .withColumn("new_sess", when(col("prev").isNull ||
+          col("k") - col("prev") > 50L, 1L).otherwise(0L))
+      graft.api.Overlap.runningSum(flagged, col("k"),
+          Seq(col("k"), col("id")), col("new_sess"), "sess")
+        .select("id", "sess").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = emitted.synchronized(emitted.toMap)
+      val batchUnion = unionSessionize(batches.flatten)
+      assert(streamed.size == 120, s"got ${streamed.size} rows")
+      assert(streamed == batchUnion,
+        streamed.toSeq.sorted.zip(batchUnion.toSeq.sorted)
+          .filter(p => p._1 != p._2).take(5).toString)
+      // 6 sessions total: one per batch start + one mid-batch jump each
+      assert(streamed.values.max == 6L,
+        s"expected 6 sessions, got ${streamed.values.max}")
+      // persisted state = (last key, last session id)
+      val st = spark.read.parquet(dir).collect()(0)
+      assert(st.getLong(0) == batches.flatten.map(_._2).max &&
+        st.getLong(1) == 6L, s"state $st")
+    } finally q.stop()
+    // RETRY: re-run the LAST batch with its original batchId directly
+    // (a foreachBatch retry is exactly a second call with the same id)
+    // — emission must be bit-identical and the state must not advance
+    val replayed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    Streaming.sessionizeBatchStep(batches(2).toDF("id", "k"), 2L,
+        col("k"), Seq(col("id")), 50L, "sess", dir) {
+      out => replayed ++= out.select("id", "sess").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+    }
+    val batchUnion = unionSessionize(batches.flatten)
+    assert(replayed.size == 40 &&
+      replayed.forall { case (id, s) => batchUnion(id) == s },
+      s"retry diverged: ${replayed.take(5)}")
+    val st2 = spark.read.parquet(dir).collect()(0)
+    assert(st2.getLong(0) == batches.flatten.map(_._2).max &&
+      st2.getLong(1) == 6L, s"retry advanced the state: $st2")
+  }
 }
