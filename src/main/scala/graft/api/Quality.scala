@@ -136,9 +136,13 @@ object Quality {
     var e = 1
     var prevGen: Option[org.apache.spark.rdd.RDD[_]] = None
     while (e < epochs) {
-      model = ck(model)
-      prevGen.foreach(_.unpersist(blocking = false))
-      prevGen = TextDedup.checkpointRdd(model)
+      // shallow-chain fuse rule (r12): a 2-epoch fit needs no
+      // intermediate truncation — both epochs land in the final ck job
+      if (epochs > 2) {
+        model = ck(model)
+        prevGen.foreach(_.unpersist(blocking = false))
+        prevGen = TextDedup.checkpointRdd(model)
+      }
       model = trainStep(f, l, model, lrMicro)
       e += 1
     }
@@ -243,8 +247,15 @@ object Quality {
       var model = trainStep(f, trainLab, emptyWeights(f), lrMicro)
       var e = 1
       while (e < epochs) {
-        model = ck(model)
-        TextDedup.checkpointRdd(model).foreach(r => gens = r :: gens)
+        // shallow chains (epochs <= 2) skip the intermediate pin: the
+        // whole 2-epoch fold fuses into the ONE final job (every fold
+        // running concurrently — measured ~1.5x at sf0.1, r12), and at
+        // depth 2 the un-truncated plan stays small; deeper chains keep
+        // the per-epoch truncation (plan doubles per un-pinned epoch)
+        if (epochs > 2) {
+          model = ck(model)
+          TextDedup.checkpointRdd(model).foreach(r => gens = r :: gens)
+        }
         model = trainStep(f, trainLab, model, lrMicro)
         e += 1
       }
@@ -334,8 +345,11 @@ object Quality {
       var model = trainStep(f, noisy, emptyWeights(f), lrMicro)
       var e = 1
       while (e < epochs) {
-        model = ck(model)
-        TextDedup.checkpointRdd(model).foreach(r => gens = r :: gens)
+        // same shallow-chain fuse rule as crossValidate (r12)
+        if (epochs > 2) {
+          model = ck(model)
+          TextDedup.checkpointRdd(model).foreach(r => gens = r :: gens)
+        }
         model = trainStep(f, noisy, model, lrMicro)
         e += 1
       }

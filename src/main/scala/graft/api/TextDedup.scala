@@ -1345,9 +1345,17 @@ object TextDedup {
     * dropped; survivors keep all original columns. */
   def simhashMd5DedupShardAgainstIndex(shard: DataFrame, id: Column,
       text: Column, path: String, maxDist: Int = 3): DataFrame = {
-    val inter = simhashMd5ScreenAgainstIndex(shard, id, text, path, maxDist)
+    val spark = shard.sparkSession
+    // ONE pinned band frame feeds both screens (r12, the
+    // dedupShardAgainstIndex / phashDedupShardAgainstIndex rule):
+    // routing through the two public entry points computed and pinned
+    // the shard's simhash bands twice — the per-token md5 fold is the
+    // expensive step
+    val bd = ckptFn(spark, None)(simhashMd5Bands(shard, id, text))
+    val inter = bandedHammingCrossPairs(bd,
+        spark.read.parquet(s"$path/bands"), maxDist)
       .select(col("doc_a"))
-    val intra = nearSimhashMd5(shard, id, text, maxDist)
+    val intra = bandedHammingPairs(bd, maxDist)
       .select(col("doc_b").as("doc_a"))
     shard.join(inter.union(intra).distinct(), id === col("doc_a"),
       "left_anti")

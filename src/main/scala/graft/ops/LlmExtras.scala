@@ -829,6 +829,52 @@ object LlmExtras {
         .orderBy("source")
     }),
 
+    // CROSS-FAMILY tokenizer comparison (r12, the eval-symmetry end
+    // cap): the same corpus priced under all THREE trained/fitted
+    // families — BPE (the 8 trained merges), WordPiece (3-permille
+    // vocabulary, greedy longest-match encode), Unigram (seed-model
+    // Viterbi) — per source in ONE frame: which tokenizer pays the
+    // least sequence length for each slice, the table a refit decision
+    // reads. One pinned word-frequency vocabulary feeds every family
+    // (the corpus-sized shuffle happens once); each family's per-word
+    // piece counts are Heaps-bounded map-side walks; the per-(source,
+    // word) instance counts are the only corpus-sized aggregate, shared
+    // across families through the one join. Fertility = one IEEE divide
+    // of exact longs; the oracle replays all three training chains in
+    // one WITH RECURSIVE (the wf lattice renamed per family to
+    // coexist), hash-checked end to end.
+    "llm_tokenizer_compare" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wf = graft.api.Bpe.wordFreq(docs, col("text")).localCheckpoint()
+      val merges = graft.api.Bpe.trainFromVocab(
+        wf.select(graft.api.Bpe.wrapChars(col("word")).as("sym"),
+          col("w_n")),
+        BpeTrainMerges)
+      val bpeNp = graft.api.Bpe.segment(wf, col("word"), merges)
+        .select(lit("bpe").as("family"), col("word"),
+          size(col("tokens")).cast("long").as("__np"))
+      val wpNp = graft.api.Wordpiece
+        .encode(wf, graft.api.Wordpiece.vocabPieces(wf))
+        .select(lit("wordpiece").as("family"), col("word"),
+          col("n_pieces").cast("long").as("__np"))
+      val ugNp = graft.api.Unigram
+        .viterbiSegment(wf, graft.api.Unigram.seedPieces(wf))
+        .select(lit("unigram").as("family"), col("word"),
+          size(col("pieces")).cast("long").as("__np"))
+      val bySource = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[A-Za-z]+$"))
+        .groupBy("source", "word").agg(count(lit(1)).as("__n"))
+      bySource
+        .join(bpeNp.unionByName(wpNp).unionByName(ugNp), "word")
+        .groupBy("family", "source")
+        .agg(sum(col("__n")).as("n_words"),
+          sum(col("__n") * col("__np")).as("n_pieces"))
+        .withColumn("fertility",
+          col("n_pieces").cast("double") / col("n_words").cast("double"))
+        .orderBy("family", "source")
+    }),
+
     // the multimodal COLUMN MODEL exercised as a declared, oracle-checked
     // key: no binary fixture exists, so deterministic 16-byte payloads
     // derive from the text fixture (unhex(md5)) and flow through the
@@ -1329,6 +1375,12 @@ object LlmExtras {
       |    substr(word, CAST(arr[CAST(j AS INT) + 1] % 100 AS INT) + 1,
       |      CAST(j - arr[CAST(j AS INT) + 1] % 100 AS INT)) AS piece
       |  FROM bt WHERE j > 0)""".stripMargin
+
+  /** Whole-word rename of a CTE identifier inside a CTE block — lets
+    * the per-family tokenizer blocks (each of which owns a `wf` word
+    * lattice) coexist in one combined WITH (llm_tokenizer_compare). */
+  private def renameCte(block: String, from: String, to: String): String =
+    block.replaceAll(s"\\b$from\\b", to)
 
   /** Pair-count CTE body over a given segmentation CTE (sym, w_n). */
   private def bpePcSql(segName: String): String =
@@ -2088,6 +2140,52 @@ object LlmExtras {
          |    / CAST(SUM(g_n * np) AS DOUBLE) AS chars_per_piece
          |FROM gw JOIN np USING (word)
          |GROUP BY source ORDER BY source""".stripMargin,
+    // cross-family tokenizer comparison: all three training chains in
+    // one WITH RECURSIVE — the BPE merge chain owns `wf`, the WordPiece
+    // and Unigram blocks get their lattices renamed (wpwf / uwf; the
+    // three definitions agree on every fixture word, len < 100 never
+    // binding at 8-char max) — each projecting a per-word piece count,
+    // unioned under a family tag and priced per source exactly like the
+    // Spark side's one shared join
+    "llm_tokenizer_compare" ->
+      s"""WITH RECURSIVE
+         |${bpeTrainCte(BpeTrainMerges)},
+         |${renameCte(wordpieceCte, "wf", "wpwf")},
+         |wedge AS (SELECT s.word, s.i, s.j FROM wsub s
+         |  JOIN wvoc v USING (piece)),
+         |wwalk AS (
+         |  SELECT word, w_n, 0 AS p, 0 AS np FROM wpwf
+         |  UNION ALL
+         |  SELECT w.word, w.w_n, CAST(MAX(e.j) AS INT) AS p,
+         |    w.np + 1 AS np
+         |  FROM wwalk w JOIN wedge e ON e.word = w.word AND e.i = w.p
+         |  WHERE w.p < len(w.word)
+         |  GROUP BY w.word, w.w_n, w.p, w.np),
+         |wdone AS (SELECT word, np FROM wwalk WHERE p = len(word)),
+         |wpnp AS (SELECT wpwf.word,
+         |    CAST(COALESCE(d.np, 1) AS BIGINT) AS np
+         |  FROM wpwf LEFT JOIN wdone d USING (word)),
+         |${renameCte(unigramCte, "wf", "uwf")},
+         |ugnp AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np FROM used
+         |  GROUP BY word),
+         |bpenp AS (SELECT word, CAST(len(string_split(
+         |    substr(sym, 2, length(sym) - 2), ')(')) AS BIGINT) AS np
+         |  FROM segw$BpeTrainMerges),
+         |fam AS (
+         |  SELECT 'bpe' AS family, word, np FROM bpenp
+         |  UNION ALL SELECT 'wordpiece' AS family, word, np FROM wpnp
+         |  UNION ALL SELECT 'unigram' AS family, word, np FROM ugnp),
+         |cgw AS (SELECT source, word, COUNT(*) AS g_n FROM (
+         |    SELECT source, unnest(string_split_regex(text, ' ')) AS word
+         |    FROM documents) w
+         |  WHERE regexp_full_match(word, '[A-Za-z]+')
+         |  GROUP BY source, word)
+         |SELECT family, source, CAST(SUM(g_n) AS BIGINT) AS n_words,
+         |  CAST(SUM(g_n * np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(g_n * np) AS DOUBLE) / CAST(SUM(g_n) AS DOUBLE)
+         |    AS fertility
+         |FROM cgw JOIN fam USING (word)
+         |GROUP BY family, source ORDER BY family, source""".stripMargin,
     // llm_sim_topk_pca: omitted (float-order-dependent Jacobi eigen fit,
     // like the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec.
     // llm_sim_topk_pca_exact below IS the oracle-checked PCA: the whole
