@@ -352,7 +352,8 @@ object Overlap {
     * halo OUTPUTS dropped — dask's trim rule.
     *
     * `fn` receives ONE group's rows (df's columns only, in `order`,
-    * halo rows included at both ends) and must return EXACTLY one
+    * halo rows included at both ends — always an INDEXED seq, so
+    * `rows(i)` kernels are O(1)) and must return EXACTLY one
     * output row per input row, positionally aligned — the dask
     * `map_overlap` contract (enforced at runtime). Like dask's version
     * — and unlike the declarative forms — the function is a black box:
@@ -387,13 +388,19 @@ object Overlap {
       .sortWithinPartitions(col(Grp) +: sortNames.map(col): _*)
     val out = parted.rdd.mapPartitions { it =>
       val buf = it.buffered
-      new Iterator[Seq[Row]] {
+      // INDEXED seqs end to end: `ArrayBuffer.toSeq` builds a List in
+      // Scala 2.13, and a List-backed `rows` turns every index access a
+      // user kernel makes (`rows(i)`, the classic windowed-kernel
+      // shape) into an O(n) traversal — O(n²) per group, measured 6 s
+      // over a 100k-row fixture vs 0.06 s array-backed (r12). ArraySeq
+      // wraps the builder's array with O(1) apply and no copy.
+      new Iterator[IndexedSeq[Row]] {
         def hasNext: Boolean = buf.hasNext
-        def next(): Seq[Row] = {
+        def next(): IndexedSeq[Row] = {
           val g = buf.head.getInt(0)
           val run = scala.collection.mutable.ArrayBuffer.empty[Row]
           while (buf.hasNext && buf.head.getInt(0) == g) run += buf.next()
-          run.toSeq
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(run.toArray)
         }
       }.flatMap { run =>
         val outs = fn(run.map(r => Row.fromSeq(r.toSeq.drop(userStart))))
