@@ -188,4 +188,50 @@ class LlmExtrasSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cm == docs, "every doc must be classified exactly once")
   }
+
+  test("llm_tokenizer_compare is cross-key consistent: the bpe and " +
+      "unigram families reproduce llm_bpe_fertility / " +
+      "llm_tokenizer_fertility bit for bit, and every family covers " +
+      "every source") {
+    val cmp = SparkEntry
+      .queries("llm_tokenizer_compare")(spark, SparkFixture.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // bpe rows == the dedicated trained-BPE fertility key
+    val bpe = SparkEntry
+      .queries("llm_bpe_fertility")(spark, SparkFixture.sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    bpe.foreach { case (src, (nw, np, f)) =>
+      val (cw, cp, cf) = cmp(("bpe", src))
+      assert(cw == nw && cp == np &&
+        java.lang.Double.doubleToLongBits(cf) ==
+          java.lang.Double.doubleToLongBits(f),
+        s"bpe/$src: compare ($cw,$cp,$cf) != dedicated ($nw,$np,$f)")
+    }
+    // unigram rows == the dedicated seed-model fertility key
+    val ug = SparkEntry
+      .queries("llm_tokenizer_fertility")(spark, SparkFixture.sf0001)
+      .select("source", "n_words", "n_pieces", "fertility").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    ug.foreach { case (src, (nw, np, f)) =>
+      val (cw, cp, cf) = cmp(("unigram", src))
+      assert(cw == nw && cp == np &&
+        java.lang.Double.doubleToLongBits(cf) ==
+          java.lang.Double.doubleToLongBits(f),
+        s"unigram/$src: compare ($cw,$cp,$cf) != dedicated ($nw,$np,$f)")
+    }
+    // all three families present, same source set, same word totals
+    // (every family prices the SAME word instances)
+    val fams = cmp.keySet.map(_._1)
+    assert(fams == Set("bpe", "wordpiece", "unigram"), s"families $fams")
+    val bySrc = cmp.groupBy(_._1._2).view
+      .mapValues(_.map { case (_, (nw, _, _)) => nw }.toSet)
+    bySrc.foreach { case (src, nws) =>
+      assert(nws.size == 1, s"$src: families disagree on n_words: $nws")
+    }
+  }
 }
