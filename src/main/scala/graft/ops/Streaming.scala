@@ -513,39 +513,52 @@ object Streaming {
         org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // the exact batch total and the emitted shift both need the
-        // batch twice — pin once (micro-batch-sized)
-        val pinned = batch.localCheckpoint()
-        val summed = graft.api.Overlap.runningSum(pinned, bucketKey,
-          order, value, out)
-        val sumType = summed.schema(out).dataType
-        val (state, alreadyAdvanced) =
-          readTwinState(spark, offsetPath, batchId)
-        val prior: Any = state.map(_.collect()(0).get(0)).orNull
-        // cast the shift back to the batch engine's output type: decimal
-        // addition re-narrows scale at max precision, and the twin's
-        // contract is BIT-identity with the batch-union result
-        val shifted =
-          if (prior == null) summed
-          else summed.withColumn(out,
-            (col(out) + lit(prior).cast(sumType)).cast(sumType))
-        emit(shifted)
-        // advance the offset LAST (see the state-helper contract):
-        // new = prior + batch sum; a retry whose swap already landed
-        // re-emits from the pre-batch offset and must not re-advance
-        if (!alreadyAdvanced) {
-          val batchTotal = pinned.agg(sum(value).cast(sumType)).collect()(0)
-          writeTwinState(spark.range(1).select(
-            (coalesce(lit(prior).cast(sumType), lit(0).cast(sumType)) +
-              coalesce(lit(batchTotal.get(0)).cast(sumType),
-                lit(0).cast(sumType))).as("running_total")),
-            offsetPath, batchId)
-        }
-        // release the per-batch pin (generation discipline — a long
-        // stream would otherwise accumulate one persisted RDD per batch)
-        graft.api.TextDedup.releaseCheckpoint(pinned)
+        runningSumBatchStep(batch, batchId, bucketKey, order, value, out,
+          offsetPath)(emit)
     }
+
+  /** One [[twinRunningSum]] micro-batch — split out (r12, the
+    * [[sessionizeBatchStep]] pattern) so the retry pin can re-invoke a
+    * batch directly (a foreachBatch retry IS a second call with the
+    * same batchId). */
+  private[graft] def runningSumBatchStep(batch: DataFrame, batchId: Long,
+      bucketKey: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column],
+      value: org.apache.spark.sql.Column, out: String, offsetPath: String)(
+      emit: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    // the exact batch total and the emitted shift both need the
+    // batch twice — pin once (micro-batch-sized)
+    val pinned = batch.localCheckpoint()
+    val summed = graft.api.Overlap.runningSum(pinned, bucketKey,
+      order, value, out)
+    val sumType = summed.schema(out).dataType
+    val (state, alreadyAdvanced) =
+      readTwinState(spark, offsetPath, batchId)
+    val prior: Any = state.map(_.collect()(0).get(0)).orNull
+    // cast the shift back to the batch engine's output type: decimal
+    // addition re-narrows scale at max precision, and the twin's
+    // contract is BIT-identity with the batch-union result
+    val shifted =
+      if (prior == null) summed
+      else summed.withColumn(out,
+        (col(out) + lit(prior).cast(sumType)).cast(sumType))
+    emit(shifted)
+    // advance the offset LAST (see the state-helper contract):
+    // new = prior + batch sum; a retry whose swap already landed
+    // re-emits from the pre-batch offset and must not re-advance
+    if (!alreadyAdvanced) {
+      val batchTotal = pinned.agg(sum(value).cast(sumType)).collect()(0)
+      writeTwinState(spark.range(1).select(
+        (coalesce(lit(prior).cast(sumType), lit(0).cast(sumType)) +
+          coalesce(lit(batchTotal.get(0)).cast(sumType),
+            lit(0).cast(sumType))).as("running_total")),
+        offsetPath, batchId)
+    }
+    // release the per-batch pin (generation discipline — a long
+    // stream would otherwise accumulate one persisted RDD per batch)
+    graft.api.TextDedup.releaseCheckpoint(pinned)
+  }
 
   /** Streaming twin of `Overlap.rollingRows` for TRAILING frames (r11)
     * — the global-order rolling window continued across micro-batches:
@@ -573,35 +586,48 @@ object Streaming {
     require(before >= 0, "before must be >= 0")
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val pinned = batch.localCheckpoint()
-        val tagged = pinned.withColumn("__tail", lit(false))
-        val (state, alreadyAdvanced) =
-          readTwinState(spark, tailPath, batchId)
-        val unioned = state match {
-          case Some(tail) =>
-            tail.withColumn("__tail", lit(true)).unionByName(tagged)
-          case None => tagged
-        }
-        val rolled = graft.api.Overlap.rollingRows(unioned, bucketKey,
-          order, before, after = 0)(aggs)
-        emit(rolled.filter(!col("__tail")).drop("__tail"))
-        // advance the tail LAST (see the state-helper contract): the
-        // last `before` rows of tail ∪ batch — a TakeOrdered, never a
-        // full sort. Collected (≤ before rows, the Overlap
-        // bounded-scalar rule) so the staged write never reads the path
-        // it replaces.
-        if (before > 0 && !alreadyAdvanced) {
-          val tailRows = unioned.drop("__tail")
-            .orderBy(order.map(_.desc): _*).limit(before)
-            .orderBy(order: _*).collect()
-          if (tailRows.nonEmpty)
-            writeTwinState(spark.createDataFrame(
-                java.util.Arrays.asList(tailRows: _*), pinned.schema),
-              tailPath, batchId)
-        }
-        graft.api.TextDedup.releaseCheckpoint(pinned)
+        rollingRowsBatchStep(batch, batchId, bucketKey, order, before,
+          tailPath)(aggs)(emit)
     }
+  }
+
+  /** One [[twinRollingRows]] micro-batch — split out (r12) for the
+    * direct retry pin, as [[sessionizeBatchStep]]. */
+  private[graft] def rollingRowsBatchStep(batch: DataFrame, batchId: Long,
+      bucketKey: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column], before: Int,
+      tailPath: String)(
+      aggs: org.apache.spark.sql.expressions.WindowSpec =>
+        Seq[org.apache.spark.sql.Column])(
+      emit: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val pinned = batch.localCheckpoint()
+    val tagged = pinned.withColumn("__tail", lit(false))
+    val (state, alreadyAdvanced) =
+      readTwinState(spark, tailPath, batchId)
+    val unioned = state match {
+      case Some(tail) =>
+        tail.withColumn("__tail", lit(true)).unionByName(tagged)
+      case None => tagged
+    }
+    val rolled = graft.api.Overlap.rollingRows(unioned, bucketKey,
+      order, before, after = 0)(aggs)
+    emit(rolled.filter(!col("__tail")).drop("__tail"))
+    // advance the tail LAST (see the state-helper contract): the
+    // last `before` rows of tail ∪ batch — a TakeOrdered, never a
+    // full sort. Collected (≤ before rows, the Overlap
+    // bounded-scalar rule) so the staged write never reads the path
+    // it replaces.
+    if (before > 0 && !alreadyAdvanced) {
+      val tailRows = unioned.drop("__tail")
+        .orderBy(order.map(_.desc): _*).limit(before)
+        .orderBy(order: _*).collect()
+      if (tailRows.nonEmpty)
+        writeTwinState(spark.createDataFrame(
+            java.util.Arrays.asList(tailRows: _*), pinned.schema),
+          tailPath, batchId)
+    }
+    graft.api.TextDedup.releaseCheckpoint(pinned)
   }
 
   /** Streaming twin of `Overlap.rollingRange` for TRAILING value frames
@@ -630,37 +656,49 @@ object Streaming {
     require(rangeBefore >= 0, "rangeBefore must be >= 0")
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val pinned = batch.localCheckpoint()
-        val tagged = pinned.withColumn("__tail", lit(false))
-        val (state, alreadyAdvanced) =
-          readTwinState(spark, tailPath, batchId)
-        val unioned = state match {
-          case Some(tail) =>
-            tail.withColumn("__tail", lit(true)).unionByName(tagged)
-          case None => tagged
-        }
-        val rolled = graft.api.Overlap.rollingRange(unioned, key,
-          rangeBefore, rangeAfter = 0L)(aggs)
-        emit(rolled.filter(!col("__tail")).drop("__tail"))
-        // advance the tail LAST (see the state-helper contract): union
-        // rows within rangeBefore of the batch max (>= max - rangeBefore
-        // — the inclusive RANGE-frame lower edge every future row can
-        // reach). The tail is data-rate × window sized, so it stays a
-        // staged parquet write, never a collect — the union plan reads
-        // the RETIRED generation (`.bak` after the swap), not the path
-        // being written.
-        val mx = pinned.agg(max(key.cast("long"))).collect()(0)
-        if (!mx.isNullAt(0) && !alreadyAdvanced) {
-          // the staged write lands at `.next` and the swap renames only
-          // AFTER the write job finished, so the plan's read of the old
-          // generation is never pulled out from underneath it
-          writeTwinState(unioned.drop("__tail")
-              .filter(key.cast("long") >= mx.getLong(0) - rangeBefore),
-            tailPath, batchId)
-        }
-        graft.api.TextDedup.releaseCheckpoint(pinned)
+        rollingRangeBatchStep(batch, batchId, key, rangeBefore,
+          tailPath)(aggs)(emit)
     }
+  }
+
+  /** One [[twinRollingRange]] micro-batch — split out (r12) for the
+    * direct retry pin, as [[sessionizeBatchStep]]. */
+  private[graft] def rollingRangeBatchStep(batch: DataFrame, batchId: Long,
+      key: org.apache.spark.sql.Column, rangeBefore: Long,
+      tailPath: String)(
+      aggs: org.apache.spark.sql.expressions.WindowSpec =>
+        Seq[org.apache.spark.sql.Column])(
+      emit: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val pinned = batch.localCheckpoint()
+    val tagged = pinned.withColumn("__tail", lit(false))
+    val (state, alreadyAdvanced) =
+      readTwinState(spark, tailPath, batchId)
+    val unioned = state match {
+      case Some(tail) =>
+        tail.withColumn("__tail", lit(true)).unionByName(tagged)
+      case None => tagged
+    }
+    val rolled = graft.api.Overlap.rollingRange(unioned, key,
+      rangeBefore, rangeAfter = 0L)(aggs)
+    emit(rolled.filter(!col("__tail")).drop("__tail"))
+    // advance the tail LAST (see the state-helper contract): union
+    // rows within rangeBefore of the batch max (>= max - rangeBefore
+    // — the inclusive RANGE-frame lower edge every future row can
+    // reach). The tail is data-rate × window sized, so it stays a
+    // staged parquet write, never a collect — the union plan reads
+    // the RETIRED generation (`.bak` after the swap), not the path
+    // being written.
+    val mx = pinned.agg(max(key.cast("long"))).collect()(0)
+    if (!mx.isNullAt(0) && !alreadyAdvanced) {
+      // the staged write lands at `.next` and the swap renames only
+      // AFTER the write job finished, so the plan's read of the old
+      // generation is never pulled out from underneath it
+      writeTwinState(unioned.drop("__tail")
+          .filter(key.cast("long") >= mx.getLong(0) - rangeBefore),
+        tailPath, batchId)
+    }
+    graft.api.TextDedup.releaseCheckpoint(pinned)
   }
 
   /** Streaming twin of the global gaps-and-islands sessionizer (r12 —

@@ -949,4 +949,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(st2.getLong(0) == batches.flatten.map(_._2).max &&
       st2.getLong(1) == 6L, s"retry advanced the state: $st2")
   }
+
+  test("twinRunningSum / twinRollingRows / twinRollingRange batch steps " +
+      "are retry-exact: re-invoking the last batchId re-emits " +
+      "identically and leaves the state generation untouched") {
+    import spark.implicits._
+    val mkRows = (b: Int) => (1 to 30).map { i =>
+      (b * 100L + i, b * 1000L + i * 7L, (i * 13 + b) % 97L)
+    }
+    val batches = Seq(mkRows(0), mkRows(1), mkRows(2))
+    def dfOf(b: Int) = batches(b).toDF("id", "ts", "v")
+    def drive(statePath: String)(
+        step: (org.apache.spark.sql.DataFrame, Long,
+          scala.collection.mutable.Map[Long, Long]) => Unit)
+        : (Map[Long, Long], Map[Long, Long], Array[String]) = {
+      val emitted = scala.collection.mutable.Map.empty[Long, Long]
+      (0 until 3).foreach(b => step(dfOf(b), b.toLong, emitted))
+      val before = emitted.toMap
+      val stateBefore = spark.read.parquet(statePath)
+        .collect().map(_.toString).sorted
+      // RETRY of the last batch: same batchId, fresh sink
+      val replay = scala.collection.mutable.Map.empty[Long, Long]
+      step(dfOf(2), 2L, replay)
+      val stateAfter = spark.read.parquet(statePath)
+        .collect().map(_.toString).sorted
+      assert(stateAfter.sameElements(stateBefore),
+        s"retry advanced state: ${stateAfter.toSeq} vs ${stateBefore.toSeq}")
+      (before, replay.toMap, stateBefore)
+    }
+    def tmp(n: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-retry-$n").resolve("st").toString
+    // running sum
+    locally {
+      val p = tmp("rsum")
+      val (all, replay, _) = drive(p) { (df, bid, sink) =>
+        Streaming.runningSumBatchStep(df, bid, col("ts"),
+            Seq(col("ts"), col("id")), col("v"), "run", p) { out =>
+          sink ++= out.select("id", "run").collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+        }
+      }
+      assert(replay.forall { case (id, v) => all(id) == v } &&
+        replay.size == 30, "runningSum retry diverged")
+    }
+    // trailing rolling rows (3-row sum)
+    locally {
+      val p = tmp("rrows")
+      val (all, replay, _) = drive(p) { (df, bid, sink) =>
+        Streaming.rollingRowsBatchStep(df, bid, col("ts"),
+            Seq(col("ts"), col("id")), before = 2, p)(w0 =>
+            Seq(sum(col("v")).over(w0.rowsBetween(-2, 0)).as("s3"))) {
+          out => sink ++= out.select("id", "s3").collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+        }
+      }
+      assert(replay.forall { case (id, v) => all(id) == v } &&
+        replay.size == 30, "rollingRows retry diverged")
+    }
+    // trailing value window (50-unit sum)
+    locally {
+      val p = tmp("rrange")
+      val (all, replay, _) = drive(p) { (df, bid, sink) =>
+        Streaming.rollingRangeBatchStep(df, bid, col("ts"), 50L, p)(w =>
+            Seq(sum(col("v")).over(w).as("s50"))) {
+          out => sink ++= out.select("id", "s50").collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+        }
+      }
+      assert(replay.forall { case (id, v) => all(id) == v } &&
+        replay.size == 30, "rollingRange retry diverged")
+    }
+  }
 }
