@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fixed single-threaded CPU microbench — the HOST-CONDITION SENTINEL
+    * (r12 verdict #1). The shared VM shows ~2× run-to-run variance
+    * (three same-code full runs spanned 243.7–323.3 s in r12); without
+    * telemetry IN the artifact, a driver-side evaluation on a degraded
+    * host is indistinguishable from a real regression. This loop is
+    * pure register arithmetic (xorshift64 + add, no allocation, no
+    * memory traffic), so its wall time tracks only CPU contention /
+    * frequency — run before and after the suite and written into
+    * BENCH_SUMMARY.json / BENCH_FULL.json as host_sentinel_pre_s /
+    * host_sentinel_post_s. Fair-band calibration lives in BASELINE.md. */
+  private def hostSentinel(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 600000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // consume acc so the JIT cannot dead-code the loop
+    if (acc == 42L) System.err.println("[bench] sentinel fixed point")
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -87,16 +113,24 @@ object Bench {
     // honest about cold-path costs like index writes).
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS")
       .map(_.toInt).filter(_ >= 1).getOrElse(1)
+    // host sentinel BEFORE the suite (after warm-up so JIT compilation
+    // of the sentinel loop itself doesn't pollute the first reading)
+    val sentinelPre = hostSentinel()
     val results = selected.map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+      // a failing key stops its repeat loop on the FIRST failure and
+      // reports its name ONCE (r12 ADVICE: the old shape re-ran the
+      // failure on every remaining repeat and duplicated the errors
+      // entry per attempt)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var attempt = 0
+      while (attempt < repeats && !failed) {
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            errors ::= name; false
-          }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors ::= name; failed = true
+        }
         // between attempts/queries (outside the timed section): drop RDDs
         // the last run left persisted — localCheckpoint generations from
         // the iterative ops would otherwise accumulate across the suite
@@ -108,13 +142,14 @@ object Bench {
         // 1.5 s → 4.3 s on llm_dedup_norm purely from running after
         // tpch_q7. Wall-clock cost sits outside every timed region.
         System.gc()
-        dt
+        attempt += 1
       }
-      val dt =
-        if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(repeats / 2)
+      val dt = if (failed) -1.0 else times.sorted.apply(times.length / 2)
       name -> dt
     }
+    // host sentinel AFTER the suite: pre/post bracket the run, so a
+    // host that degraded mid-suite is visible in the artifact too
+    val sentinelPost = hostSentinel()
     // The driver captures only a ~2000-char tail of stdout: a JSON line
     // carrying all ~130 full-precision timings gets head-truncated and the
     // driver records parsed:null (this killed BENCH_r03). So the stdout
@@ -126,8 +161,10 @@ object Bench {
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val sentinels =
+      s""""host_sentinel_pre_s":${fmt(sentinelPre)},"host_sentinel_post_s":${fmt(sentinelPost)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.toSeq.sortBy(_._1))},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$sentinels,"queries":${qjson(results.toSeq.sortBy(_._1))},"errors":$errs,"sf":"$sfDir"}"""
     // a filtered dev run must not clobber the committed full-suite artifact
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -136,7 +173,7 @@ object Bench {
         System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     val top = results.toSeq.sortBy { case (_, v) => -v }.take(30)
     val summaryLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(top)},"queries_full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$sentinels,"queries":${qjson(top)},"queries_full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
     // sidecar copy of the summary line: if anything DOES interleave with
     // stdout on the driver side, the artifact survives in a file
     if (only.isEmpty)

@@ -31,11 +31,18 @@ object Bpe {
 
   /** Corpus → word-frequency table (word, w_n), alphabetic words only
     * (the letter-run class of a GPT-2-style regex pre-tokenizer; the
-    * house single-space tokenizer splits the text). The ONE
-    * corpus-sized shuffle in a BPE fit. */
+    * house single-space tokenizer splits the text), bounded to
+    * len < [[Unigram.MaxWordLen]] — the SAME word domain the WordPiece
+    * and Unigram lattices price, so the three tokenizer families
+    * provably tokenize identical word instances at any input (r12
+    * ADVICE: without the bound here, a ≥100-char word would enter the
+    * BPE lattice only and silently fall out of llm_tokenizer_compare's
+    * inner join for the other two families). The ONE corpus-sized
+    * shuffle in a BPE fit. */
   def wordFreq(docs: DataFrame, text: Column): DataFrame =
     docs.select(explode(split(text, " ")).as("word"))
-      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .filter(col("word").rlike("^[A-Za-z]+$") &&
+        length(col("word")) < Unigram.MaxWordLen)
       .groupBy("word").agg(count(lit(1)).as("w_n"))
 
   /** "(h)(e)(l)(l)(o)" initial segmentation of a word (one symbol per

@@ -2096,14 +2096,16 @@ object TextDedup {
     * provably monotone in `bands` (pinned in ApiSpec). Counts are exact
     * integers; recall/precision single IEEE divisions of exact counts.
     *
-    * The shingle frame and the ground-truth pair set are PINNED
-    * (r9, measured): `sh` feeds SIX consumers (the prefix ground-truth
-    * self-join twice via [[joinShingles]], one [[md5BandSigs]] per
-    * bands option) and `truth` FOUR (the count + one left_semi per
-    * option) — left as live lineage, the interpreted-HOF md5-shingle
+    * The shingle frame, its hashed-set form, and the ground-truth pair
+    * set are PINNED (r9/r13, measured): `sh` feeds the minhash pass and
+    * the hashed-set derivation, `hs` feeds the prefix filter plus both
+    * sides of the truth verify (which intersects the sorted LONG hash
+    * arrays — r12 verdict #5; the r12 shape re-joined the full string
+    * shingle arrays), and `truth` feeds the count + the per-option hit
+    * joins — left as live lineage, the interpreted-HOF md5-shingle
     * construction below the exchanges re-evaluates per consumer, which
     * made this audit contention-sensitive (7 s alone, 38 s in-suite in
-    * the r8 driver run). Both pinned frames are hash-sized, never
+    * the r8 driver run). All pinned frames are hash-sized, never
     * corpus text; pass `checkpointDir` for the reliable form on a real
     * cluster (the [[clusters]] discipline — callers own the release of
     * the final pin, see [[winnowCandidates]]).
@@ -2131,12 +2133,20 @@ object TextDedup {
     // at sf0.1; the prefix spelling is sub-second). The size-ratio
     // prefilter still rides the join condition.
     val r = minJaccard - 0.0001
-    val hs = sh.select(col("__id"),
+    // hashed shingle sets, PINNED (r12 verdict #5): THREE consumers —
+    // the prefix-filter derivation below plus BOTH sides of the truth
+    // verify join — where r12 re-joined the candidate pairs back to the
+    // full STRING shingle arrays (`joinShingles`) and intersected
+    // strings; intersecting the sorted xxhash64 LONG arrays instead is
+    // the same jaccard modulo a 64-bit hash collision (the tolerance
+    // the prefix filter riding these hashes already accepts) at a
+    // fraction of the compare + shuffle bytes.
+    val hs = ck(sh.select(col("__id"),
         array_sort(transform(col("sh"), x => xxhash64(x))).as("hs"))
-      .withColumn("nsh", size(col("hs")))
+      .withColumn("nsh", size(col("hs"))))
     // pinned too: the self-join below consumes it TWICE, and its
-    // lineage (xxhash64 + array_sort + slice + explode over the
-    // shingle arrays) is the second-priciest stretch of the audit
+    // lineage (slice + explode over the hash arrays) re-evaluates per
+    // consumer otherwise
     val pref = ck(hs.select(col("__id"), col("nsh"),
       explode(slice(col("hs"), lit(1),
         (col("nsh") - ceil(col("nsh") * r) + 1).cast("int"))).as("__pk")))
@@ -2147,8 +2157,26 @@ object TextDedup {
           greatest(col("a.nsh"), col("b.nsh")) * r)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // pairs sharing >1 prefix hash
-    val truth = ck(jaccardVerify(joinShingles(tCand, sh, sh), minJaccard)
-      .select(col("doc_a"), col("doc_b")))
+    // exact verify on the pinned hashed arrays; pair-distinct enforced
+    // HERE, not assumed (r12 ADVICE): the nested-bands branch counts
+    // hits via a LEFT JOIN against truth, where a duplicate truth pair
+    // would multiply `flagged` rows and inflate both candidates and
+    // hits. tCand is already pair-distinct so this is a no-op today,
+    // but the invariant all three consumers (truthCnt, the nested left
+    // join, the semi join) rely on is now local.
+    val inter = size(array_intersect(col("__ha"), col("__hb")))
+      .cast("double")
+    val truth = ck(tCand
+      .join(hs.select(col("__id").as("doc_a"), col("hs").as("__ha"),
+        col("nsh").as("__na")), "doc_a")
+      .join(hs.select(col("__id").as("doc_b"), col("hs").as("__hb"),
+        col("nsh").as("__nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / ((col("__na") + col("__nb")).cast("double") - inter),
+          4).as("__j"))
+      .filter(col("__j") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b"))
     val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
     // ONE k-vector minhash pass shared by every bands option (banding
     // only re-slices the same mh vector), pinned like its consumers'

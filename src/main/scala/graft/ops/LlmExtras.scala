@@ -1318,13 +1318,16 @@ object LlmExtras {
        |  JOIN bw wb ON wb.doc_id = cand.doc_b)""".stripMargin
 
   /** DuckDB twin of the Bpe vocab → segmentation → pair-count pipeline:
-    * CTEs `wf` (word freq) → `seg` (paren-wrapped) → `pc` (weighted
-    * adjacent pairs). Shared by both BPE oracles. */
+    * CTEs `wf` (word freq, len < 100 = Unigram.MaxWordLen — the shared
+    * word-domain bound all three tokenizer families price, mirroring
+    * Bpe.wordFreq) → `seg` (paren-wrapped) → `pc` (weighted adjacent
+    * pairs). Shared by both BPE oracles. */
   private val bpeCte: String =
     """wf AS (SELECT word, COUNT(*) AS w_n FROM (
       |    SELECT unnest(string_split_regex(text, ' ')) AS word
       |    FROM documents) w
-      |  WHERE regexp_full_match(word, '[A-Za-z]+') GROUP BY word),
+      |  WHERE regexp_full_match(word, '[A-Za-z]+') AND len(word) < 100
+      |  GROUP BY word),
       |seg AS (SELECT array_to_string(list_transform(
       |    string_split_regex(word, ''), c -> '(' || c || ')'), '') AS sym,
       |    w_n FROM wf)""".stripMargin
@@ -2143,8 +2146,10 @@ object LlmExtras {
     // cross-family tokenizer comparison: all three training chains in
     // one WITH RECURSIVE — the BPE merge chain owns `wf`, the WordPiece
     // and Unigram blocks get their lattices renamed (wpwf / uwf; the
-    // three definitions agree on every fixture word, len < 100 never
-    // binding at 8-char max) — each projecting a per-word piece count,
+    // three wf definitions are textually identical including the
+    // len < 100 word-domain bound, so the families provably price the
+    // same word instances at ANY input) — each projecting a per-word
+    // piece count,
     // unioned under a family tag and priced per source exactly like the
     // Spark side's one shared join
     "llm_tokenizer_compare" ->

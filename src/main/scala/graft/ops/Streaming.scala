@@ -288,6 +288,31 @@ object Streaming {
           text, indexPath))
     }
 
+  /** Streaming twin of the PERCEPTUAL (dHash) delta screen (r12 verdict
+    * #6 — the one index-screen family without a foreachBatch twin; the
+    * payload BLOCK-token screen already streams through
+    * [[twinDedupAgainstIndex]] since its batch step IS
+    * dedupShardAgainstIndex): each micro-batch runs the batch
+    * `Multimodal.phashDedupShardAgainstIndex` verbatim against the
+    * persisted band index — stream-static, zero state store; the index
+    * is the only state, refreshed on its own append cadence
+    * (`writePhashIndex` mode("append")). Pairs arriving in the SAME
+    * micro-batch are cut by the intra-shard keep-min rule; perceptual
+    * dups split across batches are the index-append cadence's job —
+    * the same documented divergence as the signature-screen twin.
+    * `emit` receives the batch's survivors with all original columns. */
+  def twinPhashDedupAgainstIndex(shard: DataFrame,
+      id: org.apache.spark.sql.Column,
+      pixels: org.apache.spark.sql.Column, indexPath: String,
+      maxDist: Int = 3)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    shard.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.sources.Multimodal.phashDedupShardAgainstIndex(batch,
+          id, pixels, indexPath, maxDist))
+    }
+
   /** Streaming twin of the LEARNED quality filter — scoring a fitted
     * model is stateless, so the serving path streams for free: each
     * micro-batch featurizes ([[graft.api.Corpus.hashFeatures]]) and

@@ -556,11 +556,20 @@ object Windows {
               val j = i + k
               if (j >= 0 && j < rows.length) {
                 val w = weights(k + 2)
-                num += v(j) * w
+                // addExact/multiplyExact: the cents rewrite is only
+                // bit-identical to the BigDecimal form while the
+                // weighted sum fits a Long AND |num| <= 2^53 (the
+                // long->double conversion below is exact only in that
+                // range); a magnitude regression must fail loudly, not
+                // drift (r12 ADVICE)
+                num = Math.addExact(num, Math.multiplyExact(v(j), w.toLong))
                 den += w
               }
               k += 1
             }
+            require(math.abs(num) <= (1L << 53),
+              s"smooth5c cents sum $num exceeds 2^53 — long->double " +
+                "would round; revert this group to BigDecimal arithmetic")
             org.apache.spark.sql.Row(rows(i).getLong(0),
               (num / 100.0) / den)
           }

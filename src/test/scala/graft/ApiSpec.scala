@@ -3456,4 +3456,39 @@ class ApiSpec extends AnyFunSuite {
       Option(eTrim.getCause).exists(
         _.getMessage.contains("one row per input row")))
   }
+
+  test("Overlap.mapOverlap group-size fail-fast (r12 verdict #4): an " +
+      "oversized group raises a steer at plan time, not an executor OOM") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("event_id", LongType)))
+    // end-to-end: the fixture under a tiny maxGroupRows — the guard fires
+    // driver-side off the merge walk's counts, before any task runs
+    val eBig = intercept[IllegalArgumentException] {
+      graft.api.Overlap.mapOverlap(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), 1, 1, sch, buckets = 4,
+        maxGroupRows = 10L)(rows => rows.map(r => Row(r.getLong(0))))
+    }
+    assert(eBig.getMessage.contains("must fit one task's memory") &&
+      eBig.getMessage.contains("maxGroupRows=10"),
+      eBig.getMessage)
+    // the message names the offending GROUP and its row count: pin the
+    // walk-level unit directly (group 1 of sizes [5, 20] with a 2+1 halo
+    // crosses a 25-row cap; group 0 does not)
+    val eUnit = intercept[IllegalArgumentException] {
+      graft.api.Overlap.checkGroupSizes(Array(5L, 20L), 2, 1, 22L)
+    }
+    assert(eUnit.getMessage.contains("group 1 holds 20 rows (+3 halo)"),
+      eUnit.getMessage)
+    // in-bounds sizes pass untouched
+    graft.api.Overlap.checkGroupSizes(Array(5L, 20L), 2, 1, 23L)
+    // and the default cap admits the fixture end-to-end (no behavior
+    // change for every existing caller)
+    val ok = graft.api.Overlap.mapOverlap(overlapEvents,
+        unix_micros(col("ts").cast("timestamp")),
+        Seq(col("ts"), col("event_id")), 1, 1, sch, buckets = 4)(
+      rows => rows.map(r => Row(r.getLong(0))))
+    assert(ok.count() == overlapEvents.count())
+  }
 }

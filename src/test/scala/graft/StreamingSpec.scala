@@ -206,6 +206,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PERCEPTUAL screen (r13): per-batch phash delta screen " +
+      "against the persisted band index over multiple batches equals " +
+      "the batch screen — single-pixel variant of an indexed image " +
+      "dropped, fresh image survives, intra-batch copy dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    def img() = Array.fill(72)(rnd.nextInt(256))
+    val corpus = (0L until 10L).map(i => (i, img()))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phashidx-stream").resolve("idx").toString
+    graft.sources.Multimodal.writePhashIndex(
+      corpus.toDF("doc_id", "px"), col("doc_id"), col("px"), dir)
+    val in = MemoryStream[(Long, Array[Int])]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streaming.twinPhashDedupAgainstIndex(
+        in.toDF.toDF("doc_id", "px"), col("doc_id"), col("px"), dir) {
+      batch => emitted.synchronized {
+        emitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+      }
+    }.start()
+    try {
+      // a single-pixel variant of indexed image 0: one pixel touches at
+      // most TWO gradient comparisons (both in its own row → one band),
+      // so hamming ≤ 2 and the other three bands are untouched — the
+      // pigeonhole band screen is GUARANTEED to catch it
+      val variant = corpus(0)._2.clone()
+      variant(40) = (variant(40) + 97) % 256
+      val fresh = img()
+      in.addData((100L, variant), (101L, fresh))
+      q.processAllAvailable()
+      // an exact intra-batch copy pair of a new image: never met the
+      // index — only the intra-shard keep-min screen can cut it
+      val fresh2 = img()
+      in.addData((102L, fresh2), (103L, fresh2.clone()))
+      q.processAllAvailable()
+      val survivors = emitted.synchronized(emitted.toSet)
+      assert(!survivors.contains(100L),
+        "single-pixel variant of an indexed image must not survive")
+      assert(!survivors.contains(103L),
+        "intra-batch perceptual copy must not survive")
+      assert(survivors == Set(101L, 102L),
+        s"expected survivors {101, 102}, got $survivors")
+      // multi-batch ≡ batch-union: the same four arrivals as ONE batch
+      // through the batch step yield the same survivor set
+      val all = Seq((100L, variant), (101L, fresh), (102L, fresh2),
+        (103L, fresh2.clone()))
+      val batchSurvivors = graft.sources.Multimodal
+        .phashDedupShardAgainstIndex(all.toDF("doc_id", "px"),
+          col("doc_id"), col("px"), dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchSurvivors == survivors,
+        s"batch-union $batchSurvivors != streamed $survivors")
+    } finally q.stop()
+  }
+
   test("session windows: gap split + [first, last+gap) bounds") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
