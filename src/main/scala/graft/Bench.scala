@@ -11,20 +11,41 @@ object Bench {
     * frequency — run before and after the suite and written into
     * BENCH_SUMMARY.json / BENCH_FULL.json as host_sentinel_pre_s /
     * host_sentinel_post_s. Fair-band calibration lives in BASELINE.md. */
-  private def hostSentinel(): Double = {
+  private def sentinelLoop(): Long = {
     var x = 0x9E3779B97F4A7C15L
     var acc = 0L
     var i = 0L
-    val t0 = System.nanoTime()
     while (i < 600000000L) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       acc += x
       i += 1
     }
-    val dt = (System.nanoTime() - t0) / 1e9
-    // consume acc so the JIT cannot dead-code the loop
-    if (acc == 42L) System.err.println("[bench] sentinel fixed point")
-    dt
+    acc
+  }
+
+  /** (single-thread seconds, all-cores wall seconds). The MT reading is
+    * the load-bearing one for a 32-thread suite: a contended VM can
+    * read FAIR single-threaded (one core is always schedulable) while
+    * parallel throughput is halved — the mode that actually throttles
+    * the bench. Each of N=availableProcessors threads runs the same
+    * fixed loop; on a healthy host wall ≈ the single-thread time, and
+    * inflation above that is exactly the oversubscription factor. */
+  private def hostSentinel(): (Double, Double) = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    sink.addAndGet(sentinelLoop())
+    val st = (System.nanoTime() - t0) / 1e9
+    val n = Runtime.getRuntime.availableProcessors()
+    val threads = (0 until n).map { _ =>
+      new Thread(() => { sink.addAndGet(sentinelLoop()); () })
+    }
+    val t1 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e9
+    // consume the sink so the JIT cannot dead-code the loops
+    if (sink.get() == 42L) System.err.println("[bench] sentinel fixed point")
+    (st, mt)
   }
 
   def main(args: Array[String]): Unit = {
@@ -115,7 +136,7 @@ object Bench {
       .map(_.toInt).filter(_ >= 1).getOrElse(1)
     // host sentinel BEFORE the suite (after warm-up so JIT compilation
     // of the sentinel loop itself doesn't pollute the first reading)
-    val sentinelPre = hostSentinel()
+    val (sentinelPre, sentinelMtPre) = hostSentinel()
     val results = selected.map { case (name, fn) =>
       // a failing key stops its repeat loop on the FIRST failure and
       // reports its name ONCE (r12 ADVICE: the old shape re-ran the
@@ -149,7 +170,7 @@ object Bench {
     }
     // host sentinel AFTER the suite: pre/post bracket the run, so a
     // host that degraded mid-suite is visible in the artifact too
-    val sentinelPost = hostSentinel()
+    val (sentinelPost, sentinelMtPost) = hostSentinel()
     // The driver captures only a ~2000-char tail of stdout: a JSON line
     // carrying all ~130 full-precision timings gets head-truncated and the
     // driver records parsed:null (this killed BENCH_r03). So the stdout
@@ -162,7 +183,7 @@ object Bench {
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val sentinels =
-      s""""host_sentinel_pre_s":${fmt(sentinelPre)},"host_sentinel_post_s":${fmt(sentinelPost)}"""
+      s""""host_sentinel_pre_s":${fmt(sentinelPre)},"host_sentinel_post_s":${fmt(sentinelPost)},"host_sentinel_mt_pre_s":${fmt(sentinelMtPre)},"host_sentinel_mt_post_s":${fmt(sentinelMtPost)}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$sentinels,"queries":${qjson(results.toSeq.sortBy(_._1))},"errors":$errs,"sf":"$sfDir"}"""
     // a filtered dev run must not clobber the committed full-suite artifact
