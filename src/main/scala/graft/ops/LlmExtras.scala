@@ -875,6 +875,77 @@ object LlmExtras {
         .orderBy("family", "source")
     }),
 
+    // the DATASET-CARD TOKENIZER end cap (r12 verdict #7): ONE frame =
+    // the full corpus+tokenizer profile a training run publishes —
+    // per-source card totals (docs, tokens) beside every family's
+    // fertility, trained-inventory size and word-instance coverage.
+    // Same one-pinned-wf discipline as llm_tokenizer_compare (the
+    // corpus-sized shuffle happens once, every family prices the
+    // identical word domain); the family inventories are model-sized
+    // 1-row aggregates joined by broadcast; coverage weights each
+    // word's tokenizability flag by its instance count (WordPiece [UNK]
+    // fallback is the one family that can fail a word — BPE and the
+    // seed-Unigram Viterbi cover every wf word by construction, and
+    // the constant-true flags flow through the same weighted formula
+    // rather than being asserted). Oracle replays all three training
+    // chains in one WITH RECURSIVE and re-derives the inventories and
+    // the card from the same lattices, hash-checked end to end.
+    "llm_dataset_card_tokenizer" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wf = graft.api.Bpe.wordFreq(docs, col("text")).localCheckpoint()
+      val merges = graft.api.Bpe.trainFromVocab(
+        wf.select(graft.api.Bpe.wrapChars(col("word")).as("sym"),
+          col("w_n")),
+        BpeTrainMerges)
+      val bpeSeg = graft.api.Bpe.segment(wf, col("word"), merges)
+      val bpeNp = bpeSeg.select(lit("bpe").as("family"), col("word"),
+        size(col("tokens")).cast("long").as("__np"), lit(true).as("__cov"))
+      val wpVoc = graft.api.Wordpiece.vocabPieces(wf)
+      val wpNp = graft.api.Wordpiece.encode(wf, wpVoc)
+        .select(lit("wordpiece").as("family"), col("word"),
+          col("n_pieces").cast("long").as("__np"),
+          (!col("is_unk")).as("__cov"))
+      val ugModel = graft.api.Unigram.seedPieces(wf)
+      val ugNp = graft.api.Unigram.viterbiSegment(wf, ugModel)
+        .select(lit("unigram").as("family"), col("word"),
+          size(col("pieces")).cast("long").as("__np"),
+          lit(true).as("__cov"))
+      // trained-inventory sizes: BPE = distinct symbols of the final
+      // segmentation (alphabet + surviving merge products), WordPiece =
+      // the permille vocabulary, Unigram = the seed model — each a
+      // model-sized scalar, unioned into a 3-row broadcast frame
+      val vs = bpeSeg.select(explode(col("tokens")).as("__s"))
+        .agg(count_distinct(col("__s")).as("vocab_size"))
+        .select(lit("bpe").as("family"), col("vocab_size"))
+        .unionByName(wpVoc.agg(count(lit(1)).as("vocab_size"))
+          .select(lit("wordpiece").as("family"), col("vocab_size")))
+        .unionByName(ugModel.agg(count(lit(1)).as("vocab_size"))
+          .select(lit("unigram").as("family"), col("vocab_size")))
+      val card = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val bySource = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[A-Za-z]+$"))
+        .groupBy("source", "word").agg(count(lit(1)).as("__n"))
+      bySource
+        .join(bpeNp.unionByName(wpNp).unionByName(ugNp), "word")
+        .groupBy("family", "source")
+        .agg(sum(col("__n")).as("n_words"),
+          sum(col("__n") * col("__np")).as("n_pieces"),
+          sum(when(col("__cov"), col("__n")).otherwise(0L)).as("__covn"))
+        .withColumn("fertility",
+          col("n_pieces").cast("double") / col("n_words").cast("double"))
+        .withColumn("covered_frac",
+          col("__covn").cast("double") / col("n_words").cast("double"))
+        .join(broadcast(vs), "family")
+        .join(broadcast(card), "source")
+        .select(col("family"), col("source"), col("n_docs"),
+          col("n_tokens"), col("n_words"), col("n_pieces"),
+          col("fertility"), col("vocab_size"), col("covered_frac"))
+        .orderBy("family", "source")
+    }),
+
     // the multimodal COLUMN MODEL exercised as a declared, oracle-checked
     // key: no binary fixture exists, so deterministic 16-byte payloads
     // derive from the text fixture (unhex(md5)) and flow through the
@@ -2191,6 +2262,72 @@ object LlmExtras {
          |    AS fertility
          |FROM cgw JOIN fam USING (word)
          |GROUP BY family, source ORDER BY family, source""".stripMargin,
+    // dataset-card + tokenizer end cap: the compare chain extended with
+    // per-word coverage flags, per-family trained-inventory sizes (BPE =
+    // distinct final-segmentation symbols, WordPiece = wvoc rows,
+    // Unigram = seed-model rows) and the per-source card totals — one
+    // frame, hash-checked.
+    "llm_dataset_card_tokenizer" ->
+      s"""WITH RECURSIVE
+         |${bpeTrainCte(BpeTrainMerges)},
+         |${renameCte(wordpieceCte, "wf", "wpwf")},
+         |wedge AS (SELECT s.word, s.i, s.j FROM wsub s
+         |  JOIN wvoc v USING (piece)),
+         |wwalk AS (
+         |  SELECT word, w_n, 0 AS p, 0 AS np FROM wpwf
+         |  UNION ALL
+         |  SELECT w.word, w.w_n, CAST(MAX(e.j) AS INT) AS p,
+         |    w.np + 1 AS np
+         |  FROM wwalk w JOIN wedge e ON e.word = w.word AND e.i = w.p
+         |  WHERE w.p < len(w.word)
+         |  GROUP BY w.word, w.w_n, w.p, w.np),
+         |wdone AS (SELECT word, np FROM wwalk WHERE p = len(word)),
+         |wpnp AS (SELECT wpwf.word,
+         |    CAST(COALESCE(d.np, 1) AS BIGINT) AS np,
+         |    d.word IS NOT NULL AS cov
+         |  FROM wpwf LEFT JOIN wdone d USING (word)),
+         |${renameCte(unigramCte, "wf", "uwf")},
+         |ugnp AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np FROM used
+         |  GROUP BY word),
+         |bpenp AS (SELECT word, CAST(len(string_split(
+         |    substr(sym, 2, length(sym) - 2), ')(')) AS BIGINT) AS np
+         |  FROM segw$BpeTrainMerges),
+         |fam AS (
+         |  SELECT 'bpe' AS family, word, np, TRUE AS cov FROM bpenp
+         |  UNION ALL SELECT 'wordpiece' AS family, word, np, cov FROM wpnp
+         |  UNION ALL SELECT 'unigram' AS family, word, np, TRUE AS cov
+         |    FROM ugnp),
+         |vs AS (
+         |  SELECT 'bpe' AS family, (SELECT COUNT(DISTINCT s) FROM (
+         |      SELECT unnest(string_split(substr(sym, 2,
+         |        length(sym) - 2), ')(')) AS s
+         |      FROM segw$BpeTrainMerges) bs) AS vocab_size
+         |  UNION ALL SELECT 'wordpiece' AS family,
+         |    (SELECT COUNT(*) FROM wvoc) AS vocab_size
+         |  UNION ALL SELECT 'unigram' AS family,
+         |    (SELECT COUNT(*) FROM model) AS vocab_size),
+         |card AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split_regex(text, ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |cgw AS (SELECT source, word, COUNT(*) AS g_n FROM (
+         |    SELECT source, unnest(string_split_regex(text, ' ')) AS word
+         |    FROM documents) w
+         |  WHERE regexp_full_match(word, '[A-Za-z]+')
+         |  GROUP BY source, word)
+         |SELECT family, source,
+         |  CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         |  CAST(SUM(g_n) AS BIGINT) AS n_words,
+         |  CAST(SUM(g_n * np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(g_n * np) AS DOUBLE) / CAST(SUM(g_n) AS DOUBLE)
+         |    AS fertility,
+         |  CAST(vocab_size AS BIGINT) AS vocab_size,
+         |  CAST(SUM(CASE WHEN cov THEN g_n ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(g_n) AS DOUBLE) AS covered_frac
+         |FROM cgw JOIN fam USING (word) JOIN vs USING (family)
+         |  JOIN card USING (source)
+         |GROUP BY family, source, vocab_size, n_docs, n_tokens
+         |ORDER BY family, source""".stripMargin,
     // llm_sim_topk_pca: omitted (float-order-dependent Jacobi eigen fit,
     // like the kMeansFit/pqTrainCodebook paths); pinned in ApiSpec.
     // llm_sim_topk_pca_exact below IS the oracle-checked PCA: the whole
