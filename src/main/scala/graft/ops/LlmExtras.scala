@@ -1213,6 +1213,10 @@ object LlmExtras {
       val pxDrop = graft.sources.Multimodal
         .phashNearDups(phashPixelFrame(s, d), col("doc_id"), col("px"))
         .select(col("doc_b").as("doc_id"))
+      // drop-id set deliberately NOT pinned (measured r13: pinning read
+      // 5.04 vs 4.93 unpinned, REPEATS=3 fair host — ReuseExchange
+      // already unifies the two surv consumers' screen subtrees; the
+      // SCALE.md "consumers above a shuffle" row)
       val surv = docs.join(payDrop.unionByName(pxDrop).distinct(),
         Seq("doc_id"), "left_anti")
       val media = surv.select(col("doc_id"), lit(0).as("chunk_id"),
