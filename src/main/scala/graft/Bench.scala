@@ -11,11 +11,11 @@ object Bench {
     * frequency — run before and after the suite and written into
     * BENCH_SUMMARY.json / BENCH_FULL.json as host_sentinel_pre_s /
     * host_sentinel_post_s. Fair-band calibration lives in BASELINE.md. */
-  private def sentinelLoop(): Long = {
+  private def sentinelLoop(n: Long): Long = {
     var x = 0x9E3779B97F4A7C15L
     var acc = 0L
     var i = 0L
-    while (i < 600000000L) {
+    while (i < n) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       acc += x
       i += 1
@@ -32,12 +32,15 @@ object Bench {
     * inflation above that is exactly the oversubscription factor. */
   private def hostSentinel(): (Double, Double) = {
     val sink = new java.util.concurrent.atomic.AtomicLong()
+    // untimed warm call: compiles sentinelLoop before the timed reading
+    // so the pre/post readings measure the same (fully JIT'd) code
+    sink.addAndGet(sentinelLoop(1000000L))
     val t0 = System.nanoTime()
-    sink.addAndGet(sentinelLoop())
+    sink.addAndGet(sentinelLoop(600000000L))
     val st = (System.nanoTime() - t0) / 1e9
     val n = Runtime.getRuntime.availableProcessors()
     val threads = (0 until n).map { _ =>
-      new Thread(() => { sink.addAndGet(sentinelLoop()); () })
+      new Thread(() => { sink.addAndGet(sentinelLoop(600000000L)); () })
     }
     val t1 = System.nanoTime()
     threads.foreach(_.start())
@@ -134,8 +137,12 @@ object Bench {
     // honest about cold-path costs like index writes).
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS")
       .map(_.toInt).filter(_ >= 1).getOrElse(1)
-    // host sentinel BEFORE the suite (after warm-up so JIT compilation
-    // of the sentinel loop itself doesn't pollute the first reading)
+    // host sentinel BEFORE the suite. Deliberately NOT gated on
+    // `only.isEmpty`: filtered REPEATS probes are exactly where a
+    // human is judging whether a per-key move is host or code, and the
+    // stdout line carries the readings even though filtered runs never
+    // write the artifacts (r13 review decision; BASELINE.md documents
+    // both behaviors).
     val (sentinelPre, sentinelMtPre) = hostSentinel()
     val results = selected.map { case (name, fn) =>
       // a failing key stops its repeat loop on the FIRST failure and

@@ -100,13 +100,20 @@ object Overlap {
   private[graft] val DefaultMaxGroupRows: Long = 4L * AutoTargetRows
 
   /** Driver-side fail-fast over the merge walk's per-group counts (zero
-    * extra jobs — `sizes` is already collected): every group plus its
-    * replicated halo must fit `maxGroupRows`. Exposed private[graft]
-    * for the ApiSpec message pin. */
+    * extra jobs — `sizes` is already collected): every group plus the
+    * halo it actually RECEIVES must fit `maxGroupRows`. Halo accounting
+    * matches [[haloUnion]] exactly: a single-group plan replicates no
+    * halo at all, group 0 receives only the successor's `after` leading
+    * rows, the last group only the predecessor's `before` trailing rows
+    * — charging both sides to every group would spuriously reject
+    * single-group/edge plans that materialize within the cap. Exposed
+    * private[graft] for the ApiSpec message pin. */
   private[graft] def checkGroupSizes(sizes: Array[Long], before: Int,
       after: Int, maxGroupRows: Long): Unit = {
-    val halo = before.toLong + after.toLong
+    val last = sizes.length - 1
     sizes.zipWithIndex.foreach { case (n, g) =>
+      val halo = (if (g > 0) before.toLong else 0L) +
+        (if (g < last) after.toLong else 0L)
       require(n + halo <= maxGroupRows,
         s"mapOverlap group $g holds $n rows (+$halo halo) > " +
           s"maxGroupRows=$maxGroupRows — a group must fit one task's " +

@@ -844,29 +844,9 @@ object LlmExtras {
     // one WITH RECURSIVE (the wf lattice renamed per family to
     // coexist), hash-checked end to end.
     "llm_tokenizer_compare" -> ((s, d) => {
-      val docs = documents(s, d)
-      val wf = graft.api.Bpe.wordFreq(docs, col("text")).localCheckpoint()
-      val merges = graft.api.Bpe.trainFromVocab(
-        wf.select(graft.api.Bpe.wrapChars(col("word")).as("sym"),
-          col("w_n")),
-        BpeTrainMerges)
-      val bpeNp = graft.api.Bpe.segment(wf, col("word"), merges)
-        .select(lit("bpe").as("family"), col("word"),
-          size(col("tokens")).cast("long").as("__np"))
-      val wpNp = graft.api.Wordpiece
-        .encode(wf, graft.api.Wordpiece.vocabPieces(wf))
-        .select(lit("wordpiece").as("family"), col("word"),
-          col("n_pieces").cast("long").as("__np"))
-      val ugNp = graft.api.Unigram
-        .viterbiSegment(wf, graft.api.Unigram.seedPieces(wf))
-        .select(lit("unigram").as("family"), col("word"),
-          size(col("pieces")).cast("long").as("__np"))
-      val bySource = docs
-        .select(col("source"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word").rlike("^[A-Za-z]+$"))
-        .groupBy("source", "word").agg(count(lit(1)).as("__n"))
-      bySource
-        .join(bpeNp.unionByName(wpNp).unionByName(ugNp), "word")
+      val tf = tokenizerFamilies(s, d)
+      tf.bySource
+        .join(tf.famNp.drop("__cov"), "word")
         .groupBy("family", "source")
         .agg(sum(col("__n")).as("n_words"),
           sum(col("__n") * col("__np")).as("n_pieces"))
@@ -891,45 +871,23 @@ object LlmExtras {
     // chains in one WITH RECURSIVE and re-derives the inventories and
     // the card from the same lattices, hash-checked end to end.
     "llm_dataset_card_tokenizer" -> ((s, d) => {
-      val docs = documents(s, d)
-      val wf = graft.api.Bpe.wordFreq(docs, col("text")).localCheckpoint()
-      val merges = graft.api.Bpe.trainFromVocab(
-        wf.select(graft.api.Bpe.wrapChars(col("word")).as("sym"),
-          col("w_n")),
-        BpeTrainMerges)
-      val bpeSeg = graft.api.Bpe.segment(wf, col("word"), merges)
-      val bpeNp = bpeSeg.select(lit("bpe").as("family"), col("word"),
-        size(col("tokens")).cast("long").as("__np"), lit(true).as("__cov"))
-      val wpVoc = graft.api.Wordpiece.vocabPieces(wf)
-      val wpNp = graft.api.Wordpiece.encode(wf, wpVoc)
-        .select(lit("wordpiece").as("family"), col("word"),
-          col("n_pieces").cast("long").as("__np"),
-          (!col("is_unk")).as("__cov"))
-      val ugModel = graft.api.Unigram.seedPieces(wf)
-      val ugNp = graft.api.Unigram.viterbiSegment(wf, ugModel)
-        .select(lit("unigram").as("family"), col("word"),
-          size(col("pieces")).cast("long").as("__np"),
-          lit(true).as("__cov"))
+      val tf = tokenizerFamilies(s, d)
       // trained-inventory sizes: BPE = distinct symbols of the final
       // segmentation (alphabet + surviving merge products), WordPiece =
       // the permille vocabulary, Unigram = the seed model — each a
       // model-sized scalar, unioned into a 3-row broadcast frame
-      val vs = bpeSeg.select(explode(col("tokens")).as("__s"))
+      val vs = tf.bpeSeg.select(explode(col("tokens")).as("__s"))
         .agg(count_distinct(col("__s")).as("vocab_size"))
         .select(lit("bpe").as("family"), col("vocab_size"))
-        .unionByName(wpVoc.agg(count(lit(1)).as("vocab_size"))
+        .unionByName(tf.wpVoc.agg(count(lit(1)).as("vocab_size"))
           .select(lit("wordpiece").as("family"), col("vocab_size")))
-        .unionByName(ugModel.agg(count(lit(1)).as("vocab_size"))
+        .unionByName(tf.ugModel.agg(count(lit(1)).as("vocab_size"))
           .select(lit("unigram").as("family"), col("vocab_size")))
-      val card = docs.groupBy("source").agg(
+      val card = tf.docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-      val bySource = docs
-        .select(col("source"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word").rlike("^[A-Za-z]+$"))
-        .groupBy("source", "word").agg(count(lit(1)).as("__n"))
-      bySource
-        .join(bpeNp.unionByName(wpNp).unionByName(ugNp), "word")
+      tf.bySource
+        .join(tf.famNp, "word")
         .groupBy("family", "source")
         .agg(sum(col("__n")).as("n_words"),
           sum(col("__n") * col("__np")).as("n_pieces"),
@@ -1244,6 +1202,58 @@ object LlmExtras {
     })
   )
 
+  /** The shared three-family tokenizer lattice behind
+    * llm_tokenizer_compare and llm_dataset_card_tokenizer — factored so
+    * the twin definitions cannot drift (r13 review): ONE pinned
+    * word-frequency vocabulary feeds every family, `famNp` is the
+    * unioned per-word piece-count frame (family, word, __np, __cov —
+    * compare drops __cov), `bySource` the per-(source, word) instance
+    * counts (the only corpus-sized aggregate). The trained artifacts
+    * (bpeSeg / wpVoc / ugModel) are exposed for the card key's
+    * inventory-size aggregates; all frames are lazy, so compare never
+    * evaluates the extra consumers. */
+  private final case class TokenizerFamilies(docs: DataFrame,
+      wf: DataFrame, bpeSeg: DataFrame, wpVoc: DataFrame,
+      ugModel: DataFrame, famNp: DataFrame, bySource: DataFrame)
+
+  private def tokenizerFamilies(s: SparkSession, d: String,
+      pinArtifacts: Boolean = false): TokenizerFamilies = {
+    val docs = documents(s, d)
+    val wf = graft.api.Bpe.wordFreq(docs, col("text")).localCheckpoint()
+    val merges = graft.api.Bpe.trainFromVocab(
+      wf.select(graft.api.Bpe.wrapChars(col("word")).as("sym"),
+        col("w_n")),
+      BpeTrainMerges)
+    // pinArtifacts measured SLOWER and stays off for both callers (r13,
+    // REPEATS=3 fair host: card key 3.28 s pinned vs 2.40 s unpinned):
+    // wpVoc/ugModel sit above exchanges ReuseExchange already dedupes,
+    // and bpeSeg's merge-apply chain is a map-side walk over the PINNED
+    // vocab-sized wf — cheaper to re-run than to materialize (the
+    // SCALE.md "consumers above a shuffle" row). The knob is kept so the
+    // next double-consumer caller can re-measure in one line.
+    val pin: DataFrame => DataFrame =
+      if (pinArtifacts) _.localCheckpoint() else identity
+    val bpeSeg = pin(graft.api.Bpe.segment(wf, col("word"), merges))
+    val wpVoc = pin(graft.api.Wordpiece.vocabPieces(wf))
+    val ugModel = pin(graft.api.Unigram.seedPieces(wf))
+    val bpeNp = bpeSeg.select(lit("bpe").as("family"), col("word"),
+      size(col("tokens")).cast("long").as("__np"), lit(true).as("__cov"))
+    val wpNp = graft.api.Wordpiece.encode(wf, wpVoc)
+      .select(lit("wordpiece").as("family"), col("word"),
+        col("n_pieces").cast("long").as("__np"),
+        (!col("is_unk")).as("__cov"))
+    val ugNp = graft.api.Unigram.viterbiSegment(wf, ugModel)
+      .select(lit("unigram").as("family"), col("word"),
+        size(col("pieces")).cast("long").as("__np"),
+        lit(true).as("__cov"))
+    val bySource = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .groupBy("source", "word").agg(count(lit(1)).as("__n"))
+    TokenizerFamilies(docs, wf, bpeSeg, wpVoc, ugModel,
+      bpeNp.unionByName(wpNp).unionByName(ugNp), bySource)
+  }
+
   /** The phash fixture frame shared by the dedup and apply keys:
     * pixel matrices from the first-9-token md5 lattice plus the two
     * probe matrices (one patched pixel — both affected dHash bits in
@@ -1459,6 +1469,52 @@ object LlmExtras {
     * lattice) coexist in one combined WITH (llm_tokenizer_compare). */
   private def renameCte(block: String, from: String, to: String): String =
     block.replaceAll(s"\\b$from\\b", to)
+
+  /** The shared three-family tokenizer chain (DuckDB twin of the Spark
+    * `tokenizerFamilies` helper — factored r13 so the twin CTEs cannot
+    * drift between llm_tokenizer_compare and llm_dataset_card_tokenizer):
+    * the BPE merge chain owns `wf`, the WordPiece and Unigram blocks get
+    * their lattices renamed (wpwf / uwf; the three wf definitions are
+    * textually identical including the len < 100 word-domain bound, so
+    * the families provably price the same word instances at ANY input).
+    * Yields `fam` (family, word, np, cov — WordPiece cov = the greedy
+    * walk completed, the other two are total by construction) and `cgw`
+    * (per-(source, word) instance counts); consumers also reach the
+    * trained artifacts (segw$n / wvoc / model) for inventory sizes. */
+  private lazy val tokenizerFamiliesCte: String =
+    s"""${bpeTrainCte(BpeTrainMerges)},
+       |${renameCte(wordpieceCte, "wf", "wpwf")},
+       |wedge AS (SELECT s.word, s.i, s.j FROM wsub s
+       |  JOIN wvoc v USING (piece)),
+       |wwalk AS (
+       |  SELECT word, w_n, 0 AS p, 0 AS np FROM wpwf
+       |  UNION ALL
+       |  SELECT w.word, w.w_n, CAST(MAX(e.j) AS INT) AS p,
+       |    w.np + 1 AS np
+       |  FROM wwalk w JOIN wedge e ON e.word = w.word AND e.i = w.p
+       |  WHERE w.p < len(w.word)
+       |  GROUP BY w.word, w.w_n, w.p, w.np),
+       |wdone AS (SELECT word, np FROM wwalk WHERE p = len(word)),
+       |wpnp AS (SELECT wpwf.word,
+       |    CAST(COALESCE(d.np, 1) AS BIGINT) AS np,
+       |    d.word IS NOT NULL AS cov
+       |  FROM wpwf LEFT JOIN wdone d USING (word)),
+       |${renameCte(unigramCte, "wf", "uwf")},
+       |ugnp AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np FROM used
+       |  GROUP BY word),
+       |bpenp AS (SELECT word, CAST(len(string_split(
+       |    substr(sym, 2, length(sym) - 2), ')(')) AS BIGINT) AS np
+       |  FROM segw$BpeTrainMerges),
+       |fam AS (
+       |  SELECT 'bpe' AS family, word, np, TRUE AS cov FROM bpenp
+       |  UNION ALL SELECT 'wordpiece' AS family, word, np, cov FROM wpnp
+       |  UNION ALL SELECT 'unigram' AS family, word, np, TRUE AS cov
+       |    FROM ugnp),
+       |cgw AS (SELECT source, word, COUNT(*) AS g_n FROM (
+       |    SELECT source, unnest(string_split_regex(text, ' ')) AS word
+       |    FROM documents) w
+       |  WHERE regexp_full_match(word, '[A-Za-z]+')
+       |  GROUP BY source, word)""".stripMargin
 
   /** Pair-count CTE body over a given segmentation CTE (sym, w_n). */
   private def bpePcSql(segName: String): String =
@@ -2229,78 +2285,21 @@ object LlmExtras {
     // Spark side's one shared join
     "llm_tokenizer_compare" ->
       s"""WITH RECURSIVE
-         |${bpeTrainCte(BpeTrainMerges)},
-         |${renameCte(wordpieceCte, "wf", "wpwf")},
-         |wedge AS (SELECT s.word, s.i, s.j FROM wsub s
-         |  JOIN wvoc v USING (piece)),
-         |wwalk AS (
-         |  SELECT word, w_n, 0 AS p, 0 AS np FROM wpwf
-         |  UNION ALL
-         |  SELECT w.word, w.w_n, CAST(MAX(e.j) AS INT) AS p,
-         |    w.np + 1 AS np
-         |  FROM wwalk w JOIN wedge e ON e.word = w.word AND e.i = w.p
-         |  WHERE w.p < len(w.word)
-         |  GROUP BY w.word, w.w_n, w.p, w.np),
-         |wdone AS (SELECT word, np FROM wwalk WHERE p = len(word)),
-         |wpnp AS (SELECT wpwf.word,
-         |    CAST(COALESCE(d.np, 1) AS BIGINT) AS np
-         |  FROM wpwf LEFT JOIN wdone d USING (word)),
-         |${renameCte(unigramCte, "wf", "uwf")},
-         |ugnp AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np FROM used
-         |  GROUP BY word),
-         |bpenp AS (SELECT word, CAST(len(string_split(
-         |    substr(sym, 2, length(sym) - 2), ')(')) AS BIGINT) AS np
-         |  FROM segw$BpeTrainMerges),
-         |fam AS (
-         |  SELECT 'bpe' AS family, word, np FROM bpenp
-         |  UNION ALL SELECT 'wordpiece' AS family, word, np FROM wpnp
-         |  UNION ALL SELECT 'unigram' AS family, word, np FROM ugnp),
-         |cgw AS (SELECT source, word, COUNT(*) AS g_n FROM (
-         |    SELECT source, unnest(string_split_regex(text, ' ')) AS word
-         |    FROM documents) w
-         |  WHERE regexp_full_match(word, '[A-Za-z]+')
-         |  GROUP BY source, word)
+         |$tokenizerFamiliesCte
          |SELECT family, source, CAST(SUM(g_n) AS BIGINT) AS n_words,
          |  CAST(SUM(g_n * np) AS BIGINT) AS n_pieces,
          |  CAST(SUM(g_n * np) AS DOUBLE) / CAST(SUM(g_n) AS DOUBLE)
          |    AS fertility
          |FROM cgw JOIN fam USING (word)
          |GROUP BY family, source ORDER BY family, source""".stripMargin,
-    // dataset-card + tokenizer end cap: the compare chain extended with
-    // per-word coverage flags, per-family trained-inventory sizes (BPE =
-    // distinct final-segmentation symbols, WordPiece = wvoc rows,
-    // Unigram = seed-model rows) and the per-source card totals — one
-    // frame, hash-checked.
+    // dataset-card + tokenizer end cap: the shared family chain extended
+    // with per-family trained-inventory sizes (BPE = distinct
+    // final-segmentation symbols, WordPiece = wvoc rows, Unigram =
+    // seed-model rows) and the per-source card totals — one frame,
+    // hash-checked.
     "llm_dataset_card_tokenizer" ->
       s"""WITH RECURSIVE
-         |${bpeTrainCte(BpeTrainMerges)},
-         |${renameCte(wordpieceCte, "wf", "wpwf")},
-         |wedge AS (SELECT s.word, s.i, s.j FROM wsub s
-         |  JOIN wvoc v USING (piece)),
-         |wwalk AS (
-         |  SELECT word, w_n, 0 AS p, 0 AS np FROM wpwf
-         |  UNION ALL
-         |  SELECT w.word, w.w_n, CAST(MAX(e.j) AS INT) AS p,
-         |    w.np + 1 AS np
-         |  FROM wwalk w JOIN wedge e ON e.word = w.word AND e.i = w.p
-         |  WHERE w.p < len(w.word)
-         |  GROUP BY w.word, w.w_n, w.p, w.np),
-         |wdone AS (SELECT word, np FROM wwalk WHERE p = len(word)),
-         |wpnp AS (SELECT wpwf.word,
-         |    CAST(COALESCE(d.np, 1) AS BIGINT) AS np,
-         |    d.word IS NOT NULL AS cov
-         |  FROM wpwf LEFT JOIN wdone d USING (word)),
-         |${renameCte(unigramCte, "wf", "uwf")},
-         |ugnp AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np FROM used
-         |  GROUP BY word),
-         |bpenp AS (SELECT word, CAST(len(string_split(
-         |    substr(sym, 2, length(sym) - 2), ')(')) AS BIGINT) AS np
-         |  FROM segw$BpeTrainMerges),
-         |fam AS (
-         |  SELECT 'bpe' AS family, word, np, TRUE AS cov FROM bpenp
-         |  UNION ALL SELECT 'wordpiece' AS family, word, np, cov FROM wpnp
-         |  UNION ALL SELECT 'unigram' AS family, word, np, TRUE AS cov
-         |    FROM ugnp),
+         |$tokenizerFamiliesCte,
          |vs AS (
          |  SELECT 'bpe' AS family, (SELECT COUNT(DISTINCT s) FROM (
          |      SELECT unnest(string_split(substr(sym, 2,
@@ -2313,12 +2312,7 @@ object LlmExtras {
          |card AS (SELECT source, COUNT(*) AS n_docs,
          |    CAST(SUM(len(string_split_regex(text, ' '))) AS BIGINT)
          |      AS n_tokens
-         |  FROM documents GROUP BY source),
-         |cgw AS (SELECT source, word, COUNT(*) AS g_n FROM (
-         |    SELECT source, unnest(string_split_regex(text, ' ')) AS word
-         |    FROM documents) w
-         |  WHERE regexp_full_match(word, '[A-Za-z]+')
-         |  GROUP BY source, word)
+         |  FROM documents GROUP BY source)
          |SELECT family, source,
          |  CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
          |  CAST(SUM(g_n) AS BIGINT) AS n_words,

@@ -3473,16 +3473,21 @@ class ApiSpec extends AnyFunSuite {
     assert(eBig.getMessage.contains("must fit one task's memory") &&
       eBig.getMessage.contains("maxGroupRows=10"),
       eBig.getMessage)
-    // the message names the offending GROUP and its row count: pin the
-    // walk-level unit directly (group 1 of sizes [5, 20] with a 2+1 halo
-    // crosses a 25-row cap; group 0 does not)
+    // the message names the offending GROUP and its row count, and the
+    // halo accounting matches haloUnion: the LAST group receives only
+    // the predecessor's `before` trailing rows (group 1 of sizes
+    // [5, 20] with before=2 carries +2, crossing a 21-row cap; group 0
+    // carries only after=1)
     val eUnit = intercept[IllegalArgumentException] {
-      graft.api.Overlap.checkGroupSizes(Array(5L, 20L), 2, 1, 22L)
+      graft.api.Overlap.checkGroupSizes(Array(5L, 20L), 2, 1, 21L)
     }
-    assert(eUnit.getMessage.contains("group 1 holds 20 rows (+3 halo)"),
+    assert(eUnit.getMessage.contains("group 1 holds 20 rows (+2 halo)"),
       eUnit.getMessage)
     // in-bounds sizes pass untouched
-    graft.api.Overlap.checkGroupSizes(Array(5L, 20L), 2, 1, 23L)
+    graft.api.Overlap.checkGroupSizes(Array(5L, 20L), 2, 1, 22L)
+    // a SINGLE-group plan replicates no halo (haloUnion is skipped), so
+    // exactly-at-cap passes even with wide before/after
+    graft.api.Overlap.checkGroupSizes(Array(20L), 5, 5, 20L)
     // and the default cap admits the fixture end-to-end (no behavior
     // change for every existing caller)
     val ok = graft.api.Overlap.mapOverlap(overlapEvents,
