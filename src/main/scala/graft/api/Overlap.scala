@@ -106,14 +106,18 @@ object Overlap {
     * halo at all, group 0 receives only the successor's `after` leading
     * rows, the last group only the predecessor's `before` trailing rows
     * — charging both sides to every group would spuriously reject
-    * single-group/edge plans that materialize within the cap. Exposed
-    * private[graft] for the ApiSpec message pin. */
+    * single-group/edge plans that materialize within the cap. Each
+    * side's charge is additionally CLAMPED by the neighbor group's
+    * actual row count (r13 ADVICE): haloUnion replicates at most the
+    * rows the neighbor HAS, so a plan whose neighbors are smaller than
+    * the halo width must not be rejected for halo rows that cannot
+    * exist. Exposed private[graft] for the ApiSpec message pin. */
   private[graft] def checkGroupSizes(sizes: Array[Long], before: Int,
       after: Int, maxGroupRows: Long): Unit = {
     val last = sizes.length - 1
     sizes.zipWithIndex.foreach { case (n, g) =>
-      val halo = (if (g > 0) before.toLong else 0L) +
-        (if (g < last) after.toLong else 0L)
+      val halo = (if (g > 0) math.min(before.toLong, sizes(g - 1)) else 0L) +
+        (if (g < last) math.min(after.toLong, sizes(g + 1)) else 0L)
       require(n + halo <= maxGroupRows,
         s"mapOverlap group $g holds $n rows (+$halo halo) > " +
           s"maxGroupRows=$maxGroupRows — a group must fit one task's " +

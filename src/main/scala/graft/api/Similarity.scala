@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExprs
@@ -324,6 +324,23 @@ object Similarity {
     thresholdJoin(corpus, id, vec, signBucket(vec, bits), minSim)
       .withColumnRenamed("key", "bucket")
 
+  /** The int8-quantization projection shared by [[quantizeInt8]] and the
+    * persisted IVF index rows — ONE formula, every consumer (so the
+    * in-plan path and the on-disk codes can never drift). Input frame
+    * carries `__v` (float array) plus any rider columns; output replaces
+    * `__v` with (scale, qvec). */
+  private def quantized(base: DataFrame): DataFrame =
+    base
+      .withColumn("scale",
+        array_max(transform(col("__v"), x => abs(x))).cast("double")
+          / lit(127.0))
+      .withColumn("qvec",
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, lit(0.0))
+            .otherwise(floor(x.cast("double") / col("scale") + lit(0.5)))
+            .cast("byte")))
+      .drop("__v")
+
   /** Symmetric per-vector int8 quantization — at 100 TB the embedding
     * BYTES (not the doc text) dominate ANN storage and shuffle: float32
     * → int8 is a 4× cut in both, the standard first step before PQ.
@@ -335,15 +352,8 @@ object Similarity {
     * ARRAY<TINYINT>); reconstruct x ≈ q·scale, dot via
     * [[quantizedDot]]. */
   def quantizeInt8(corpus: DataFrame, id: Column, vec: Column): DataFrame =
-    corpus.select(id.as("vec_id"), vec.as("__v"))
-      .withColumn("scale",
-        array_max(transform(col("__v"), x => abs(x))).cast("double")
-          / lit(127.0))
-      .select(col("vec_id"), col("scale"),
-        transform(col("__v"), x =>
-          when(col("scale") === 0.0, lit(0.0))
-            .otherwise(floor(x.cast("double") / col("scale") + lit(0.5)))
-            .cast("byte")).as("qvec"))
+    quantized(corpus.select(id.as("vec_id"), vec.as("__v")))
+      .select(col("vec_id"), col("scale"), col("qvec"))
 
   /** Reconstructed dot product of two int8-quantized vectors:
     * (scale_a·scale_b)·Σ qa_i·qb_i. The integer sum is EXACT (long
@@ -1129,5 +1139,150 @@ object Similarity {
       .filter(col("__rk") === 1)
       .select(col("__cid").as("id"), col("n_hits"),
         col("qid").as("eval_id"), col("sim_r"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted IVF index lifecycle — the similarity family's nightly form
+  // (the signature/substring/CMS-index shape applied to ANN): the corpus
+  // is bucketed + int8-quantized ONCE into a parquet index; nightly
+  // embedding shards APPEND without re-bucketing the corpus; queries
+  // probe the stored inverted lists. Bucket and codes are DETERMINISTIC
+  // per vector ([[signBucket]] + [[quantizeInt8]]'s floor rule), which is
+  // what makes append ≡ rebuild — the grown index is bit-identical to one
+  // built over everything (certified by the llm_sim_index_grow oracle).
+  // ---------------------------------------------------------------------
+
+  /** Loud-failure read of the parameters recorded at [[writeIvfIndex]]
+    * time: (bits, dim). A bits drift would silently change every bucket
+    * key; a dim drift would silently zip-truncate every dot — readers
+    * require() both. */
+  private def readIvfParams(spark: SparkSession,
+      path: String): (Int, Int) = {
+    val p = spark.read.parquet(s"$path/params").head()
+    (p.getAs[Int]("bits"), p.getAs[Int]("dim"))
+  }
+
+  /** Vector width from the frame's first row — a bounded 1-row collect
+    * (the centroid-fetch class), used only on index write/append/query
+    * boundaries to make dimension drift a loud error instead of a
+    * silent zip-truncated dot product. */
+  private def vecDim(df: DataFrame, vec: Column): Int = {
+    val r = df.select(size(vec).as("__d")).limit(1).collect()
+    require(r.nonEmpty,
+      "cannot derive the vector width from an empty frame")
+    r(0).getAs[Int]("__d")
+  }
+
+  /** The stored row shape: (vec_id, bucket, scale, qvec) — one row per
+    * vector, bucket = [[signBucket]] at the index's recorded bits, codes
+    * via the shared [[quantized]] projection. */
+  private def ivfRows(df: DataFrame, id: Column, vec: Column,
+      bits: Int): DataFrame =
+    quantized(df.select(id.as("vec_id"), vec.as("__v"),
+        signBucket(vec, bits).as("bucket")))
+      .select(col("vec_id"), col("bucket"), col("scale"), col("qvec"))
+
+  /** Persist a sign-bucket IVF index for [[topKAgainstIvfIndex]] — the
+    * nightly-production ANN shape: the corpus is bucketed and
+    * int8-quantized ONCE and written as parquet inverted lists
+    * PARTITIONED BY BUCKET, so a probe reads only the probed lists'
+    * files (real partition pruning — on disk, an inverted list IS a
+    * partition directory). Codes are the [[quantizeInt8]] 4×-compressed
+    * form: at 10⁹ vectors the probe scan is memory-bandwidth-bound and
+    * the compressed bytes are what make it cheap; raw vectors never
+    * persist and never re-read after the write.
+    *
+    * Layout: `path/params` = (bits, dim) recorded write-time values
+    * (readers fail loudly on mismatch — a bits drift changes every
+    * bucket key, a dim drift silently truncates every dot);
+    * `path/lists/bucket=*` = (vec_id, scale, qvec). The multi-table
+    * write is not atomic — re-run on failure (it overwrites), the
+    * [[TextDedup.writeSignatureIndex]] caveat. */
+  def writeIvfIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String, bits: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1, 30], got $bits")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = vecDim(corpus, vec)
+    require(bits <= dim,
+      s"bits=$bits exceeds the vector width $dim — signBucket reads the " +
+        "first `bits` dimensions")
+    Seq((bits, dim)).toDF("bits", "dim")
+      .write.mode("overwrite").parquet(s"$path/params")
+    ivfRows(corpus, id, vec, bits)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/lists")
+  }
+
+  /** Append a delta shard's rows to an existing IVF index — the accept
+    * step of the nightly cycle (a production embedding store is
+    * append-heavy: vectors arrive nightly, the corpus never re-buckets).
+    * Bucket bits come from the index's recorded params, the shard's
+    * vector width is checked against the recorded dim (loud mismatch).
+    * Because bucket and codes are deterministic per vector, append ≡
+    * rebuild — the grown index answers every probe exactly as one built
+    * over the union. Caller guarantees the shard's ids are not already
+    * in the index. */
+  def appendToIvfIndex(delta: DataFrame, id: Column, vec: Column,
+      path: String): Unit = {
+    val (bits, dim) = readIvfParams(delta.sparkSession, path)
+    val dDim = vecDim(delta, vec)
+    require(dDim == dim,
+      s"IVF index at $path stores $dim-dim vectors but the delta " +
+        s"carries $dDim-dim vectors — the dot product would silently " +
+        "truncate; re-embed the shard or rebuild the index")
+    ivfRows(delta, id, vec, bits)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/lists")
+  }
+
+  /** Top-k against a PERSISTED IVF index ([[writeIvfIndex]] /
+    * [[appendToIvfIndex]]): each query probes its own sign-bucket list
+    * plus `nprobe − 1` one-bit-flip neighbor lists (the [[topKIvf]]
+    * recall lever), scored by [[quantizedDot]] over the STORED int8
+    * codes — the query side quantizes with the same shared projection,
+    * so the integer inner sum is exact and order-free (engine-stable,
+    * oracle-checkable). Bits/dim come from the index's recorded params;
+    * the query frame's width is checked loudly.
+    *
+    * Scale shape: the bounded query set broadcasts; the lists parquet
+    * is bucket-partitioned, so the equi-join on the partition column
+    * prunes the scan to the probed directories (dynamic partition
+    * pruning) — probe cost is Σ|probed lists| of compressed codes,
+    * independent of corpus size. Nothing shuffles but the (|queries| ·
+    * Σ|list|)-bounded scored frame into the per-query top-k window.
+    * Same (qid, qe) contract and excludeSelf semantics as [[topK]].
+    * Output: (qid, vec_id, sim_r, rk ≤ k). */
+  def topKAgainstIvfIndex(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, nprobe: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    require(k >= 1, s"k=$k must be positive")
+    val (bits, dim) = readIvfParams(spark, indexPath)
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe must be in [1, bits + 1 = ${bits + 1}], got $nprobe")
+    val qDim = vecDim(queries, col("qe"))
+    require(qDim == dim,
+      s"IVF index at $indexPath stores $dim-dim vectors but the query " +
+        s"frame carries $qDim-dim vectors — the dot product would " +
+        "silently truncate")
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val q = quantized(queries.select(col("qid"), col("qe").as("__v"),
+        signBucket(col("qe"), bits).as("__qb")))
+      .select(col("qid"), col("__qb"), col("scale").as("__qscale"),
+        col("qvec").as("__qq"))
+    // multi-probe: own bucket + first nprobe−1 one-bit flips (topKIvf's
+    // probe set — each stored vector lives in exactly one bucket and
+    // probe buckets are distinct, so no pair dedup is needed)
+    val probes = Seq(col("__qb")) ++
+      (0 until (nprobe - 1)).map(i => col("__qb").bitwiseXOR(lit(1 << i)))
+    val qp = q.withColumn("__probe", explode(array(probes: _*)))
+    val selfCond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    val scored = lists.join(broadcast(qp),
+        col("bucket") === col("__probe") && selfCond)
+      .select(col("qid"), col("vec_id"),
+        round(quantizedDot(col("__qscale"), col("__qq"),
+          col("scale"), col("qvec")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 }

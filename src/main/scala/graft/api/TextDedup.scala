@@ -2109,6 +2109,13 @@ object TextDedup {
     * corpus text; pass `checkpointDir` for the reliable form on a real
     * cluster (the [[clusters]] discipline — callers own the release of
     * the final pin, see [[winnowCandidates]]).
+    *
+    * "Exact" ground truth is exact MODULO 64-BIT HASHING (r13 ADVICE):
+    * the truth verify intersects sorted xxhash64 shingle arrays, so a
+    * 64-bit collision within a doc's set or across a pair could perturb
+    * a truth jaccard — probability ~2⁻⁶⁴ per pair, deterministic when it
+    * happens (both engines hash identically), and tolerated by design:
+    * the string-array verify it replaced cost ~20% of the whole audit.
     * Output: (bands, rows_per_band, n_truth, candidates, hits, recall,
     * precision), bands ascending. */
   def lshAudit(df: DataFrame, id: Column, text: Column,

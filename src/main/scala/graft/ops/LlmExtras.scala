@@ -365,6 +365,56 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // PERSISTED IVF index (r13 verdict #1) — the similarity family's
+    // nightly form, closing the one family without one: the corpus
+    // (vec_id % 10 != 0) is sign-bucketed + int8-quantized ONCE into
+    // bucket-partitioned parquet inverted lists (writeIvfIndex — an
+    // inverted list IS a partition directory, so a probe reads only the
+    // probed files); the day's query shard (% 10 == 0) then probes the
+    // STORED index with nprobe=2 multi-probe and exact-integer
+    // quantizedDot scoring. Raw corpus vectors are never re-read at
+    // query time — at 10⁹ vectors the probe scans only compressed codes
+    // of the probed lists. The write is timed in-key (the honesty rule).
+    "llm_sim_index" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val idx = new java.io.File("target/graft-ivf-index/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Similarity.writeIvfIndex(corpus, col("vec_id"),
+        col("embedding"), idx)
+      graft.api.Similarity.topKAgainstIvfIndex(s, idx, q, k = 5, nprobe = 2)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
+    // the GROW step of the persisted IVF index, oracle-checked: day-0
+    // corpus indexed once, day-1 shard ACCEPTED via appendToIvfIndex
+    // (bucketed + quantized rows appended — the corpus never re-buckets),
+    // then the query shard probes the grown index. The oracle is the
+    // rebuilt-index definition over day0 ∪ day1 — grown ≡ rebuilt is
+    // exactly the append step's contract (bucket and codes are
+    // deterministic per vector), so the DuckDB hash gate certifies the
+    // append path end to end (the llm_dedup_substring_grow shape).
+    "llm_sim_index_grow" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val day0 = emb.filter(col("vec_id") % 10 =!= 0 &&
+        col("vec_id") % 10 =!= 3)
+      val day1 = emb.filter(col("vec_id") % 10 === 3)
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val idx = new java.io.File("target/graft-ivf-grow/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Similarity.writeIvfIndex(day0, col("vec_id"),
+        col("embedding"), idx)
+      graft.api.Similarity.appendToIvfIndex(day1, col("vec_id"),
+        col("embedding"), idx)
+      graft.api.Similarity.topKAgainstIvfIndex(s, idx, q, k = 5, nprobe = 2)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // Unicode canonicalization — the cleaning step BEFORE any text dedup
     // hashes bytes (é as one codepoint vs e+combining-acute must dedup
     // together): NFC composition via a minimal UDF (the JDK Normalizer —
@@ -1621,6 +1671,43 @@ object LlmExtras {
       |    AS q
       |  FROM q0)""".stripMargin
 
+  /** DuckDB twin of the persisted-IVF row shape (bucket + int8 codes per
+    * vector — graft.api.Similarity.ivfRows), shared by the llm_sim_index
+    * and llm_sim_index_grow oracles. The grow oracle deliberately uses
+    * the SAME rebuilt-over-everything definition: grown ≡ rebuilt IS the
+    * append contract being certified. */
+  private val ivfCte: String =
+    s"""i0 AS (SELECT vec_id,
+       |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+       |    / 127.0 AS scale, embedding,
+       |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+       |iz AS (SELECT vec_id, bucket, scale,
+       |  list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0
+       |    ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS TINYINT))
+       |    AS q
+       |  FROM i0)""".stripMargin
+
+  /** The llm_sim_index / llm_sim_index_grow probe query — one definition
+    * for both keys (the grown index must answer EXACTLY as the rebuilt
+    * one, so the two oracles are textually identical by design). */
+  private val ivfIndexOracle: String =
+    s"""WITH $ivfCte,
+       |corp AS (SELECT * FROM iz WHERE vec_id % 10 != 0),
+       |qs AS (SELECT vec_id AS qid, bucket AS qbucket, scale AS qscale,
+       |  q AS qq FROM iz WHERE vec_id % 10 = 0),
+       |s AS (SELECT qid, corp.vec_id,
+       |  ROUND(qscale * corp.scale * CAST(list_sum(list_transform(
+       |    list_zip(qq, corp.q),
+       |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS DOUBLE),
+       |    6) AS sim_r
+       |  FROM qs CROSS JOIN (VALUES (0), (1)) m(m)
+       |  JOIN corp ON corp.bucket = xor(qbucket, m.m)
+       |    AND corp.vec_id != qid)
+       |SELECT qid, rk, vec_id, sim_r FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   /** DuckDB twin of the PQ pipeline (seed codebook → sub-slices →
     * rounded-L2 argmin), shared by the encode and search oracles.
     * Same sequential-double distance fold as the Spark side. */
@@ -1794,6 +1881,8 @@ object LlmExtras {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "llm_sim_index" -> ivfIndexOracle,
+    "llm_sim_index_grow" -> ivfIndexOracle,
     "llm_embed_random_projection" -> {
       // the SAME driver-side sign matrix the Spark plan inlines
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 8, RpInDim)

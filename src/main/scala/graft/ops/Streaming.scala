@@ -295,8 +295,11 @@ object Streaming {
     * dedupShardAgainstIndex): each micro-batch runs the batch
     * `Multimodal.phashDedupShardAgainstIndex` verbatim against the
     * persisted band index — stream-static, zero state store; the index
-    * is the only state, refreshed on its own append cadence
-    * (`writePhashIndex` mode("append")). Pairs arriving in the SAME
+    * is the only state, REBUILT on its own refresh cadence
+    * (`writePhashIndex` writes mode("overwrite") — unlike the signature
+    * index there is no append form, so a refresh re-signs the accepted
+    * corpus; dHash rows are 8 bytes/doc, so the rebuild is cheap).
+    * Pairs arriving in the SAME
     * micro-batch are cut by the intra-shard keep-min rule; perceptual
     * dups split across batches are the index-append cadence's job —
     * the same documented divergence as the signature-screen twin.
@@ -311,6 +314,29 @@ object Streaming {
       (batch: DataFrame, _: Long) =>
         emit(graft.sources.Multimodal.phashDedupShardAgainstIndex(batch,
           id, pixels, indexPath, maxDist))
+    }
+
+  /** Streaming twin of the persisted-IVF ANN probe (r14) — the
+    * continuous-serving form of `llm_sim_index`: each micro-batch of
+    * arriving queries (qid, qe) runs the batch
+    * `Similarity.topKAgainstIvfIndex` verbatim against the static index
+    * written by `writeIvfIndex`/`appendToIvfIndex` — a stream-STATIC
+    * probe with ZERO state store (every operator is stateless per
+    * micro-batch; the index is the only state, rebuilt via overwrite or
+    * grown via append on its own cadence). The index snapshot a given
+    * micro-batch sees is the last refresh — the standard freshness
+    * trade of every stream-static join. `emit` receives the batch's
+    * (qid, vec_id, sim_r, rk ≤ k) rows; multi-batch ≡ batch-union is
+    * pinned in StreamingSpec. */
+  def twinTopKAgainstIvfIndex(queries: DataFrame, indexPath: String,
+      k: Int, nprobe: Int = 1, excludeSelf: Boolean = true)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.Similarity.topKAgainstIvfIndex(batch.sparkSession,
+          indexPath, batch, k, nprobe, excludeSelf))
     }
 
   /** Streaming twin of the LEARNED quality filter — scoring a fitted

@@ -2125,6 +2125,65 @@ class ApiSpec extends AnyFunSuite {
       "screen diverges after compaction")
   }
 
+  test("Similarity IVF index lifecycle: grown-index probe equals " +
+      "rebuilt-index probe, self-probe ranks first, dim/nprobe " +
+      "mismatches fail loudly") {
+    val rnd = new scala.util.Random(21)
+    val dims = 12
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val day0 = vecs(0 until 30).toDF("id", "emb")
+    val day1 = vecs(30 until 45).toDF("id", "emb")
+    val queries = day0.unionByName(day1).filter(col("id") % 7 === 0)
+      .select(col("id").as("qid"), col("emb").as("qe"))
+    val root = SparkFixture.tempDir("graft_ivf_idx_")
+    val grown = new java.io.File(root, "grown").getAbsolutePath
+    val rebuilt = new java.io.File(root, "rebuilt").getAbsolutePath
+    Similarity.writeIvfIndex(day0, col("id"), col("emb"), grown)
+    Similarity.appendToIvfIndex(day1, col("id"), col("emb"), grown)
+    Similarity.writeIvfIndex(day0.unionByName(day1), col("id"),
+      col("emb"), rebuilt)
+    def probe(idx: String, excludeSelf: Boolean) = Similarity
+      .topKAgainstIvfIndex(spark, idx, queries, k = 3, nprobe = 2,
+        excludeSelf = excludeSelf)
+      .orderBy("qid", "rk").collect().map(_.toString).toSeq
+    val grownRes = probe(grown, excludeSelf = true)
+    assert(grownRes == probe(rebuilt, excludeSelf = true),
+      "grown-index probe diverges from rebuilt-index probe")
+    // queries are drawn FROM the indexed set: with excludeSelf=false
+    // every query's own vector tops its ranking (quantized self-dot > 0)
+    val selfHits = Similarity
+      .topKAgainstIvfIndex(spark, grown, queries, k = 3, nprobe = 2,
+        excludeSelf = false)
+      .filter(col("rk") === 1).collect()
+    assert(selfHits.nonEmpty && selfHits.forall(r =>
+        r.getAs[Long]("qid") == r.getAs[Long]("vec_id")),
+      "with excludeSelf=false each query must rank its own vector first")
+    assert(Similarity.topKAgainstIvfIndex(spark, grown, queries, k = 3,
+        nprobe = 2).filter(col("qid") === col("vec_id")).count() == 0,
+      "excludeSelf=true must drop the query's own vector")
+    // appending a shard of the wrong width fails loudly (a silent
+    // zip-truncated dot is the hazard the recorded dim exists for)
+    val narrow = Seq((99L, Array.fill(6)(0.5f))).toDF("id", "emb")
+    val eAppend = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(narrow, col("id"), col("emb"), grown)
+    }
+    assert(eAppend.getMessage.contains("12-dim") &&
+      eAppend.getMessage.contains("6-dim"), eAppend.getMessage)
+    // querying with the wrong width fails loudly too
+    val eQuery = intercept[IllegalArgumentException] {
+      Similarity.topKAgainstIvfIndex(spark, grown,
+        narrow.select(col("id").as("qid"), col("emb").as("qe")), k = 3)
+    }
+    assert(eQuery.getMessage.contains("12-dim"), eQuery.getMessage)
+    // nprobe beyond bits + 1 fails loudly
+    val eProbe = intercept[IllegalArgumentException] {
+      Similarity.topKAgainstIvfIndex(spark, grown, queries, k = 3,
+        nprobe = 10)
+    }
+    assert(eProbe.getMessage.contains("nprobe"), eProbe.getMessage)
+  }
+
   test("TextDedup.containmentWithinBucket finds a short doc embedded in " +
       "a long one — the asymmetric case jaccard misses") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")

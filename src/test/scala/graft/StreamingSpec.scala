@@ -262,6 +262,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF probe (r14): per-batch top-k against the persisted " +
+      "index over multiple batches equals the batch probe — and a query " +
+      "arriving after an append sees the grown index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val dims = 12
+    def vec() = Array.fill(dims)(rnd.nextFloat() * 2 - 1)
+    val corpus = (0L until 40L).map(i => (i, vec()))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfidx-stream").resolve("idx").toString
+    graft.api.Similarity.writeIvfIndex(corpus.toDF("id", "emb"),
+      col("id"), col("emb"), dir)
+    val in = MemoryStream[(Long, Array[Float])]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = Streaming.twinTopKAgainstIvfIndex(
+        in.toDF.toDF("qid", "qe"), dir, k = 3, nprobe = 2) {
+      batch => emitted.synchronized {
+        emitted ++= batch.select("qid", "vec_id", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      }
+    }.start()
+    try {
+      // two micro-batches of queries drawn from the indexed set
+      val qs = Seq(0L, 7L, 14L, 21L).map(i => (i, corpus(i.toInt)._2))
+      in.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = emitted.synchronized(emitted.toSet)
+      // multi-batch ≡ batch-union: the same queries as ONE batch call
+      val batch = graft.api.Similarity
+        .topKAgainstIvfIndex(spark, dir,
+          qs.toDF("qid", "qe"), k = 3, nprobe = 2)
+        .select("qid", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch,
+        s"streamed $streamed != batch-union $batch")
+      // the stream-static freshness contract: a batch arriving AFTER an
+      // index append probes the grown index — plant a near-copy of query
+      // 0's vector (id 100), append it, re-ask query 0
+      val twin = corpus(0)._2.clone(); twin(dims - 1) = twin(dims - 1) * 0.99f
+      graft.api.Similarity.appendToIvfIndex(
+        Seq((100L, twin)).toDF("id", "emb"), col("id"), col("emb"), dir)
+      in.addData((0L, corpus(0)._2))
+      q.processAllAvailable()
+      val after = emitted.synchronized(emitted.toSet) -- streamed
+      assert(after.exists { case (qid, vid, rk) =>
+          qid == 0L && vid == 100L && rk == 1 },
+        s"post-append probe must surface the planted near-copy: $after")
+    } finally q.stop()
+  }
+
   test("session windows: gap split + [first, last+gap) bounds") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
