@@ -78,10 +78,18 @@ object Wordpiece {
   /** Train `nMerges` WordPiece merges (score argmax, pair tie-break).
     * Same loop discipline as [[Bpe.train]]: per-round collect is the ONE
     * winning row, lineage truncates per round. */
-  def train(docs: DataFrame, text: Column, nMerges: Int): Seq[(String, String)] = {
-    var vocab = Bpe.wordFreq(docs, text)
-      .select(Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
-      .localCheckpoint()
+  def train(docs: DataFrame, text: Column,
+      nMerges: Int): Seq[(String, String)] =
+    trainFromVocab(Bpe.wordFreq(docs, text)
+      .select(Bpe.wrapChars(col("word")).as("sym"), col("w_n")), nMerges)
+
+  /** [[train]] from an ALREADY-SEGMENTED vocab frame (sym, w_n) — the
+    * [[Bpe.trainFromVocab]] split, so a caller who has paid the one
+    * corpus-sized wordFreq shuffle (and pinned it for other consumers)
+    * never pays it twice; train ≡ trainFromVocab is pinned in ApiSpec. */
+  def trainFromVocab(vocab0: DataFrame,
+      nMerges: Int): Seq[(String, String)] = {
+    var vocab = vocab0.localCheckpoint()
     var prevGen = TextDedup.checkpointRdd(vocab)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0

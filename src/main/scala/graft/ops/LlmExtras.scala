@@ -48,6 +48,18 @@ object LlmExtras {
     * CTE, so the two engines replay the identical training run. */
   private val BpeTrainMerges = 8
 
+  /** Merge-count for llm_wordpiece_train — the same shared-constant rule
+    * as [[BpeTrainMerges]] (and the same value: the tokenizer families
+    * train symmetric-depth runs so their keys price comparable work). */
+  private val WpTrainMerges = 8
+
+  /** md5 digests per synthesized WAV payload (16 bytes each) for
+    * llm_multimodal_audio_features — one constant feeding the Spark
+    * synthesis AND the generated oracle so the sample streams can never
+    * drift. 4 × 16 = 64 samples: enough for non-trivial rms/zcr, small
+    * enough that Σ amp² stays exactly representable in double. */
+  private val AudioDigests = 4
+
   /** NFC composition (JDK Normalizer) — the one text-cleaning step with
     * no Spark built-in; NULL-safe. */
   private val nfcUdf = udf((t: String) =>
@@ -839,6 +851,31 @@ object LlmExtras {
         .limit(20)
     }),
 
+    // the FULL bounded-iteration WordPiece train loop as a declared key
+    // (r13 verdict #3 — the one tokenizer-family asymmetry left: BPE and
+    // Unigram both declare their complete train loops, WordPiece
+    // declared only the 2-merge step): graft.api.Wordpiece.train
+    // driver-loops the oracle-checked step — per round one vocab-sized
+    // pairScores job (pair counts + the two symbol-count sides), a 1-row
+    // argmax collect under the deterministic score-DESC-then-pair rule
+    // (score = (n/c_a)/c_b, two chained IEEE divisions of exact BIGINTs
+    // — bit-identical cross-engine), a literal-replace rewrite,
+    // generation-release checkpointing. Output = the learned merge TABLE
+    // in training order — a WordPiece vocabulary builder's entire
+    // semantics; the DuckDB oracle replays the identical 8 merges as a
+    // chained CTE. Scale shape: the corpus collapses to its Heaps-
+    // bounded word-frequency vocabulary before round 1 (the one
+    // corpus-sized shuffle), so every round runs on a broadcastable
+    // frame at any corpus size. trainFromVocab ≡ train is ApiSpec-pinned.
+    "llm_wordpiece_train" -> ((s, d) => {
+      import s.implicits._
+      graft.api.Wordpiece
+        .train(documents(s, d), col("text"), WpTrainMerges)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "a", "b")
+    }),
+
     // WordPiece piece vocabulary: position-0 pieces bare, interior
     // pieces '##'-prefixed (lengths ≤ 4), kept iff occurrence mass
     // clears a RELATIVE 3-permille bar (exact integer comparison,
@@ -978,6 +1015,39 @@ object LlmExtras {
           countDistinct(upper(substring(hex(col("media.bytes")), 1, 2)))
             .as("n_first_bytes"))
         .orderBy("mime")
+    }),
+
+    // REAL audio-feature extraction as a declared key (r13 verdict #4 —
+    // the image path had real-decode keys, audio had only spec pins):
+    // each doc synthesizes a deterministic 8-bit UNSIGNED mono PCM WAV
+    // IN-PLAN — a constant 44-byte RIFF header literal
+    // (Multimodal.wavPcm8Header; the data length is fixed at 64 samples,
+    // so the header is a plan constant) + 4 chained md5 digests of the
+    // text as sample bytes (the md5-derived-bytes convention) — then
+    // decodes through the REAL javax.sound streamed-PCM pass
+    // (audioFeatures' PCM_UNSIGNED branch). The features are
+    // oracle-EXACT: the 64 amplitudes are dyadic rationals (v/128, v =
+    // byte − 128), so Σ amp² accumulates exactly in double (20 mantissa
+    // bits needed) and rms is one correctly-rounded sqrt of an identical
+    // double; peak is a dyadic max; zcr one IEEE division of exact
+    // integer crossing counts — raw doubles, no rounding step needed.
+    // dominant_hz (transcendental DFT probes) stays API-only. Scale
+    // shape: map-side synthesis + one mapPartitions decode pass, no
+    // payload shuffle, no corpus re-read.
+    "llm_multimodal_audio_features" -> ((s, d) => {
+      val data = concat((0 until AudioDigests).map(k =>
+        unhex(md5(concat(col("text"), lit(s":aud$k"))))): _*)
+      val media = documents(s, d).select(
+        col("doc_id").cast("string").as("path"),
+        struct(lit("audio/wav").as("mime"),
+          concat(
+            lit(graft.sources.Multimodal.wavPcm8Header(16 * AudioDigests)),
+            data).as("bytes"),
+          map(lit("synth"), lit("pcm8")).as("meta")).as("media"))
+      graft.sources.Multimodal.audioFeatures(media)
+        .select(col("path").cast("bigint").as("doc_id"), col("n_samples"),
+          col("rms"), col("peak"), col("zcr"))
+        .orderBy("doc_id")
     }),
 
     // two-stage retrieval (graft.api.Similarity.topKRerank) — the
@@ -1624,6 +1694,37 @@ object LlmExtras {
        |        length(sym) - 2), ')(')) AS s FROM $segName) sb
        |    GROUP BY s) cb ON cb.s = string_split(pair, ' ')[2]""".stripMargin
 
+  /** The WordPiece n-merge training chain (the [[bpeTrainCte]] shape
+    * under the likelihood-score argmax): per step k, scored pairs over
+    * the previous segmentation (`wpScoredSql`) → 1-row argmax under the
+    * score-DESC-then-pair rule → COALESCE'd literal replace (the
+    * exhausted-vocab carry-forward — a LEFT JOIN so a fully-merged vocab
+    * carries its segmentation forward instead of nulling out). Step 0 is
+    * bpeCte's `seg`; steps are wsc_k / wt_k / wsg_k.
+    *
+    * Every step CTE is MATERIALIZED (the pcaPowerCte rule): each scoring
+    * pass references the previous segmentation FOUR times (pair counts,
+    * both symbol-count sides, the rewrite), so DuckDB's default CTE
+    * inlining would expand the chain 4^n-fold — at n=8 that is ~65k
+    * re-scans of the corpus (observed as a file-handle explosion);
+    * materialized, the chain is n linear vocab-sized passes, exactly
+    * like the Spark loop's per-round checkpoints. */
+  private def wpTrainCte(n: Int): String = {
+    val steps = (1 to n).map { k =>
+      val prev = if (k == 1) "seg" else s"wsg${k - 1}"
+      s"""wsc$k AS MATERIALIZED (${wpScoredSql(prev)}),
+         |wt$k AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a,
+         |    string_split(pair, ' ')[2] AS b
+         |  FROM wsc$k ORDER BY score DESC, pair LIMIT 1),
+         |wsg$k AS MATERIALIZED (SELECT COALESCE(
+         |    replace(sym, '(' || a || ')(' || b || ')',
+         |      '(' || a || b || ')'), sym) AS sym, w_n
+         |  FROM $prev LEFT JOIN wt$k ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""$bpeCte,
+       |$steps""".stripMargin
+  }
+
   /** DuckDB twin of the Wordpiece piece lattice + 3-permille vocabulary
     * (graft.api.Wordpiece.vocabPieces): CTEs `wf` → `wsub` (positional
     * pieces, '##'-marked continuations, len(word) < 100 both sides) →
@@ -1919,6 +2020,30 @@ object LlmExtras {
         |  COUNT(DISTINCT upper(substr(hex(unhex(md5(text))), 1, 2)))
         |    AS n_first_bytes
         |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    // audio features recomputed from the SAME md5-derived sample bytes
+    // the Spark plan wraps in a WAV header: v = byte − 128 (the 8-bit
+    // unsigned PCM centering), rms = sqrt(Σv² / 128² / n) — every
+    // division a power of two, so the double is identical to the decode
+    // path's sequential accumulation — peak = max|v|/128, zcr = sign
+    // changes / (n − 1) via a per-doc lag window
+    "llm_multimodal_audio_features" -> {
+      val n = 16 * AudioDigests
+      s"""WITH sm AS (SELECT doc_id, k.k * 16 + i.i AS pos,
+         |    CAST('0x' || substr(md5(text || ':aud' ||
+         |        CAST(k.k AS VARCHAR)),
+         |      CAST(i.i AS INT) * 2 + 1, 2) AS INTEGER) - 128 AS v
+         |  FROM documents, range(0, $AudioDigests) k(k),
+         |    range(0, 16) i(i)),
+         |st AS (SELECT doc_id, v,
+         |    LAG(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
+         |  FROM sm)
+         |SELECT doc_id, CAST($n AS BIGINT) AS n_samples,
+         |  sqrt(CAST(SUM(v * v) AS DOUBLE) / 16384.0 / $n.0) AS rms,
+         |  CAST(MAX(ABS(v)) AS DOUBLE) / 128.0 AS peak,
+         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / ${n - 1}.0 AS zcr
+         |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // the packed-layout key re-derives the same metadata straight from
     // documents: the pack/readPacked round trip is the Spark side's
     // subject; the oracle checks the metadata math
@@ -2312,6 +2437,16 @@ object LlmExtras {
          |sc3 AS (${wpScoredSql("seg3")})
          |SELECT pair, n, c_a, c_b, score FROM sc3
          |ORDER BY score DESC, pair LIMIT 20""".stripMargin,
+    // the full WordPiece train replay: the same 8 merges as a chained
+    // CTE (wpTrainCte), each step's 1-row argmax projected into the
+    // learned merge table in training order — the llm_bpe_train shape
+    // under the likelihood score
+    "llm_wordpiece_train" ->
+      s"""WITH ${wpTrainCte(WpTrainMerges)}
+         |${(1 to WpTrainMerges).map(k =>
+              s"SELECT CAST(${k - 1} AS INT) AS rank, a, b FROM wt$k")
+             .mkString("\n UNION ALL ")}
+         |ORDER BY rank""".stripMargin,
     "llm_wordpiece_vocab" ->
       s"""WITH $wordpieceCte
          |SELECT piece, cnt FROM wvoc ORDER BY piece""".stripMargin,

@@ -452,6 +452,30 @@ object Multimodal {
         frames, durMs))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The 44-byte RIFF/WAVE header for 8-bit UNSIGNED mono PCM of exactly
+    * `nSamples` samples — a pure driver-side function of (nSamples,
+    * rate) inlined as a BINARY LITERAL into plans that synthesize
+    * deterministic WAV payloads (the rpSignMatrix shared-codegen
+    * discipline): with the data length fixed, the header is a plan
+    * constant, so `concat(lit(header), dataBytes)` builds a real WAV the
+    * javax.sound provider decodes while an oracle recomputes features
+    * from the same data bytes. 8-bit WAV is unsigned by the RIFF spec —
+    * this is the PCM_UNSIGNED branch of [[audioFeatures]]. */
+  def wavPcm8Header(nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0,
+      s"need positive nSamples/sampleRate, got ($nSamples, $sampleRate)")
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate) // byte rate = rate at 8-bit mono
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    b.array()
+  }
+
   /** Normalized `dims`-bin grayscale histogram over REAL pixels; None
     * when no installed reader decodes the bytes. */
   private[sources] def imageHistogram(bytes: Array[Byte],

@@ -1366,6 +1366,13 @@ class ApiSpec extends AnyFunSuite {
     val expect = refWp(words, 5)
     assert(merges == expect, s"train $merges != reference $expect")
 
+    // trainFromVocab (the llm_wordpiece_train split) is the same loop:
+    // training from the pre-segmented vocab yields identical merges
+    val vocab0 = graft.api.Bpe.wordFreq(docs, col("txt"))
+      .select(graft.api.Bpe.wrapChars(col("word")).as("sym"), col("w_n"))
+    assert(Wordpiece.trainFromVocab(vocab0, 5) == merges,
+      "trainFromVocab diverged from train on the same corpus")
+
     // encode: hand-built vocab — greedy takes the LONGEST piece at each
     // position; a word touching an out-of-vocab char collapses to [UNK]
     val wf = Seq(("lowest", 1L), ("low", 3L), ("newer", 1L), ("axe", 1L))

@@ -248,6 +248,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got("junk.wav") == ((-1L, -1.0, -1.0, -1.0, -1.0)))
   }
 
+  test("in-plan synthesized 8-bit unsigned WAV (wavPcm8Header + data " +
+      "bytes) decodes through the real javax.sound path with EXACT " +
+      "rms/peak/zcr — the llm_multimodal_audio_features pin") {
+    import spark.implicits._
+    // a hand-picked byte pattern exercising both extremes and the
+    // zero-crossing edge (128 centers to exactly 0)
+    val raw = Array(128, 255, 0, 128, 64, 192, 1, 254).map(_.toByte)
+    val header = Multimodal.wavPcm8Header(raw.length)
+    val media = Seq(("a", header ++ raw)).toDF("path", "bytes")
+      .select(col("path"),
+        struct(lit("audio/wav").as("mime"), col("bytes").as("bytes"),
+          map(lit("synth"), lit("pcm8")).as("meta")).as("media"))
+    // header decode: the literal header must read back as 8 kHz mono
+    // 8-bit with the exact frame count
+    val hd = Multimodal.decodeAudio(media).head()
+    assert((hd.getInt(1), hd.getInt(2), hd.getInt(3), hd.getLong(4),
+        hd.getLong(5)) == ((8000, 1, 8, raw.length.toLong, 1L)),
+      s"header decode mismatch: $hd")
+    // features: the 8-bit unsigned branch centers v = byte − 128 and
+    // normalizes by 128 — every expected value is a pure-Scala mirror
+    // of the same dyadic arithmetic, compared EXACTLY (no tolerance)
+    val v = raw.map(b => (b & 0xff) - 128)
+    val expRms = math.sqrt(v.map(x => (x / 128.0) * (x / 128.0)).sum
+      / raw.length)
+    val expPeak = v.map(x => math.abs(x / 128.0)).max
+    val expZcr = v.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      .toDouble / (raw.length - 1)
+    val r = Multimodal.audioFeatures(media).head()
+    assert(r.getLong(1) == raw.length.toLong, s"n_samples: $r")
+    assert(r.getDouble(2) == expRms, s"rms ${r.getDouble(2)} != $expRms")
+    assert(r.getDouble(3) == expPeak, s"peak ${r.getDouble(3)} != $expPeak")
+    assert(r.getDouble(4) == expZcr, s"zcr ${r.getDouble(4)} != $expZcr")
+  }
+
   test("packToParquet round-trips the media table; metadata-only queries " +
       "over the packed layout prune the payload column at the scan") {
     import javax.imageio.ImageIO
