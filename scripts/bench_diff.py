@@ -5,11 +5,23 @@ Compares two Bench JSON artifacts (the {"metric", "value", "queries": {key:
 sec}} shape graft.Bench prints and BENCH_FULL.json stores) and separates
 real regressions from host noise. This shared VM shows up-to-~2x run-to-run
 variance (BASELINE.md), but that noise is UNIFORM — so the guard first
-estimates the host-speed ratio between the two runs as the median per-query
-ratio over common keys, normalizes every ratio by it, and only then flags
-per-query moves beyond the threshold. A single key moving 2.8x while the
-median sits at 1.0 is a regression; every key moving 1.8x together is a
-slow host.
+estimates the host-speed ratio between the two runs, normalizes every
+per-query ratio by it, and only then flags moves beyond the threshold. A
+single key moving 2.8x while the median sits at 1.0 is a regression; every
+key moving 1.8x together is a slow host.
+
+Host-speed estimation has two modes:
+
+ - PER-SEGMENT (r14, both artifacts carry "host_sentinel_mid"): graft.Bench
+   times keys in SORTED order and emits a single-thread sentinel reading
+   every 100 keys, so each key's position maps to a segment bracketed by
+   two sentinel readings. A key's host factor is the ratio of its segment's
+   bracket means (new/old) — this localizes mid-suite host drift the
+   pre/post brackets can only detect, not place. The sentinel calibration
+   residue (sentinels measure ALU speed, not 32-thread suite throughput) is
+   then removed by re-centering on the median sentinel-normalized ratio.
+ - GLOBAL (fallback for pre-r14 artifacts): the median per-query ratio over
+   common keys.
 
 Usage:
   python3 scripts/bench_diff.py OLD.json NEW.json [--threshold 2.0]
@@ -25,13 +37,41 @@ import statistics
 import sys
 
 
-def load_queries(path):
+def load(path):
     with open(path) as f:
         d = json.load(f)
     q = d.get("queries", d)  # accept a bare {key: sec} map too
     if not isinstance(q, dict) or not q:
         sys.exit(f"{path}: no per-query timings found")
-    return {k: float(v) for k, v in q.items()}
+    return d if isinstance(d.get("queries"), dict) else {"queries": q}
+
+
+def segment_table(d):
+    """(boundaries, speeds) for a run carrying mid sentinels, else None.
+
+    Keys are timed in sorted order (r14 Bench); segment s covers sorted
+    positions [boundaries[s], boundaries[s+1]) and its host speed is the
+    mean of its two bracketing sentinel readings (seconds — higher is a
+    slower host).
+    """
+    mids = d.get("host_sentinel_mid")
+    pre, post = d.get("host_sentinel_pre_s"), d.get("host_sentinel_post_s")
+    if not mids or pre is None or post is None:
+        return None
+    mids = sorted(mids, key=lambda m: m["after_key"])
+    n = len(d["queries"])
+    boundaries = [0] + [m["after_key"] for m in mids] + [n]
+    readings = [pre] + [m["s"] for m in mids] + [post]
+    speeds = [(readings[i] + readings[i + 1]) / 2.0
+              for i in range(len(readings) - 1)]
+    return boundaries, speeds
+
+
+def seg_of(pos, boundaries):
+    for s in range(len(boundaries) - 1):
+        if boundaries[s] <= pos < boundaries[s + 1]:
+            return s
+    return len(boundaries) - 2
 
 
 def main():
@@ -42,9 +82,16 @@ def main():
                     help="flag normalized per-query ratios above this")
     ap.add_argument("--min-sec", type=float, default=0.2,
                     help="ignore keys faster than this in both runs")
+    ap.add_argument("--tiers", metavar="BENCH_TIERS.json",
+                    help="per-key tier budgets: flag NEW-run keys over "
+                         "their tier's fair-band bar")
+    ap.add_argument("--enforce-tiers", action="store_true",
+                    help="exit 1 when any key exceeds its tier budget")
     args = ap.parse_args()
 
-    old, new = load_queries(args.old), load_queries(args.new)
+    dold, dnew = load(args.old), load(args.new)
+    old = {k: float(v) for k, v in dold["queries"].items()}
+    new = {k: float(v) for k, v in dnew["queries"].items()}
     common = sorted(set(old) & set(new))
     if not common:
         sys.exit("no common query keys between the two runs")
@@ -68,13 +115,49 @@ def main():
                  "nothing to compare")
 
     ratios = {k: new[k] / old[k] for k in comparable}
-    host = statistics.median(ratios.values())
+
+    # per-segment sentinel factor when both runs carry mid checkpoints;
+    # position = index in each run's own sorted full key list (the order
+    # Bench timed them in)
+    seg_old, seg_new = segment_table(dold), segment_table(dnew)
+    sent_factor = {}
+    if seg_old and seg_new:
+        pos_old = {k: i for i, k in enumerate(sorted(old))}
+        pos_new = {k: i for i, k in enumerate(sorted(new))}
+        bo, so = seg_old
+        bn, sn = seg_new
+        for k in comparable:
+            f_old = so[seg_of(pos_old[k], bo)]
+            f_new = sn[seg_of(pos_new[k], bn)]
+            sent_factor[k] = f_new / f_old
+        pairs = [f"seg{j}:{v:.3f}" for j, v in enumerate(sn)]
+        print("per-segment sentinel speeds (new run, s): " +
+              ", ".join(pairs))
+        pairs = [f"seg{j}:{v:.3f}" for j, v in enumerate(so)]
+        print("per-segment sentinel speeds (old run, s): " +
+              ", ".join(pairs))
+        # re-center: sentinels track ALU speed, not 32-thread suite
+        # throughput — the residual calibration comes out as the median
+        # of the sentinel-normalized ratios
+        resid = statistics.median(
+            ratios[k] / sent_factor[k] for k in comparable)
+        norm_of = {k: ratios[k] / sent_factor[k] / resid
+                   for k in comparable}
+        print(f"normalization: per-SEGMENT sentinel factors, residual "
+              f"median {resid:.2f}")
+    else:
+        host = statistics.median(ratios.values())
+        norm_of = {k: ratios[k] / host for k in comparable}
+        print(f"normalization: GLOBAL median per-query ratio "
+              f"(host-speed estimate): {host:.2f}"
+              + ("" if seg_old or seg_new else
+                 " [no host_sentinel_mid in either artifact]"))
+
     common = comparable
     tot_old = sum(old[k] for k in common)
     tot_new = sum(new[k] for k in common)
     print(f"common keys: {len(common)}; total {tot_old:.1f}s -> "
-          f"{tot_new:.1f}s; median per-query ratio (host-speed estimate): "
-          f"{host:.2f}")
+          f"{tot_new:.1f}s")
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -88,21 +171,53 @@ def main():
     for k in common:
         if old[k] < args.min_sec and new[k] < args.min_sec:
             continue
-        norm = ratios.get(k, 1.0) / host
+        norm = norm_of[k]
         if norm > args.threshold or norm < 1.0 / args.threshold:
             flagged.append((norm, k))
     flagged.sort(reverse=True)
 
+    # absolute per-key tier budgets (BENCH_TIERS.json, r14): the
+    # relative guard above cannot say whether 4 s is FINE for a key —
+    # the tier table records why each expensive key is allowed its cost
+    # and the fair-band bar it must stay under
+    over = []
+    if args.tiers:
+        with open(args.tiers) as f:
+            t = json.load(f)
+        budgets = {name: spec["budget_s"] for name, spec in
+                   t["tiers"].items()}
+        key_tier = t.get("keys", {})
+        sfref = t.get("sf")
+        sfnew = str(dnew.get("sf", ""))
+        if sfref and sfref not in sfnew:
+            print(f"tier budgets are calibrated for {sfref}; new run "
+                  f"sf='{sfnew}' — skipping the tier check")
+        else:
+            for k, v in sorted(new.items(), key=lambda kv: -kv[1]):
+                if v <= 0:
+                    continue
+                tier = key_tier.get(k, "screen")
+                if v > budgets[tier]:
+                    over.append((v, budgets[tier], tier, k))
+            if over:
+                print(f"\nover tier budget ({len(over)} keys; fair-band "
+                      f"{sfref} bars):")
+                for v, b, tier, k in over:
+                    print(f"  {k}: {v:.2f}s > {b:.1f}s [{tier}]")
+            else:
+                print("tier budgets: every key within its tier's bar")
+
+    fail = newly_failed or (args.enforce_tiers and over)
     if not flagged:
         print(f"no per-query move beyond {args.threshold}x after "
               "host-speed normalization")
-        return 1 if newly_failed else 0
+        return 1 if fail else 0
     print(f"\nmoves beyond {args.threshold}x (host-normalized):")
     for norm, k in flagged:
         arrow = "REGRESSED" if norm > 1 else "improved"
         print(f"  {k}: {old[k]:.2f}s -> {new[k]:.2f}s "
               f"(raw {ratios[k]:.2f}x, normalized {norm:.2f}x) {arrow}")
-    return 1 if (newly_failed or any(n > 1 for n, _ in flagged)) else 0
+    return 1 if (fail or any(n > 1 for n, _ in flagged)) else 0
 
 
 if __name__ == "__main__":

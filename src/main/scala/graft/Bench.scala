@@ -30,24 +30,35 @@ object Bench {
     * the bench. Each of N=availableProcessors threads runs the same
     * fixed loop; on a healthy host wall ≈ the single-thread time, and
     * inflation above that is exactly the oversubscription factor. */
+  private val sentinelSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One timed single-thread sentinel reading (the same fixed loop the
+    * pre/post single readings use, so BASELINE.md's calibrated fair
+    * band applies to every reading) — also the mid-suite checkpoint
+    * probe (r13 verdict #7). */
+  private def timedSentinel(): Double = {
+    val t0 = System.nanoTime()
+    sentinelSink.addAndGet(sentinelLoop(600000000L))
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def hostSentinel(): (Double, Double) = {
-    val sink = new java.util.concurrent.atomic.AtomicLong()
     // untimed warm call: compiles sentinelLoop before the timed reading
     // so the pre/post readings measure the same (fully JIT'd) code
-    sink.addAndGet(sentinelLoop(1000000L))
-    val t0 = System.nanoTime()
-    sink.addAndGet(sentinelLoop(600000000L))
-    val st = (System.nanoTime() - t0) / 1e9
+    sentinelSink.addAndGet(sentinelLoop(1000000L))
+    val st = timedSentinel()
     val n = Runtime.getRuntime.availableProcessors()
     val threads = (0 until n).map { _ =>
-      new Thread(() => { sink.addAndGet(sentinelLoop(600000000L)); () })
+      new Thread(() => {
+        sentinelSink.addAndGet(sentinelLoop(600000000L)); () })
     }
     val t1 = System.nanoTime()
     threads.foreach(_.start())
     threads.foreach(_.join())
     val mt = (System.nanoTime() - t1) / 1e9
     // consume the sink so the JIT cannot dead-code the loops
-    if (sink.get() == 42L) System.err.println("[bench] sentinel fixed point")
+    if (sentinelSink.get() == 42L)
+      System.err.println("[bench] sentinel fixed point")
     (st, mt)
   }
 
@@ -144,7 +155,24 @@ object Bench {
     // write the artifacts (r13 review decision; BASELINE.md documents
     // both behaviors).
     val (sentinelPre, sentinelMtPre) = hostSentinel()
-    val results = selected.map { case (name, fn) =>
+    // mid-suite sentinel checkpoints (r13 verdict #7): the pre/post
+    // brackets detect mid-suite host drift but cannot LOCALIZE it — a
+    // single-thread reading every MidSentinelEvery keys (the identical
+    // fixed loop, so the calibrated fair band applies per reading) lets
+    // bench_diff.py normalize per-SEGMENT instead of per-run. The MT
+    // probe stays pre/post-only: a 32-thread wall reading between keys
+    // would cost ~1.5 s of pure overhead per checkpoint and perturb the
+    // very suite it observes.
+    val MidSentinelEvery = 100
+    val midSentinels =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var keyIdx = 0
+    // SORTED key order (r14, with the checkpoints): hash-map order is
+    // deterministic but opaque — with the suite alphabetical, segment
+    // membership is reconstructible from the artifact alone (key i in
+    // sorted order belongs to the segment after checkpoint ⌊i/100⌋),
+    // which is what lets bench_diff normalize per-segment
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failing key stops its repeat loop on the FIRST failure and
       // reports its name ONCE (r12 ADVICE: the old shape re-ran the
       // failure on every remaining repeat and duplicated the errors
@@ -173,6 +201,12 @@ object Bench {
         attempt += 1
       }
       val dt = if (failed) -1.0 else times.sorted.apply(times.length / 2)
+      // checkpoint between keys (outside every timed section); skipped
+      // when the boundary coincides with the suite end — the post
+      // sentinel already reads there
+      keyIdx += 1
+      if (keyIdx % MidSentinelEvery == 0 && keyIdx < selected.size)
+        midSentinels += ((keyIdx, timedSentinel()))
       name -> dt
     }
     // host sentinel AFTER the suite: pre/post bracket the run, so a
@@ -185,21 +219,24 @@ object Bench {
     // and the complete per-query map goes to BENCH_FULL.json for the judge.
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val mids = midSentinels
+      .map { case (k, s) => s"""{"after_key":$k,"s":${fmt(s)}}""" }
+      .mkString("[", ",", "]")
     val sentinels =
-      s""""host_sentinel_pre_s":${fmt(sentinelPre)},"host_sentinel_post_s":${fmt(sentinelPost)},"host_sentinel_mt_pre_s":${fmt(sentinelMtPre)},"host_sentinel_mt_post_s":${fmt(sentinelMtPost)}"""
+      s""""host_sentinel_pre_s":${fmt(sentinelPre)},"host_sentinel_post_s":${fmt(sentinelPost)},"host_sentinel_mt_pre_s":${fmt(sentinelMtPre)},"host_sentinel_mt_post_s":${fmt(sentinelMtPost)},"host_sentinel_mid":$mids"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$sentinels,"queries":${qjson(results.toSeq.sortBy(_._1))},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$sentinels,"queries":${qjson(results.sortBy(_._1))},"errors":$errs,"sf":"$sfDir"}"""
     // a filtered dev run must not clobber the committed full-suite artifact
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         fullLine.getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
-    val top = results.toSeq.sortBy { case (_, v) => -v }.take(30)
+    val top = results.sortBy { case (_, v) => -v }.take(30)
     val summaryLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$sentinels,"queries":${qjson(top)},"queries_full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
     // sidecar copy of the summary line: if anything DOES interleave with

@@ -1209,7 +1209,15 @@ object Similarity {
         "first `bits` dimensions")
     Seq((bits, dim)).toDF("bits", "dim")
       .write.mode("overwrite").parquet(s"$path/params")
+    // repartition BY BUCKET before the partitioned write: without it
+    // every write task emits one file per bucket it happens to hold —
+    // up to tasks × 2^bits files of a few rows each (measured: the
+    // fixture write spent most of its time opening tiny files). After
+    // the shuffle each bucket's rows land in one task, so the layout is
+    // one file per non-empty inverted list — exactly the unit a probe
+    // reads; AQE coalesces the small shuffle into few tasks.
     ivfRows(corpus, id, vec, bits)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/lists")
   }
@@ -1232,6 +1240,7 @@ object Similarity {
         s"carries $dDim-dim vectors — the dot product would silently " +
         "truncate; re-embed the shard or rebuild the index")
     ivfRows(delta, id, vec, bits)
+      .repartition(col("bucket")) // one file per touched list (see write)
       .write.mode("append").partitionBy("bucket").parquet(s"$path/lists")
   }
 

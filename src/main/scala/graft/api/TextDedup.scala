@@ -607,19 +607,39 @@ object TextDedup {
   def jaccardWithinBucket(df: DataFrame, id: Column, bucket: Column,
       text: Column, minJaccard: Double = 0.95,
       prefilterSlack: Double = 0.0001,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val r = minJaccard - prefilterSlack
-    // PINNED (r12): the hashed-token frame has FOUR consumers on
-    // DIFFERENT shuffle keys — both sides of the (bucket, band) pair
-    // join plus the doc_a / doc_b verify joins — so ReuseExchange never
-    // unifies them and the tokenize + hash + sort lineage re-evaluates
-    // four times per call (the opposite situation from
-    // weightedJaccardOnPairs' tok, whose consumers share one exchange)
-    val t = ckptFn(df.sparkSession, checkpointDir)(
+      checkpointDir: Option[String] = None): DataFrame =
+    jaccardWithinBucketOnLattice(
+      hashedTokenLattice(df, id, bucket, text, checkpointDir),
+      minJaccard, prefilterSlack)
+
+  /** The PINNED hashed-token lattice [[jaccardWithinBucket]] runs on —
+    * (__id, __bucket, tk = sorted distinct xxhash64 token array, ntk) —
+    * exposed so a downstream re-scorer can share the one tokenize +
+    * hash + sort pass instead of re-reading corpus text (the
+    * llm_lang_segments lattice-sharing precedent; see
+    * [[weightedJaccardOnLattice]]).
+    *
+    * PINNED (r12): the frame has FOUR consumers on DIFFERENT shuffle
+    * keys — both sides of the (bucket, band) pair join plus the
+    * doc_a / doc_b verify joins — so ReuseExchange never unifies them
+    * and the tokenize + hash + sort lineage would re-evaluate four
+    * times per call (the opposite situation from the r8
+    * weightedJaccardOnPairs tok finding, whose consumers share one
+    * exchange). */
+  def hashedTokenLattice(df: DataFrame, id: Column, bucket: Column,
+      text: Column, checkpointDir: Option[String] = None): DataFrame =
+    ckptFn(df.sparkSession, checkpointDir)(
       df.select(id.as("__id"), bucket.as("__bucket"),
         array_sort(array_distinct(transform(split(text, " "),
           w => xxhash64(w)))).as("tk"))
       .withColumn("ntk", size(col("tk"))))
+
+  /** [[jaccardWithinBucket]] over an already-built (already-pinned)
+    * [[hashedTokenLattice]] frame — the lattice-sharing entry point. */
+  def jaccardWithinBucketOnLattice(t: DataFrame,
+      minJaccard: Double = 0.95,
+      prefilterSlack: Double = 0.0001): DataFrame = {
+    val r = minJaccard - prefilterSlack
     val banded = if (r > 0.01) {
       // g chosen so the band gap of a ratio-passing pair is ≤ 0.9 < 1
       val g = math.exp(math.log(1.0 / r) / 0.9)
@@ -2486,6 +2506,33 @@ object TextDedup {
       .filter(col("__w") =!= "")
       .select(col("__id"), xxhash64(col("__w")).as("__th"))
     val nDocs = df.select(id.as("__id")).agg(count(lit(1)).as("__n"))
+    weightedJaccardCore(tok, nDocs, pairs, minWJaccard)
+  }
+
+  /** [[weightedJaccardOnPairs]] over an already-pinned
+    * [[hashedTokenLattice]] frame — the lattice-sharing form for the
+    * screen-then-re-score composition: when the candidate stage already
+    * paid the one tokenize + hash + sort corpus pass
+    * ([[jaccardWithinBucketOnLattice]]), the re-scorer's exploded
+    * (doc, token-hash) rows derive from the pinned arrays instead of
+    * re-reading and re-hashing corpus text (the one double-pass the r13
+    * plan audit still saw on llm_dedup_jaccard_idf). The lattice keeps
+    * xxhash64("") for empty split tokens; the re-score drops that hash
+    * (a foldable literal comparison) to stay bit-identical to the
+    * text-input form, which filters "" before hashing. */
+  def weightedJaccardOnLattice(t: DataFrame, pairs: DataFrame,
+      minWJaccard: Double = 0.8): DataFrame = {
+    val tok = t.select(col("__id"), explode(col("tk")).as("__th"))
+      .filter(col("__th") =!= xxhash64(lit("")))
+    val nDocs = t.select(col("__id")).agg(count(lit(1)).as("__n"))
+    weightedJaccardCore(tok, nDocs, pairs, minWJaccard)
+  }
+
+  /** The IDF-weighted re-score body shared by [[weightedJaccardOnPairs]]
+    * and [[weightedJaccardOnLattice]]: `tok` = per-doc DISTINCT
+    * (__id, __th) token-hash rows, `nDocs` = 1-row corpus count. */
+  private def weightedJaccardCore(tok: DataFrame, nDocs: DataFrame,
+      pairs: DataFrame, minWJaccard: Double): DataFrame = {
     val wts = tok.groupBy("__th").agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(nDocs))
       .select(col("__th"),

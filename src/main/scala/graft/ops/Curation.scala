@@ -1180,13 +1180,24 @@ object Curation {
     // divide rounded 4 dp.
     "llm_dedup_jaccard_idf" -> ((s, d) => {
       val docs = documents(s, d)
+      // ONE tokenize + hash + sort pass feeds BOTH stages (r14): the
+      // candidate screen runs on the pinned lattice and the IDF
+      // re-score derives its exploded (doc, hash) rows from the same
+      // pinned arrays — the r13 plan audit's last visible double-pass
+      // (each stage previously re-read + re-hashed corpus text).
+      // MEASURED at sf0.1 (median-of-3, fair sentinels): 4.48–5.0 s
+      // before, 4.56 s after — parity within the ±0.3 s host band, no
+      // regression (the r8 anti-pin finding half-holds: the re-score's
+      // four tok consumers already shared one exchange, so the only
+      // saving is the corpus text scan itself, which the small fixture
+      // prices at ~0 but a 100 TB corpus prices at a full read).
+      val t = graft.api.TextDedup.hashedTokenLattice(docs, col("doc_id"),
+        col("source"), col("text"))
       val cand = graft.api.TextDedup
-        .jaccardWithinBucket(docs, col("doc_id"), col("source"),
-          col("text"), minJaccard = 0.5)
+        .jaccardWithinBucketOnLattice(t, minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b"))
       graft.api.TextDedup
-        .weightedJaccardOnPairs(docs, col("doc_id"), col("text"), cand,
-          minWJaccard = 0.0)
+        .weightedJaccardOnLattice(t, cand, minWJaccard = 0.0)
         .orderBy("doc_a", "doc_b")
     })
   )

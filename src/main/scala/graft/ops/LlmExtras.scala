@@ -25,11 +25,21 @@ import graft.util.Tables._
   */
 object LlmExtras {
 
-  /** DuckDB twin of graft.api.Similarity.signBucket (8 bits, MSB = dim 1) */
-  private def signBucketSql(e: String): String =
-    (0 until 8).map(i =>
-      s"(CASE WHEN $e[${i + 1}] >= 0 THEN ${1 << (7 - i)} ELSE 0 END)")
+  /** DuckDB twin of graft.api.Similarity.signBucket (MSB = dim 1). */
+  private def signBucketSql(e: String, bits: Int = 8): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN $e[${i + 1}] >= 0 THEN ${1 << (bits - 1 - i)} ELSE 0 END)")
       .mkString(" + ")
+
+  /** Bucket width of the PERSISTED IVF index keys (llm_sim_index/_grow)
+    * — one constant for the Spark writes and the generated oracle. 6
+    * bits = 64 inverted lists: at the fixture's 500 vectors that is
+    * ~8 vectors/list (a real probe exercise), while 8 bits would mean
+    * ~256 near-empty partition DIRECTORIES whose per-file commit cost
+    * dominates the key (measured 6.1/7.9 s at bits=8 vs the ~3 s write
+    * the data warrants). Production grows bits with the corpus so lists
+    * stay bounded — the [[graft.api.Similarity.topKIvfTrained]] note. */
+  private val IvfIndexBits = 6
 
   /** DuckDB twin of the codegen'd sequential double dot-product fold */
   private def dotSql(a: String, b: String): String =
@@ -395,7 +405,7 @@ object LlmExtras {
       val idx = new java.io.File("target/graft-ivf-index/" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       graft.api.Similarity.writeIvfIndex(corpus, col("vec_id"),
-        col("embedding"), idx)
+        col("embedding"), idx, bits = IvfIndexBits)
       graft.api.Similarity.topKAgainstIvfIndex(s, idx, q, k = 5, nprobe = 2)
         .select("qid", "rk", "vec_id", "sim_r")
         .orderBy("qid", "rk")
@@ -419,7 +429,7 @@ object LlmExtras {
       val idx = new java.io.File("target/graft-ivf-grow/" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       graft.api.Similarity.writeIvfIndex(day0, col("vec_id"),
-        col("embedding"), idx)
+        col("embedding"), idx, bits = IvfIndexBits)
       graft.api.Similarity.appendToIvfIndex(day1, col("vec_id"),
         col("embedding"), idx)
       graft.api.Similarity.topKAgainstIvfIndex(s, idx, q, k = 5, nprobe = 2)
@@ -1781,7 +1791,8 @@ object LlmExtras {
     s"""i0 AS (SELECT vec_id,
        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
        |    / 127.0 AS scale, embedding,
-       |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+       |  ${signBucketSql("embedding", IvfIndexBits)} AS bucket
+       |  FROM embeddings),
        |iz AS (SELECT vec_id, bucket, scale,
        |  list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0
        |    ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS TINYINT))
