@@ -1301,10 +1301,13 @@ object LlmExtras {
       val pxDrop = graft.sources.Multimodal
         .phashNearDups(phashPixelFrame(s, d), col("doc_id"), col("px"))
         .select(col("doc_b").as("doc_id"))
-      // drop-id set deliberately NOT pinned (measured r13: pinning read
-      // 5.04 vs 4.93 unpinned, REPEATS=3 fair host — ReuseExchange
-      // already unifies the two surv consumers' screen subtrees; the
-      // SCALE.md "consumers above a shuffle" row)
+      // drop-id set deliberately NOT pinned — RE-measured at the r14
+      // HEAD (after the screens started sharing bandedHammingPairs, the
+      // condition the r13 verdict asked to re-test): pinned 4.63 s on a
+      // FAIRER host vs 4.07 s unpinned, REPEATS=3 (r13 pair: 5.04 vs
+      // 4.93) — ReuseExchange already unifies the two surv consumers'
+      // screen subtrees, so the pin only adds an eager materialization
+      // barrier; the SCALE.md "consumers above a shuffle" row
       val surv = docs.join(payDrop.unionByName(pxDrop).distinct(),
         Seq("doc_id"), "left_anti")
       val media = surv.select(col("doc_id"), lit(0).as("chunk_id"),
