@@ -1244,6 +1244,42 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/lists")
   }
 
+  /** DELETE vectors from a persisted IVF index — the
+    * right-to-be-forgotten step every production index needs (the
+    * [[TextDedup.removeFromSignatureIndex]] shape applied to ANN): the
+    * lists table is rewritten WITHOUT the given ids via an anti-join +
+    * rename-swap (materialize the survivor table to a sibling temp dir
+    * BEFORE touching the live one, then swap through the Hadoop FS API —
+    * works on HDFS/object-store paths). Params are untouched. After
+    * removal a probe behaves exactly as if the index had been rebuilt
+    * without those vectors (rows are per-vector and independent — the
+    * llm_sim_index_forget oracle certifies it). Do not run concurrently
+    * with an append or probe on the same index.
+    *
+    * `ids` must carry a `vec_id` column. Cost: one scan + rewrite of
+    * the compressed-code table (~1/4 of raw embedding bytes); the
+    * removal set shuffles as bare ids (no broadcast hint — a typical
+    * forget list is tiny and AQE will broadcast it, but a bulk purge
+    * can be corpus-scale). The rewrite keeps the bucket-partitioned
+    * one-file-per-list layout. */
+  def removeFromIvfIndex(spark: SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    val rm = ids.select(col("vec_id")).distinct()
+    val live = s"$path/lists"
+    val tmp = s"$path/lists__removing"
+    spark.read.parquet(live)
+      .join(rm, Seq("vec_id"), "left_anti")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val lPath = new org.apache.hadoop.fs.Path(live)
+    val fs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(lPath, true))
+      throw new java.io.IOException(s"removal failed to delete $live")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), lPath))
+      throw new java.io.IOException(
+        s"removal failed to swap $tmp into place — table is at $tmp")
+  }
+
   /** Top-k against a PERSISTED IVF index ([[writeIvfIndex]] /
     * [[appendToIvfIndex]]): each query probes its own sign-bucket list
     * plus `nprobe − 1` one-bit-flip neighbor lists (the [[topKIvf]]

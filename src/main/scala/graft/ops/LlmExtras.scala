@@ -437,6 +437,35 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // the FORGET step of the persisted IVF index, oracle-checked (the
+    // llm_dedup_forget shape applied to ANN — the right-to-be-forgotten
+    // cycle every production embedding store needs): corpus indexed
+    // once, the purge set (vec_id % 10 == 6) REMOVED via
+    // removeFromIvfIndex (anti-join + rename-swap rewrite of the
+    // compressed-code lists — raw embeddings never re-read), then the
+    // query shard probes the purged index. The oracle is the
+    // rebuilt-without definition over the surviving corpus — purged ≡
+    // rebuilt is exactly the removal contract (rows are per-vector and
+    // independent), so the hash gate certifies the rewrite + swap end
+    // to end. The index write AND the removal rewrite are timed in-key
+    // (the honesty rule; in-key-write tier in BENCH_TIERS.json).
+    "llm_sim_index_forget" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val idx = new java.io.File("target/graft-ivf-forget/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Similarity.writeIvfIndex(corpus, col("vec_id"),
+        col("embedding"), idx, bits = IvfIndexBits)
+      graft.api.Similarity.removeFromIvfIndex(s, idx,
+        corpus.filter(col("vec_id") % 10 === 6).select(col("vec_id")))
+      graft.api.Similarity.topKAgainstIvfIndex(s, idx, q, k = 5, nprobe = 2)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // Unicode canonicalization — the cleaning step BEFORE any text dedup
     // hashes bytes (é as one codepoint vs e+combining-acute must dedup
     // together): NFC composition via a minimal UDF (the JDK Normalizer —
@@ -1998,6 +2027,11 @@ object LlmExtras {
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "llm_sim_index" -> ivfIndexOracle,
     "llm_sim_index_grow" -> ivfIndexOracle,
+    // the forget certificate: the REBUILT-WITHOUT definition — the same
+    // probe with the purge set (% 10 == 6) excluded from the corpus side
+    "llm_sim_index_forget" ->
+      ivfIndexOracle.replace("WHERE vec_id % 10 != 0",
+        "WHERE vec_id % 10 != 0 AND vec_id % 10 != 6"),
     "llm_embed_random_projection" -> {
       // the SAME driver-side sign matrix the Spark plan inlines
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 8, RpInDim)

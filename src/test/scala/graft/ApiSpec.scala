@@ -2189,6 +2189,23 @@ class ApiSpec extends AnyFunSuite {
         nprobe = 10)
     }
     assert(eProbe.getMessage.contains("nprobe"), eProbe.getMessage)
+    // FORGET: purging a set of ids from the grown index answers every
+    // probe exactly as an index rebuilt without them (rename-swap
+    // rewrite certified against a fresh build)
+    val purge = (5L to 25L by 5L)
+    Similarity.removeFromIvfIndex(spark,
+      grown, purge.toDF("vec_id"))
+    val rebuiltWithout = new java.io.File(root, "rw").getAbsolutePath
+    Similarity.writeIvfIndex(
+      day0.unionByName(day1).filter(!col("id").isin(purge: _*)),
+      col("id"), col("emb"), rebuiltWithout)
+    assert(probe(grown, excludeSelf = true) ==
+        probe(rebuiltWithout, excludeSelf = true),
+      "purged-index probe diverges from rebuilt-without-index probe")
+    // and the purged ids are really gone from the stored lists
+    assert(spark.read.parquet(s"$grown/lists")
+        .filter(col("vec_id").isin(purge: _*)).count() == 0,
+      "purged ids still present in the lists table")
   }
 
   test("TextDedup.containmentWithinBucket finds a short doc embedded in " +
