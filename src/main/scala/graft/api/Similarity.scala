@@ -1244,6 +1244,124 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/lists")
   }
 
+  /** Persist a TRAINED-coarse-quantizer IVF index — [[writeIvfIndex]]'s
+    * production generalization ([[topKIvfTrained]]'s persisted form):
+    * corpus vectors shard into inverted lists by argmax-centroid
+    * ([[assignClusters]] — rounded-dot, cid tie-break; typically over
+    * [[kMeansFit]] output, but ANY (cid, ce) frame works, and a
+    * deterministic seed frame keeps the whole lifecycle
+    * oracle-checkable), and the index stores the CENTROIDS alongside
+    * the int8-quantized lists so probes and appends never re-supply
+    * them — the centroids ARE index state, exactly as in a production
+    * IVF deployment. Cell assignment reads the ORIGINAL vector (the
+    * coarse quantizer sees full precision); only the codes compress.
+    *
+    * Layout: `path/params` = (dim), `path/centroids` = (cid, ce),
+    * `path/lists/cluster_id=*` = (vec_id, scale, qvec) — the
+    * one-file-per-list repartitioned layout. Same non-atomic
+    * multi-table caveat as [[writeIvfIndex]]. */
+  def writeIvfIndexTrained(corpus: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, path: String): Unit = {
+    val cols = centroids.columns.toSet
+    require(cols.contains("cid") && cols.contains("ce"),
+      s"centroids frame must have columns 'cid' and 'ce' (got: " +
+        s"${centroids.columns.mkString(", ")})")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = vecDim(corpus, vec)
+    val cdim = vecDim(centroids, col("ce"))
+    require(cdim == dim,
+      s"corpus vectors are $dim-dim but centroids are $cdim-dim")
+    centroids.select(col("cid"), col("ce"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq(Tuple1(dim)).toDF("dim")
+      .write.mode("overwrite").parquet(s"$path/params")
+    trainedRows(corpus, id, vec,
+        spark.read.parquet(s"$path/centroids"))
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$path/lists")
+  }
+
+  /** The trained-index row shape: argmax-centroid cell + the shared
+    * [[quantized]] codes — derived from the STORED centroids so write
+    * and append can never disagree on the quantizer. */
+  private def trainedRows(df: DataFrame, id: Column, vec: Column,
+      cents: DataFrame): DataFrame = {
+    val asn = assignClusters(df, id, vec, cents)
+      .select(col("vec_id"), col("cluster_id"))
+    quantized(df.select(id.as("vec_id"), vec.as("__v")))
+      .join(asn, "vec_id")
+      .select(col("vec_id"), col("cluster_id"), col("scale"), col("qvec"))
+  }
+
+  /** Append a delta shard to a trained IVF index: the shard assigns
+    * against the STORED centroids (the corpus never re-buckets, the
+    * caller never re-supplies the quantizer) and its quantized rows
+    * append to the lists. Assignment and codes are deterministic given
+    * the stored centroids ⇒ append ≡ rebuild, the same certificate as
+    * [[appendToIvfIndex]]. Loud dim mismatch. */
+  def appendToIvfIndexTrained(delta: DataFrame, id: Column, vec: Column,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    val dim = spark.read.parquet(s"$path/params").head()
+      .getAs[Int]("dim")
+    val dDim = vecDim(delta, vec)
+    require(dDim == dim,
+      s"trained IVF index at $path stores $dim-dim vectors but the " +
+        s"delta carries $dDim-dim vectors")
+    trainedRows(delta, id, vec, spark.read.parquet(s"$path/centroids"))
+      .repartition(col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(s"$path/lists")
+  }
+
+  /** Top-k against a persisted TRAINED IVF index: each query ranks the
+    * STORED centroids (rounded dot, cid tie-break) and probes its
+    * `nprobe` most-similar cells' lists, scored by [[quantizedDot]]
+    * over the stored codes — [[topKIvfTrained]] with the quantizer and
+    * lists read from disk instead of rebuilt in-plan. Probe cost =
+    * Σ|probed lists| ≈ nprobe·n/k over compressed codes, independent of
+    * corpus size; the cluster_id-partitioned layout prunes the scan to
+    * the probed directories. Same (qid, qe) contract and excludeSelf
+    * semantics as [[topK]]. Output: (qid, vec_id, sim_r, rk ≤ k). */
+  def topKAgainstIvfIndexTrained(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    require(k >= 1, s"k=$k must be positive")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val dim = spark.read.parquet(s"$indexPath/params").head()
+      .getAs[Int]("dim")
+    val qDim = vecDim(queries, col("qe"))
+    require(qDim == dim,
+      s"trained IVF index at $indexPath stores $dim-dim vectors but " +
+        s"the query frame carries $qDim-dim vectors")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("__csim").desc, col("cid"))
+    val qprobe = queries
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"),
+        round(dot(col("qe"), col("ce")), 6).as("__csim"))
+      .withColumn("__crk", row_number().over(probeW))
+      .filter(col("__crk") <= nprobe)
+      .select(col("qid"), col("cid"), col("qe"))
+    val qq = quantized(qprobe.select(col("qid"),
+        col("cid").as("__pcid"), col("qe").as("__v")))
+      .select(col("qid"), col("__pcid"), col("scale").as("__qscale"),
+        col("qvec").as("__qq"))
+    val selfCond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    val scored = lists.join(broadcast(qq),
+        col("cluster_id") === col("__pcid") && selfCond)
+      .select(col("qid"), col("vec_id"),
+        round(quantizedDot(col("__qscale"), col("__qq"),
+          col("scale"), col("qvec")), 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** DELETE vectors from a persisted IVF index — the
     * right-to-be-forgotten step every production index needs (the
     * [[TextDedup.removeFromSignatureIndex]] shape applied to ANN): the

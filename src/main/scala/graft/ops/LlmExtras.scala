@@ -437,6 +437,35 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // the TRAINED-coarse-quantizer persisted IVF (the production
+    // generalization of llm_sim_index's sign buckets — verdict r13 #1's
+    // optional half): centroids here are the DETERMINISTIC seed frame
+    // (the 16 lowest-id corpus vectors, the pqSeedCodebook convention),
+    // so the full lifecycle — centroids persisted AS index state,
+    // argmax-centroid cell assignment, quantized lists, probe = rank
+    // stored centroids then scan nprobe cells — is oracle-checkable end
+    // to end; a kMeansFit-trained centroid frame drops in with zero plan
+    // change (float training ⇒ that path stays test-pinned, the
+    // topKIvfTrained rule). Write timed in-key (honesty rule).
+    "llm_sim_index_trained" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val cents = corpus.orderBy("vec_id").limit(16)
+        .withColumn("cid",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        .select(col("cid"), col("embedding").as("ce"))
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val idx = new java.io.File("target/graft-ivf-trained/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Similarity.writeIvfIndexTrained(corpus, col("vec_id"),
+        col("embedding"), cents, idx)
+      graft.api.Similarity
+        .topKAgainstIvfIndexTrained(s, idx, q, k = 5, nprobe = 2)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // the FORGET step of the persisted IVF index, oracle-checked (the
     // llm_dedup_forget shape applied to ANN — the right-to-be-forgotten
     // cycle every production embedding store needs): corpus indexed
@@ -2032,6 +2061,45 @@ object LlmExtras {
     "llm_sim_index_forget" ->
       ivfIndexOracle.replace("WHERE vec_id % 10 != 0",
         "WHERE vec_id % 10 != 0 AND vec_id % 10 != 6"),
+    // trained-quantizer probe: seed centroids (16 lowest-id corpus
+    // vectors), argmax-centroid cells (rounded dot, cid tie-break),
+    // nprobe=2 centroid ranking per query, quantizedDot scoring — every
+    // stage the exact SQL spelling of the Spark plan
+    "llm_sim_index_trained" ->
+      s"""WITH $ivfCte,
+         |corp AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 != 0),
+         |cents AS (SELECT
+         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |      AS cid, embedding AS ce
+         |  FROM (SELECT * FROM corp ORDER BY vec_id LIMIT 16) c0),
+         |asn AS (SELECT vec_id, cid AS cluster_id FROM (
+         |  SELECT corp.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+         |      ORDER BY ROUND(${dotSql("c.ce", "corp.embedding")}, 6)
+         |        DESC, c.cid) AS crk
+         |  FROM corp CROSS JOIN cents c) t WHERE crk = 1),
+         |qp AS (SELECT qid, cid FROM (
+         |  SELECT e.vec_id AS qid, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ROUND(${dotSql("e.embedding", "c.ce")}, 6)
+         |        DESC, c.cid) AS prk
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id % 10 = 0) t
+         |  WHERE prk <= 2),
+         |s AS (SELECT qp.qid, a.vec_id,
+         |  ROUND(qi.scale * ci.scale * CAST(list_sum(list_transform(
+         |    list_zip(qi.q, ci.q),
+         |    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+         |    AS DOUBLE), 6) AS sim_r
+         |  FROM qp JOIN asn a ON a.cluster_id = qp.cid
+         |  JOIN iz ci ON ci.vec_id = a.vec_id
+         |  JOIN iz qi ON qi.vec_id = qp.qid
+         |  WHERE a.vec_id != qp.qid)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "llm_embed_random_projection" -> {
       // the SAME driver-side sign matrix the Spark plan inlines
       val sm = graft.api.Similarity.rpSignMatrix(RpSeed, 8, RpInDim)

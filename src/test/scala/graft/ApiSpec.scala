@@ -2208,6 +2208,50 @@ class ApiSpec extends AnyFunSuite {
       "purged ids still present in the lists table")
   }
 
+  test("Similarity TRAINED IVF index lifecycle: stored-centroid append " +
+      "equals rebuilt, dim mismatch fails loudly") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(33)
+    val dims = 12
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val day0 = vecs(0 until 30).toDF("id", "emb")
+    val day1 = vecs(30 until 45).toDF("id", "emb")
+    val cents = day0.orderBy("id").limit(4)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("cid"), col("emb").as("ce"))
+    val queries = day0.unionByName(day1).filter(col("id") % 6 === 0)
+      .select(col("id").as("qid"), col("emb").as("qe"))
+    val root = SparkFixture.tempDir("graft_ivf_trained_")
+    val grown = new java.io.File(root, "grown").getAbsolutePath
+    val rebuilt = new java.io.File(root, "rebuilt").getAbsolutePath
+    Similarity.writeIvfIndexTrained(day0, col("id"), col("emb"), cents,
+      grown)
+    Similarity.appendToIvfIndexTrained(day1, col("id"), col("emb"), grown)
+    Similarity.writeIvfIndexTrained(day0.unionByName(day1), col("id"),
+      col("emb"), cents, rebuilt)
+    def probe(idx: String) = Similarity
+      .topKAgainstIvfIndexTrained(spark, idx, queries, k = 3, nprobe = 2)
+      .orderBy("qid", "rk").collect().map(_.toString).toSeq
+    val grownRes = probe(grown)
+    assert(grownRes.nonEmpty && grownRes == probe(rebuilt),
+      "trained grown-index probe diverges from rebuilt-index probe")
+    // the appended shard is really probed: day1 ids appear as neighbors
+    assert(Similarity
+        .topKAgainstIvfIndexTrained(spark, grown, queries, k = 3,
+          nprobe = 4)
+        .filter(col("vec_id") >= 30L).count() > 0,
+      "appended day1 vectors never surface in any probe")
+    val narrow = Seq((99L, Array.fill(6)(0.5f))).toDF("id", "emb")
+    val eAppend = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndexTrained(narrow, col("id"), col("emb"),
+        grown)
+    }
+    assert(eAppend.getMessage.contains("12-dim") &&
+      eAppend.getMessage.contains("6-dim"), eAppend.getMessage)
+  }
+
   test("TextDedup.containmentWithinBucket finds a short doc embedded in " +
       "a long one — the asymmetric case jaccard misses") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")
