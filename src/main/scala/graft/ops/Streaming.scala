@@ -339,6 +339,22 @@ object Streaming {
           indexPath, batch, k, nprobe, excludeSelf))
     }
 
+  /** [[twinTopKAgainstIvfIndex]] for the TRAINED-coarse-quantizer index
+    * (`Similarity.writeIvfIndexTrained`): identical stream-static shape
+    * — the stored centroids + quantized lists are the only state, zero
+    * state store; each micro-batch runs the batch probe verbatim.
+    * StreamingSpec pins multi-batch ≡ batch-union. */
+  def twinTopKAgainstIvfIndexTrained(queries: DataFrame,
+      indexPath: String, k: Int, nprobe: Int = 2,
+      excludeSelf: Boolean = true)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.Similarity.topKAgainstIvfIndexTrained(
+          batch.sparkSession, indexPath, batch, k, nprobe, excludeSelf))
+    }
+
   /** Streaming twin of the LEARNED quality filter — scoring a fitted
     * model is stateless, so the serving path streams for free: each
     * micro-batch featurizes ([[graft.api.Corpus.hashFeatures]]) and

@@ -316,6 +316,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TRAINED IVF probe (r14): per-batch top-k against the " +
+      "persisted trained index over multiple batches equals the batch " +
+      "probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(61)
+    val dims = 12
+    val corpus = (0L until 40L).map(i =>
+      (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val corpusDf = corpus.toDF("id", "emb")
+    val cents = corpusDf.orderBy("id").limit(4)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("cid"), col("emb").as("ce"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivftr-stream").resolve("idx").toString
+    graft.api.Similarity.writeIvfIndexTrained(corpusDf, col("id"),
+      col("emb"), cents, dir)
+    val in = MemoryStream[(Long, Array[Float])]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = Streaming.twinTopKAgainstIvfIndexTrained(
+        in.toDF.toDF("qid", "qe"), dir, k = 3, nprobe = 2) {
+      batch => emitted.synchronized {
+        emitted ++= batch.select("qid", "vec_id", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      }
+    }.start()
+    try {
+      val qs = Seq(0L, 11L, 22L, 33L).map(i => (i, corpus(i.toInt)._2))
+      in.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = emitted.synchronized(emitted.toSet)
+      val batch = graft.api.Similarity
+        .topKAgainstIvfIndexTrained(spark, dir,
+          qs.toDF("qid", "qe"), k = 3, nprobe = 2)
+        .select("qid", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed $streamed != batch-union $batch")
+    } finally q.stop()
+  }
+
   test("session windows: gap split + [first, last+gap) bounds") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
