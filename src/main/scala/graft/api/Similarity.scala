@@ -1398,6 +1398,32 @@ object Similarity {
         s"removal failed to swap $tmp into place — table is at $tmp")
   }
 
+  /** COMPACT a persisted IVF index's lists table — the maintenance step
+    * after a run of nightly appends: each append lands one more small
+    * file per touched list directory, and probe scan cost is paid per
+    * FILE open, not per row. Compaction rewrites the lists back to the
+    * one-file-per-list layout through the same staged rename-swap as
+    * [[removeFromIvfIndex]] (crash leaves a readable table). Rows are
+    * per-vector and unique, so compaction is pure file consolidation —
+    * probe results are identical before and after (ApiSpec pin). Works
+    * on both the sign-bucket and trained layouts (`partitionCol` =
+    * "bucket" / "cluster_id"). */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      partitionCol: String = "bucket"): Unit = {
+    val live = s"$path/lists"
+    val tmp = s"$path/lists__compacting"
+    spark.read.parquet(live)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    val lPath = new org.apache.hadoop.fs.Path(live)
+    val fs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(lPath, true))
+      throw new java.io.IOException(s"compaction failed to delete $live")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), lPath))
+      throw new java.io.IOException(
+        s"compaction failed to swap $tmp into place — table is at $tmp")
+  }
+
   /** Top-k against a PERSISTED IVF index ([[writeIvfIndex]] /
     * [[appendToIvfIndex]]): each query probes its own sign-bucket list
     * plus `nprobe − 1` one-bit-flip neighbor lists (the [[topKIvf]]

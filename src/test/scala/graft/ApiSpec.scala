@@ -2206,6 +2206,15 @@ class ApiSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$grown/lists")
         .filter(col("vec_id").isin(purge: _*)).count() == 0,
       "purged ids still present in the lists table")
+    // COMPACTION is pure file consolidation: identical probe results,
+    // identical row count (rows are per-vector and unique)
+    val preCompact = probe(grown, excludeSelf = true)
+    val preRows = spark.read.parquet(s"$grown/lists").count()
+    Similarity.compactIvfIndex(spark, grown)
+    assert(spark.read.parquet(s"$grown/lists").count() == preRows,
+      "compaction changed the row count")
+    assert(probe(grown, excludeSelf = true) == preCompact,
+      "probe diverges after compaction")
   }
 
   test("Similarity TRAINED IVF index lifecycle: stored-centroid append " +
