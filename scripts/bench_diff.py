@@ -61,6 +61,13 @@ def segment_table(d):
     mids = sorted(mids, key=lambda m: m["after_key"])
     n = len(d["queries"])
     boundaries = [0] + [m["after_key"] for m in mids] + [n]
+    # a BENCH_SUMMARY artifact carries only the top-30 queries while its
+    # mid checkpoints reference full-suite positions — the boundaries go
+    # non-monotonic and segment assignment would be garbage; fall back
+    # to global normalization (use BENCH_FULL for per-segment work)
+    if any(boundaries[i] >= boundaries[i + 1]
+           for i in range(len(boundaries) - 1)):
+        return None
     readings = [pre] + [m["s"] for m in mids] + [post]
     speeds = [(readings[i] + readings[i + 1]) / 2.0
               for i in range(len(readings) - 1)]
@@ -181,6 +188,8 @@ def main():
     # the tier table records why each expensive key is allowed its cost
     # and the fair-band bar it must stay under
     over = []
+    if args.enforce_tiers and not args.tiers:
+        sys.exit("--enforce-tiers requires --tiers BENCH_TIERS.json")
     if args.tiers:
         with open(args.tiers) as f:
             t = json.load(f)
@@ -188,8 +197,10 @@ def main():
                    t["tiers"].items()}
         key_tier = t.get("keys", {})
         sfref = t.get("sf")
-        sfnew = str(dnew.get("sf", ""))
-        if sfref and sfref not in sfnew:
+        # exact basename match: "sf0.1" must not accept sf0.15/sf0.12 —
+        # budgets are calibrated for one scale factor only
+        sfnew = str(dnew.get("sf", "")).rstrip("/").rsplit("/", 1)[-1]
+        if sfref and sfref != sfnew:
             print(f"tier budgets are calibrated for {sfref}; new run "
                   f"sf='{sfnew}' — skipping the tier check")
         else:

@@ -1162,15 +1162,23 @@ object Similarity {
     (p.getAs[Int]("bits"), p.getAs[Int]("dim"))
   }
 
-  /** Vector width from the frame's first row — a bounded 1-row collect
-    * (the centroid-fetch class), used only on index write/append/query
-    * boundaries to make dimension drift a loud error instead of a
-    * silent zip-truncated dot product. */
+  /** Vector width from the frame's first row, None for an empty frame —
+    * a bounded 1-row collect (the centroid-fetch class), used only on
+    * index write/append/query boundaries to make dimension drift a loud
+    * error instead of a silent zip-truncated dot product. Emptiness is
+    * the CALLER's policy: an empty corpus write is a loud error, an
+    * empty delta append is a no-op, an empty query batch probes nothing
+    * (a streaming source legitimately yields 0-row micro-batches — the
+    * foreachBatch twins must not die on one). */
+  private def vecDimOpt(df: DataFrame, vec: Column): Option[Int] =
+    df.select(size(vec).as("__d")).limit(1).collect()
+      .headOption.map(_.getAs[Int]("__d"))
+
   private def vecDim(df: DataFrame, vec: Column): Int = {
-    val r = df.select(size(vec).as("__d")).limit(1).collect()
+    val r = vecDimOpt(df, vec)
     require(r.nonEmpty,
       "cannot derive the vector width from an empty frame")
-    r(0).getAs[Int]("__d")
+    r.get
   }
 
   /** The stored row shape: (vec_id, bucket, scale, qvec) — one row per
@@ -1234,14 +1242,18 @@ object Similarity {
   def appendToIvfIndex(delta: DataFrame, id: Column, vec: Column,
       path: String): Unit = {
     val (bits, dim) = readIvfParams(delta.sparkSession, path)
-    val dDim = vecDim(delta, vec)
-    require(dDim == dim,
-      s"IVF index at $path stores $dim-dim vectors but the delta " +
-        s"carries $dDim-dim vectors — the dot product would silently " +
-        "truncate; re-embed the shard or rebuild the index")
-    ivfRows(delta, id, vec, bits)
-      .repartition(col("bucket")) // one file per touched list (see write)
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/lists")
+    vecDimOpt(delta, vec) match {
+      case None => // empty shard (a quiet ingestion day): nothing to add
+      case Some(dDim) =>
+        require(dDim == dim,
+          s"IVF index at $path stores $dim-dim vectors but the delta " +
+            s"carries $dDim-dim vectors — the dot product would " +
+            "silently truncate; re-embed the shard or rebuild the index")
+        ivfRows(delta, id, vec, bits)
+          .repartition(col("bucket")) // one file per touched list
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$path/lists")
+    }
   }
 
   /** Persist a TRAINED-coarse-quantizer IVF index — [[writeIvfIndex]]'s
@@ -1285,15 +1297,27 @@ object Similarity {
 
   /** The trained-index row shape: argmax-centroid cell + the shared
     * [[quantized]] codes — derived from the STORED centroids so write
-    * and append can never disagree on the quantizer. */
+    * and append can never disagree on the quantizer. ONE corpus pass:
+    * the quantized columns ride through the argmax min-struct (every
+    * candidate row of a vector carries the same scale/qvec, so they
+    * travel with the winning row), instead of a second corpus scan +
+    * vec_id shuffle join to reunite assignment with codes — at 10⁹
+    * vectors that join was a full extra shuffle. Same argmax rule as
+    * [[assignClusters]]: field order IS the tie-break (−rounded-sim,
+    * then cid). */
   private def trainedRows(df: DataFrame, id: Column, vec: Column,
-      cents: DataFrame): DataFrame = {
-    val asn = assignClusters(df, id, vec, cents)
-      .select(col("vec_id"), col("cluster_id"))
-    quantized(df.select(id.as("vec_id"), vec.as("__v")))
-      .join(asn, "vec_id")
-      .select(col("vec_id"), col("cluster_id"), col("scale"), col("qvec"))
-  }
+      cents: DataFrame): DataFrame =
+    quantized(df.select(id.as("vec_id"), vec.as("__v"))
+        .withColumn("__raw", col("__v")))
+      .crossJoin(broadcast(cents.select(col("cid"), col("ce"))))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("ce"), col("__raw")), 6).as("sim_r"),
+        col("scale"), col("qvec"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("sim_r")).as("neg_sim"), col("cid").as("cid"),
+        col("scale").as("scale"), col("qvec").as("qvec"))).as("__best"))
+      .select(col("vec_id"), col("__best.cid").as("cluster_id"),
+        col("__best.scale").as("scale"), col("__best.qvec").as("qvec"))
 
   /** Append a delta shard to a trained IVF index: the shard assigns
     * against the STORED centroids (the corpus never re-buckets, the
@@ -1306,14 +1330,18 @@ object Similarity {
     val spark = delta.sparkSession
     val dim = spark.read.parquet(s"$path/params").head()
       .getAs[Int]("dim")
-    val dDim = vecDim(delta, vec)
-    require(dDim == dim,
-      s"trained IVF index at $path stores $dim-dim vectors but the " +
-        s"delta carries $dDim-dim vectors")
-    trainedRows(delta, id, vec, spark.read.parquet(s"$path/centroids"))
-      .repartition(col("cluster_id"))
-      .write.mode("append").partitionBy("cluster_id")
-      .parquet(s"$path/lists")
+    vecDimOpt(delta, vec) match {
+      case None => // empty shard: nothing to add (appendToIvfIndex rule)
+      case Some(dDim) =>
+        require(dDim == dim,
+          s"trained IVF index at $path stores $dim-dim vectors but " +
+            s"the delta carries $dDim-dim vectors")
+        trainedRows(delta, id, vec,
+            spark.read.parquet(s"$path/centroids"))
+          .repartition(col("cluster_id"))
+          .write.mode("append").partitionBy("cluster_id")
+          .parquet(s"$path/lists")
+    }
   }
 
   /** Top-k against a persisted TRAINED IVF index: each query ranks the
@@ -1333,10 +1361,12 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val dim = spark.read.parquet(s"$indexPath/params").head()
       .getAs[Int]("dim")
-    val qDim = vecDim(queries, col("qe"))
-    require(qDim == dim,
-      s"trained IVF index at $indexPath stores $dim-dim vectors but " +
-        s"the query frame carries $qDim-dim vectors")
+    // empty query micro-batches probe nothing (topKAgainstIvfIndex rule)
+    vecDimOpt(queries, col("qe")).foreach { qDim =>
+      require(qDim == dim,
+        s"trained IVF index at $indexPath stores $dim-dim vectors but " +
+          s"the query frame carries $qDim-dim vectors")
+    }
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val lists = spark.read.parquet(s"$indexPath/lists")
     val probeW = Window.partitionBy("qid")
@@ -1365,64 +1395,72 @@ object Similarity {
   /** DELETE vectors from a persisted IVF index — the
     * right-to-be-forgotten step every production index needs (the
     * [[TextDedup.removeFromSignatureIndex]] shape applied to ANN): the
-    * lists table is rewritten WITHOUT the given ids via an anti-join +
-    * rename-swap (materialize the survivor table to a sibling temp dir
-    * BEFORE touching the live one, then swap through the Hadoop FS API —
-    * works on HDFS/object-store paths). Params are untouched. After
-    * removal a probe behaves exactly as if the index had been rebuilt
-    * without those vectors (rows are per-vector and independent — the
-    * llm_sim_index_forget oracle certifies it). Do not run concurrently
-    * with an append or probe on the same index.
+    * lists table is rewritten WITHOUT the given ids via an anti-join
+    * through the staged [[rewriteLists]] swap (data is never deleted
+    * before its replacement is in place). Params/centroids are
+    * untouched. After removal a probe behaves exactly as if the index
+    * had been rebuilt without those vectors (rows are per-vector and
+    * independent — the llm_sim_index_forget oracle certifies it). Do
+    * not run concurrently with an append or probe on the same index.
     *
     * `ids` must carry a `vec_id` column. Cost: one scan + rewrite of
     * the compressed-code table (~1/4 of raw embedding bytes); the
     * removal set shuffles as bare ids (no broadcast hint — a typical
     * forget list is tiny and AQE will broadcast it, but a bulk purge
-    * can be corpus-scale). The rewrite keeps the bucket-partitioned
-    * one-file-per-list layout. */
+    * can be corpus-scale). The rewrite keeps the one-file-per-list
+    * layout; pass `partitionCol = "cluster_id"` for a
+    * [[writeIvfIndexTrained]] index. */
   def removeFromIvfIndex(spark: SparkSession, path: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame, partitionCol: String = "bucket"): Unit = {
     val rm = ids.select(col("vec_id")).distinct()
+    rewriteLists(spark, path, partitionCol)(
+      _.join(rm, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Staged rewrite of an IVF index's lists table shared by
+    * [[removeFromIvfIndex]] and [[compactIvfIndex]]: materialize the
+    * transformed table to a sibling temp dir, retire the live dir to a
+    * `.bak` sibling, promote the temp, then drop the `.bak` — data is
+    * NEVER deleted before its replacement is fully in place, so every
+    * single-point crash leaves the complete table at the live path or
+    * at one recoverable sibling (the error messages name it). Works on
+    * HDFS/object-store paths (Hadoop FS API). */
+  private def rewriteLists(spark: SparkSession, path: String,
+      partitionCol: String)(transform: DataFrame => DataFrame): Unit = {
     val live = s"$path/lists"
-    val tmp = s"$path/lists__removing"
-    spark.read.parquet(live)
-      .join(rm, Seq("vec_id"), "left_anti")
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val tmp = s"$path/lists__next"
+    val bak = s"$path/lists__old"
+    transform(spark.read.parquet(live))
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     val lPath = new org.apache.hadoop.fs.Path(live)
     val fs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(lPath, true))
-      throw new java.io.IOException(s"removal failed to delete $live")
+    val bPath = new org.apache.hadoop.fs.Path(bak)
+    fs.delete(bPath, true) // drop any stale .bak from a prior crash
+    if (!fs.rename(lPath, bPath))
+      throw new java.io.IOException(
+        s"lists rewrite failed to retire $live — new table is at $tmp")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), lPath))
       throw new java.io.IOException(
-        s"removal failed to swap $tmp into place — table is at $tmp")
+        s"lists rewrite failed to promote $tmp — previous table is at " +
+          bak)
+    fs.delete(bPath, true)
   }
 
   /** COMPACT a persisted IVF index's lists table — the maintenance step
     * after a run of nightly appends: each append lands one more small
     * file per touched list directory, and probe scan cost is paid per
     * FILE open, not per row. Compaction rewrites the lists back to the
-    * one-file-per-list layout through the same staged rename-swap as
-    * [[removeFromIvfIndex]] (crash leaves a readable table). Rows are
-    * per-vector and unique, so compaction is pure file consolidation —
-    * probe results are identical before and after (ApiSpec pin). Works
-    * on both the sign-bucket and trained layouts (`partitionCol` =
-    * "bucket" / "cluster_id"). */
+    * one-file-per-list layout through the staged [[rewriteLists]] swap
+    * (data is never deleted before its replacement is in place; a crash
+    * leaves the complete table at the live path or one recoverable
+    * sibling). Rows are per-vector and unique, so compaction is pure
+    * file consolidation — probe results are identical before and after
+    * (ApiSpec pin). Works on both the sign-bucket and trained layouts
+    * (`partitionCol` = "bucket" / "cluster_id"). */
   def compactIvfIndex(spark: SparkSession, path: String,
-      partitionCol: String = "bucket"): Unit = {
-    val live = s"$path/lists"
-    val tmp = s"$path/lists__compacting"
-    spark.read.parquet(live)
-      .repartition(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
-    val lPath = new org.apache.hadoop.fs.Path(live)
-    val fs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(lPath, true))
-      throw new java.io.IOException(s"compaction failed to delete $live")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), lPath))
-      throw new java.io.IOException(
-        s"compaction failed to swap $tmp into place — table is at $tmp")
-  }
+      partitionCol: String = "bucket"): Unit =
+    rewriteLists(spark, path, partitionCol)(identity)
 
   /** Top-k against a PERSISTED IVF index ([[writeIvfIndex]] /
     * [[appendToIvfIndex]]): each query probes its own sign-bucket list
@@ -1449,11 +1487,14 @@ object Similarity {
     val (bits, dim) = readIvfParams(spark, indexPath)
     require(nprobe >= 1 && nprobe <= bits + 1,
       s"nprobe must be in [1, bits + 1 = ${bits + 1}], got $nprobe")
-    val qDim = vecDim(queries, col("qe"))
-    require(qDim == dim,
-      s"IVF index at $indexPath stores $dim-dim vectors but the query " +
-        s"frame carries $qDim-dim vectors — the dot product would " +
-        "silently truncate")
+    // empty query frame (e.g. a 0-row streaming micro-batch): nothing
+    // to check — the plan below yields an empty result
+    vecDimOpt(queries, col("qe")).foreach { qDim =>
+      require(qDim == dim,
+        s"IVF index at $indexPath stores $dim-dim vectors but the " +
+          s"query frame carries $qDim-dim vectors — the dot product " +
+          "would silently truncate")
+    }
     val lists = spark.read.parquet(s"$indexPath/lists")
     val q = quantized(queries.select(col("qid"), col("qe").as("__v"),
         signBucket(col("qe"), bits).as("__qb")))

@@ -2215,6 +2215,17 @@ class ApiSpec extends AnyFunSuite {
       "compaction changed the row count")
     assert(probe(grown, excludeSelf = true) == preCompact,
       "probe diverges after compaction")
+    // EMPTY frames are tolerated, not fatal: an empty query batch (a
+    // 0-row streaming micro-batch) probes nothing, an empty delta
+    // append is a no-op — neither may throw or change the index
+    val emptyQ = queries.filter(col("qid") < -1L)
+    assert(Similarity.topKAgainstIvfIndex(spark, grown, emptyQ, k = 3,
+        nprobe = 2).count() == 0,
+      "empty query frame must probe nothing")
+    Similarity.appendToIvfIndex(day0.filter(col("id") < -1L), col("id"),
+      col("emb"), grown)
+    assert(spark.read.parquet(s"$grown/lists").count() == preRows,
+      "empty-shard append must be a no-op")
   }
 
   test("Similarity TRAINED IVF index lifecycle: stored-centroid append " +
