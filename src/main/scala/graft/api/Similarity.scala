@@ -1181,13 +1181,33 @@ object Similarity {
     r.get
   }
 
+  /** Per-ROW width guard riding the plan (the [[vecDimOpt]] first-row
+    * check catches a mis-embedded FRAME; this catches a RAGGED one —
+    * row 0 at the right width, row k not, which would otherwise pass
+    * the boundary check and persist codes whose dots silently
+    * zip-truncate at probe time). `assert_true` in a filter condition
+    * is codegen'd to one integer compare per row and cannot be pruned
+    * away (the TextDedup packed-key guard idiom); rows that pass flow
+    * unchanged, the first violation fails the job loudly with the
+    * offending vec_id. */
+  private def requireWidth(df: DataFrame, vec: Column, idCol: Column,
+      dim: Int, what: String): DataFrame =
+    df.filter(assert_true(size(vec) === dim,
+      concat(lit(s"$what carries a "), size(vec).cast("string"),
+        lit(s"-dim vector (id "), idCol.cast("string"),
+        lit(s") but the index dim is $dim — ragged input; re-embed " +
+          "the offending rows or rebuild the index"))).isNull)
+
   /** The stored row shape: (vec_id, bucket, scale, qvec) — one row per
     * vector, bucket = [[signBucket]] at the index's recorded bits, codes
-    * via the shared [[quantized]] projection. */
+    * via the shared [[quantized]] projection. Every row's width is
+    * checked against the recorded dim in-plan ([[requireWidth]]). */
   private def ivfRows(df: DataFrame, id: Column, vec: Column,
-      bits: Int): DataFrame =
-    quantized(df.select(id.as("vec_id"), vec.as("__v"),
-        signBucket(vec, bits).as("bucket")))
+      bits: Int, dim: Int): DataFrame =
+    quantized(requireWidth(
+        df.select(id.as("vec_id"), vec.as("__v"),
+          signBucket(vec, bits).as("bucket")),
+        col("__v"), col("vec_id"), dim, "IVF corpus/delta"))
       .select(col("vec_id"), col("bucket"), col("scale"), col("qvec"))
 
   /** Persist a sign-bucket IVF index for [[topKAgainstIvfIndex]] — the
@@ -1224,7 +1244,7 @@ object Similarity {
     // the shuffle each bucket's rows land in one task, so the layout is
     // one file per non-empty inverted list — exactly the unit a probe
     // reads; AQE coalesces the small shuffle into few tasks.
-    ivfRows(corpus, id, vec, bits)
+    ivfRows(corpus, id, vec, bits, dim)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/lists")
@@ -1249,7 +1269,7 @@ object Similarity {
           s"IVF index at $path stores $dim-dim vectors but the delta " +
             s"carries $dDim-dim vectors — the dot product would " +
             "silently truncate; re-embed the shard or rebuild the index")
-        ivfRows(delta, id, vec, bits)
+        ivfRows(delta, id, vec, bits, dim)
           .repartition(col("bucket")) // one file per touched list
           .write.mode("append").partitionBy("bucket")
           .parquet(s"$path/lists")
@@ -1289,7 +1309,7 @@ object Similarity {
     Seq(Tuple1(dim)).toDF("dim")
       .write.mode("overwrite").parquet(s"$path/params")
     trainedRows(corpus, id, vec,
-        spark.read.parquet(s"$path/centroids"))
+        spark.read.parquet(s"$path/centroids"), dim)
       .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$path/lists")
@@ -1304,10 +1324,12 @@ object Similarity {
     * vec_id shuffle join to reunite assignment with codes — at 10⁹
     * vectors that join was a full extra shuffle. Same argmax rule as
     * [[assignClusters]]: field order IS the tie-break (−rounded-sim,
-    * then cid). */
+    * then cid). Per-row width checked against the recorded dim
+    * ([[requireWidth]] — the ragged-corpus guard). */
   private def trainedRows(df: DataFrame, id: Column, vec: Column,
-      cents: DataFrame): DataFrame =
-    quantized(df.select(id.as("vec_id"), vec.as("__v"))
+      cents: DataFrame, dim: Int): DataFrame =
+    quantized(requireWidth(df.select(id.as("vec_id"), vec.as("__v")),
+        col("__v"), col("vec_id"), dim, "trained-IVF corpus/delta")
         .withColumn("__raw", col("__v")))
       .crossJoin(broadcast(cents.select(col("cid"), col("ce"))))
       .select(col("vec_id"), col("cid"),
@@ -1337,7 +1359,7 @@ object Similarity {
           s"trained IVF index at $path stores $dim-dim vectors but " +
             s"the delta carries $dDim-dim vectors")
         trainedRows(delta, id, vec,
-            spark.read.parquet(s"$path/centroids"))
+            spark.read.parquet(s"$path/centroids"), dim)
           .repartition(col("cluster_id"))
           .write.mode("append").partitionBy("cluster_id")
           .parquet(s"$path/lists")
@@ -1402,6 +1424,9 @@ object Similarity {
     * had been rebuilt without those vectors (rows are per-vector and
     * independent — the llm_sim_index_forget oracle certifies it). Do
     * not run concurrently with an append or probe on the same index.
+    * A purge that would remove EVERY remaining vector is refused
+    * loudly (an empty partitioned table is unreadable parquet —
+    * delete the whole index instead).
     *
     * `ids` must carry a `vec_id` column. Cost: one scan + rewrite of
     * the compressed-code table (~1/4 of raw embedding bytes); the
@@ -1435,6 +1460,26 @@ object Similarity {
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     val lPath = new org.apache.hadoop.fs.Path(live)
     val fs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a ZERO-row transform writes no parquet files under a partitioned
+    // write (files are emitted per partition value) — promoting the
+    // empty dir would leave an unreadable lists table and every later
+    // probe/append/compact would die with an opaque schema-inference
+    // error instead of this message. Detect it from the FS listing
+    // (free — no extra Spark job) and refuse BEFORE touching the live
+    // table.
+    val tPath = new org.apache.hadoop.fs.Path(tmp)
+    val files = fs.listFiles(tPath, true)
+    var hasData = false
+    while (!hasData && files.hasNext)
+      hasData = files.next().getPath.getName.endsWith(".parquet")
+    if (!hasData) {
+      fs.delete(tPath, true)
+      throw new IllegalStateException(
+        s"lists rewrite of $live produced ZERO rows — refusing to " +
+          "promote an empty (unreadable) table; the live table is " +
+          "untouched. A removal that purges every remaining vector " +
+          "should delete the whole index instead.")
+    }
     val bPath = new org.apache.hadoop.fs.Path(bak)
     fs.delete(bPath, true) // drop any stale .bak from a prior crash
     if (!fs.rename(lPath, bPath))

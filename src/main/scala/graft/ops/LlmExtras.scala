@@ -437,6 +437,38 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // the COMPACT step of the persisted IVF index, oracle-checked (r14
+    // verdict #3 — the one lifecycle step without a hash-checked key):
+    // day-0 corpus indexed once, day-1 shard ACCEPTED via append (each
+    // append lands one extra small file per touched list directory —
+    // probe cost is paid per FILE open), then compactIvfIndex rewrites
+    // the lists back to the one-file-per-list layout through the staged
+    // rename swap, and the query shard probes the compacted index. Rows
+    // are per-vector and unique, so compaction is pure file
+    // consolidation: the oracle is the same rebuilt-over-everything
+    // definition as _grow — compacted ≡ grown ≡ rebuilt, certified by
+    // the hash gate. Write + append + compact all timed in-key (the
+    // honesty rule; in-key-write tier). The index family is now
+    // write/grow/forget/compact complete under the oracle gate.
+    "llm_sim_index_compact" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val day0 = emb.filter(col("vec_id") % 10 =!= 0 &&
+        col("vec_id") % 10 =!= 3)
+      val day1 = emb.filter(col("vec_id") % 10 === 3)
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val idx = new java.io.File("target/graft-ivf-compact/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Similarity.writeIvfIndex(day0, col("vec_id"),
+        col("embedding"), idx, bits = IvfIndexBits)
+      graft.api.Similarity.appendToIvfIndex(day1, col("vec_id"),
+        col("embedding"), idx)
+      graft.api.Similarity.compactIvfIndex(s, idx)
+      graft.api.Similarity.topKAgainstIvfIndex(s, idx, q, k = 5, nprobe = 2)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // the TRAINED-coarse-quantizer persisted IVF (the production
     // generalization of llm_sim_index's sign buckets — verdict r13 #1's
     // optional half): centroids here are the DETERMINISTIC seed frame
@@ -2056,6 +2088,10 @@ object LlmExtras {
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "llm_sim_index" -> ivfIndexOracle,
     "llm_sim_index_grow" -> ivfIndexOracle,
+    // the compact certificate: compaction is pure file consolidation,
+    // so the oracle is the SAME rebuilt definition — compacted ≡ grown
+    // ≡ rebuilt, textually identical by design (the _grow rule)
+    "llm_sim_index_compact" -> ivfIndexOracle,
     // the forget certificate: the REBUILT-WITHOUT definition — the same
     // probe with the purge set (% 10 == 6) excluded from the corpus side
     "llm_sim_index_forget" ->

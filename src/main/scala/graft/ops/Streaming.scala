@@ -295,11 +295,12 @@ object Streaming {
     * dedupShardAgainstIndex): each micro-batch runs the batch
     * `Multimodal.phashDedupShardAgainstIndex` verbatim against the
     * persisted band index — stream-static, zero state store; the index
-    * is the only state, REBUILT on its own refresh cadence
-    * (`writePhashIndex` writes mode("overwrite") — unlike the signature
-    * index there is no append form, so a refresh re-signs the accepted
-    * corpus; dHash rows are 8 bytes/doc, so the rebuild is cheap).
-    * Pairs arriving in the SAME
+    * is the only state, refreshed on its own cadence with EITHER form:
+    * nightly `Multimodal.appendToPhashIndex` of accepted survivors
+    * (|shard|-cost, the signature-index discipline) or a full
+    * `writePhashIndex` rebuild (mode("overwrite") — dHash rows are
+    * 8 bytes/doc, so even the rebuild is cheap; reserve it for dHash
+    * geometry changes). Pairs arriving in the SAME
     * micro-batch are cut by the intra-shard keep-min rule; perceptual
     * dups split across batches are the index-append cadence's job —
     * the same documented divergence as the signature-screen twin.

@@ -722,6 +722,23 @@ object Multimodal {
     df.select(id.as("__id"), dhashBands(pixels).as("__bd"))
       .write.mode("overwrite").parquet(s"$path/bands")
 
+  /** Append a screened shard's band rows to an existing
+    * [[writePhashIndex]] index — the accept step of the nightly
+    * perceptual cycle, mirroring [[TextDedup.appendToSignatureIndex]]
+    * (r14 verdict #2: the one index family without an append cadence):
+    * dHash signatures are deterministic per payload, so appending the
+    * shard's 4-int rows grows an index bit-identical to one rebuilt
+    * over the accepted corpus (append ≡ rebuild — ApiSpec pin) WITHOUT
+    * re-decoding or re-signing anything already indexed; at 10⁹ docs
+    * the nightly cost is |shard| band rows, not a full-corpus rebuild.
+    * Caller guarantees the shard's ids are not already in the index
+    * ([[phashDedupShardAgainstIndex]] survivors by construction);
+    * rebuild only if the dHash geometry changes. */
+  def appendToPhashIndex(df: DataFrame, id: Column, pixels: Column,
+      path: String): Unit =
+    df.select(id.as("__id"), dhashBands(pixels).as("__bd"))
+      .write.mode("append").parquet(s"$path/bands")
+
   /** Screen a delta shard against a [[writePhashIndex]] index:
     * (doc_a from the shard, doc_b from the index, hamming ≤ maxDist).
     * Same pigeonhole-complete band candidates + exact hamming verify

@@ -2272,6 +2272,124 @@ class ApiSpec extends AnyFunSuite {
       eAppend.getMessage.contains("6-dim"), eAppend.getMessage)
   }
 
+  test("Similarity IVF width guard is PER-ROW (r15): a RAGGED corpus — " +
+      "row 0 at the recorded width, a later row not — fails the write " +
+      "loudly naming the offending id, instead of persisting codes " +
+      "whose dots zip-truncate at probe time; same for a ragged " +
+      "trained-index delta") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val rnd = new scala.util.Random(71)
+    val ok = (0L until 6L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // row 6 is 5-dim: the FRAME-level first-row check passes, only the
+    // in-plan per-row guard can catch it
+    val ragged = (ok ++ Seq((6L, Array.fill(5)(0.1f)))).toDF("id", "emb")
+    val root = SparkFixture.tempDir("graft_ivf_ragged_")
+    val e1 = intercept[Exception] {
+      Similarity.writeIvfIndex(ragged, col("id"), col("emb"),
+        new java.io.File(root, "sign").getAbsolutePath, bits = 4)
+    }
+    assert(messages(e1).exists(m =>
+        m.contains("ragged") && m.contains("id 6")),
+      s"expected the per-row width guard, got: ${messages(e1)}")
+    // trained path: good write, ragged DELTA (first delta row at the
+    // right width) must fail the append in-plan too
+    import org.apache.spark.sql.expressions.Window
+    val good = ok.toDF("id", "emb")
+    val cents = good.orderBy("id").limit(2)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("cid"), col("emb").as("ce"))
+    val tIdx = new java.io.File(root, "trained").getAbsolutePath
+    Similarity.writeIvfIndexTrained(good, col("id"), col("emb"), cents,
+      tIdx)
+    val raggedDelta = Seq((10L, Array.fill(8)(0.2f)),
+      (11L, Array.fill(3)(0.2f))).toDF("id", "emb")
+    val e2 = intercept[Exception] {
+      Similarity.appendToIvfIndexTrained(raggedDelta, col("id"),
+        col("emb"), tIdx)
+    }
+    assert(messages(e2).exists(m =>
+        m.contains("ragged") && m.contains("id 11")),
+      s"expected the per-row width guard, got: ${messages(e2)}")
+  }
+
+  test("Similarity.removeFromIvfIndex refuses a purge-EVERYTHING (r15): " +
+      "an empty partitioned table is unreadable parquet — the rewrite " +
+      "fails loudly, the live lists stay intact and probeable, no temp " +
+      "dir is left behind") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val rnd = new scala.util.Random(73)
+    val corpus = (0L until 6L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "emb")
+    val root = SparkFixture.tempDir("graft_ivf_purgeall_")
+    val idx = new java.io.File(root, "idx").getAbsolutePath
+    Similarity.writeIvfIndex(corpus, col("id"), col("emb"), idx, bits = 4)
+    val queries = corpus.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("emb").as("qe"))
+    def probe() = Similarity
+      .topKAgainstIvfIndex(spark, idx, queries, k = 3, nprobe = 2)
+      .orderBy("qid", "rk").collect().map(_.toString).toSeq
+    val before = probe()
+    val e = intercept[Exception] {
+      Similarity.removeFromIvfIndex(spark, idx,
+        (0L until 6L).toDF("vec_id"))
+    }
+    assert(messages(e).exists(_.contains("ZERO rows")),
+      s"expected the empty-rewrite refusal, got: ${messages(e)}")
+    // live table untouched, still probeable; temp dir cleaned up
+    assert(probe() == before, "live lists changed after a refused purge")
+    assert(!new java.io.File(s"$idx/lists__next").exists(),
+      "refused rewrite left lists__next behind")
+    // a PARTIAL purge of the same index still works afterwards
+    Similarity.removeFromIvfIndex(spark, idx, Seq(5L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$idx/lists")
+        .filter(col("vec_id") === 5L).count() == 0,
+      "partial purge after a refused purge-everything did not apply")
+  }
+
+  test("persisted trained IVF over MEASURED kMeansFit centroids (r15): " +
+      "kMeansFit → writeIvfIndexTrained → topKAgainstIvfIndexTrained " +
+      "is a zero-plan-change drop-in — partial-probe recall@5 vs exact " +
+      "brute force holds the topKIvfTrained bar, full probe holds more") {
+    val e = spark.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cents = Similarity.kMeansFit(e, col("vec_id"), col("embedding"),
+      k = 16, iters = 3)
+    val root = SparkFixture.tempDir("graft_ivf_kmeans_")
+    val idx = new java.io.File(root, "idx").getAbsolutePath
+    Similarity.writeIvfIndexTrained(e, col("vec_id"), col("embedding"),
+      cents, idx)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity.topK(e, col("vec_id"), col("embedding"),
+      q, k = 5))
+    def recallAt(nprobe: Int): Double = {
+      val got = sets(Similarity.topKAgainstIvfIndexTrained(spark, idx, q,
+        k = 5, nprobe = nprobe))
+      exact.keys.toSeq.map(kq =>
+        (exact(kq) intersect got.getOrElse(kq, Set.empty)).size).sum
+        .toDouble / exact.values.map(_.size).sum
+    }
+    // nprobe=4 of 16 trained cells: the same ≥0.3 bar the in-plan
+    // topKIvfTrained pin holds (scoring here is over the stored int8
+    // codes — the quantization the persisted index actually serves)
+    val partial = recallAt(4)
+    assert(partial >= 0.3,
+      f"measured-centroid persisted recall@5 = $partial%.2f < 0.3")
+    // probing every cell is quantized brute force — near-exact
+    val full = recallAt(16)
+    assert(full >= 0.6,
+      f"full-probe (quantized brute force) recall@5 = $full%.2f < 0.6")
+  }
+
   test("TextDedup.containmentWithinBucket finds a short doc embedded in " +
       "a long one — the asymmetric case jaccard misses") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")

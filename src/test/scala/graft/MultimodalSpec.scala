@@ -477,4 +477,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byDoc.size < expected.size,
       "no doc was screened — the planted duplicates must drop")
   }
+
+  test("appendToPhashIndex: grown index ≡ rebuilt index (screen-identical " +
+      "and row-identical), and appended rows are really screened") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    def img() = Array.fill(72)(rnd.nextInt(256))
+    val day0 = (0L until 8L).map(i => (i, img()))
+    val day1 = (8L until 14L).map(i => (i, img()))
+    val root = tempDir("graft_phash_append_")
+    val grown = new java.io.File(root, "grown").getAbsolutePath
+    val rebuilt = new java.io.File(root, "rebuilt").getAbsolutePath
+    Multimodal.writePhashIndex(day0.toDF("doc_id", "px"),
+      col("doc_id"), col("px"), grown)
+    Multimodal.appendToPhashIndex(day1.toDF("doc_id", "px"),
+      col("doc_id"), col("px"), grown)
+    Multimodal.writePhashIndex((day0 ++ day1).toDF("doc_id", "px"),
+      col("doc_id"), col("px"), rebuilt)
+    // dHash rows are deterministic per payload ⇒ the grown band table
+    // must be ROW-identical to the rebuilt one (append ≡ rebuild, the
+    // signature-index certificate applied to pixel space)
+    def bands(p: String) = spark.read.parquet(s"$p/bands")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toList)).toSet
+    assert(bands(grown) == bands(rebuilt),
+      "grown band table diverges from rebuilt")
+    // and a shard screens identically against either index; the variant
+    // targets doc 10 — an APPENDED row — so the screen provably reads
+    // the appended part (single-pixel edit ⇒ hamming ≤ 2, pigeonhole-
+    // guaranteed candidate)
+    val variant = day1(2)._2.clone()
+    variant(40) = (variant(40) + 97) % 256
+    val shard = Seq((100L, variant), (101L, img())).toDF("doc_id", "px")
+    def survivors(p: String) = Multimodal
+      .phashDedupShardAgainstIndex(shard, col("doc_id"), col("px"), p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val g = survivors(grown)
+    assert(g == survivors(rebuilt), "screen diverges grown vs rebuilt")
+    assert(g == Set(101L),
+      s"variant of an APPENDED doc must be dropped, fresh kept: got $g")
+  }
 }

@@ -217,8 +217,13 @@ class StreamingSpec extends AnyFunSuite {
     val corpus = (0L until 10L).map(i => (i, img()))
     val dir = java.nio.file.Files
       .createTempDirectory("graft-phashidx-stream").resolve("idx").toString
+    // the index is grown with BOTH cadences (r15): day-0 written, day-1
+    // APPENDED — the twin screens against an appended index, the
+    // nightly form (append ≡ rebuild is pinned in MultimodalSpec)
     graft.sources.Multimodal.writePhashIndex(
-      corpus.toDF("doc_id", "px"), col("doc_id"), col("px"), dir)
+      corpus.take(5).toDF("doc_id", "px"), col("doc_id"), col("px"), dir)
+    graft.sources.Multimodal.appendToPhashIndex(
+      corpus.drop(5).toDF("doc_id", "px"), col("doc_id"), col("px"), dir)
     val in = MemoryStream[(Long, Array[Int])]
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = Streaming.twinPhashDedupAgainstIndex(
@@ -228,11 +233,12 @@ class StreamingSpec extends AnyFunSuite {
       }
     }.start()
     try {
-      // a single-pixel variant of indexed image 0: one pixel touches at
-      // most TWO gradient comparisons (both in its own row → one band),
-      // so hamming ≤ 2 and the other three bands are untouched — the
-      // pigeonhole band screen is GUARANTEED to catch it
-      val variant = corpus(0)._2.clone()
+      // a single-pixel variant of indexed image 7 — a doc in the
+      // APPENDED half, so the screen provably reads appended rows: one
+      // pixel touches at most TWO gradient comparisons (both in its own
+      // row → one band), so hamming ≤ 2 and the other three bands are
+      // untouched — the pigeonhole band screen is GUARANTEED to catch it
+      val variant = corpus(7)._2.clone()
       variant(40) = (variant(40) + 97) % 256
       val fresh = img()
       in.addData((100L, variant), (101L, fresh))
