@@ -1070,9 +1070,19 @@ object LlmExtras {
           .select(lit("wordpiece").as("family"), col("vocab_size")))
         .unionByName(tf.ugModel.agg(count(lit(1)).as("vocab_size"))
           .select(lit("unigram").as("family"), col("vocab_size")))
+      // card totals WITHOUT a second regex-split pass (r15: isolated
+      // REPEATS=3 pinned the key 1.4 s over its compare twin, and the
+      // only corpus-scan delta was this split): size(split(s, " "))
+      // equals the space count + 1 for ANY string — split keeps empty
+      // fields — so n_tokens is a char-count projection over the corpus
+      // bytes instead of materializing every token array a second time.
+      // The oracle's len(string_split(text, ' ')) definition is
+      // unchanged; the identity is pinned in LlmExtrasSpec.
       val card = tf.docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        (sum((length(col("text")) -
+          length(translate(col("text"), " ", ""))).cast("long")) +
+          count(lit(1))).as("n_tokens"))
       tf.bySource
         .join(tf.famNp, "word")
         .groupBy("family", "source")

@@ -234,4 +234,27 @@ class LlmExtrasSpec extends AnyFunSuite {
       assert(nws.size == 1, s"$src: families disagree on n_words: $nws")
     }
   }
+
+  test("card n_tokens char-count identity (r15): spaces + 1 equals " +
+      "size(split(s, ' ')) on every split edge case — the dataset-card " +
+      "totals read corpus bytes instead of re-materializing token arrays") {
+    import spark.implicits._
+    // consecutive spaces (empty fields), leading/trailing spaces,
+    // single word, empty string — every place split-keeps-empties
+    // semantics could diverge from the char-count formula
+    val cases = Seq("a b c", "a  b", " a", "a ", "word", "", "  ",
+      "a b  c   d ")
+    val df = cases.toDF("text")
+    val rows = df.select(
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("via_split"),
+        (length(col("text")) -
+          length(translate(col("text"), " ", "")) + 1L).as("via_chars"))
+      .collect()
+    rows.zip(cases).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"identity broke on '$s': split=${r.getLong(0)} " +
+          s"chars=${r.getLong(1)}")
+    }
+  }
 }
