@@ -71,6 +71,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // codegen cache stays at the DEFAULT 100 entries (r15, measured):
+      // raising it to 5000 to dedupe Janino recompiles across keys
+      // looked free but measured consistently SLOWER — +0.3-0.5 s on
+      // the llm_dedup_* slice isolated and a concentrated 2-3× cluster
+      // ~130 keys into the full suite (retaining thousands of compiled
+      // generated classes thrashes the JIT code cache, which hits
+      // whichever keys run after it fills). BASELINE.md r15 notes.
       .getOrCreate()
     // ERROR, not WARN: the benign localCheckpoint "lineage truncated"
     // WARN flood interleaves with the summary JSON in the driver's

@@ -1560,4 +1560,199 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted IVF-PQ index — the [[writeIvfIndex]] lifecycle with
+  // PRODUCT-QUANTIZED codes in the lists and true ADC scoring at probe
+  // time (the FAISS IVFPQ shape): at 64-dim/m=8/k=16 a stored row is 8
+  // one-byte codes instead of 64 int8s — a further 8× past
+  // [[quantizeInt8]]'s 4×, which is what a 10⁹-vector store actually
+  // ships. The codebook persists AS index state (the trained-centroid
+  // rule), so appends and probes never re-supply it; codes are argmin
+  // assignments with a rounded-distance/code tie-break, so append ≡
+  // rebuild holds exactly as in the scalar-quantized family.
+  // ---------------------------------------------------------------------
+
+  /** The stored IVF-PQ row shape: (vec_id, bucket, codes ARRAY<TINYINT>)
+    * — [[pqEncode]]'s argmin assignment with the sign bucket carried
+    * through the min-struct groupBy (grouping by the functionally-
+    * dependent bucket is free; re-joining it after a bare pqEncode
+    * would cost a corpus-sized vec_id shuffle). Per-row width checked
+    * against the recorded dim ([[requireWidth]]). */
+  private def ivfPqRows(df: DataFrame, id: Column, vec: Column,
+      cb: DataFrame, bits: Int, dim: Int, m: Int,
+      subDim: Int): DataFrame = {
+    val base = requireWidth(
+      df.select(id.as("vec_id"), vec.as("__v"),
+        signBucket(vec, bits).as("bucket")),
+      col("__v"), col("vec_id"), dim, "IVF-PQ corpus/delta")
+    val sub = base
+      .select(col("vec_id"), col("bucket"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("__v"))
+      .select(col("vec_id"), col("bucket"), col("j"),
+        slice(col("__v"), col("j") * subDim + 1, lit(subDim)).as("sv"))
+    val d2 = aggregate(zip_with(col("sv"), col("cvec"),
+        (a, b) => (a.cast("double") - b.cast("double"))
+          * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    sub.join(broadcast(cb), "j")
+      .withColumn("d2_r", round(d2, 6))
+      .groupBy("vec_id", "bucket", "j")
+      .agg(min(struct(col("d2_r").as("d2_r"), col("code").as("code")))
+        .as("__best"))
+      .groupBy("vec_id", "bucket")
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("__best.code")))),
+        s => s.getField("code").cast("byte")).as("codes"))
+  }
+
+  /** Loud-failure read of the IVF-PQ parameters recorded at write time:
+    * (bits, dim, m, subDim, codesK). */
+  private def readIvfPqParams(spark: SparkSession,
+      path: String): (Int, Int, Int, Int, Int) = {
+    val p = spark.read.parquet(s"$path/params").head()
+    (p.getAs[Int]("bits"), p.getAs[Int]("dim"), p.getAs[Int]("m"),
+      p.getAs[Int]("sub_dim"), p.getAs[Int]("codes_k"))
+  }
+
+  /** Persist an IVF-PQ index for [[topKAgainstIvfPqIndex]]: sign-bucket
+    * inverted lists (partitioned by bucket — a probe reads only the
+    * probed directories) holding PQ codes, with the CODEBOOK stored as
+    * index state. `codebook` is any (j, code, cvec) frame —
+    * [[pqSeedCodebook]] keeps the whole lifecycle deterministic and
+    * oracle-checkable (the llm_sim_index_pq key), [[pqTrainCodebook]]
+    * drops in for production recall with zero plan change (float
+    * training ⇒ that path is test-pinned, the topKIvfTrained rule).
+    * The PQ geometry must tile the vector width exactly (m·subDim =
+    * dim) — a silent tail of unencoded dimensions would make every
+    * ADC score wrong. Layout: `path/params` = (bits, dim, m, sub_dim,
+    * codes_k), `path/codebook`, `path/lists/bucket=*` = (vec_id,
+    * codes). [[removeFromIvfIndex]]/[[compactIvfIndex]] work on the
+    * lists table unchanged (same layout contract). Same non-atomic
+    * multi-table caveat as [[writeIvfIndex]]. */
+  def writeIvfPqIndex(corpus: DataFrame, id: Column, vec: Column,
+      codebook: DataFrame, path: String, bits: Int = 8, m: Int = 8,
+      subDim: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1, 30], got $bits")
+    val cols = codebook.columns.toSet
+    require(Seq("j", "code", "cvec").forall(cols.contains),
+      s"codebook frame must have columns 'j', 'code' and 'cvec' (got: " +
+        s"${codebook.columns.mkString(", ")})")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = vecDim(corpus, vec)
+    require(m * subDim == dim,
+      s"PQ geometry m=$m × subDim=$subDim must tile the vector width " +
+        s"$dim exactly — a silent unencoded tail would corrupt every " +
+        "ADC score")
+    require(bits <= dim,
+      s"bits=$bits exceeds the vector width $dim — signBucket reads " +
+        "the first `bits` dimensions")
+    val cdim = vecDim(codebook, col("cvec"))
+    require(cdim == subDim,
+      s"codebook centroids are $cdim-dim but subDim=$subDim")
+    codebook.select(col("j"), col("code"), col("cvec"))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    val cb = spark.read.parquet(s"$path/codebook")
+    // codes per subspace: recorded so the probe's LUT slot arithmetic
+    // (j·codesK + code) can never drift from the stored codebook (a
+    // bounded 1-row aggregate, the centroid-fetch class)
+    val codesK = cb.agg(countDistinct(col("code")).as("ck")).head()
+      .getAs[Long]("ck").toInt
+    Seq((bits, dim, m, subDim, codesK))
+      .toDF("bits", "dim", "m", "sub_dim", "codes_k")
+      .write.mode("overwrite").parquet(s"$path/params")
+    ivfPqRows(corpus, id, vec, cb, bits, dim, m, subDim)
+      .repartition(col("bucket")) // one file per non-empty inverted list
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/lists")
+  }
+
+  /** Append a delta shard to an IVF-PQ index: the shard encodes against
+    * the STORED codebook at the recorded geometry — bucket and codes
+    * are deterministic per vector given the stored state ⇒ append ≡
+    * rebuild, the same certificate as [[appendToIvfIndex]]. Loud dim
+    * mismatch; an empty shard is a no-op. */
+  def appendToIvfPqIndex(delta: DataFrame, id: Column, vec: Column,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    val (bits, dim, m, subDim, _) = readIvfPqParams(spark, path)
+    vecDimOpt(delta, vec) match {
+      case None => // empty shard: nothing to add (appendToIvfIndex rule)
+      case Some(dDim) =>
+        require(dDim == dim,
+          s"IVF-PQ index at $path stores $dim-dim vectors but the " +
+            s"delta carries $dDim-dim vectors — re-embed the shard or " +
+            "rebuild the index")
+        ivfPqRows(delta, id, vec,
+            spark.read.parquet(s"$path/codebook"), bits, dim, m, subDim)
+          .repartition(col("bucket")) // one file per touched list
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$path/lists")
+    }
+  }
+
+  /** Top-k against a persisted IVF-PQ index by TRUE asymmetric-distance
+    * computation: each query pre-computes its m·codesK LUT of
+    * sub-dot-products against the stored codebook ONCE (query-side,
+    * broadcast-sized), probes its own sign bucket plus `nprobe − 1`
+    * one-bit-flip neighbor lists, and scores a stored row as the
+    * j-sequential sum of m LUT lookups — the probe scan touches ONLY
+    * the 1-byte codes (8 bytes/vector at m=8), never a reconstructed
+    * vector, which is the whole IVFPQ point at 10⁹ rows: probe cost is
+    * memory-bandwidth over Σ|probed lists| · m bytes. Scores equal
+    * dot(query, pqReconstruct(row)) up to FP addition order (ApiSpec
+    * pins the equivalence at 1e-6); deterministic per engine (fixed
+    * fold order), so the seed-codebook key is oracle-checkable.
+    * Same (qid, qe) contract and excludeSelf semantics as [[topK]].
+    * Output: (qid, vec_id, sim_r, rk ≤ k). */
+  def topKAgainstIvfPqIndex(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    requireQuerySchema(queries)
+    require(k >= 1, s"k=$k must be positive")
+    val (bits, dim, m, subDim, codesK) = readIvfPqParams(spark, indexPath)
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe must be in [1, bits + 1 = ${bits + 1}], got $nprobe")
+    // empty query micro-batches probe nothing (topKAgainstIvfIndex rule)
+    vecDimOpt(queries, col("qe")).foreach { qDim =>
+      require(qDim == dim,
+        s"IVF-PQ index at $indexPath stores $dim-dim vectors but the " +
+          s"query frame carries $qDim-dim vectors")
+    }
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    // per-query ADC LUT: slot j·codesK + code → dot(query sub-slice,
+    // centroid); assembled as one flat array per query via the
+    // slot-sorted collect (the pqReconstruct idiom) — m·codesK doubles,
+    // always broadcast-sized
+    val qlut = queries
+      .select(col("qid"), col("qe"),
+        signBucket(col("qe"), bits).as("__qb"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("__qb"),
+        (col("j") * codesK + col("code")).as("__slot"),
+        dot(slice(col("qe"), col("j") * subDim + 1, lit(subDim)),
+          col("cvec")).as("__pdot"))
+      .groupBy("qid", "__qb")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__slot"), col("__pdot")))),
+        s => s.getField("__pdot")).as("__lut"))
+    val probes = Seq(col("__qb")) ++
+      (0 until (nprobe - 1)).map(i => col("__qb").bitwiseXOR(lit(1 << i)))
+    val qp = qlut.withColumn("__probe", explode(array(probes: _*)))
+    val selfCond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    // ADC score: Σ_j lut[j·codesK + codes[j]] in subspace order — a
+    // fixed-order double fold over m lookups, codegen'd, no join to the
+    // codebook on the corpus side
+    val adc = aggregate(
+      transform(col("codes"), (c, j) =>
+        element_at(col("__lut"), j * codesK + c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = lists.join(broadcast(qp),
+        col("bucket") === col("__probe") && selfCond)
+      .select(col("qid"), col("vec_id"), round(adc, 6).as("sim_r"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

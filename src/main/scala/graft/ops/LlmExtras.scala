@@ -469,6 +469,34 @@ object LlmExtras {
         .orderBy("qid", "rk")
     }),
 
+    // the PRODUCT-QUANTIZED persisted index (r15 — the FAISS IVFPQ
+    // shape, completing the persisted-ANN family): corpus sign-bucketed
+    // and PQ-encoded ONCE against the deterministic seed codebook
+    // (16 codes × 8 subspaces — 8 BYTES per stored vector, 8× past the
+    // int8 lists' 4×), codebook persisted AS index state; the query
+    // shard probes with nprobe=2 multi-probe and TRUE ADC scoring —
+    // each query precomputes its 128-entry LUT of sub-dot-products
+    // once and scores a stored row as m table lookups over the 1-byte
+    // codes, never touching a reconstructed vector. Every stage is
+    // fixed-fold-order deterministic, so the full lifecycle is
+    // hash-checked end to end (write timed in-key; in-key-write tier).
+    "llm_sim_index_pq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cb = graft.api.Similarity.pqSeedCodebook(corpus,
+        col("vec_id"), col("embedding"), m = 8, subDim = 8, k = 16)
+      val idx = new java.io.File("target/graft-ivf-pq/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.api.Similarity.writeIvfPqIndex(corpus, col("vec_id"),
+        col("embedding"), cb, idx, bits = IvfIndexBits, m = 8, subDim = 8)
+      graft.api.Similarity.topKAgainstIvfPqIndex(s, idx, q, k = 5,
+        nprobe = 2)
+        .select("qid", "rk", "vec_id", "sim_r")
+        .orderBy("qid", "rk")
+    }),
+
     // the TRAINED-coarse-quantizer persisted IVF (the production
     // generalization of llm_sim_index's sign buckets — verdict r13 #1's
     // optional half): centroids here are the DETERMINISTIC seed frame
@@ -2102,6 +2130,56 @@ object LlmExtras {
     // so the oracle is the SAME rebuilt definition — compacted ≡ grown
     // ≡ rebuilt, textually identical by design (the _grow rule)
     "llm_sim_index_compact" -> ivfIndexOracle,
+    // persisted IVFPQ probe: corpus-seeded codebook (16 lowest-id
+    // CORPUS vectors), argmin PQ codes (rounded-L2, code tie-break),
+    // sign buckets at the index bits, nprobe=2 one-bit-flip probe,
+    // TRUE ADC scoring — the per-(query, subspace, code) LUT of
+    // sub-dot-products summed in subspace order, the exact SQL
+    // spelling of the Spark plan's fixed fold
+    "llm_sim_index_pq" ->
+      s"""WITH seeds AS (SELECT embedding,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |      AS code
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 10 != 0
+         |        ORDER BY vec_id LIMIT 16) s0),
+         |js AS (SELECT unnest(range(0, 8)) AS j),
+         |cb AS (SELECT j, code, embedding[j*8+1 : j*8+8] AS cvec
+         |  FROM seeds, js),
+         |corp AS (SELECT vec_id, embedding,
+         |    ${signBucketSql("embedding", IvfIndexBits)} AS bucket
+         |  FROM embeddings WHERE vec_id % 10 != 0),
+         |sub AS (SELECT vec_id, j, embedding[j*8+1 : j*8+8] AS sv
+         |  FROM corp, js),
+         |dist AS (SELECT vec_id, j, code,
+         |    ROUND(list_sum(list_transform(list_zip(sv, cvec),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)
+         |      AS d2
+         |  FROM sub JOIN cb USING (j)),
+         |best AS (SELECT vec_id, j, code FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code)
+         |      AS rk FROM dist) t
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe,
+         |    ${signBucketSql("embedding", IvfIndexBits)} AS qbucket
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |lut AS (SELECT qid, j, code,
+         |    list_sum(list_transform(list_zip(qe[j*8+1 : j*8+8], cvec),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      AS pdot
+         |  FROM q, cb),
+         |s AS (SELECT q.qid, c.vec_id,
+         |    ROUND(list_sum(list(l.pdot ORDER BY l.j)), 6) AS sim_r
+         |  FROM q CROSS JOIN (VALUES (0), (1)) mm(m)
+         |  JOIN corp c ON c.bucket = xor(q.qbucket, mm.m)
+         |    AND c.vec_id != q.qid
+         |  JOIN best b ON b.vec_id = c.vec_id
+         |  JOIN lut l ON l.qid = q.qid AND l.j = b.j AND l.code = b.code
+         |  GROUP BY q.qid, c.vec_id)
+         |SELECT qid, rk, vec_id, sim_r FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INTEGER) AS rk FROM s) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // the forget certificate: the REBUILT-WITHOUT definition — the same
     // probe with the purge set (% 10 == 6) excluded from the corpus side
     "llm_sim_index_forget" ->

@@ -2270,6 +2270,119 @@ class ApiSpec extends AnyFunSuite {
     }
     assert(eAppend.getMessage.contains("12-dim") &&
       eAppend.getMessage.contains("6-dim"), eAppend.getMessage)
+    // FORGET + COMPACT on the TRAINED layout (r15): the staged
+    // rewriteLists swap is shared with the sign-bucket family but the
+    // partition column differs — purge against a rebuilt-without build,
+    // then compact must be probe-invariant (cluster_id passed through)
+    val purge = Seq(6L, 12L, 36L)
+    Similarity.removeFromIvfIndex(spark, grown, purge.toDF("vec_id"),
+      partitionCol = "cluster_id")
+    val rebuiltWithout = new java.io.File(root, "rw").getAbsolutePath
+    Similarity.writeIvfIndexTrained(
+      day0.unionByName(day1).filter(!col("id").isin(purge: _*)),
+      col("id"), col("emb"), cents, rebuiltWithout)
+    assert(probe(grown) == probe(rebuiltWithout),
+      "trained purged-index probe diverges from rebuilt-without probe")
+    val preCompact = probe(grown)
+    val preRows = spark.read.parquet(s"$grown/lists").count()
+    Similarity.compactIvfIndex(spark, grown, partitionCol = "cluster_id")
+    assert(spark.read.parquet(s"$grown/lists").count() == preRows,
+      "trained compaction changed the row count")
+    assert(probe(grown) == preCompact,
+      "trained probe diverges after compaction")
+  }
+
+  test("Similarity IVF-PQ index lifecycle (r15): ADC probe equals " +
+      "reconstruct-dot within FP reorder tolerance, grown ≡ rebuilt, " +
+      "loud geometry/dim mismatches, codes are 1 byte per subspace") {
+    import org.apache.spark.sql.Row
+    val rnd = new scala.util.Random(37)
+    val dims = 16 // m=4 × subDim=4
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val day0 = vecs(0 until 40).toDF("id", "emb")
+    val day1 = vecs(40 until 60).toDF("id", "emb")
+    val all = day0.unionByName(day1)
+    val queries = all.filter(col("id") % 7 === 0)
+      .select(col("id").as("qid"), col("emb").as("qe"))
+    val cbAll = Similarity.pqSeedCodebook(all, col("id"), col("emb"),
+      m = 4, subDim = 4, k = 8)
+    val root = SparkFixture.tempDir("graft_ivfpq_")
+    val grown = new java.io.File(root, "grown").getAbsolutePath
+    val rebuilt = new java.io.File(root, "rebuilt").getAbsolutePath
+    Similarity.writeIvfPqIndex(day0, col("id"), col("emb"), cbAll,
+      grown, bits = 4, m = 4, subDim = 4)
+    Similarity.appendToIvfPqIndex(day1, col("id"), col("emb"), grown)
+    Similarity.writeIvfPqIndex(all, col("id"), col("emb"), cbAll,
+      rebuilt, bits = 4, m = 4, subDim = 4)
+    def probe(idx: String) = Similarity
+      .topKAgainstIvfPqIndex(spark, idx, queries, k = 3, nprobe = 2)
+      .orderBy("qid", "rk").collect().map(_.toString).toSeq
+    val grownRes = probe(grown)
+    assert(grownRes.nonEmpty && grownRes == probe(rebuilt),
+      "IVF-PQ grown-index probe diverges from rebuilt-index probe")
+    // stored rows carry exactly m one-byte codes
+    val row0 = spark.read.parquet(s"$grown/lists").head()
+    assert(row0.getSeq[Byte](row0.fieldIndex("codes")).length == 4,
+      "stored code array must have m entries")
+    // ADC ≡ dot(query, pqReconstruct(row)) up to FP addition order:
+    // same 16 products, different fold nesting — must agree to 1e-6
+    val recon = Similarity.pqReconstruct(
+        spark.read.parquet(s"$grown/lists").select("vec_id", "codes"),
+        cbAll)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    val qvecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val adcRows = Similarity
+      .topKAgainstIvfPqIndex(spark, grown, queries, k = 3, nprobe = 2)
+      .collect()
+    assert(adcRows.nonEmpty)
+    adcRows.foreach { case Row(qid: Long, vid: Long, sim: Double, _) =>
+      val exact = qvecs(qid).zip(recon(vid))
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum
+      assert(math.abs(sim - exact) < 1e-6,
+        s"ADC($qid,$vid)=$sim vs reconstruct-dot=$exact")
+    }
+    // geometry that does not tile the width fails loudly at write
+    val eGeo = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPqIndex(day0, col("id"), col("emb"), cbAll,
+        new java.io.File(root, "bad").getAbsolutePath,
+        bits = 4, m = 3, subDim = 4)
+    }
+    assert(eGeo.getMessage.contains("tile"), eGeo.getMessage)
+    // wrong-width delta and query fail loudly
+    val narrow = Seq((99L, Array.fill(8)(0.5f))).toDF("id", "emb")
+    val eAppend = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(narrow, col("id"), col("emb"), grown)
+    }
+    assert(eAppend.getMessage.contains("16-dim") &&
+      eAppend.getMessage.contains("8-dim"), eAppend.getMessage)
+    val eQuery = intercept[IllegalArgumentException] {
+      Similarity.topKAgainstIvfPqIndex(spark, grown,
+        narrow.select(col("id").as("qid"), col("emb").as("qe")), k = 3)
+    }
+    assert(eQuery.getMessage.contains("16-dim"), eQuery.getMessage)
+    // empty query batch probes nothing; empty append is a no-op
+    val preRows = spark.read.parquet(s"$grown/lists").count()
+    assert(Similarity.topKAgainstIvfPqIndex(spark, grown,
+        queries.filter(col("qid") < -1L), k = 3).count() == 0)
+    Similarity.appendToIvfPqIndex(day0.filter(col("id") < -1L),
+      col("id"), col("emb"), grown)
+    assert(spark.read.parquet(s"$grown/lists").count() == preRows)
+    // the shared maintenance steps work on the PQ layout unchanged:
+    // forget ≡ rebuilt-without, compact is probe-invariant
+    Similarity.removeFromIvfIndex(spark, grown, Seq(7L, 14L)
+      .toDF("vec_id"))
+    val rw = new java.io.File(root, "rw").getAbsolutePath
+    Similarity.writeIvfPqIndex(all.filter(!col("id").isin(7L, 14L)),
+      col("id"), col("emb"), cbAll, rw, bits = 4, m = 4, subDim = 4)
+    assert(probe(grown) == probe(rw),
+      "IVF-PQ purged-index probe diverges from rebuilt-without probe")
+    val preCompact = probe(grown)
+    Similarity.compactIvfIndex(spark, grown)
+    assert(probe(grown) == preCompact,
+      "IVF-PQ probe diverges after compaction")
   }
 
   test("Similarity IVF width guard is PER-ROW (r15): a RAGGED corpus — " +
