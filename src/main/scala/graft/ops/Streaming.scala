@@ -356,6 +356,23 @@ object Streaming {
           batch.sparkSession, indexPath, batch, k, nprobe, excludeSelf))
     }
 
+  /** [[twinTopKAgainstIvfIndex]] for the PRODUCT-QUANTIZED index
+    * (`Similarity.writeIvfPqIndex`): identical stream-static shape —
+    * the stored codebook + 1-byte code lists are the only state, zero
+    * state store; each micro-batch builds its own ADC LUTs and runs
+    * the batch probe verbatim. StreamingSpec pins multi-batch ≡
+    * batch-union. */
+  def twinTopKAgainstIvfPqIndex(queries: DataFrame, indexPath: String,
+      k: Int, nprobe: Int = 2, excludeSelf: Boolean = true)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        emit(graft.api.Similarity.topKAgainstIvfPqIndex(
+          batch.sparkSession, indexPath, batch, k, nprobe, excludeSelf))
+    }
+
   /** Streaming twin of the LEARNED quality filter — scoring a fitted
     * model is stateless, so the serving path streams for free: each
     * micro-batch featurizes ([[graft.api.Corpus.hashFeatures]]) and

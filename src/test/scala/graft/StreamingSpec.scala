@@ -368,6 +368,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ probe (r15): per-batch ADC top-k against the " +
+      "persisted PQ index over multiple batches equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val dims = 16 // m=4 × subDim=4
+    val corpus = (0L until 40L).map(i =>
+      (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+    val corpusDf = corpus.toDF("id", "emb")
+    val cb = graft.api.Similarity.pqSeedCodebook(corpusDf, col("id"),
+      col("emb"), m = 4, subDim = 4, k = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-stream").resolve("idx").toString
+    graft.api.Similarity.writeIvfPqIndex(corpusDf, col("id"),
+      col("emb"), cb, dir, bits = 4, m = 4, subDim = 4)
+    val in = MemoryStream[(Long, Array[Float])]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = Streaming.twinTopKAgainstIvfPqIndex(
+        in.toDF.toDF("qid", "qe"), dir, k = 3, nprobe = 2) {
+      batch => emitted.synchronized {
+        emitted ++= batch.select("qid", "vec_id", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      }
+    }.start()
+    try {
+      val qs = Seq(0L, 9L, 18L, 27L).map(i => (i, corpus(i.toInt)._2))
+      in.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = emitted.synchronized(emitted.toSet)
+      val batch = graft.api.Similarity
+        .topKAgainstIvfPqIndex(spark, dir,
+          qs.toDF("qid", "qe"), k = 3, nprobe = 2)
+        .select("qid", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed $streamed != batch-union $batch")
+    } finally q.stop()
+  }
+
   test("session windows: gap split + [first, last+gap) bounds") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
