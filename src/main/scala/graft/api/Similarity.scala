@@ -1198,6 +1198,30 @@ object Similarity {
         lit(s") but the index dim is $dim — ragged input; re-embed " +
           "the offending rows or rebuild the index"))).isNull)
 
+  /** Partition count for the inverted-list writes. The previous
+    * spelling — `repartition(col(partitionCol))` with no count — lets
+    * AQE coalesce the small shuffle, and on anything below its advisory
+    * partition size that means ONE task creating every list's file
+    * SERIALLY: measured 1.39 s vs 0.52 s for the 64-list fixture write
+    * (r15 sweep, OPTIMIZATION_r15.md — the cost is per-file open
+    * latency, not rows). An explicit count pins parallel file creation.
+    * The value is scale-adaptive, never a local constant (guide §2):
+    * up to one task per list when the list count is known (each list
+    * streams to its one file in parallel — the right shape at any
+    * corpus size), bounded below by cores/4 so a small host still
+    * writes in parallel without per-task commit overhead dominating
+    * (the 8/16 floor of the r15 sweep), and overridable via
+    * `spark.graft.index.writePartitions` for operators whose stores
+    * price task commits differently. */
+  private def listWritePartitions(spark: SparkSession,
+      numLists: Option[Int]): Int =
+    spark.conf.getOption("spark.graft.index.writePartitions")
+      .map(_.toInt)
+      .getOrElse {
+        val base = math.max(8, spark.sparkContext.defaultParallelism / 4)
+        math.max(1, numLists.fold(base)(math.min(_, base)))
+      }
+
   /** The stored row shape: (vec_id, bucket, scale, qvec) — one row per
     * vector, bucket = [[signBucket]] at the index's recorded bits, codes
     * via the shared [[quantized]] projection. Every row's width is
@@ -1245,7 +1269,8 @@ object Similarity {
     // one file per non-empty inverted list — exactly the unit a probe
     // reads; AQE coalesces the small shuffle into few tasks.
     ivfRows(corpus, id, vec, bits, dim)
-      .repartition(col("bucket"))
+      .repartition(listWritePartitions(spark, Some(1 << bits)),
+        col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/lists")
   }
@@ -1270,7 +1295,9 @@ object Similarity {
             s"carries $dDim-dim vectors — the dot product would " +
             "silently truncate; re-embed the shard or rebuild the index")
         ivfRows(delta, id, vec, bits, dim)
-          .repartition(col("bucket")) // one file per touched list
+          // one file per touched list
+          .repartition(listWritePartitions(delta.sparkSession,
+            Some(1 << bits)), col("bucket"))
           .write.mode("append").partitionBy("bucket")
           .parquet(s"$path/lists")
     }
@@ -1310,7 +1337,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/params")
     trainedRows(corpus, id, vec,
         spark.read.parquet(s"$path/centroids"), dim)
-      .repartition(col("cluster_id"))
+      .repartition(listWritePartitions(spark, None), col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$path/lists")
   }
@@ -1360,7 +1387,8 @@ object Similarity {
             s"the delta carries $dDim-dim vectors")
         trainedRows(delta, id, vec,
             spark.read.parquet(s"$path/centroids"), dim)
-          .repartition(col("cluster_id"))
+          .repartition(listWritePartitions(spark, None),
+            col("cluster_id"))
           .write.mode("append").partitionBy("cluster_id")
           .parquet(s"$path/lists")
     }
@@ -1456,7 +1484,7 @@ object Similarity {
     val tmp = s"$path/lists__next"
     val bak = s"$path/lists__old"
     transform(spark.read.parquet(live))
-      .repartition(col(partitionCol))
+      .repartition(listWritePartitions(spark, None), col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     val lPath = new org.apache.hadoop.fs.Path(live)
     val fs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1663,7 +1691,9 @@ object Similarity {
       .toDF("bits", "dim", "m", "sub_dim", "codes_k")
       .write.mode("overwrite").parquet(s"$path/params")
     ivfPqRows(corpus, id, vec, cb, bits, dim, m, subDim)
-      .repartition(col("bucket")) // one file per non-empty inverted list
+      // one file per non-empty inverted list
+      .repartition(listWritePartitions(spark, Some(1 << bits)),
+        col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/lists")
   }
@@ -1686,7 +1716,9 @@ object Similarity {
             "rebuild the index")
         ivfPqRows(delta, id, vec,
             spark.read.parquet(s"$path/codebook"), bits, dim, m, subDim)
-          .repartition(col("bucket")) // one file per touched list
+          // one file per touched list
+          .repartition(listWritePartitions(spark, Some(1 << bits)),
+            col("bucket"))
           .write.mode("append").partitionBy("bucket")
           .parquet(s"$path/lists")
     }
