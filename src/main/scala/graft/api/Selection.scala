@@ -252,7 +252,7 @@ object Selection {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
   /** Persist a count-min sketch: `path/cells` holds (r, bucket, c) rows
-    * and `path/params` records (depth, width) — appends and probes
+    * and `path/params.txt` records (depth, width) — appends and probes
     * verify the geometry against the recorded values (a mismatch
     * changes every bucket key, so it fails loudly instead of silently
     * estimating garbage; the substring-index params precedent).
@@ -262,17 +262,16 @@ object Selection {
   def writeCms(df: DataFrame, text: Column, path: String,
       depth: Int = 4, width: Int = 64): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
-    Seq((depth, width)).toDF("depth", "width")
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.util.IndexMeta.writeInts(spark, path, "depth" -> depth,
+      "width" -> width)
     cmsBuild(df, text, depth, width)
       .write.mode("overwrite").parquet(s"$path/cells")
   }
 
   private def requireCmsParams(spark: org.apache.spark.sql.SparkSession,
       path: String, depth: Int, width: Int): Unit = {
-    val p = spark.read.parquet(s"$path/params").head()
-    val (d0, w0) = (p.getAs[Int]("depth"), p.getAs[Int]("width"))
+    val Seq(d0, w0) =
+      graft.util.IndexMeta.readInts(spark, path, "depth", "width")
     require(d0 == depth && w0 == width,
       s"cms at $path was written with depth=$d0, width=$w0 but caller " +
         s"passed depth=$depth, width=$width — every cell key differs")

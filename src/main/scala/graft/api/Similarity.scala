@@ -1155,11 +1155,14 @@ object Similarity {
   /** Loud-failure read of the parameters recorded at [[writeIvfIndex]]
     * time: (bits, dim). A bits drift would silently change every bucket
     * key; a dim drift would silently zip-truncate every dot — readers
-    * require() both. */
+    * require() both. Params live in the `params.txt` sidecar
+    * ([[graft.util.IndexMeta]] — driver-side metadata, not a Spark
+    * job). */
   private def readIvfParams(spark: SparkSession,
       path: String): (Int, Int) = {
-    val p = spark.read.parquet(s"$path/params").head()
-    (p.getAs[Int]("bits"), p.getAs[Int]("dim"))
+    val Seq(bits, dim) =
+      graft.util.IndexMeta.readInts(spark, path, "bits", "dim")
+    (bits, dim)
   }
 
   /** Vector width from the frame's first row, None for an empty frame —
@@ -1244,7 +1247,7 @@ object Similarity {
     * the compressed bytes are what make it cheap; raw vectors never
     * persist and never re-read after the write.
     *
-    * Layout: `path/params` = (bits, dim) recorded write-time values
+    * Layout: `path/params.txt` = (bits, dim) recorded write-time values
     * (readers fail loudly on mismatch — a bits drift changes every
     * bucket key, a dim drift silently truncates every dot);
     * `path/lists/bucket=*` = (vec_id, scale, qvec). The multi-table
@@ -1259,8 +1262,8 @@ object Similarity {
     require(bits <= dim,
       s"bits=$bits exceeds the vector width $dim — signBucket reads the " +
         "first `bits` dimensions")
-    Seq((bits, dim)).toDF("bits", "dim")
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.util.IndexMeta.writeInts(spark, path, "bits" -> bits,
+      "dim" -> dim)
     // repartition BY BUCKET before the partitioned write: without it
     // every write task emits one file per bucket it happens to hold —
     // up to tasks × 2^bits files of a few rows each (measured: the
@@ -1315,7 +1318,7 @@ object Similarity {
     * IVF deployment. Cell assignment reads the ORIGINAL vector (the
     * coarse quantizer sees full precision); only the codes compress.
     *
-    * Layout: `path/params` = (dim), `path/centroids` = (cid, ce),
+    * Layout: `path/params.txt` = (dim), `path/centroids` = (cid, ce),
     * `path/lists/cluster_id=*` = (vec_id, scale, qvec) — the
     * one-file-per-list repartitioned layout. Same non-atomic
     * multi-table caveat as [[writeIvfIndex]]. */
@@ -1333,8 +1336,7 @@ object Similarity {
       s"corpus vectors are $dim-dim but centroids are $cdim-dim")
     centroids.select(col("cid"), col("ce"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    Seq(Tuple1(dim)).toDF("dim")
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.util.IndexMeta.writeInts(spark, path, "dim" -> dim)
     trainedRows(corpus, id, vec,
         spark.read.parquet(s"$path/centroids"), dim)
       .repartition(listWritePartitions(spark, None), col("cluster_id"))
@@ -1377,8 +1379,7 @@ object Similarity {
   def appendToIvfIndexTrained(delta: DataFrame, id: Column, vec: Column,
       path: String): Unit = {
     val spark = delta.sparkSession
-    val dim = spark.read.parquet(s"$path/params").head()
-      .getAs[Int]("dim")
+    val dim = graft.util.IndexMeta.readInt(spark, path, "dim")
     vecDimOpt(delta, vec) match {
       case None => // empty shard: nothing to add (appendToIvfIndex rule)
       case Some(dDim) =>
@@ -1409,8 +1410,7 @@ object Similarity {
     requireQuerySchema(queries)
     require(k >= 1, s"k=$k must be positive")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val dim = spark.read.parquet(s"$indexPath/params").head()
-      .getAs[Int]("dim")
+    val dim = graft.util.IndexMeta.readInt(spark, indexPath, "dim")
     // empty query micro-batches probe nothing (topKAgainstIvfIndex rule)
     vecDimOpt(queries, col("qe")).foreach { qDim =>
       require(qDim == dim,
@@ -1638,9 +1638,9 @@ object Similarity {
     * (bits, dim, m, subDim, codesK). */
   private def readIvfPqParams(spark: SparkSession,
       path: String): (Int, Int, Int, Int, Int) = {
-    val p = spark.read.parquet(s"$path/params").head()
-    (p.getAs[Int]("bits"), p.getAs[Int]("dim"), p.getAs[Int]("m"),
-      p.getAs[Int]("sub_dim"), p.getAs[Int]("codes_k"))
+    val Seq(bits, dim, m, subDim, codesK) = graft.util.IndexMeta
+      .readInts(spark, path, "bits", "dim", "m", "sub_dim", "codes_k")
+    (bits, dim, m, subDim, codesK)
   }
 
   /** Persist an IVF-PQ index for [[topKAgainstIvfPqIndex]]: sign-bucket
@@ -1653,7 +1653,7 @@ object Similarity {
     * training ⇒ that path is test-pinned, the topKIvfTrained rule).
     * The PQ geometry must tile the vector width exactly (m·subDim =
     * dim) — a silent tail of unencoded dimensions would make every
-    * ADC score wrong. Layout: `path/params` = (bits, dim, m, sub_dim,
+    * ADC score wrong. Layout: `path/params.txt` = (bits, dim, m, sub_dim,
     * codes_k), `path/codebook`, `path/lists/bucket=*` = (vec_id,
     * codes). [[removeFromIvfIndex]]/[[compactIvfIndex]] work on the
     * lists table unchanged (same layout contract). Same non-atomic
@@ -1687,9 +1687,8 @@ object Similarity {
     // bounded 1-row aggregate, the centroid-fetch class)
     val codesK = cb.agg(countDistinct(col("code")).as("ck")).head()
       .getAs[Long]("ck").toInt
-    Seq((bits, dim, m, subDim, codesK))
-      .toDF("bits", "dim", "m", "sub_dim", "codes_k")
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.util.IndexMeta.writeInts(spark, path, "bits" -> bits,
+      "dim" -> dim, "m" -> m, "sub_dim" -> subDim, "codes_k" -> codesK)
     ivfPqRows(corpus, id, vec, cb, bits, dim, m, subDim)
       // one file per non-empty inverted list
       .repartition(listWritePartitions(spark, Some(1 << bits)),

@@ -225,10 +225,11 @@ object TextDedup {
     // record the signature parameters IN the index: a parameter
     // mismatch at screen/append time changes every bucket key and would
     // otherwise silently screen nothing — readers require() a match
-    import spark.implicits._
-    Seq((shingleWidth, bands, rowsPerBand))
-      .toDF("shingle_width", "bands", "rows_per_band")
-      .write.mode("overwrite").parquet(s"$path/params")
+    // (params.txt sidecar, graft.util.IndexMeta — driver-side metadata,
+    // not a Spark job)
+    graft.util.IndexMeta.writeInts(spark, path,
+      "shingle_width" -> shingleWidth, "bands" -> bands,
+      "rows_per_band" -> rowsPerBand)
     // shingles land first; the sig table derives from the WRITTEN
     // parquet, so the corpus is tokenized exactly once regardless of
     // scale (re-deriving from text would re-run split+distinct per
@@ -290,9 +291,8 @@ object TextDedup {
     * index was written with (the silent-empty-screen hazard). */
   private def requireIndexParams(spark: SparkSession, path: String,
       shingleWidth: Int, bands: Int, rowsPerBand: Int): Unit = {
-    val p = spark.read.parquet(s"$path/params").head()
-    val (w0, b0, r0) = (p.getAs[Int]("shingle_width"),
-      p.getAs[Int]("bands"), p.getAs[Int]("rows_per_band"))
+    val Seq(w0, b0, r0) = graft.util.IndexMeta.readInts(spark, path,
+      "shingle_width", "bands", "rows_per_band")
     require(w0 == shingleWidth && b0 == bands && r0 == rowsPerBand,
       s"signature index at $path was written with (shingleWidth=$w0, " +
         s"bands=$b0, rowsPerBand=$r0) but caller passed ($shingleWidth, " +
@@ -1611,9 +1611,8 @@ object TextDedup {
   def writeSubstringIndex(df: DataFrame, id: Column, text: Column,
       path: String, windowTokens: Int = 8): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
-    Seq(Tuple1(windowTokens)).toDF("window_tokens")
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.util.IndexMeta.writeInts(spark, path,
+      "window_tokens" -> windowTokens)
     rollingWindows(df.select(id.as("doc_id"), split(text, " ").as("__tk")),
         windowTokens)
       .select("h").distinct()
@@ -1634,8 +1633,7 @@ object TextDedup {
   def appendToSubstringIndex(df: DataFrame, id: Column, text: Column,
       path: String, windowTokens: Int = 8): Unit = {
     val spark = df.sparkSession
-    val w0 = spark.read.parquet(s"$path/params").head()
-      .getAs[Int]("window_tokens")
+    val w0 = graft.util.IndexMeta.readInt(spark, path, "window_tokens")
     require(w0 == windowTokens,
       s"substring index at $path was written with windowTokens=$w0 " +
         s"but caller passed $windowTokens — appended hashes could never " +
@@ -1684,8 +1682,8 @@ object TextDedup {
   def dedupSubstringsAgainstIndex(shard: DataFrame, id: Column,
       text: Column, indexPath: String, windowTokens: Int = 8): DataFrame = {
     val spark = shard.sparkSession
-    val p = spark.read.parquet(s"$indexPath/params").head()
-    val w0 = p.getAs[Int]("window_tokens")
+    val w0 =
+      graft.util.IndexMeta.readInt(spark, indexPath, "window_tokens")
     require(w0 == windowTokens,
       s"substring index at $indexPath was written with windowTokens=$w0 " +
         s"but caller passed $windowTokens — every window hash differs, " +
@@ -1916,15 +1914,13 @@ object TextDedup {
   // inventory, a small fraction of corpus bytes.
 
   /** Persist a corpus's distinct normalized-line hashes at `path`.
-    * `path/params` records the split delimiter — a mismatched probe
+    * `path/params.txt` records the split delimiter — a mismatched probe
     * would hash different lines and silently miss everything, so
     * probes/appends verify it (the substring-index params guard). */
   def writeLineIndex(df: DataFrame, id: Column, text: Column,
       path: String, delim: String = "\n"): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
-    Seq(Tuple1(delim)).toDF("delim")
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.util.IndexMeta.write(spark, path, Seq("delim" -> delim))
     lineFrame(df, id, text, delim).select("h").distinct()
       .write.mode("overwrite").parquet(s"$path/hashes")
   }
@@ -1932,8 +1928,7 @@ object TextDedup {
   private def requireLineIndexParams(
       spark: org.apache.spark.sql.SparkSession, path: String,
       delim: String): Unit = {
-    val d0 = spark.read.parquet(s"$path/params").head()
-      .getAs[String]("delim")
+    val d0 = graft.util.IndexMeta.read(spark, path)("delim")
     require(d0 == delim,
       s"line index at $path was written with delim=${d0
         .replace("\n", "\\n")} but caller passed ${delim
