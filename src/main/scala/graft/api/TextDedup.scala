@@ -346,12 +346,29 @@ object TextDedup {
     // anti-join must stay valid either way. Both tables key docs as
     // `__id` (the md5Shingles/md5BandSigs contract).
     val rm = ids.select(col("doc_id").as("__id")).distinct()
-    Seq("shingles", "sigs").foreach { table =>
+    val tables = Seq("shingles", "sigs")
+    // STAGE both survivor tables before touching either live dir. The
+    // two anti-join rewrites are independent jobs, so they run from
+    // two driver threads and Spark back-fills one job's task tail with
+    // the other's tasks (optimization guide §2.6 — r15, measured:
+    // remove phase 0.95 → 0.55 s warm; each rewrite alone underuses
+    // the cores). Staging-before-swap also tightens crash behavior:
+    // a failure during either write leaves BOTH live tables untouched
+    // (the previous table-at-a-time loop could crash with shingles
+    // swapped and sigs not).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val staged = tables.map { table =>
+      Future {
+        spark.read.parquet(s"$path/$table")
+          .join(rm, Seq("__id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$path/${table}__removing")
+      }
+    }
+    staged.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    tables.foreach { table =>
       val live = s"$path/$table"
       val tmp = s"$path/${table}__removing"
-      spark.read.parquet(live)
-        .join(rm, Seq("__id"), "left_anti")
-        .write.mode("overwrite").parquet(tmp)
       val lPath = new org.apache.hadoop.fs.Path(live)
       val fs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.delete(lPath, true))
