@@ -57,10 +57,23 @@ object Quality {
   /** Per-doc margin in micro-units under a (bucket, w_micro) model:
     * z_micro = Σ_buckets n·w_micro, exact integer. Docs whose buckets
     * all miss the model (or labeled docs with no features) score 0.
-    * Output: (doc_id, z_micro). */
+    * Output: (doc_id, z_micro).
+    *
+    * The model side is BROADCAST-hinted (r15): it is 16^nibbles rows
+    * by construction (the hashing trick fixes the feature space up
+    * front — the scale argument [[classify]] has always made), but a
+    * mid-train model frame's lineage is a chain of full-outer merges
+    * whose size the planner cannot estimate, so without the hint every
+    * epoch's scoring join planned as a SortMergeJoin that SHUFFLED the
+    * corpus-sized feature frame on bucket (train_step's plan carried
+    * one such exchange + sort per epoch). With the hint the join is
+    * map-side and the margin agg's doc_id exchange is the only
+    * shuffle — 2 exchanges → 1 per scoring pass, and the corpus never
+    * re-partitions to score, which is the shape that matters at
+    * 10⁹ docs. */
   def margins(feats: DataFrame, weights: DataFrame): DataFrame =
-    feats.join(weights.select(col("bucket"),
-        col("w_micro").as("__w")), Seq("bucket"), "left")
+    feats.join(broadcast(weights.select(col("bucket"),
+        col("w_micro").as("__w"))), Seq("bucket"), "left")
       .groupBy("doc_id")
       .agg(sum(col("n") * coalesce(col("__w"), lit(0L))).as("z_micro"))
 
